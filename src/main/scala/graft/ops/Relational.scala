@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The reference's relational operator surface (SURVEY.md §2.2–§2.4)
+  * as reusable, codegen-friendly Column/DataFrame combinators — pure
+  * Catalyst expressions, zero UDFs.
+  *
+  * Cross-engine exactness note: several helpers deliberately route
+  * floating-point aggregation through `DecimalType` so results are
+  * bit-exact regardless of partitioning/summation order — double sums
+  * are order-dependent and would diverge between a 1000-executor run
+  * and a single-node oracle; decimal sums are associative and exact.
+  */
+object Relational {
+
+  /** Conditional scalar clamp (P4, reference `app.py:220`):
+    * `x if x > 0 else floor` as a single codegen'd expression. */
+  def clampPositive(c: Column, floor: Double): Column =
+    when(c > 0, c).otherwise(lit(floor))
+
+  /** Null-drop on a subset of columns (P3, `app.py:217`). */
+  def dropNullsIn(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.na.drop(cols)
+
+  /** Mean-fill of a numeric column (P5, `app.py:34-36`), computed
+    * without a driver-side collect: the per-column mean is an
+    * unpartitioned window aggregate, so the fill composes into one
+    * plan. Numerator goes through decimal so the mean (and therefore
+    * the fill) is identical under any partitioning.
+    *
+    * Scale note: `Window.partitionBy()` (no keys) coalesces to a
+    * single partition for the window — fine for a scalar aggregate at
+    * any scale IF Spark plans it as a single-row aggregate. For very
+    * wide data prefer [[meanFillAgg]] which computes means via a
+    * proper partial+final aggregate and joins them back broadcast. */
+  def meanFillExpr(c: Column, scale: Int = 2): Column = {
+    val w = Window.partitionBy()
+    val mean = sum(c.cast(DecimalType(28, scale))).over(w).cast("double") /
+      count(c).over(w)
+    coalesce(c, mean)
+  }
+
+  /** Mean-fill via partial+final hash aggregate + broadcast join —
+    * the 100 TB-safe variant of [[meanFillExpr]]: one map-side-combined
+    * aggregate produces a 1-row means relation, broadcast back onto
+    * the data (no single-partition window). */
+  def meanFillAgg(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    val meanCols = cols.map { n =>
+      (sum(col(n).cast(DecimalType(28, scale))).cast("double") /
+        count(col(n))).as(s"__mean_$n")
+    }
+    val means = df.agg(meanCols.head, meanCols.tail: _*)
+    val joined = df.crossJoin(broadcast(means))
+    val filled = cols.foldLeft(joined) { (d, n) =>
+      d.withColumn(n, coalesce(col(n), col(s"__mean_$n")))
+    }
+    filled.drop(cols.map(n => s"__mean_$n"): _*)
+  }
+
+  /** Conjunctive rule override (P6, `app.py:187-194`): when all three
+    * conditions hold force the prediction to `overrideValue`. */
+  def ruleOverride(prediction: Column, income: Column, loanAmount: Column,
+                   propertyValue: Column, overrideValue: Double = 0.0): Column =
+    when(income < 30000 && loanAmount > 200000 && propertyValue < 100000,
+      lit(overrideValue)).otherwise(prediction)
+
+  /** Decision labeling (P7, `app.py:198-202`). */
+  def decisionLabel(predictedClass: Column): Column =
+    when(predictedClass === 1.0, lit("sanctioned")).otherwise(lit("rejected"))
+
+  /** Deterministic pseudo-random exact-n sample (L5 analog,
+    * `app.py:214`): order by md5 of a key expression, take n. Unlike
+    * `orderBy(rand(seed))`, the md5 ordering is reproducible across
+    * engines and cluster sizes; at scale it is a TakeOrderedAndProject
+    * (per-partition top-n + driver merge), not a global sort. */
+  def exactSampleByHash(df: DataFrame, key: Column, n: Int): DataFrame =
+    df.withColumn("__h", md5(key.cast("string")))
+      .orderBy(col("__h"))
+      .limit(n)
+      .drop("__h")
+
+  /** Seeded Bernoulli split (L3/L4, `spark.py:59` / `app.py:73`).
+    * Approximate fractions, exactly reproducible for a fixed seed. */
+  def seededSplit(df: DataFrame, weights: Array[Double], seed: Long)
+      : Array[DataFrame] =
+    df.randomSplit(weights, seed)
+
+  /** Exact-count seeded split (sklearn `train_test_split` parity, L4):
+    * deterministic hash order + row_number partitioning gives exact
+    * split sizes. Costs one global sort — use only when exact counts
+    * matter (the reference UI prints them, `app.py:80-81`). */
+  def exactFractionSplit(df: DataFrame, testFraction: Double, key: Column)
+      : (DataFrame, DataFrame) = {
+    val w = Window.orderBy(md5(key.cast("string")))
+    val ranked = df.withColumn("__rn", row_number().over(w))
+    val n = df.count()
+    val nTest = math.round(n * testFraction)
+    val test = ranked.filter(col("__rn") <= nTest).drop("__rn")
+    val train = ranked.filter(col("__rn") > nTest).drop("__rn")
+    (train, test)
+  }
+
+  /** Exact cross-engine sum: route a double column through decimal so
+    * the aggregate is order-independent. */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+
+  /** Exact cross-engine mean as a double: exact decimal numerator
+    * divided by exact long count — the division is a single double op
+    * on identical inputs, so the result is bit-identical everywhere. */
+  def decAvg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double") / count(c)
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types._
+
+/** Table readers for the engine.
+  *
+  * Two source families:
+  *  1. The driver-generated TPC-H-ish parquet tables (TESTDATA.md):
+  *     `region nation customer supplier part orders lineitem events
+  *     documents embeddings`, loaded per scale-factor directory.
+  *  2. The reference's loan table (`/root/reference/Loan_Default.csv`,
+  *     read-only), with the schema `inferSchema=True` produces at the
+  *     reference's `spark.py:29` — pinned here as an explicit
+  *     [[StructType]] so production reads are a single pass (no
+  *     schema-inference double scan), with an `inferSchema` parity
+  *     switch for faithfulness tests.
+  */
+object Tables {
+
+  /** Parquet scan of one testdata table. Filters/projections composed on
+    * top of this are pushed into the parquet reader by Catalyst
+    * (visible as PushedFilters/ReadSchema in explain). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS),
+    * which Spark has no native type for. We read it as a long
+    * (legacy nanosAsLong) and floor-convert to microsecond
+    * TimestampType — the same truncation DuckDB applies when it reads
+    * the column, so both engines see identical instants. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Default location of the reference's loan dataset (read-only). */
+  val LoanCsvPath = "/root/reference/Loan_Default.csv"
+
+  /** Pinned schema of `Loan_Default.csv` — exactly what
+    * `inferSchema=True` yields on the 999-row file (FIXTURES.md §1).
+    * Reference: `spark.py:29`. Nulls are empty CSV fields. */
+  val loanSchema: StructType = StructType(Seq(
+    StructField("ID", IntegerType),
+    StructField("year", IntegerType),
+    StructField("loan_limit", StringType),
+    StructField("Gender", StringType),
+    StructField("approv_in_adv", StringType),
+    StructField("loan_type", StringType),
+    StructField("loan_purpose", StringType),
+    StructField("Credit_Worthiness", StringType),
+    StructField("open_credit", StringType),
+    StructField("business_or_commercial", StringType),
+    StructField("loan_amount", IntegerType),
+    StructField("rate_of_interest", DoubleType),
+    StructField("Interest_rate_spread", DoubleType),
+    StructField("Upfront_charges", DoubleType),
+    StructField("term", IntegerType),
+    StructField("Neg_ammortization", StringType),
+    StructField("interest_only", StringType),
+    StructField("lump_sum_payment", StringType),
+    StructField("property_value", IntegerType),
+    StructField("construction_type", StringType),
+    StructField("occupancy_type", StringType),
+    StructField("Secured_by", StringType),
+    StructField("total_units", StringType),
+    StructField("income", IntegerType),
+    StructField("credit_type", StringType),
+    StructField("Credit_Score", IntegerType),
+    StructField("co-applicant_credit_type", StringType),
+    StructField("age", StringType),
+    StructField("submission_of_application", StringType),
+    StructField("LTV", DoubleType),
+    StructField("Region", StringType),
+    StructField("Security_Type", StringType),
+    StructField("Status", IntegerType),
+    StructField("dtir1", IntegerType),
+  ))
+
+  /** The 6 numeric feature columns fed to the model (reference
+    * `spark.py:45`, `app.py:69`). */
+  val loanFeatureCols: Seq[String] =
+    Seq("loan_amount", "rate_of_interest", "property_value", "income",
+        "Credit_Score", "LTV")
+
+  /** The 4 columns mean-imputed by the reference (`spark.py:38`,
+    * `app.py:34`). */
+  val loanImputeCols: Seq[String] =
+    Seq("rate_of_interest", "property_value", "income", "LTV")
+
+  val loanLabelCol: String = "Status"
+
+  /** CSV scan of the loan table (SURVEY.md §2.1 S1).
+    *
+    * @param inferSchema parity switch: `true` reproduces the
+    *   reference's double-scan schema inference (`spark.py:29`);
+    *   `false` (production default) uses the pinned [[loanSchema]] —
+    *   one pass over the file. */
+  def loan(spark: SparkSession, path: String = LoanCsvPath,
+           inferSchema: Boolean = false): DataFrame = {
+    val base = spark.read.option("header", "true")
+    if (inferSchema) base.option("inferSchema", "true").csv(path)
+    else base.schema(loanSchema).csv(path)
+  }
+}
