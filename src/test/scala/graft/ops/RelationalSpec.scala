@@ -1,0 +1,81 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.ops.Relational._
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clampPositive maps zero and negatives to the floor (P4)") {
+    val got = Seq(5.0, 0.0, -1.0, 0.1).toDF("x")
+      .select(clampPositive($"x", 0.1).as("y"))
+      .as[Double].collect().toSeq
+    assert(got === Seq(5.0, 0.1, 0.1, 0.1))
+  }
+
+  test("meanFillAgg fills nulls with the column mean, leaves non-nulls (P5)") {
+    val df = Seq(Some(1.0), None, Some(3.0), None).toDF("v")
+    val got = meanFillAgg(df, Seq("v")).as[Double].collect().toSeq
+    assert(got.sorted === Seq(1.0, 2.0, 2.0, 3.0))
+  }
+
+  test("meanFillAgg imputed column has no nulls, non-null values unchanged") {
+    val df = Seq(Some(2.0), Some(4.0), None, Some(9.0), None, None).toDF("v")
+    val filled = meanFillAgg(df, Seq("v"))
+    assert(filled.filter($"v".isNull).count() === 0)
+    assert(filled.filter($"v" === 5.0).count() === 3) // mean of 2,4,9
+  }
+
+  test("ruleOverride truth table (P6): forces 0 only when all three conjuncts hold") {
+    val rows = Seq(
+      (25000, 250000, 90000, 1.0, 0.0),  // all hold -> overridden
+      (35000, 250000, 90000, 1.0, 1.0),  // income fails
+      (25000, 150000, 90000, 1.0, 1.0),  // loan fails
+      (25000, 250000, 150000, 1.0, 1.0)) // property fails
+    val df = rows.map(r => (r._1, r._2, r._3, r._4)).toDF(
+      "income", "loan_amount", "property_value", "pred")
+    val got = df.select(ruleOverride($"pred", $"income", $"loan_amount",
+      $"property_value").as("out")).as[Double].collect().toSeq
+    assert(got === rows.map(_._5))
+  }
+
+  test("decisionLabel maps 1->sanctioned, 0->rejected (P7)") {
+    val got = Seq(1.0, 0.0).toDF("p")
+      .select(decisionLabel($"p")).as[String].collect().toSeq
+    assert(got === Seq("sanctioned", "rejected"))
+  }
+
+  test("exactSampleByHash returns exactly n rows, deterministically (L5)") {
+    val df = spark.range(1000).toDF("id")
+    val a = exactSampleByHash(df, $"id", 50).as[Long].collect().toSeq
+    val b = exactSampleByHash(df, $"id", 50).as[Long].collect().toSeq
+    assert(a.size === 50)
+    assert(a === b)
+  }
+
+  test("seededSplit is disjoint, exhaustive, reproducible (L3/L4)") {
+    val df = spark.range(1000).toDF("id")
+    val Array(tr1, te1) = seededSplit(df, Array(0.8, 0.2), 42L)
+    val Array(tr2, te2) = seededSplit(df, Array(0.8, 0.2), 42L)
+    assert(tr1.count() + te1.count() === 1000)
+    assert(tr1.intersect(te1).count() === 0)
+    assert(tr1.count() === tr2.count())
+    assert(tr1.except(tr2).count() === 0)
+  }
+
+  test("exactFractionSplit yields exact counts") {
+    val df = spark.range(999).toDF("id")
+    val (tr, te) = exactFractionSplit(df, 0.2, $"id")
+    assert(te.count() === 200)  // round(999*0.2)
+    assert(tr.count() === 799)
+    assert(tr.intersect(te).count() === 0)
+  }
+
+  test("decSum/decAvg are partitioning-invariant") {
+    val vals = (1 to 1000).map(i => i * 0.01)
+    val one = vals.toDF("v").repartition(1).agg(decSum($"v")).collect()(0).get(0)
+    val many = vals.toDF("v").repartition(7).agg(decSum($"v")).collect()(0).get(0)
+    assert(one === many)
+  }
+}
