@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`):
+  *
+  *  - brute-force cosine top-k — the exact baseline: one projection
+  *    computing the score + TakeOrderedAndProject for the top-k (no
+  *    global sort, no collect);
+  *  - hyperplane-LSH bucketed ANN — the scale path: deterministic
+  *    pseudo-random hyperplanes give every vector a small bucket
+  *    signature; candidates come from the query's bucket only, then
+  *    exact cosine re-ranks. At 100 TB the bucket join touches a
+  *    ~2^bits-th of the data instead of all of it.
+  *
+  * Vector math is `zip_with` + `aggregate` over the array column —
+  * codegen'd, no UDFs, no VectorUDT conversion.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, null-safe on zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force exact top-k by cosine against the vector with id
+    * `queryId` (taken from the same table and broadcast). Scores are
+    * rounded to `roundTo` decimals before ranking so the ranking is
+    * reproducible across engines/partitionings; ties break by id. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, k: Int, roundTo: Int = 6): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val q = df.filter(col(idCol) === queryId)
+      .select(v.as("qvec"))
+    df.filter(col(idCol) =!= queryId)
+      .select(col(idCol), v.as("vec"))
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random ±1 hyperplanes (seeded Scala RNG —
+    * fixed at build time, identical on every executor/run). */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(bits, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-of-projection LSH bucket id: bit i = (v · plane_i) >= 0. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: hash all vectors (projection),
+    * keep only the query's bucket (an equality filter the optimizer
+    * can push/partition on), exact-cosine re-rank inside the bucket.
+    * Recall is tuned by `bits` (fewer bits → bigger buckets → higher
+    * recall, more compute). */
+  def lshCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, bits: Int = 4,
+                    dim: Int = 64, roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val v = col(vecCol).cast("array<double>")
+    val bucketed = df.select(col(idCol), v.as("vec"),
+      lshBucket(v, planes).as("bucket"))
+    val q = bucketed.filter(col(idCol) === queryId)
+      .select(col("vec").as("qvec"), col("bucket").as("qbucket"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .filter(col("bucket") === col("qbucket"))
+      .select(col(idCol),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"),
+        col("bucket"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, and
+  * document fingerprinting. All pure Catalyst expressions (split /
+  * higher-order functions / hashes) — codegen-friendly, no UDFs, no
+  * shuffles; they compose into any scan as per-row projections.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * other non-space chars — the classic pre-tokenizer regex. The
+    * pattern is RE2/Java-compatible (no lookarounds) so an external
+    * oracle can replicate it. */
+  val BpeishPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** English-ish stopword set used by the quality heuristics. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isin(Stopwords: _*)))
+
+  /** Quality heuristics (length / punctuation / stopword ratios):
+    *  - n_chars, n_tokens
+    *  - mean token length
+    *  - stopword ratio (too low → gibberish, too high → boilerplate)
+    *  - non-alphanumeric character ratio
+    * plus a composite [0,1] score. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    val stopRatio = stopwordCount(text).cast("double") / nTokens
+    val punctRatio =
+      (nChars - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+        nChars
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_tok_len" -> meanTokLen,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio)
+  }
+
+  /** Composite quality score in [0,1]: penalizes very short docs,
+    * extreme mean token lengths, and missing stopwords. */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    val lenOk = least(cols("n_tokens").cast("double") / 20.0, lit(1.0))
+    val tokOk = when(cols("mean_tok_len").between(2.0, 12.0), 1.0).otherwise(0.3)
+    val stopOk = when(cols("stop_ratio").between(0.01, 0.6), 1.0).otherwise(0.5)
+    round(lenOk * tokOk * stopOk, 4)
+  }
+
+  /** Tiny per-language marker-word profiles for the n-gram/stopword
+    * language-ID heuristic. Deliberately small and deterministic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"))
+
+  /** Language-ID heuristic: argmax over language profiles of marker
+    * hit counts; ties and zero hits resolve to "und" (undetermined).
+    * One pass over the token array per profile — a per-row projection,
+    * embarrassingly parallel at any scale. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // array of (score, lang) structs; array_max picks lexicographically
+    // greatest = highest score, ties broken by lang name.
+    val scored = array(LangProfiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive rolling document fingerprint: rotate-left-5 XOR
+    * accumulation of per-token hashes — a content-AND-order signature,
+    * unlike the set-based dedup signatures in [[Dedup]]. Pure bit ops,
+    * so no ANSI overflow (a polynomial acc*31+h would throw under
+    * Spark 4's default ANSI mode). */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.Relational.decAvg
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline queries over the `documents` and
+  * `embeddings` tables: dedup (exact/minhash/simhash/ngram),
+  * similarity search (brute-force + LSH), and text analysis
+  * (tokens/quality/language/fingerprint). SQL-expressible ones carry
+  * DuckDB oracles; signature/LSH ones (engine-specific hashes) get
+  * rows-only checks.
+  */
+object DataQueries {
+
+  /** Exact dedup survivor list (hash-groupBy on the text digest). */
+  val q20DedupExact = QueryDef(
+    "q20_dedup_exact",
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin) { (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "text", "doc_id")
+      .orderBy(col("text_hash"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish subword count. */
+  val q21TokenStats = QueryDef(
+    "q21_token_stats",
+    s"""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      | len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS n_bpeish,
+      | length(text) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/punct/stopword ratios + composite score.
+    * All scalar IEEE double ops — bit-identical across engines. */
+  val q22Quality = QueryDef(
+    "q22_quality",
+    """SELECT doc_id, n_chars, n_tokens,
+      | CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_tok_len,
+      | CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      | (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |   * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |            BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |   * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |            BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |FROM (
+      |  SELECT doc_id, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = col("text")
+    val nTokens = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val nStop = TextAnalysis.stopwordCount(t)
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    val stopRatio = nStop.cast("double") / nTokens
+    val lenOk = least(nTokens / 20.0, lit(1.0))
+    val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    Tables.documents(s, d)
+      .select(col("doc_id"), nChars.as("n_chars"), nTokens.as("n_tokens"),
+        meanTokLen.as("mean_tok_len"), stopRatio.as("stop_ratio"),
+        (lenOk * tokOk * stopOk).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus statistics per declared language tag. */
+  val q23LangAgg = QueryDef(
+    "q23_lang_agg",
+    """SELECT lang, COUNT(*) AS n_docs,
+      | CAST(SUM(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+      | COUNT(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        decAvg(col("n_chars")).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-ID heuristic per doc (marker-word argmax). */
+  val q24LangId = QueryDef.rowsOnly("q24_lang_id") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        TextAnalysis.langId(col("text")).as("detected_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard scores. */
+  val q25MinhashPairs = QueryDef.rowsOnly("q25_minhash_pairs") { (s, d) =>
+    Dedup.minhashDedupPairs(Tables.documents(s, d), "text", "doc_id",
+      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Per-doc 64-bit SimHash fingerprints. */
+  val q26Simhash = QueryDef.rowsOnly("q26_simhash") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** n-gram Jaccard near-dup pairs via capped inverted index. */
+  val q27NgramJaccard = QueryDef.rowsOnly("q27_ngram_jaccard") { (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+      shingleK = 2, threshold = 0.2, dfCap = 20)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Order-sensitive rolling-hash document fingerprints. */
+  val q28Fingerprint = QueryDef.rowsOnly("q28_fingerprint") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force exact cosine top-10 against vec_id=0. */
+  val q40CosineTopk = QueryDef(
+    "q40_cosine_topk",
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec
+      |           FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id,
+      | round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qvec), 6) AS cos
+      |FROM embeddings, q WHERE vec_id <> 0
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10)
+  }
+
+  /** LSH-bucketed approximate cosine top-10 (the 100 TB path). */
+  val q41LshAnn = QueryDef.rowsOnly("q41_lsh_ann") { (s, d) =>
+    Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, bits = 4, dim = 64)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
+    q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
+    q40CosineTopk, q41LshAnn)
+}

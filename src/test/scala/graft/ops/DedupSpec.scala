@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"))   // exact dup of 1
+    .toDF("doc_id", "text")
+
+  test("exactDedup keeps min id per distinct text") {
+    val got = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("keep_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("shingles: k=2 produces adjacent word pairs, distinct") {
+    val got = Seq(("a b c b c", 0)).toDF("t", "i")
+      .select(Dedup.shingles($"t", 2).as("sh"))
+      .as[Seq[String]].collect()(0)
+    assert(got.toSet === Set("a b", "b c", "c b"))
+  }
+
+  test("minhash signature is deterministic and length numHashes") {
+    val sig = docs.select(
+      Dedup.minhashSignature(Dedup.shingles($"text", 2), 16).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig.forall(_.size == 16))
+    // identical texts -> identical signatures
+    assert(sig(0) === sig(3))
+    // near-dups share most minhashes
+    val shared = sig(0).zip(sig(1)).count { case (a, b) => a == b }
+    assert(shared >= 8, s"only $shared/16 minhashes shared")
+  }
+
+  test("minhashDedupPairs finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashDedupPairs(docs, "text", "doc_id",
+      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
+  test("simhash: identical texts equal; near-dups within small hamming") {
+    val sims = docs.select(Dedup.simhash64($"text").as("s")).as[Long].collect()
+    assert(sims(0) === sims(3))
+    val hamming = java.lang.Long.bitCount(sims(0) ^ sims(1))
+    assert(hamming <= 16, s"near-dup hamming $hamming too large")
+    val hammingFar = java.lang.Long.bitCount(sims(0) ^ sims(2))
+    assert(hammingFar > hamming, "unrelated doc closer than near-dup")
+  }
+
+  test("simhashDedupPairs finds the exact-dup pair") {
+    val pairs = Dedup.simhashDedupPairs(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("ngramJaccardPairs: jaccard 1.0 for exact dups, respects threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      shingleK = 2, threshold = 0.5, dfCap = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) === 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash pairs on real documents table are high-jaccard") {
+    val pairs = Dedup.minhashDedupPairs(Tables.documents(spark, sf0001),
+      "text", "doc_id", shingleK = 2, numHashes = 32, bands = 8, threshold = 0.2)
+      .collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getDouble(2) >= 0.2))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // nearly parallel to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Seq(0.9f, 0.1f, 0.1f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val a = array(lit(1.0), lit(0.0))
+    val sims = Seq(
+      (Seq(2.0, 0.0), 1.0), (Seq(0.0, 3.0), 0.0), (Seq(-1.0, 0.0), -1.0))
+    sims.foreach { case (v, want) =>
+      val got = spark.range(1)
+        .select(Similarity.cosine(a, array(v.map(lit): _*)).as("c"))
+        .as[Double].collect()(0)
+      assert(math.abs(got - want) < 1e-12, s"$v -> $got, want $want")
+    }
+  }
+
+  test("cosineTopK ranks nearest first, excludes the query itself") {
+    val got = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got.head === 1L)     // most parallel
+    assert(got(1) === 4L)
+    assert(!got.contains(0L))
+  }
+
+  test("lshBucket is deterministic; identical vectors share a bucket") {
+    val planes = Similarity.hyperplanes(4, 4)
+    val b = vecs.select(Similarity.lshBucket($"embedding".cast("array<double>"),
+      planes).as("b")).as[Long].collect()
+    assert(b(0) === vecs.select(Similarity.lshBucket(
+      $"embedding".cast("array<double>"), planes).as("b")).as[Long].collect()(0))
+    // near-parallel vectors 0 and 1 should agree on all sign bits here
+    assert(b(0) === b(1))
+  }
+
+  test("lshCosineTopK on real embeddings returns k rows from the query bucket") {
+    val got = Similarity.lshCosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 0L, 10, bits = 4, dim = 64).collect()
+    assert(got.length === 10)
+    assert(got.map(_.getLong(2)).distinct.length === 1) // one bucket
+  }
+
+  test("brute-force and LSH agree on overlapping candidates") {
+    val exact = Similarity.cosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 0L, 50)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshCosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 0L, 10, bits = 4, dim = 64)
+      .select("vec_id").as[Long].collect().toSet
+    // LSH recall against the exact top-50 should be nonzero
+    assert((exact & approx).nonEmpty)
+  }
+}
