@@ -1,0 +1,120 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table. The transforms are
+  * written against plain DataFrames so the SAME logic runs in batch
+  * (the oracle-checked q14 path) and as an incremental streaming query
+  * — Spark's unified model. Streaming adds: watermarks for state
+  * eviction, windowed aggregation in append mode, stream dedup, and
+  * custom session state via flatMapGroupsWithState.
+  *
+  * Scale: state is partitioned by grouping key across executors; the
+  * watermark bounds state size, so a 100 TB/day stream holds only the
+  * open windows/sessions in memory.
+  */
+object EventStreams {
+
+  /** Event schema as stored (ts arrives as INT64 nanos in parquet). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream of an events-parquet ingestion directory (new
+    * files picked up incrementally — the standard landing-zone shape).
+    * Same nanos → micros conversion as the batch reader. */
+  def readEventStream(spark: SparkSession, ingestDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(ingestDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark: count + sum(value)
+    * per (1h window, event_type). Works on batch and stream alike. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * the streaming twin of [[graft.ops.Dedup.exactDedup]]. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int, sum: Double)
+  final case class UserSession(user_id: Long, session_start: Long,
+                               session_end: Long, n_events: Int,
+                               total_value: Double)
+
+  /** Custom stateful sessionization: per-user sessions closed after
+    * `gapMinutes` of inactivity, emitted on timeout. Demonstrates
+    * arbitrary state (KeyValueGroupedDataset.flatMapGroupsWithState)
+    * for semantics windowed aggregation can't express. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30)
+      : Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(userId: Long, evs: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[UserSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(UserSession(userId, s.start, s.end, s.n, s.sum))
+      } else {
+        val sorted = evs.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[UserSession]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.end <= gapMs =>
+              cur = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              closed ::= UserSession(userId, s.start, s.end, s.n, s.sum)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.end + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Run a streaming DataFrame to a named in-memory table and block
+    * until all available input is processed (local smoke path). */
+  def runToMemory(df: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.queries.CoreQueries
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+  import spark.implicits._
+
+  def ts(minute: Int): Timestamp = Timestamp.valueOf(
+    f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyAgg streaming matches the same transform run in batch") {
+    val rows = Seq(
+      Event(1, ts(5), 1, "click", 10.0),
+      Event(2, ts(20), 2, "view", 5.0),
+      Event(3, ts(65), 1, "click", 7.0),
+      Event(4, ts(70), 3, "click", 1.0),
+      // late watermark-advancing event so hour-0/hour-1 windows close
+      Event(5, ts(300), 9, "view", 0.0))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val streamed = runToMemory(hourlyAgg(mem.toDF()), "hourly_stream")
+      .filter($"hour" < ts(180))
+      .select($"hour", $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+
+    val batch = hourlyAgg(rows.toDF())
+      .filter($"hour" < ts(180))
+      .select($"hour", $"event_type", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed === batch)
+    assert(streamed.contains(Seq(ts(0), "click", 1L, 10.0)))
+    assert(streamed.contains(Seq(ts(60), "click", 2L, 8.0)))
+  }
+
+  test("dedupStream drops re-delivered event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(1), 1, "click", 1.0), // duplicate delivery
+      Event(2, ts(2), 1, "view", 2.0))
+    val got = runToMemory(dedupStream(mem.toDF()), "dedup_stream")
+    assert(got.count() === 2)
+  }
+
+  test("sessionize closes sessions after the gap and emits on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: two events 10 min apart (one session), then 2h silence,
+    // then another event (second session). The far-future event from
+    // user 9 advances the watermark so both of user 1's sessions time out.
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),
+      Event(3, ts(130), 1, "click", 4.0))
+    mem.addData(Event(99, ts(2000), 9, "view", 0.0))
+
+    val sessions = runToMemory(
+      sessionize(mem.toDS().withWatermark("ts", "0 seconds"), gapMinutes = 30)
+        .toDF(), "sessions")
+      .filter($"user_id" === 1)
+      .orderBy($"session_start")
+      .collect()
+
+    assert(sessions.length === 2)
+    assert(sessions(0).getAs[Int]("n_events") === 2)
+    assert(sessions(0).getAs[Double]("total_value") === 3.0)
+    assert(sessions(1).getAs[Int]("n_events") === 1)
+  }
+
+  test("file-source stream over events.parquet matches batch q14 counts") {
+    // stage the parquet file into an ingestion directory (file streams
+    // watch directories, not single files)
+    val ingest = java.nio.file.Files.createTempDirectory("events_ingest")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      ingest.resolve("part-0.parquet"))
+    val streamed = runToMemory(
+      hourlyAgg(readEventStream(spark, ingest.toString)), "hourly_file_stream")
+    // append mode only emits windows the watermark closed; the final
+    // open windows stay in state, so streamed <= batch and every
+    // emitted row must match the batch result exactly.
+    val batch = CoreQueries.q14EventsHourly.fn(spark, sf0001)
+      .select(col("hour"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val got = streamed
+      .select(col("hour").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(batch))
+  }
+}
