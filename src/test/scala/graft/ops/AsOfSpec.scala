@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  def t(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  lazy val left = Seq(
+    (1L, t(10), "e1"),
+    (1L, t(30), "e2"),
+    (2L, t(10), "e3"),   // key 2 has no prior right row at t10
+    (3L, t(10), "e4"))   // key 3 has no right rows at all
+    .toDF("k", "ts", "ev")
+
+  lazy val right = Seq(
+    (1L, t(5), "p1", 100.0),
+    (1L, t(10), "p2", 200.0),  // exactly at e1's time -> visible (>=)
+    (1L, t(25), "p3", 300.0),
+    (2L, t(50), "p4", 400.0))  // after e3 -> not visible
+    .toDF("k", "ts", "pid", "pval")
+
+  test("asOfJoin picks the latest right row at or before each left time") {
+    val got = AsOf.asOfJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("pid", "pval"), tiebreak = Some("pid"))
+      .select("ev", "asof_pid", "asof_pval")
+      .collect().map(r => (r.getString(0), r.getString(1), r.get(2))).toSet
+    assert(got === Set(
+      ("e1", "p2", 200.0),  // tie at t10 included
+      ("e2", "p3", 300.0),  // latest prior
+      ("e3", null, null),   // right row is in the future
+      ("e4", null, null)))  // no right rows for key
+  }
+
+  test("asOfJoin keeps every left row exactly once (left-outer semantics)") {
+    val out = AsOf.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("pid", "pval"))
+    assert(out.count() === left.count())
+    assert(out.columns.toSeq ===
+      Seq("k", "ts", "ev", "asof_pid", "asof_pval"))
+  }
+}
