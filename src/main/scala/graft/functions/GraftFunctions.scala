@@ -22,6 +22,15 @@ object GraftFunctions {
       CosineSimilarity(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
+  /** Codegen'd minhash signature (see [[MinHashSignature]]). */
+  def minhash_signature(hashedShingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(hashedShingles), numHashes))
+
+  /** Fused zero-copy hashed word-k-gram shingler (see [[HashedShingles]]). */
+  def hashed_shingles(text: Column, k: Int): Column =
+    ColumnBridge.column(HashedShingles(ColumnBridge.expression(text), k))
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
 

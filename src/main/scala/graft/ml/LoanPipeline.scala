@@ -125,6 +125,20 @@ object LoanPipeline {
       train.count(), test.count())
   }
 
+  private val bundleCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Boolean, Boolean), LoanModelBundle]()
+
+  /** Memoized [[train]] — the reference's `st.cache_resource` semantics
+    * (S7, app.py:98): one fitted model per (path, seed, mode) per JVM,
+    * reused across scoring requests. */
+  def trainCached(spark: SparkSession,
+                  path: String = Tables.LoanCsvPath,
+                  seed: Long = 42L,
+                  withMean: Boolean = false,
+                  fitPrepOnTrainOnly: Boolean = false): LoanModelBundle =
+    bundleCache.computeIfAbsent((path, seed, withMean, fitPrepOnTrainOnly),
+      _ => train(spark, path, seed, withMean, fitPrepOnTrainOnly))
+
   /** A4: area under ROC from (rawPrediction, label). */
   def auc(scored: DataFrame): Double =
     new BinaryClassificationEvaluator()

@@ -43,11 +43,24 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(k)))))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the minimum over the shingle set of xxhash64(shingle, seed). */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+  /** Shingle set collapsed to 64-bit hashes — computed ONCE per
+    * shingle; every downstream minhash function derives from the long,
+    * not the string (classic one-string-hash minhash family). */
+  def hashedShingles(shingleSet: Column): Column =
+    transform(shingleSet, s => xxhash64(s))
+
+  /** MinHash signature over hashed shingles, via the engine's native
+    * codegen'd expression ([[graft.functions.MinHashSignature]]): one
+    * fused shingles×numHashes loop. The HOF formulation
+    * (`transform`+`array_min` with interpreted lambdas) is kept as
+    * [[minhashSignatureHof]] for property tests. */
+  def minhashSignature(hashedSet: Column, numHashes: Int): Column =
+    graft.functions.GraftFunctions.minhash_signature(hashedSet, numHashes)
+
+  /** Interpreted-HOF minhash signature (reference formulation). */
+  def minhashSignatureHof(hashedSet: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleSet, s => xxhash64(s, seed))))
+      seed => array_min(transform(hashedSet, h => xxhash64(h, seed))))
 
   /** LSH band keys: the signature split into `bands` contiguous chunks,
     * each chunk hashed to one bucket key. Two docs land in the same
@@ -63,30 +76,48 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** MinHash-LSH near-duplicate pairs:
-    * shingle → minhash → band → explode → self-join on (band, bucket)
-    * → distinct candidate pair → exact-Jaccard filter.
+    * shingle → minhash → band → bucket-group → candidate pairs →
+    * exact-Jaccard verification.
     *
-    * Cost model at scale: signatures are a projection; the join is an
-    * equality shuffle on bucket keys whose fan-out is controlled by
-    * the band width (wider bands → fewer, higher-precision
-    * candidates). The final Jaccard check re-reads only candidate
-    * rows' shingle sets. */
+    * Scale discipline (the shape that survives 100×):
+    *  - the bucket join moves ONLY (id, band, bucket) — shingle arrays
+    *    never ride through the explode/shuffle;
+    *  - buckets larger than `bucketCap` are dropped: an oversized
+    *    bucket means that band carries no discriminative signal (on a
+    *    shared-vocabulary corpus every doc would otherwise collide and
+    *    candidate generation goes quadratic);
+    *  - exact Jaccard runs once per DISTINCT candidate pair, with the
+    *    shingle sets re-attached by two hash joins at the end. */
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-                        shingleK: Int = 2, numHashes: Int = 32,
-                        bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+                        shingleK: Int = 2, numHashes: Int = 64,
+                        bands: Int = 8, threshold: Double = 0.7,
+                        bucketCap: Int = 200): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(
+    // fused hashed shingle sets (zero intermediate strings); signatures
+    // and Jaccard verification both run on the compact long arrays
+    // (set identity is preserved up to 64-bit collisions)
+    val base = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
-      .withColumn("bands", bandKeys(minhashSignature(col("sh"), numHashes), bands, rows))
-    val exploded = withSig.select(col("id"), col("sh"), explode(col("bands")).as("bk"))
-    val l = exploded.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bk"))
-    val r = exploded.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bk"))
-    l.join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("jaccard")).as("jaccard"))
+      graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
+        .as("sh"))
+    val sig = base
+      .select(col("id"),
+        explode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rows))
+          .as("bk"))
+    val buckets = sig.groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -121,20 +152,29 @@ object Dedup {
         call_function("shiftright", sim, b * lit(16))
           .bitwiseAND(lit(0xFFFFL)).as("chunk")))
 
-  /** SimHash near-duplicate pairs via chunk-bucket join + exact
-    * hamming-distance filter (bit_count of XOR). */
+  /** SimHash near-duplicate pairs via chunk-bucket grouping + exact
+    * hamming-distance filter (bit_count of XOR). Same bucket-cap
+    * discipline as [[minhashDedupPairs]]: a chunk shared by more than
+    * `bucketCap` docs carries no signal and is dropped rather than
+    * allowed to go quadratic. */
   def simhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, bucketCap: Int = 200): DataFrame = {
     val withSim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-      .withColumn("bands", simhashBands(col("sim")))
-    val exploded = withSim.select(col("id"), col("sim"), explode(col("bands")).as("bk"))
-    val l = exploded.select(col("id").as("id_a"), col("sim").as("sim_a"), col("bk"))
-    val r = exploded.select(col("id").as("id_b"), col("sim").as("sim_b"), col("bk"))
-    l.join(r, l("bk") === r("bk") && col("id_a") < col("id_b"))
+    val sig = withSim.select(col("id"),
+      explode(simhashBands(col("sim"))).as("bk"))
+    val buckets = sig.groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val simA = withSim.select(col("id").as("id_a"), col("sim").as("sim_a"))
+    val simB = withSim.select(col("id").as("id_b"), col("sim").as("sim_b"))
+    pairs.join(simA, "id_a").join(simB, "id_b")
       .select(col("id_a"), col("id_b"),
         call_function("bit_count", col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -146,8 +186,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, threshold: Double = 0.3,
                         dfCap: Int = 50): DataFrame = {
+    // fused hashed shingles: the inverted index shuffles longs, not
+    // n-gram strings, and Jaccard verification intersects long arrays
     val withSh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleK).as("sh"))
+      graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
+        .as("sh"))
     val inverted = withSh.select(col("id"), explode(col("sh")).as("shingle"))
     val rare = inverted.groupBy(col("shingle"))
       .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("df"))

@@ -97,10 +97,12 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard scores. */
+  /** MinHash-LSH near-dup candidate pairs with exact-Jaccard scores.
+    * 8 bands × 8 rows targets j≳0.7 near-dups; the bucket cap keeps
+    * shared-vocabulary collisions from going quadratic. */
   val q25MinhashPairs = QueryDef.rowsOnly("q25_minhash_pairs") { (s, d) =>
     Dedup.minhashDedupPairs(Tables.documents(s, d), "text", "doc_id",
-      shingleK = 2, numHashes = 32, bands = 8, threshold = 0.2)
+      shingleK = 2, numHashes = 64, bands = 8, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
   }
 

@@ -23,7 +23,7 @@ object LoanQueries {
     * Not SQL-expressible (model fit) → rows-only. */
   val q30LoanPipeline = QueryDef.rowsOnly("q30_loan_pipeline_metrics") { (s, _) =>
     import s.implicits._
-    val b = LoanPipeline.train(s, csv, seed = 42L)
+    val b = LoanPipeline.trainCached(s, csv, seed = 42L)
     Seq((b.auc, b.accuracy, b.trainCount, b.testCount)).toDF(
       "roc_auc", "accuracy", "train_n", "test_n")
   }
@@ -32,7 +32,7 @@ object LoanQueries {
     * default input plus the override-trigger row and its three
     * one-conjunct-flipped near-misses (FIXTURES.md §2). */
   val q31LoanScore = QueryDef.rowsOnly("q31_loan_score_override") { (s, _) =>
-    val b = LoanPipeline.train(s, csv, seed = 42L)
+    val b = LoanPipeline.trainCached(s, csv, seed = 42L)
     val cases = Seq(
       DefaultCase,
       LoanInput(250000, 4.0, 90000, 25000, 700, 80.0),  // all 3 conjuncts → forced 0

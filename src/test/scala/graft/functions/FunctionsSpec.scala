@@ -32,6 +32,26 @@ class FunctionsSpec extends SparkSpec {
     assert(got === 1.0)
   }
 
+  test("hashed_shingles matches the string-path shingle count (no collisions)") {
+    val df = Tables.documents(spark, sf0001)
+    val rows = df.select(
+      size(GraftFunctions.hashed_shingles($"text", 2)).as("fused"),
+      size(graft.ops.Dedup.shingles($"text", 2)).as("strings"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("minhash_signature: deterministic, correct length, dup texts agree") {
+    val sig = Seq(("a b c d e", 1), ("a b c d e", 2), ("x y z w v", 3))
+      .toDF("t", "i")
+      .select(GraftFunctions.minhash_signature(
+        GraftFunctions.hashed_shingles($"t", 2), 32).as("sig"))
+      .as[Seq[Long]].collect()
+    assert(sig.forall(_.size == 32))
+    assert(sig(0) === sig(1))
+    assert(sig(0) !== sig(2))
+  }
+
   test("cosine_sim basic geometry") {
     val rows = Seq(
       (Seq(1.0, 0.0), Seq(0.0, 2.0), 0.0),

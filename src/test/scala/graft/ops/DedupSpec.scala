@@ -30,7 +30,8 @@ class DedupSpec extends SparkSpec {
 
   test("minhash signature is deterministic and length numHashes") {
     val sig = docs.select(
-      Dedup.minhashSignature(Dedup.shingles($"text", 2), 16).as("sig"))
+      Dedup.minhashSignature(
+        Dedup.hashedShingles(Dedup.shingles($"text", 2)), 16).as("sig"))
       .as[Seq[Long]].collect()
     assert(sig.forall(_.size == 16))
     // identical texts -> identical signatures
