@@ -104,6 +104,30 @@ object Relational {
     (train, test)
   }
 
+  /** Vector argmax (P8, the reference's `torch.argmax(output, dim=1)`
+    * at app.py:184): 0-based index of the max element of an array
+    * column. MLlib's LR emits `prediction` directly; this is the
+    * generic form for arbitrary score vectors. */
+  def argmax(scores: Column): Column =
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+
+  /** Skew-safe equi-join: salt the (possibly skewed) left key into
+    * `nSalts` sub-keys and replicate each right row once per salt, so
+    * one hot key spreads over `nSalts` reducers instead of one
+    * straggler. Results are identical to a plain inner equi-join on
+    * `key`; use when AQE's skew handling isn't available or the skew
+    * is known up front. Right side grows ×nSalts — keep it the small
+    * side. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 nSalts: Int = 8): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(nSalts)))
+    val replicated = right
+      .withColumn("__salt", explode(sequence(lit(0), lit(nSalts - 1))))
+      .withColumn("__salt", col("__salt").cast("long"))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Exact cross-engine sum: route a double column through decimal so
     * the aggregate is order-independent. */
   def decSum(c: Column, scale: Int = 2): Column =

@@ -107,6 +107,22 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CUBE grouping sets: all 4 aggregation granularities of
+    * (returnflag, linestatus) in one pass. */
+  val q44Cube = QueryDef(
+    "q44_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct)
+    Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube)
 }

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Output paths of the engine (SURVEY.md §2.1 sinks + the layouts a
+  * 100 TB deployment actually needs):
+  *
+  *  - raw byte ingestion (S3: the reference persists an uploaded file
+  *    then re-scans it, app.py:43-45);
+  *  - plain / partitioned parquet — `partitionBy` gives directory
+  *    partition pruning on read (filters on the partition column never
+  *    touch non-matching files);
+  *  - bucketed tables — `bucketBy` on a join key pre-shuffles data at
+  *    write time so later equi-joins/aggregations on that key skip the
+  *    exchange entirely (co-located join).
+  */
+object Sinks {
+
+  /** S3 parity: persist received bytes, then scan through the normal
+    * reader — upload-then-query. */
+  def ingestCsvBytes(spark: SparkSession, bytes: Array[Byte],
+                     destPath: String): DataFrame = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(destPath), bytes)
+    Tables.loan(spark, destPath)
+  }
+
+  /** Plain parquet sink. */
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Hive-style partitioned parquet: one directory per distinct value
+    * of `partitionCol`. Read-side filters on that column prune whole
+    * directories (PartitionFilters in explain). Choose low-cardinality
+    * columns; high-cardinality partitioning creates a small-file
+    * explosion at scale. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Bucketed + sorted managed table: `buckets` files per partition,
+    * rows routed by hash(bucketCol). Joins/groupBys on bucketCol
+    * between tables bucketed the same way need no shuffle. Requires
+    * saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 8): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+}

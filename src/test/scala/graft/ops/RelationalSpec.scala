@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
 class RelationalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("approx_count_distinct is within 5% of exact at sf0.001") {
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      approx_count_distinct($"l_partkey", 0.01).as("approx"),
+      countDistinct($"l_partkey").as("exact")).collect()(0)
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"$approx vs $exact")
+  }
+
   test("clampPositive maps zero and negatives to the floor (P4)") {
     val got = Seq(5.0, 0.0, -1.0, 0.1).toDF("x")
       .select(clampPositive($"x", 0.1).as("y"))
@@ -70,6 +79,24 @@ class RelationalSpec extends SparkSpec {
     assert(te.count() === 200)  // round(999*0.2)
     assert(tr.count() === 799)
     assert(tr.intersect(te).count() === 0)
+  }
+
+  test("argmax returns the 0-based index of the max (P8)") {
+    val got = Seq(Seq(0.1, 0.9), Seq(0.8, 0.2), Seq(1.0, 1.0))
+      .toDF("scores").select(argmax($"scores")).as[Int].collect().toSeq
+    assert(got === Seq(1, 0, 0)) // ties -> first occurrence, torch.argmax parity
+  }
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    val left = spark.range(10000).toDF("id")
+      .withColumn("k", when($"id" < 9000, 1L).otherwise($"id")) // 90% on key 1
+      .withColumn("v", $"id" * 2)
+    val right = Seq((1L, "hot"), (9500L, "cold"), (42L, "unmatched-on-left"))
+      .toDF("k", "label")
+    val plain = left.join(right, "k").agg(count(lit(1)), sum($"v")).collect()(0)
+    val salted = saltedJoin(left, right, "k", nSalts = 8)
+      .agg(count(lit(1)), sum($"v")).collect()(0)
+    assert(plain === salted)
   }
 
   test("decSum/decAvg are partitioning-invariant") {

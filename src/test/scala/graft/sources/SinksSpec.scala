@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+
+  test("ingestCsvBytes persists uploaded bytes and re-scans them (S3)") {
+    val bytes = Files.readAllBytes(
+      java.nio.file.Paths.get(Tables.LoanCsvPath))
+    val dest = Files.createTempDirectory("ingest").resolve("upload.csv")
+    val df = Sinks.ingestCsvBytes(spark, bytes, dest.toString)
+    assert(df.count() === 999)
+    assert(df.schema === Tables.loanSchema)
+  }
+
+  test("partitioned write prunes directories on partition-column filters") {
+    val dir = Files.createTempDirectory("events_part").toString + "/events"
+    Sinks.writePartitioned(
+      Tables.events(spark, sf0001).withColumn("ts", col("ts").cast("string")),
+      dir, "event_type")
+    // one subdirectory per event_type
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("event_type=")).map(_.getName).sorted
+    assert(subdirs.length === 5)
+
+    val back = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val planStr = back.queryExecution.executedPlan.toString
+    // the click filter must appear as a partition filter, not a data filter
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("event_type"), planStr.take(500))
+    assert(back.count() ===
+      Tables.events(spark, sf0001).filter(col("event_type") === "click").count())
+  }
+
+  test("bucketed tables co-locate and drop the join exchange") {
+    val o = Tables.orders(spark, sf0001)
+    Sinks.writeBucketed(o, "orders_bucketed", "o_custkey", buckets = 4)
+    val t = spark.table("orders_bucketed")
+    val agg = t.groupBy(col("o_custkey")).agg(sum(col("o_totalprice")))
+    // bucketed layout satisfies the aggregation's distribution: no Exchange
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan.take(800))
+    assert(agg.count() === o.select("o_custkey").distinct().count())
+  }
+}
