@@ -123,6 +123,24 @@ object AdvancedQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  /** Correlated-subquery semantics (TPC-H Q2 shape): parts priced at
+    * the minimum retail price within their type — decorrelated into a
+    * window min (one shuffle) instead of a per-row subquery. */
+  val q45MinPerGroup = QueryDef(
+    "q45_min_per_group",
+    """SELECT p_partkey, p_type, p_retailprice FROM part
+      |WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+      |                       WHERE p2.p_type = part.p_type)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("p_type"))
+    Tables.part(s, d)
+      .withColumn("__min_price", min(col("p_retailprice")).over(w))
+      .filter(col("p_retailprice") === col("__min_price"))
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube)
+    Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
+      q45MinPerGroup)
 }

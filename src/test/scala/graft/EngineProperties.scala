@@ -1,0 +1,105 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (SURVEY.md §5.4). Sample counts are kept
+  * small — each evaluation plans and runs real Spark jobs. */
+object EngineProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-props")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val someDoubles: Gen[List[Option[Double]]] =
+    Gen.listOfN(30, Gen.option(Gen.choose(-1e6, 1e6)))
+      .suchThat(_.exists(_.isDefined))
+
+  property("meanFillAgg: output has no nulls, non-nulls unchanged, fill within [min,max]") =
+    forAll(someDoubles) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("v")
+      val filled = Relational.meanFillAgg(df, Seq("v"))
+        .as[Double].collect().toList
+      val defined = xs.flatten
+      val (lo, hi) = (defined.min, defined.max)
+      val counts = filled.groupBy(identity).view.mapValues(_.size).toMap
+      val subMultiset = defined.groupBy(identity).forall {
+        case (v, vs) => counts.getOrElse(v, 0) >= vs.size
+      }
+      Prop.all(
+        filled.size == xs.size,
+        filled.forall(v => v >= lo - 1e-6 && v <= hi + 1e-6),
+        subMultiset)
+    }
+
+  property("exactSampleByHash: exact size, deterministic, subset of input") =
+    forAll(Gen.choose(1, 200), Gen.choose(1, 50)) { (rows, n) =>
+      val df = spark.range(rows).toDF("id")
+      val a = Relational.exactSampleByHash(df, col("id"), n)
+        .collect().map(_.getLong(0)).toList
+      val b = Relational.exactSampleByHash(df, col("id"), n)
+        .collect().map(_.getLong(0)).toList
+      Prop.all(
+        a.size == math.min(rows, n),
+        a == b,
+        a.forall(x => x >= 0 && x < rows))
+    }
+
+  property("seededSplit: disjoint and exhaustive for any seed") =
+    forAll(Gen.choose(0L, 10000L)) { seed =>
+      val df = spark.range(300).toDF("id")
+      val Array(tr, te) = Relational.seededSplit(df, Array(0.8, 0.2), seed)
+      val (a, b) = (tr.collect().map(_.getLong(0)).toSet,
+        te.collect().map(_.getLong(0)).toSet)
+      Prop.all((a & b).isEmpty, (a | b).size == 300)
+    }
+
+  property("ruleOverride: monotone in each conjunct direction") =
+    forAll(Gen.choose(0, 60000), Gen.choose(0, 400000), Gen.choose(0, 200000)) {
+      (income, loan, prop) =>
+        import spark.implicits._
+        // if (income, loan, prop) triggers, then any more-extreme point
+        // (lower income, higher loan, lower property) also triggers
+        val pts = Seq(
+          (income, loan, prop),
+          (income / 2, loan * 2, prop / 2))
+        val out = pts.toDF("income", "loan_amount", "property_value")
+          .select(Relational.ruleOverride(lit(1.0), col("income"),
+            col("loan_amount"), col("property_value")).as("p"))
+          .as[Double].collect()
+        Prop(out(0) != 0.0 || out(1) == 0.0)
+    }
+
+  property("decSum: invariant under permutation and partitioning") =
+    forAll(Gen.listOfN(50, Gen.choose(-1e4, 1e4)), Gen.choose(1, 8)) {
+      (xs, parts) =>
+        import spark.implicits._
+        val a = xs.toDF("v").repartition(parts)
+          .agg(Relational.decSum(col("v"))).collect()(0).get(0)
+        val b = scala.util.Random.shuffle(xs).toDF("v")
+          .agg(Relational.decSum(col("v"))).collect()(0).get(0)
+        Prop(a == b)
+    }
+
+  property("argmax: returns index of maximum") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)).map(_.take(10))) { xs =>
+      import spark.implicits._
+      val got = Seq(xs).toDF("scores")
+        .select(Relational.argmax(col("scores"))).as[Int].collect()(0)
+      Prop(xs(got) == xs.max)
+    }
+}
