@@ -13,16 +13,7 @@ object EngineProperties extends Properties("graft") {
   override def overrideParameters(p: Test.Parameters): Test.Parameters =
     p.withMinSuccessfulTests(10)
 
-  private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-props")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
-  }
+  private lazy val spark: SparkSession = TestSession.spark
 
   private val someDoubles: Gen[List[Option[Double]]] =
     Gen.listOfN(30, Gen.option(Gen.choose(-1e6, 1e6)))

@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Shared local SparkSession for all suites (one per suite via lazy
-  * val; sbt forks a single test JVM so getOrCreate dedups). */
-trait SparkSpec extends AnyFunSuite {
+/** One shared local SparkSession for the whole forked test JVM.
+  * Every suite (ScalaTest and ScalaCheck) must go through this object:
+  * getOrCreate ignores the configs of any later builder, so a suite
+  * building its own differently-configured session would silently
+  * change behavior for everyone else. */
+object TestSession {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
@@ -15,6 +18,10 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSession.spark
 
   def sf0001 = "/root/testdata/sf0.001"
   def sf001 = "/root/testdata/sf0.01"
