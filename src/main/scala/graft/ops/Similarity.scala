@@ -1,5 +1,8 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MlVector}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -71,6 +74,50 @@ object Similarity {
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nlist` KMeans cells once, then answer queries by exact-cosine
+    * ranking inside only the `nprobe` cells whose centroids are
+    * nearest the query. The scan touches ~nprobe/nlist of the data —
+    * at 100 TB the cell assignment is a stored column and the probe
+    * set is a partition-pruned filter. Centroid selection is a
+    * driver-side computation over nlist tiny vectors. */
+  def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                    seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val base = df.select(col(idCol), v.as("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(base)
+    val assigned = model.transform(base)
+
+    val qVec: MlVector = assigned.filter(col(idCol) === queryId)
+      .select(col("fv")).head().getAs[MlVector](0)
+    def cos(a: MlVector, b: MlVector): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.size) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => -cos(c, qVec) }
+      .take(nprobe).map(_._2)
+
+    val q = assigned.filter(col(idCol) === queryId).select(col("vec").as("qvec"))
+    assigned
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"),
+        col("cell"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
   }
 
   /** LSH-bucketed approximate top-k: hash all vectors (projection),

@@ -140,7 +140,27 @@ object AdvancedQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Window-frame running totals: cumulative revenue per customer in
+    * order-date order. */
+  val q46RunningTotal = QueryDef(
+    "q46_running_total",
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_rev
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast(DecimalType(38, 2)).as("running_rev"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
-      q45MinPerGroup)
+      q45MinPerGroup, q46RunningTotal)
 }

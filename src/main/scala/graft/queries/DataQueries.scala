@@ -146,8 +146,15 @@ object DataQueries {
       queryId = 0L, k = 10, bits = 4, dim = 64)
   }
 
+  /** IVF (KMeans-cell) approximate cosine top-10 — the stored-index
+    * scale path: probe only the cells nearest the query. */
+  val q47IvfAnn = QueryDef.rowsOnly("q47_ivf_ann") { (s, d) =>
+    Similarity.ivfCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+      queryId = 0L, k = 10, nlist = 16, nprobe = 4)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
-    q40CosineTopk, q41LshAnn)
+    q40CosineTopk, q41LshAnn, q47IvfAnn)
 }

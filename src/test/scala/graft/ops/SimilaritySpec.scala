@@ -52,6 +52,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got.map(_.getLong(2)).distinct.length === 1) // one bucket
   }
 
+  test("ivfCosineTopK returns k rows with decent recall vs exact top-k") {
+    val exact = Similarity.cosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", 0L, 10, nlist = 8, nprobe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf.size === 10)
+    // probing half the cells should recover a good chunk of the true top-10
+    assert((exact & ivf).size >= 3, s"recall too low: ${(exact & ivf).size}/10")
+  }
+
   test("brute-force and LSH agree on overlapping candidates") {
     val exact = Similarity.cosineTopK(Tables.embeddings(spark, sf0001),
       "vec_id", "embedding", 0L, 50)
