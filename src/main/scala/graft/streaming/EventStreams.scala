@@ -104,6 +104,22 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Exactly-once parquet sink: append-mode file sink with a
+    * checkpoint — restarts resume from the checkpointed offsets
+    * without re-emitting (the production landing path; the memory
+    * sink below is the local smoke path). Blocks until all currently
+    * available input is processed, then stops. */
+  def runToParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until all available input is processed (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

@@ -76,6 +76,30 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(1).getAs[Int]("n_events") === 1)
   }
 
+  test("parquet sink with checkpoint: exactly-once across restart") {
+    val ingest = java.nio.file.Files.createTempDirectory("sink_ingest")
+    val out = java.nio.file.Files.createTempDirectory("sink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      ingest.resolve("a.parquet"))
+
+    def passthrough = readEventStream(spark, ingest.toString)
+      .select($"event_id", $"user_id", $"value")
+    runToParquet(passthrough, out, ckpt)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 === 1000)
+
+    // restart with the same checkpoint: old file NOT re-emitted, new one is
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      ingest.resolve("b.parquet"))
+    runToParquet(passthrough, out, ckpt)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000 + 10000)
+    assert(back.select("event_id").distinct().count() === 10000) // ids overlap across files
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
