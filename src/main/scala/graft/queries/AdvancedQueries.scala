@@ -160,7 +160,63 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** TPC-H Q3 shape: top-10 highest-revenue orders in a segment via
+    * join → agg → TakeOrderedAndProject (per-partition top-n + driver
+    * merge, never a global sort). */
+  val q48TopkJoin = QueryDef(
+    "q48_topk_join",
+    """SELECT o_orderkey,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |      AS DECIMAL(38,4)) AS revenue,
+      | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val li = Tables.lineitem(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(li, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        year(col("o_orderdate")).as("o_year"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q14 shape: conditional-aggregate ratio (promo revenue
+    * share) — CASE-WHEN inside the sum, exact decimal numerator and
+    * denominator, one final double division. */
+  val q49ConditionalRatio = QueryDef(
+    "q49_conditional_ratio",
+    """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |               THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS urgent_share,
+      | COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec = col("o_totalprice").cast(DecimalType(18, 2))
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("o_orderpriority") === "1-URGENT", dec)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+          sum(dec).cast("double")).as("urgent_share"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_year"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
-      q45MinPerGroup, q46RunningTotal)
+      q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio)
 }
