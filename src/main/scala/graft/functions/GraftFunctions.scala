@@ -31,6 +31,11 @@ object GraftFunctions {
   def hashed_shingles(text: Column, k: Int): Column =
     ColumnBridge.column(HashedShingles(ColumnBridge.expression(text), k))
 
+  /** Bounded single-pass uniform sample aggregate (see [[ReservoirSample]]). */
+  def reservoir_sample(c: Column, k: Int, seed: Long = 42L): Column =
+    ColumnBridge.column(
+      ReservoirSample(ColumnBridge.expression(c), k, seed).toAggregateExpression())
+
   private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
 

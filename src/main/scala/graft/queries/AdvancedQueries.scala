@@ -216,7 +216,21 @@ object AdvancedQueries {
       .orderBy(col("o_year"))
   }
 
+  /** Bounded per-group sampling via the custom reservoir aggregate:
+    * k event ids per event type in one pass, O(k) state per group
+    * (collect_list+slice would buffer whole groups). Sample membership
+    * is row-order-dependent → rows-only; sizes asserted in spec. */
+  val q50ReservoirSample = QueryDef.rowsOnly("q50_reservoir_sample") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.GraftFunctions
+        .reservoir_sample(col("event_id"), 5).as("sampled_ids"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
-      q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio)
+      q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio,
+      q50ReservoirSample)
 }

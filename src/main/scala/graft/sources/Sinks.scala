@@ -39,6 +39,20 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
 
+  /** JSON-lines sink/source (interchange format; schema supplied on
+    * read — never inferred in production paths). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJson(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC sink (second columnar format; same pushdown/pruning story as
+    * parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Bucketed + sorted managed table: `buckets` files per partition,
     * rows routed by hash(bucketCol). Joins/groupBys on bucketCol
     * between tables bucketed the same way need no shuffle. Requires

@@ -52,6 +52,38 @@ class FunctionsSpec extends SparkSpec {
     assert(sig(0) !== sig(2))
   }
 
+  test("reservoir_sample: exact sizes, members from the group, bounded memory semantics") {
+    val df = spark.range(100000).toDF("id")
+      .withColumn("g", pmod($"id", lit(4L)))
+    val got = df.groupBy($"g")
+      .agg(GraftFunctions.reservoir_sample($"id", 10).as("sample"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(got.length === 4)
+    got.foreach { r =>
+      val g = r.getLong(0)
+      val sample = r.getSeq[Long](1)
+      assert(sample.size === 10)
+      assert(sample.distinct.size === 10) // ids unique per group
+      assert(sample.forall(x => x % 4 == g), s"foreign member in group $g")
+    }
+    // small group: sample == whole group
+    val tiny = spark.range(3).toDF("id")
+      .agg(GraftFunctions.reservoir_sample($"id", 10).as("s"))
+      .collect()(0).getSeq[Long](0)
+    assert(tiny.toSet === Set(0L, 1L, 2L))
+  }
+
+  test("reservoir_sample is roughly uniform across the range") {
+    val n = 50000
+    val sample = spark.range(n).toDF("id")
+      .agg(GraftFunctions.reservoir_sample($"id", 500).as("s"))
+      .collect()(0).getSeq[Long](0)
+    val meanPos = sample.map(_.toDouble).sum / sample.size / n
+    // uniform mean position ~0.5; se ~ 0.289/sqrt(500) ~ 0.013
+    assert(meanPos > 0.4 && meanPos < 0.6, s"mean position $meanPos")
+  }
+
   test("cosine_sim basic geometry") {
     val rows = Seq(
       (Seq(1.0, 0.0), Seq(0.0, 2.0), 0.0),

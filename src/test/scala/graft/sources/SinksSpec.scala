@@ -35,6 +35,24 @@ class SinksSpec extends SparkSpec {
       Tables.events(spark, sf0001).filter(col("event_type") === "click").count())
   }
 
+  test("JSON and ORC roundtrips preserve rows and values") {
+    val base = Tables.customer(spark, sf0001)
+    val jdir = Files.createTempDirectory("json_rt").toString + "/c"
+    val odir = Files.createTempDirectory("orc_rt").toString + "/c"
+    Sinks.writeJson(base, jdir)
+    Sinks.writeOrc(base, odir)
+    val viaJson = Sinks.readJson(spark, jdir, base.schema)
+    val viaOrc = spark.read.orc(odir)
+    assert(viaJson.count() === base.count())
+    assert(viaOrc.count() === base.count())
+    assert(viaJson.except(base).count() === 0)
+    assert(viaOrc.except(base).count() === 0)
+    // ORC scans push filters like parquet
+    val plan = viaOrc.filter(col("c_custkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_custkey"))
+  }
+
   test("bucketed tables co-locate and drop the join exchange") {
     val o = Tables.orders(spark, sf0001)
     Sinks.writeBucketed(o, "orders_bucketed", "o_custkey", buckets = 4)
