@@ -229,8 +229,31 @@ object AdvancedQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Explicit GROUPING SETS with grouping_id, through the engine's SQL
+    * entry path (temp views + spark.sql) rather than the DataFrame
+    * API — exercising the full SQL front end. */
+  val q51GroupingSets = QueryDef(
+    "q51_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      | CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        | COUNT(*) AS n
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
       q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio,
-      q50ReservoirSample)
+      q50ReservoirSample, q51GroupingSets)
 }
