@@ -348,9 +348,58 @@ object CoreQueries {
       .orderBy(col("y"), col("m"))
   }
 
+  /** Outer-join null production: every customer with their big-order
+    * stats, null-extended where none exist (left outer), plus the
+    * null-bucket count via a full-width aggregate. */
+  val q52OuterJoin = QueryDef(
+    "q52_outer_join",
+    """SELECT c_custkey, n_big, big_rev FROM customer
+      |LEFT OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_big,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS big_rev
+      |  FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
+      |) ON c_custkey = o_custkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val big = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), decSum(col("o_totalprice")).as("big_rev"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("n_big"), col("big_rev"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Null semantics: null-safe equality (<=> / IS NOT DISTINCT FROM),
+    * coalesce chains, and null-aware counting over columns with real
+    * nulls (introduced by predicate). */
+  val q53NullSemantics = QueryDef(
+    "q53_null_semantics",
+    """WITH base AS (
+      |  SELECT event_id,
+      |    CASE WHEN value >= 50 THEN value END AS a,
+      |    CASE WHEN value < 150 THEN value END AS b
+      |  FROM events)
+      |SELECT
+      |  COUNT(*) AS n,
+      |  COUNT(a) AS n_a, COUNT(b) AS n_b,
+      |  CAST(SUM(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+      |  CAST(SUM(CASE WHEN coalesce(a, b, -1.0) = -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both_null
+      |FROM base""".stripMargin) { (s, d) =>
+    val base = Tables.events(s, d).select(col("event_id"),
+      when(col("value") >= 50, col("value")).as("a"),
+      when(col("value") < 150, col("value")).as("b"))
+    base.agg(
+      count(lit(1)).as("n"),
+      count(col("a")).as("n_a"), count(col("b")).as("n_b"),
+      sum(when(col("a") <=> col("b"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+      sum(when(coalesce(col("a"), col("b"), lit(-1.0)) === -1.0, 1L)
+        .otherwise(0L)).as("n_both_null"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinAgg, q04LargeJoin,
     q05SemiJoin, q06AntiJoin, q07WindowTopk, q08DistinctAgg, q09Rollup,
     q10SetOps, q11HashSample, q12MeanFill, q13RuleOverride,
-    q14EventsHourly, q15LagGap, q16StringFuncs, q17DateFuncs)
+    q14EventsHourly, q15LagGap, q16StringFuncs, q17DateFuncs,
+    q52OuterJoin, q53NullSemantics)
 }
