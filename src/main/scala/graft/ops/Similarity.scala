@@ -120,6 +120,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket all
+    * vectors (projection), generate candidate pairs only within
+    * buckets (equality join on the bucket id — never a cross join),
+    * verify with exact cosine. The embedding-space twin of
+    * [[graft.ops.Dedup.minhashDedupPairs]]: fewer bits → bigger
+    * buckets → higher recall; `bucketCap` drops degenerate buckets. */
+  def embeddingDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double = 0.9, bits: Int = 8,
+                          dim: Int = 64, bucketCap: Int = 1000): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val v = col(vecCol).cast("array<double>")
+    val bucketed = df.select(col(idCol).as("id"), v.as("vec"),
+      lshBucket(v, planes).as("bucket"))
+    val buckets = bucketed.groupBy(col("bucket"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val va = bucketed.select(col("id").as("id_a"), col("vec").as("vec_a"))
+    val vb = bucketed.select(col("id").as("id_b"), col("vec").as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** LSH-bucketed approximate top-k: hash all vectors (projection),
     * keep only the query's bucket (an equality filter the optimizer
     * can push/partition on), exact-cosine re-rank inside the bucket.

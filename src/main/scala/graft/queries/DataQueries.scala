@@ -153,8 +153,16 @@ object DataQueries {
       queryId = 0L, k = 10, nlist = 16, nprobe = 4)
   }
 
+  /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
+    * cosine verify). Low bits → high recall at this corpus size. */
+  val q54EmbeddingDedup = QueryDef.rowsOnly("q54_embedding_dedup") { (s, d) =>
+    Similarity.embeddingDedupPairs(Tables.embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.5, bits = 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
-    q40CosineTopk, q41LshAnn, q47IvfAnn)
+    q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup)
 }

@@ -64,6 +64,19 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 3, s"recall too low: ${(exact & ivf).size}/10")
   }
 
+  test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
+    val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val distant = Array.tabulate(64)(i => math.cos(i * 3.0).toFloat)
+    val df = Seq(
+      (1L, base.toSeq), (2L, nearDup.toSeq), (3L, distant.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("brute-force and LSH agree on overlapping candidates") {
     val exact = Similarity.cosineTopK(Tables.embeddings(spark, sf0001),
       "vec_id", "embedding", 0L, 50)
