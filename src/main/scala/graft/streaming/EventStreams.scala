@@ -104,6 +104,13 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Stream-static enrichment join: each event picks up the
+    * dimension row for its user. The static side is broadcast per
+    * micro-batch (no stream state); works identically in batch. */
+  def enrich(events: DataFrame, dim: DataFrame, eventKey: String,
+             dimKey: String): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
+
   /** Exactly-once parquet sink: append-mode file sink with a
     * checkpoint — restarts resume from the checkpointed offsets
     * without re-emitting (the production landing path; the memory

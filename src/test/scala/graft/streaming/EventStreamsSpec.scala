@@ -76,6 +76,21 @@ class EventStreamsSpec extends SparkSpec {
     assert(sessions(1).getAs[Int]("n_events") === 1)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id_dim", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(2, ts(2), 2, "view", 2.0),
+      Event(3, ts(3), 7, "click", 3.0)) // no dim row -> null tier
+    val got = runToMemory(
+      enrich(mem.toDF(), dim, "user_id", "user_id_dim")
+        .select($"event_id", $"tier"), "enriched")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "gold"), (2L, "silver"), (3L, null)))
+  }
+
   test("parquet sink with checkpoint: exactly-once across restart") {
     val ingest = java.nio.file.Files.createTempDirectory("sink_ingest")
     val out = java.nio.file.Files.createTempDirectory("sink_out").toString
