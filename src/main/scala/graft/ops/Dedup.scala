@@ -34,13 +34,18 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Whitespace-word k-shingles as a distinct array. k=1 → word set. */
+  /** Whitespace-word k-shingles as a distinct array. k=1 → word set;
+    * docs shorter than k tokens yield an empty set (guard needed:
+    * Spark's `sequence(1, 0)` is DESCENDING, which would feed slice a
+    * zero start and throw). */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(text, " ")
     if (k == 1) array_distinct(toks)
-    else array_distinct(
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    else when(size(toks) >= k,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Shingle set collapsed to 64-bit hashes — computed ONCE per

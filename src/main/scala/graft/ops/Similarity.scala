@@ -83,15 +83,27 @@ object Similarity {
     * at 100 TB the cell assignment is a stored column and the probe
     * set is a partition-pruned filter. Centroid selection is a
     * driver-side computation over nlist tiny vectors. */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Long),
+      org.apache.spark.ml.clustering.KMeansModel]()
+
+  /** @param cacheKey when set (e.g. the table path), the trained cell
+    *   index is memoized per JVM — queries after the first skip the
+    *   KMeans fit, which is how a stored IVF index behaves. */
   def ivfCosineTopK(df: DataFrame, idCol: String, vecCol: String,
                     queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                    seed: Long = 42L, roundTo: Int = 6): DataFrame = {
+                    seed: Long = 42L, roundTo: Int = 6,
+                    cacheKey: Option[String] = None): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val base = df.select(col(idCol), v.as("vec"))
       .withColumn("fv", array_to_vector(col("vec")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(base)
+    def fit() = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+    val model = cacheKey match {
+      case Some(key) =>
+        ivfIndexCache.computeIfAbsent((key, nlist, seed), _ => fit())
+      case None => fit()
+    }
     val assigned = model.transform(base)
 
     val qVec: MlVector = assigned.filter(col(idCol) === queryId)

@@ -88,6 +88,31 @@ object TextAnalysis {
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
+  /** Character-trigram profiles per language (tiny, deterministic). */
+  val CharNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "ing", "and", "ion", "ent", "her"),
+    "es" -> Seq("que", "ado", "los", "cio", "nte", "ien"),
+    "de" -> Seq("der", "sch", "ein", "ich", "und", "gen"),
+    "fr" -> Seq("les", "ent", "ion", "ait", "eur", "ons"))
+
+  /** Character-n-gram language ID: argmax over languages of profile
+    * trigram hits in the text's char-trigram multiset. Complements the
+    * word-marker [[langId]]; works on unsegmented scripts where
+    * whitespace tokenization fails. */
+  def langIdCharNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val tris = when(length(lowered) >= 3,
+      transform(sequence(lit(1), length(lowered) - 2),
+        i => call_function("substring", lowered, i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val scored = array(CharNgramProfiles.map { case (lang, grams) =>
+      struct(size(filter(tris, t => t.isin(grams: _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
   /** Order-sensitive rolling document fingerprint: rotate-left-5 XOR
     * accumulation of per-token hashes — a content-AND-order signature,
     * unlike the set-based dedup signatures in [[Dedup]]. Pure bit ops,

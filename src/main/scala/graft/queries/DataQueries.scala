@@ -89,11 +89,13 @@ object DataQueries {
       .orderBy(col("lang"))
   }
 
-  /** Language-ID heuristic per doc (marker-word argmax). */
+  /** Language-ID heuristics per doc: word-marker argmax and the
+    * char-trigram variant (for unsegmented scripts). */
   val q24LangId = QueryDef.rowsOnly("q24_lang_id") { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("declared_lang"),
-        TextAnalysis.langId(col("text")).as("detected_lang"))
+        TextAnalysis.langId(col("text")).as("detected_lang"),
+        TextAnalysis.langIdCharNgram(col("text")).as("detected_lang_ngram"))
       .orderBy(col("doc_id"))
   }
 
@@ -150,7 +152,8 @@ object DataQueries {
     * scale path: probe only the cells nearest the query. */
   val q47IvfAnn = QueryDef.rowsOnly("q47_ivf_ann") { (s, d) =>
     Similarity.ivfCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-      queryId = 0L, k = 10, nlist = 16, nprobe = 4)
+      queryId = 0L, k = 10, nlist = 16, nprobe = 4,
+      cacheKey = Some(s"$d/embeddings"))
   }
 
   /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact

@@ -28,6 +28,17 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet === Set("a b", "b c", "c b"))
   }
 
+  test("shingles and hashed_shingles: docs shorter than k yield empty sets, no error") {
+    val df = Seq("solo", "a b").toDF("t")
+    val str = df.select(Dedup.shingles($"t", 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(str(0) === Seq.empty && str(1) === Seq.empty)
+    val fused = df.select(
+      graft.functions.GraftFunctions.hashed_shingles($"t", 3).as("sh"))
+      .as[Seq[Long]].collect()
+    assert(fused(0) === Seq.empty && fused(1) === Seq.empty)
+  }
+
   test("minhash signature is deterministic and length numHashes") {
     val sig = docs.select(
       Dedup.minhashSignature(

@@ -29,6 +29,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq("en", "es", "de", "und"))
   }
 
+  test("langIdCharNgram: trigram profiles pick the language, und on none") {
+    val got = Seq(
+      "the weather is changing and interesting",
+      "aquellos que hablado los nacion",
+      "der schnelle reiche einfache",
+      "zz qq xx").toDF("t")
+      .select(TextAnalysis.langIdCharNgram($"t")).as[String].collect().toSeq
+    assert(got(0) === "en")
+    assert(got(1) === "es")
+    assert(got(2) === "de")
+    assert(got(3) === "und")
+  }
+
   test("qualityColumns ratios are consistent") {
     val row = Seq("the quick fox! a b").toDF("t")
       .select(TextAnalysis.qualityColumns($"t").map { case (n, c) => c.as(n) }: _*)
