@@ -164,8 +164,22 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Multimodal pipeline end-to-end: synthetic media table → binary
+    * payloads → partition-parallel decode (stubbed codec seam) →
+    * per-kind feature statistics. Deterministic but engine-specific
+    * (stub hash) → rows-only. */
+  val q55Multimodal = QueryDef.rowsOnly("q55_multimodal_pipeline") { (s, _) =>
+    import graft.sources.Multimodal
+    val decoded = Multimodal.decode(Multimodal.syntheticMedia(s, 300)).toDF()
+    decoded.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
-    q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup)
+    q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup, q55Multimodal)
 }

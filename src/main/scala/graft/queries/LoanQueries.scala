@@ -100,6 +100,17 @@ object LoanQueries {
       .orderBy(col("id"))
   }
 
+  /** The sklearn-parity path (M4): z-score scaling (withMean=true,
+    * app.py:76-78) — the reference's second, disagreeing
+    * standardization; exposed as its own metrics run. */
+  val q34LoanZscore = QueryDef.rowsOnly("q34_loan_zscore_metrics") { (s, _) =>
+    import s.implicits._
+    val b = LoanPipeline.trainCached(s, csv, seed = 42L, withMean = true)
+    Seq((b.auc, b.accuracy, b.trainCount, b.testCount)).toDF(
+      "roc_auc", "accuracy", "train_n", "test_n")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q30LoanPipeline, q31LoanScore, q32LoanImputeMeans, q33LoanVizChain)
+    Seq(q30LoanPipeline, q31LoanScore, q32LoanImputeMeans, q33LoanVizChain,
+      q34LoanZscore)
 }
