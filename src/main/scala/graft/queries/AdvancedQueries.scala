@@ -252,8 +252,32 @@ object AdvancedQueries {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Range join via binning: lineitems whose extended price falls in
+    * a ±5 band around some part's retail price — one equality shuffle
+    * on the bin id instead of the nested-loop join a raw interval
+    * predicate plans as. Oracle uses the plain BETWEEN join (DuckDB
+    * IEJoin), same result set. */
+  val q56RangeJoin = QueryDef(
+    "q56_range_join",
+    """SELECT l_orderkey, l_linenumber, p_partkey FROM lineitem
+      |JOIN part ON l_extendedprice BETWEEN p_retailprice - 5.0
+      |                               AND p_retailprice + 5.0
+      |ORDER BY l_orderkey, l_linenumber, p_partkey""".stripMargin) { (s, d) =>
+    import graft.ops.Ranges
+    val points = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("v"))
+    val intervals = Tables.part(s, d)
+      .select(col("p_partkey"),
+        (col("p_retailprice") - 5.0).as("lo"),
+        (col("p_retailprice") + 5.0).as("hi"))
+    Ranges.binnedRangeJoin(points, "v", intervals, "lo", "hi", binWidth = 10.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
       q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio,
-      q50ReservoirSample, q51GroupingSets)
+      q50ReservoirSample, q51GroupingSets, q56RangeJoin)
 }
