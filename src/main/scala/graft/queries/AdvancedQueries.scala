@@ -276,8 +276,46 @@ object AdvancedQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"))
   }
 
+  /** Pivot: long → wide on the linestatus domain, exact decimal sums
+    * per cell. Values are pinned (F/O) so the output schema is static
+    * — the scale-safe form; an unpinned pivot needs a distinct-scan
+    * first. */
+  val q57Pivot = QueryDef(
+    "q57_pivot",
+    """SELECT l_returnflag,
+      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,
+      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Unpivot: wide → long over the three lineitem measures. */
+  val q58Unpivot = QueryDef(
+    "q58_unpivot",
+    """SELECT l_orderkey, l_linenumber, metric, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem)
+      |WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
       q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio,
-      q50ReservoirSample, q51GroupingSets, q56RangeJoin)
+      q50ReservoirSample, q51GroupingSets, q56RangeJoin, q57Pivot, q58Unpivot)
 }
