@@ -178,8 +178,24 @@ object DataQueries {
       .orderBy(col("kind"))
   }
 
+  /** Generator/UNNEST: explode documents into token rows, global
+    * top-20 token frequencies with deterministic tiebreak. */
+  val q29TokenExplode = QueryDef(
+    "q29_token_explode",
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
-    q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup, q55Multimodal)
+    q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
+    q55Multimodal)
 }
