@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Custom whole-operator: per-group top-k by a numeric score WITHOUT
+  * sorting each partition.
+  *
+  * The built-in formulation — `row_number() OVER (PARTITION BY key
+  * ORDER BY score DESC) <= k` — shuffles on the key and then SORTS
+  * every partition by (key, score): O(n log n) per partition, with the
+  * whole partition materialized for the sort. This operator keeps only
+  * a k-bounded min-heap per key: O(n log k) time and O(groups·k)
+  * memory, streaming the input once. Same single shuffle (it declares
+  * `ClusteredDistribution` on the keys), no sort.
+  *
+  * Ladder position (SURVEY.md §8.4): the (c) option — logical node +
+  * planner strategy + physical exec, registered through
+  * SparkSessionExtensions — used here because no composition of
+  * built-ins avoids the sort.
+  *
+  * Ties at the k-boundary resolve arbitrarily (like a LIMIT without a
+  * full ORDER BY); add a deterministic tiebreak to the score if exact
+  * tie behavior matters.
+  */
+case class TopKPerGroup(keys: Seq[Expression], score: Expression, k: Int,
+                        child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, k: Int,
+                            child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys.map(BindReferences.bindReference(_, child.output))
+    val scoreExpr = BindReferences.bindReference(score, child.output)
+    val schema = child.output
+    child.execute().mapPartitions({ rows =>
+      val keyProj = UnsafeProjection.create(keyExprs)
+      // per-key bounded min-heaps of (score, row-copy)
+      val heaps = new java.util.HashMap[InternalRow,
+        java.util.PriorityQueue[(Double, InternalRow)]]()
+      val cmp = java.util.Comparator.comparingDouble[(Double, InternalRow)](_._1)
+      rows.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
+          heaps.put(key.copy(), heap)
+        }
+        val s = scoreExpr.eval(row).asInstanceOf[Double]
+        if (heap.size < k) {
+          heap.add((s, row.copy()))
+        } else if (cmp.compare((s, row), heap.peek()) > 0) {
+          heap.poll()
+          heap.add((s, row.copy()))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_._2))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(keys, score, k, child) =>
+      TopKPerGroupExec(keys, score, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerGroup {
+  /** Column-API entry: top `k` rows per `keys` group by descending
+    * `score` (must be a double expression). Registers the planner
+    * strategy on first use (idempotent). */
+  def topKPerGroup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                   scoreCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val analyzed = df.queryExecution.analyzed
+    val resolve = analyzed.outputSet.toSeq.map(a => a.name -> a).toMap
+    val keyExprs = keys.map(resolve(_))
+    val scoreExpr = resolve(scoreCol)
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
+      TopKPerGroup(keyExprs, scoreExpr, k, analyzed))
+  }
+}
+
+/** Planner-strategy injection for shared deployments
+  * (spark.sql.extensions): makes TopKPerGroup plannable in any session
+  * built with [[graft.functions.GraftExtensions]]-style wiring. */
+class TopKExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectPlannerStrategy((_: SparkSession) => TopKStrategy)
+}

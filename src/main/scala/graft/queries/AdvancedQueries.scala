@@ -314,8 +314,29 @@ object AdvancedQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
   }
 
+  /** The custom heap-based top-k physical operator (no per-partition
+    * sort; see [[graft.plans.TopKPerGroup]]). Projected to
+    * (key, score) the result is multiset-identical to the window
+    * formulation even under score ties, so it oracle-checks against
+    * ROW_NUMBER SQL. */
+  val q59TopkCustomOp = QueryDef(
+    "q59_topk_custom_op",
+    """SELECT o_custkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC""".stripMargin) { (s, d) =>
+    graft.plans.TopKPerGroup.topKPerGroup(
+      Tables.orders(s, d), Seq("o_custkey"), "o_totalprice", 3)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc)
+  }
+
   val all: Seq[QueryDef] =
     Seq(q18JsonExtract, q19Sessionize, q42AsofJoin, q43ApproxDistinct, q44Cube,
       q45MinPerGroup, q46RunningTotal, q48TopkJoin, q49ConditionalRatio,
-      q50ReservoirSample, q51GroupingSets, q56RangeJoin, q57Pivot, q58Unpivot)
+      q50ReservoirSample, q51GroupingSets, q56RangeJoin, q57Pivot, q58Unpivot,
+      q59TopkCustomOp)
 }
