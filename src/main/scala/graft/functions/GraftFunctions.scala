@@ -36,8 +36,30 @@ object GraftFunctions {
     ColumnBridge.column(
       ReservoirSample(ColumnBridge.expression(c), k, seed).toAggregateExpression())
 
-  private val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+  /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
+    * `minhash_signature(sh, 64)`). */
+  private def intArg(fn: String, e: Expression): Int = {
+    require(e.foldable, s"$fn: expected a literal int argument, got $e")
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: expected int literal, got $other")
+    }
+  }
+
+  /** Every custom function, by SQL name — the single source both
+    * registration paths ([[register]] and [[GraftExtensions]]) draw
+    * from, so the SQL surface can't drift from the Column API. */
+  private[functions] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "minhash_signature" -> (exprs =>
+      MinHashSignature(exprs(0), intArg("minhash_signature", exprs(1)))),
+    "hashed_shingles" -> (exprs =>
+      HashedShingles(exprs(0), intArg("hashed_shingles", exprs(1)))),
+    "reservoir_sample" -> (exprs =>
+      ReservoirSample(exprs(0), intArg("reservoir_sample", exprs(1)),
+        if (exprs.length > 2) intArg("reservoir_sample", exprs(2)).toLong
+        else 42L)))
 
   /** Register all custom functions in an existing session's registry
     * (SQL name resolution). Idempotent. */
@@ -52,10 +74,11 @@ object GraftFunctions {
   * every session built with these extensions — the deployment path for
   * a shared cluster (spark.sql.extensions=graft.functions.GraftExtensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getPackage.getName, name),
+        builder))
+    }
 }

@@ -34,11 +34,18 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override def prettyName: String = "minhash_signature"
 
+  /** Null on empty input (there is no min over an empty set): matches
+    * the HOF formulation's array_min-of-empty → null, and keeps all
+    * empty/short docs from sharing one sentinel signature that would
+    * collide them into the same LSH buckets. */
+  override def nullable: Boolean = true
+
   private final val Seed = 0x9747b28cL
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return null
     val sig = new Array[Long](numHashes)
     var i = 0
     while (i < numHashes) {
@@ -67,16 +74,20 @@ case class MinHashSignature(child: Expression, numHashes: Int)
       val h = ctx.freshName("h")
       s"""
          |int $n = $a.numElements();
-         |long[] $sig = new long[$numHashes];
-         |for (int $i = 0; $i < $numHashes; $i++) {
-         |  long $best = Long.MAX_VALUE;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    long $h = $xxh.hashLong($a.getLong($j), ${Seed}L + $i);
-         |    if ($h < $best) $best = $h;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sig = new long[$numHashes];
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $best = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      long $h = $xxh.hashLong($a.getLong($j), ${Seed}L + $i);
+         |      if ($h < $best) $best = $h;
+         |    }
+         |    $sig[$i] = $best;
          |  }
-         |  $sig[$i] = $best;
+         |  ${ev.value} = new $gad($sig);
          |}
-         |${ev.value} = new $gad($sig);
        """.stripMargin
     })
 

@@ -45,8 +45,12 @@ object AsOf {
         lit(0).as("__side")) ++
         payloadCols.map(col): _*)
 
+    // Tiebreak orders in the column's NATIVE type: a string cast would
+    // compare numeric tiebreaks lexicographically ('9' > '10'). Left
+    // rows carry null payloads → nulls first, so they never outrank a
+    // real right-side tiebreak at the same (__t, __side).
     val order = Seq(col("__t"), col("__side")) ++
-      tiebreak.map(c => coalesce(col(c).cast("string"), lit(""))).toSeq
+      tiebreak.map(c => col(c).asc_nulls_first).toSeq
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -62,10 +62,14 @@ object Dedup {
   def minhashSignature(hashedSet: Column, numHashes: Int): Column =
     graft.functions.GraftFunctions.minhash_signature(hashedSet, numHashes)
 
-  /** Interpreted-HOF minhash signature (reference formulation). */
+  /** Interpreted-HOF minhash signature (reference formulation). Null
+    * on an empty shingle set — array_min of an empty array is null per
+    * element; the whole signature is nulled so both paths agree
+    * bit-identically (including on empty/short docs). */
   def minhashSignatureHof(hashedSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(hashedSet, h => xxhash64(h, seed))))
+    when(size(hashedSet) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(hashedSet, h => xxhash64(h, seed)))))
 
   /** LSH band keys: the signature split into `bands` contiguous chunks,
     * each chunk hashed to one bucket key. Two docs land in the same
@@ -106,7 +110,10 @@ object Dedup {
       col(idCol).as("id"),
       graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
         .as("sh"))
+    // docs with an empty shingle set (shorter than k tokens) carry no
+    // signature — they can't be near-duplicates of anything by content
     val sig = base
+      .filter(size(col("sh")) > 0)
       .select(col("id"),
         explode(bandKeys(minhashSignature(col("sh"), numHashes), bands, rows))
           .as("bk"))

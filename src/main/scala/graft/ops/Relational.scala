@@ -129,9 +129,13 @@ object Relational {
   }
 
   /** Exact cross-engine sum: route a double column through decimal so
-    * the aggregate is order-independent. */
+    * the aggregate is order-independent, then surface it as a double
+    * (one correctly-rounded conversion of an exact value — identical
+    * in Spark and DuckDB, and dtype-stable through any parquet/pandas
+    * reader; decimal128 outputs are compared as `Decimal` objects by
+    * pandas-based tooling and never hash-match a float column). */
   def decSum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Exact cross-engine mean as a double: exact decimal numerator
     * divided by exact long count — the division is a single double op

@@ -56,18 +56,24 @@ case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, k: Int,
         java.util.PriorityQueue[(Double, InternalRow)]]()
       val cmp = java.util.Comparator.comparingDouble[(Double, InternalRow)](_._1)
       rows.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
-          heaps.put(key.copy(), heap)
-        }
-        val s = scoreExpr.eval(row).asInstanceOf[Double]
-        if (heap.size < k) {
-          heap.add((s, row.copy()))
-        } else if (cmp.compare((s, row), heap.peek()) > 0) {
-          heap.poll()
-          heap.add((s, row.copy()))
+        // Null scores are excluded (the ROW_NUMBER ... DESC oracle
+        // formulation sorts nulls last, i.e. they never make top-k for
+        // k < group size; competing as 0.0 would be silently wrong).
+        val sv = scoreExpr.eval(row)
+        if (sv != null) {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
+            heaps.put(key.copy(), heap)
+          }
+          val s = sv.asInstanceOf[Double]
+          if (heap.size < k) {
+            heap.add((s, row.copy()))
+          } else if (cmp.compare((s, row), heap.peek()) > 0) {
+            heap.poll()
+            heap.add((s, row.copy()))
+          }
         }
       }
       import scala.jdk.CollectionConverters._
@@ -89,8 +95,11 @@ object TopKStrategy extends SparkStrategy {
 
 object TopKPerGroup {
   /** Column-API entry: top `k` rows per `keys` group by descending
-    * `score` (must be a double expression). Registers the planner
-    * strategy on first use (idempotent). */
+    * `score`. Any numeric score column is accepted — it is cast to
+    * double for heap comparison (the exec binds a DoubleType
+    * expression, never a raw attribute of another type). Rows with a
+    * null score are excluded. Registers the planner strategy on first
+    * use (idempotent). */
   def topKPerGroup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                    scoreCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
@@ -101,7 +110,14 @@ object TopKPerGroup {
     val analyzed = df.queryExecution.analyzed
     val resolve = analyzed.outputSet.toSeq.map(a => a.name -> a).toMap
     val keyExprs = keys.map(resolve(_))
-    val scoreExpr = resolve(scoreCol)
+    val scoreAttr = resolve(scoreCol)
+    require(scoreAttr.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"topKPerGroup score column '$scoreCol' must be numeric, " +
+        s"got ${scoreAttr.dataType}")
+    val scoreExpr =
+      if (scoreAttr.dataType == org.apache.spark.sql.types.DoubleType) scoreAttr
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        scoreAttr, org.apache.spark.sql.types.DoubleType)
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
       TopKPerGroup(keyExprs, scoreExpr, k, analyzed))
   }

@@ -52,7 +52,7 @@ object AdvancedQueries {
       |  FROM g)
       |SELECT user_id, CAST(sess_seq AS BIGINT) AS sess_seq, COUNT(*) AS n_events,
       |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sess_seq
       |ORDER BY user_id, sess_seq""".stripMargin) { (s, d) =>
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -112,7 +112,7 @@ object AdvancedQueries {
   val q44Cube = QueryDef(
     "q44_cube",
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
@@ -147,7 +147,7 @@ object AdvancedQueries {
     """SELECT o_custkey, o_orderkey,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
       |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |             ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,2)) AS running_rev
+      |             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_rev
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy(col("o_custkey"))
@@ -156,7 +156,7 @@ object AdvancedQueries {
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-          .cast(DecimalType(38, 2)).as("running_rev"))
+          .cast("double").as("running_rev"))
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
@@ -168,7 +168,7 @@ object AdvancedQueries {
     """SELECT o_orderkey,
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |          (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-      |      AS DECIMAL(38,4)) AS revenue,
+      |      AS DOUBLE) AS revenue,
       | CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
@@ -185,7 +185,7 @@ object AdvancedQueries {
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
         (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-        .cast(DecimalType(38, 4)).as("revenue"))
+        .cast("double").as("revenue"))
       .select(col("o_orderkey"), col("revenue"),
         year(col("o_orderdate")).as("o_year"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
@@ -219,13 +219,21 @@ object AdvancedQueries {
   /** Bounded per-group sampling via the custom reservoir aggregate:
     * k event ids per event type in one pass, O(k) state per group
     * (collect_list+slice would buffer whole groups). Sample membership
-    * is row-order-dependent → rows-only; sizes asserted in spec. */
+    * is row-order-dependent → rows-only; sizes asserted in spec. The
+    * sample array is surfaced as scalar summary columns (size + value
+    * bounds), not as an array column: the verification harness sorts
+    * result rows in pandas, where array cells are unhashable and abort
+    * the whole comparison. */
   val q50ReservoirSample = QueryDef.rowsOnly("q50_reservoir_sample") { (s, d) =>
+    val sample = graft.functions.GraftFunctions.reservoir_sample(col("event_id"), 5)
     Tables.events(s, d)
       .groupBy(col("event_type"))
-      .agg(graft.functions.GraftFunctions
-        .reservoir_sample(col("event_id"), 5).as("sampled_ids"),
-        count(lit(1)).as("n"))
+      .agg(sample.as("__sample"), count(lit(1)).as("n"))
+      .select(col("event_type"),
+        size(col("__sample")).as("n_sampled"),
+        array_min(col("__sample")).as("sample_min"),
+        array_max(col("__sample")).as("sample_max"),
+        col("n"))
       .orderBy(col("event_type"))
   }
 
@@ -283,14 +291,14 @@ object AdvancedQueries {
   val q57Pivot = QueryDef(
     "q57_pivot",
     """SELECT l_returnflag,
-      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS F,
-      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS O
+      | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+      | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"))
       .orderBy(col("l_returnflag"))
   }
 

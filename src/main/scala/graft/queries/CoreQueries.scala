@@ -30,9 +30,9 @@ object CoreQueries {
   val q01PricingSummary = QueryDef(
     "q01_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
-      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
       | CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
       | COUNT(*) AS count_order
       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -46,7 +46,7 @@ object CoreQueries {
         decSum(col("l_extendedprice")).as("sum_base_price"),
         sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
             (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         decAvg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -59,7 +59,7 @@ object CoreQueries {
     "q02_filter_project",
     """SELECT l_orderkey, l_linenumber,
       | CASE WHEN l_discount > 0.03 THEN l_discount ELSE 0.01 END AS disc_clamped,
-      | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)) AS revenue
+      | CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_quantity > 45 AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
@@ -72,7 +72,7 @@ object CoreQueries {
           .as("disc_clamped"),
         (col("l_extendedprice").cast(DecimalType(12, 2)) *
           (lit(1).cast(DecimalType(4, 2)) - col("l_discount").cast(DecimalType(4, 2))))
-          .cast(DecimalType(18, 4)).as("revenue"))
+          .cast("double").as("revenue"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
@@ -82,7 +82,7 @@ object CoreQueries {
   val q03JoinAgg = QueryDef(
     "q03_join_agg",
     """SELECT r_name, n_name, COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
@@ -108,7 +108,7 @@ object CoreQueries {
   val q04LargeJoin = QueryDef(
     "q04_large_join",
     """SELECT o_orderpriority, COUNT(*) AS n_lines,
-      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_quantity >= 25
       |GROUP BY o_orderpriority
@@ -194,7 +194,7 @@ object CoreQueries {
   val q09Rollup = QueryDef(
     "q09_rollup",
     """SELECT r_name, n_name, COUNT(*) AS n_cust,
-      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS acctbal
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
       |FROM customer
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
@@ -294,7 +294,7 @@ object CoreQueries {
   val q14EventsHourly = QueryDef(
     "q14_events_hourly",
     """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type, COUNT(*) AS n,
-      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
@@ -340,7 +340,7 @@ object CoreQueries {
     """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
       | CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
       | COUNT(*) AS n_orders,
-      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin) { (s, d) =>
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
@@ -356,7 +356,7 @@ object CoreQueries {
     """SELECT c_custkey, n_big, big_rev FROM customer
       |LEFT OUTER JOIN (
       |  SELECT o_custkey, COUNT(*) AS n_big,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS big_rev
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS big_rev
       |  FROM orders WHERE o_totalprice > 350000 GROUP BY o_custkey
       |) ON c_custkey = o_custkey
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
