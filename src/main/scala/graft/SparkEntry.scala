@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, DataQueries, LoanQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, DataQueries, ExtendedQueries, LoanQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[QueryDef] =
-    CoreQueries.all ++ LoanQueries.all ++ DataQueries.all ++ AdvancedQueries.all
+    CoreQueries.all ++ LoanQueries.all ++ DataQueries.all ++
+      AdvancedQueries.all ++ ExtendedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,397 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Relational.{decSum, saltedJoin}
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-2 coverage widening: statistical aggregates from exact sums,
+  * exact quantiles, ordered string aggregation, regexp/math/date scalar
+  * surfaces, the full ranking-window suite, range frames, sink
+  * round-trips (CSV/JSON/partitioned parquet), the salted skew join,
+  * and SQL-front-end IN/NOT IN subqueries. Every query here carries a
+  * DuckDB oracle.
+  *
+  * Cross-engine exactness pattern for derived doubles (variance, corr,
+  * percent_rank...): every input to the final arithmetic is either an
+  * exact decimal sum CAST to double (one correctly-rounded conversion,
+  * identical in both engines) or an exact integer, and the final
+  * expression tree is written with the SAME shape and association in
+  * both engines — IEEE ops are deterministic, so the doubles match
+  * bit-for-bit.
+  */
+object ExtendedQueries {
+
+  /** Sample variance / stddev / correlation from exact decimal moments
+    * — order-independent under any partitioning (a naive double sum of
+    * squares would drift between a 1000-executor run and the oracle).
+    * Small-magnitude measures (quantity, discount) keep every unscaled
+    * decimal below 2^53 so the decimal→double conversions are exact. */
+  val q60StatsMoments = QueryDef(
+    "q60_stats_moments",
+    """WITH s AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+      |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+      |  ((sxy - sx * sy / n) / (n - 1)) /
+      |    (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1)))
+      |    AS corr_qty_disc
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val qd = col("l_quantity").cast(DecimalType(18, 2))
+    val dd = col("l_discount").cast(DecimalType(18, 2))
+    val agg = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qd).cast("double").as("sx"),
+        sum(qd * qd).cast("double").as("sxx"),
+        sum(dd).cast("double").as("sy"),
+        sum(dd * dd).cast("double").as("syy"),
+        sum(qd * dd).cast("double").as("sxy"))
+    val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+    val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+    val varQty = (sxx - sx * sx / n) / (n - 1)
+    val varDisc = (syy - sy * sy / n) / (n - 1)
+    val cov = (sxy - sx * sy / n) / (n - 1)
+    agg.select(col("l_returnflag"), n,
+      varQty.as("var_qty"),
+      sqrt(varQty).as("stddev_qty"),
+      (cov / (sqrt(varQty) * sqrt(varDisc))).as("corr_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact discrete percentiles (p50/p90/p99) per group via the
+    * row_number formulation — value at rank ceil(p*n), no
+    * interpolation, so both engines pick the identical row. One
+    * shuffle on the group key. */
+  val q61Percentiles = QueryDef(
+    "q61_percentiles",
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders)
+      |SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+      |  MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN o_totalprice END) AS p99
+      |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    val w = byPrio.orderBy(col("o_totalprice"), col("o_orderkey"))
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(lit(p) * col("n")).cast("long"), col("o_totalprice")))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Ordered string aggregation (LISTAGG): suppliers per nation as a
+    * sorted comma-joined list. collect_list order is
+    * partitioning-dependent, so the sort happens INSIDE the row
+    * (array_sort) — deterministic at any cluster size. */
+  val q62Listagg = QueryDef(
+    "q62_listagg",
+    """SELECT n_name, COUNT(*) AS n_supp,
+      | string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val su = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("suppliers"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Regexp scalar surface: rlike filter, group extraction, global
+    * replacement, and a regexp-based token count. Patterns stay in the
+    * RE2-compatible subset where Java and RE2 semantics agree. */
+  val q63Regexp = QueryDef(
+    "q63_regexp",
+    """SELECT p_partkey,
+      | regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+      | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+      | len(regexp_extract_all(p_name, '[a-z]+')) AS n_words
+      |FROM part
+      |WHERE regexp_matches(p_name, '^[a-z]+ [a-z]+')
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").rlike("^[a-z]+ [a-z]+"))
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0))).as("n_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Math scalar surface restricted to IEEE-deterministic ops (sqrt is
+    * correctly rounded; ln/exp/pow are libm-dependent and excluded):
+    * abs/ceil/floor/sign/greatest/least/mod + decimal round. */
+  val q64MathFuncs = QueryDef(
+    "q64_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_discount - 0.05) AS abs_ddisc,
+      | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      | sqrt(l_quantity) AS sqrt_qty,
+      | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_ddisc,
+      | greatest(l_quantity, 25.0) AS g25,
+      | least(l_tax, 0.04) AS l04,
+      | l_orderkey % 7 AS key_mod7,
+      | CAST(round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS DOUBLE) AS price_r1
+      |FROM lineitem WHERE l_orderkey < 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("abs_ddisc"),
+        ceil(col("l_extendedprice")).as("ceil_price"),
+        floor(col("l_extendedprice")).as("floor_price"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        signum(col("l_discount") - 0.05).as("sign_ddisc"),
+        greatest(col("l_quantity"), lit(25.0)).as("g25"),
+        least(col("l_tax"), lit(0.04)).as("l04"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        round(col("l_extendedprice").cast(DecimalType(12, 2)), 1)
+          .cast("double").as("price_r1"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** IN / NOT IN subqueries through the engine's SQL front end (temp
+    * views + spark.sql) — planned as left-semi and null-safe left-anti
+    * joins; the NOT IN subquery is null-free by construction (the
+    * null-poisoning variant is covered in q53's null semantics). */
+  val q65InSubquery = QueryDef(
+    "q65_in_subquery",
+    """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'AUTOMOBILE')
+      |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+      |                         WHERE l_quantity > 48)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v65")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v65")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v65")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders_v65
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v65
+        |                    WHERE c_mktsegment = 'AUTOMOBILE')
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem_v65
+        |                         WHERE l_quantity > 48)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Cross join (cartesian): every (region, returnflag) combination —
+    * the deliberate-broadcast nested-loop case. */
+  val q66CrossJoin = QueryDef(
+    "q66_cross_join",
+    """SELECT r_name, l_returnflag FROM region
+      |CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem)
+      |ORDER BY r_name, l_returnflag""".stripMargin) { (s, d) =>
+    val flags = Tables.lineitem(s, d).select(col("l_returnflag")).distinct()
+    Tables.region(s, d).crossJoin(broadcast(flags))
+      .select(col("r_name"), col("l_returnflag"))
+      .orderBy(col("r_name"), col("l_returnflag"))
+  }
+
+  /** The full ranking-window suite in one pass: rank / dense_rank /
+    * ntile / percent_rank / cume_dist / first_value / nth_value / lead
+    * — one shuffle on the partition key, unique (score, key) ordering
+    * so every function is deterministic. */
+  val q67WindowSuite = QueryDef(
+    "q67_window_suite",
+    """SELECT o_orderkey, o_orderpriority,
+      | CAST(rank() OVER w AS BIGINT) AS rnk,
+      | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | percent_rank() OVER w AS prank,
+      | cume_dist() OVER w AS cdist,
+      | first_value(o_totalprice) OVER w AS top_price,
+      | nth_value(o_totalprice, 2) OVER w AS second_price,
+      | lead(o_totalprice, 1, -1.0) OVER w AS next_price
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice DESC, o_orderkey)
+      |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("o_totalprice")).over(w).as("top_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  /** RANGE frame over event time: per-user 10-minute trailing sum —
+    * value-based frame bounds (not row counts), exact decimal sum
+    * surfaced as double. */
+  val q68RangeFrame = QueryDef(
+    "q68_range_frame",
+    """SELECT event_id, user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+      |      AS DOUBLE) AS sum_10min
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_10min"))
+      .orderBy(col("event_id"))
+  }
+
+  private def tmpDir(s: org.apache.spark.sql.SparkSession, tag: String,
+                     sfDir: String): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"target/tmp/${tag}_$sf"
+  }
+
+  /** CSV sink → source round-trip (S1/S3): write a projected subset as
+    * CSV, re-read it with an explicit schema (single pass, no
+    * inference), aggregate. The oracle aggregates the base table
+    * directly — the round-trip must be lossless. */
+  val q69CsvRoundtrip = QueryDef(
+    "q69_csv_roundtrip",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+      |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val path = tmpDir(s, "q69_csv", d)
+    Tables.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderpriority", StringType)))
+    s.read.option("header", "true").schema(schema).csv(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** JSON-lines sink → source round-trip (interchange path): doubles
+    * survive exactly (shortest-round-trip serialization), schema
+    * supplied on read. */
+  val q70JsonRoundtrip = QueryDef(
+    "q70_json_roundtrip",
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE user_id < 50
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+    val path = tmpDir(s, "q70_json", d)
+    graft.sources.Sinks.writeJson(
+      Tables.events(s, d).filter(col("user_id") < 50)
+        .select(col("event_id"), col("event_type"), col("value")), path)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    graft.sources.Sinks.readJson(s, path, schema)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Partitioned-parquet sink → pruned source: write orders
+    * partitioned by priority, read back filtered to ONE partition —
+    * the filter prunes directories (PartitionFilters), scanning 1/5 of
+    * the data; asserted in the spec. */
+  val q71PartitionedParquet = QueryDef(
+    "q71_partitioned_parquet",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val path = tmpDir(s, "q71_part", d)
+    graft.sources.Sinks.writePartitioned(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderpriority")), path, "o_orderpriority")
+    s.read.parquet(path)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Skew-safe salted join (identical result to the plain equi-join —
+    * the oracle IS the plain join): the hot key's rows spread over 8
+    * salted reducers instead of one straggler. */
+  val q72SaltedJoin = QueryDef(
+    "q72_salted_join",
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity < 10
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_quantity") < 10)
+      .withColumnRenamed("l_orderkey", "jk")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey").as("jk"), col("o_orderpriority"))
+    saltedJoin(li, o, "jk", nSalts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), decSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Date/time arithmetic surface: interval add, datediff, date_trunc,
+    * last_day, ISO week/quarter extraction. Timestamp-typed outputs go
+    * through VARCHAR (cross-engine repr parity). */
+  val q76DateArith = QueryDef(
+    "q76_date_arith",
+    """SELECT o_orderkey,
+      | CAST(o_orderdate + INTERVAL 30 DAY AS VARCHAR) AS d30,
+      | CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
+      | CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+      | CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+      | CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+      | CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week
+      |FROM orders WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).cast("string").as("d30"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since"),
+        date_trunc("month", col("o_orderdate")).cast("date").cast("string")
+          .as("month_start"),
+        last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
+    q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
+    q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
+    q76DateArith)
+}
