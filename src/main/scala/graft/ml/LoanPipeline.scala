@@ -115,14 +115,19 @@ object LoanPipeline {
   private def finish(prep: PipelineModel, lrModel: LogisticRegressionModel,
                      train: DataFrame, test: DataFrame,
                      fitDf: DataFrame): LoanModelBundle = {
-    val scored = lrModel.transform(test)
+    // The scored test split is a few hundred rows: single-partition it
+    // so the two evaluators (whose internal sortByKey/aggregate stages
+    // inherit the partition count) don't schedule 32-task stages over
+    // near-empty partitions. Metric values are partitioning-invariant.
+    val scored = lrModel.transform(test).coalesce(1).cache()
     // Composing the fitted prep + LR into one PipelineModel: stages
     // that are already Transformers are passed through by Pipeline.fit
     // (no refit), so this is metadata-only.
     val full = new Pipeline()
       .setStages(Array[PipelineStage](prep, lrModel)).fit(fitDf.limit(1))
-    LoanModelBundle(full, auc(scored), accuracy(scored),
+    try LoanModelBundle(full, auc(scored), accuracy(scored),
       train.count(), test.count())
+    finally scored.unpersist()
   }
 
   private val bundleCache =

@@ -90,8 +90,38 @@ object DataQueries {
   }
 
   /** Language-ID heuristics per doc: word-marker argmax and the
-    * char-trigram variant (for unsegmented scripts). */
-  val q24LangId = QueryDef.rowsOnly("q24_lang_id") { (s, d) =>
+    * char-trigram variant (for unsegmented scripts). The oracle SQL is
+    * GENERATED from the same [[TextAnalysis.LangProfiles]] /
+    * [[TextAnalysis.CharNgramProfiles]] constants the Spark expressions
+    * use, so the two can't drift. Spark's struct array_max (score,
+    * then lang) maps to a zero-padded 'score||lang' string greatest —
+    * identical ordering for non-negative scores. */
+  private def inList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString(",")
+  private def markerScoreSql(arr: String, lang: String, words: Seq[String]) =
+    s"printf('%08d', len(list_filter($arr, t -> t IN (${inList(words)})))) || '$lang'"
+  private val langIdOracle: String = {
+    val word = TextAnalysis.LangProfiles
+      .map { case (l, ws) => markerScoreSql("toks", l, ws) }
+      .mkString("greatest(\n      ", ",\n      ", ")")
+    val tri = TextAnalysis.CharNgramProfiles
+      .map { case (l, gs) => markerScoreSql("tris", l, gs) }
+      .mkString("greatest(\n      ", ",\n      ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, lang AS declared_lang, string_split(text, ' ') AS toks,
+       |    list_transform(generate_series(1, greatest(length(lower(text))-2, 0)),
+       |                   i -> substring(lower(text), i, 3)) AS tris
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, declared_lang, $word AS best, $tri AS bestn FROM t)
+       |SELECT doc_id, declared_lang,
+       |  CASE WHEN CAST(substring(best, 1, 8) AS INT) > 0
+       |       THEN substring(best, 9) ELSE 'und' END AS detected_lang,
+       |  CASE WHEN CAST(substring(bestn, 1, 8) AS INT) > 0
+       |       THEN substring(bestn, 9) ELSE 'und' END AS detected_lang_ngram
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+  val q24LangId = QueryDef("q24_lang_id", langIdOracle) { (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("declared_lang"),
         TextAnalysis.langId(col("text")).as("detected_lang"),
@@ -142,8 +172,26 @@ object DataQueries {
       queryId = 0L, k = 10)
   }
 
-  /** LSH-bucketed approximate cosine top-10 (the 100 TB path). */
-  val q41LshAnn = QueryDef.rowsOnly("q41_lsh_ann") { (s, d) =>
+  /** LSH-bucketed approximate cosine top-10 (the 100 TB path). The
+    * oracle SQL embeds the SAME deterministic hyperplanes the Spark
+    * path uses (generated from [[Similarity.hyperplanes]]), replaying
+    * sign-of-projection bucketing + exact re-rank in DuckDB. */
+  private val lshAnnOracle: String = {
+    val planes = Similarity.hyperplanes(bits = 4, dim = 64)
+    def lit(p: Seq[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    CAST($bits AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT v AS qvec, bucket AS qbucket FROM h WHERE vec_id = 0)
+       |SELECT vec_id, round(list_cosine_similarity(v, qvec), 6) AS cos, bucket
+       |FROM h, q WHERE vec_id <> 0 AND bucket = qbucket
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+  }
+  val q41LshAnn = QueryDef("q41_lsh_ann", lshAnnOracle) { (s, d) =>
     Similarity.lshCosineTopK(Tables.embeddings(s, d), "vec_id", "embedding",
       queryId = 0L, k = 10, bits = 4, dim = 64)
   }
@@ -157,10 +205,35 @@ object DataQueries {
   }
 
   /** Embedding-cosine near-dup pairs (LSH-bucketed candidates + exact
-    * cosine verify). Low bits → high recall at this corpus size. */
-  val q54EmbeddingDedup = QueryDef.rowsOnly("q54_embedding_dedup") { (s, d) =>
+    * cosine verify). Low bits → high recall at this corpus size. The
+    * oracle replays the same hyperplane bucketing (embedded plane
+    * literals) + bucket-cap + pairing + cosine threshold in DuckDB. */
+  private val embeddingDedupOracle: String = {
+    val planes = Similarity.hyperplanes(bits = 4, dim = 64)
+    def lit(p: Seq[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+       |    CAST($bits AS BIGINT) AS bucket
+       |  FROM embeddings),
+       |ok AS (SELECT bucket FROM b GROUP BY bucket
+       |       HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |pairs AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id
+       |  WHERE x.bucket IN (SELECT bucket FROM ok))
+       |SELECT id_a, id_b,
+       |  round(list_cosine_similarity(xa.v, xb.v), 6) AS cos
+       |FROM pairs JOIN b xa ON xa.id = id_a JOIN b xb ON xb.id = id_b
+       |WHERE list_cosine_similarity(xa.v, xb.v) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+  val q54EmbeddingDedup = QueryDef("q54_embedding_dedup", embeddingDedupOracle) { (s, d) =>
     Similarity.embeddingDedupPairs(Tables.embeddings(s, d), "vec_id",
       "embedding", threshold = 0.5, bits = 4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
