@@ -70,15 +70,20 @@ object GraftFunctions {
     }
 }
 
-/** Session-extension registration: injects the custom functions into
-  * every session built with these extensions — the deployment path for
-  * a shared cluster (spark.sql.extensions=graft.functions.GraftExtensions). */
+/** Session-extension registration: injects the custom functions, the
+  * TopKPerGroup planner strategy, and the row_number→top-k optimizer
+  * rewrite (off unless spark.graft.topk.rewrite=true) into every
+  * session built with these extensions — the deployment path for a
+  * shared cluster (spark.sql.extensions=graft.functions.GraftExtensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[CosineSimilarity].getPackage.getName, name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+  }
 }

@@ -45,39 +45,52 @@ case class TopKPerGroupExec(keys: Seq[Expression], score: Expression, k: Int,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
 
+  /** Per-group state: a k-bounded min-heap of non-null-scored rows,
+    * plus up to k null-scored filler rows. Null scores rank AFTER all
+    * non-null scores (ROW_NUMBER ... DESC NULLS LAST parity): they
+    * surface only when a group has fewer than k non-null rows, and
+    * both formulations pick their survivors arbitrarily among ties. */
+  private final class GroupState(k: Int,
+      cmp: java.util.Comparator[(Double, InternalRow)]) {
+    val heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
+    var nullRows: List[InternalRow] = Nil
+    private var nNull = 0
+    def offerNull(row: InternalRow): Unit =
+      if (nNull < k) { nullRows ::= row.copy(); nNull += 1 }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys.map(BindReferences.bindReference(_, child.output))
     val scoreExpr = BindReferences.bindReference(score, child.output)
-    val schema = child.output
     child.execute().mapPartitions({ rows =>
       val keyProj = UnsafeProjection.create(keyExprs)
-      // per-key bounded min-heaps of (score, row-copy)
-      val heaps = new java.util.HashMap[InternalRow,
-        java.util.PriorityQueue[(Double, InternalRow)]]()
+      val groups = new java.util.HashMap[InternalRow, GroupState]()
       val cmp = java.util.Comparator.comparingDouble[(Double, InternalRow)](_._1)
       rows.foreach { row =>
-        // Null scores are excluded (the ROW_NUMBER ... DESC oracle
-        // formulation sorts nulls last, i.e. they never make top-k for
-        // k < group size; competing as 0.0 would be silently wrong).
+        val key = keyProj(row)
+        var st = groups.get(key)
+        if (st == null) {
+          st = new GroupState(k, cmp)
+          groups.put(key.copy(), st)
+        }
         val sv = scoreExpr.eval(row)
-        if (sv != null) {
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[(Double, InternalRow)](k + 1, cmp)
-            heaps.put(key.copy(), heap)
-          }
+        if (sv == null) {
+          st.offerNull(row)
+        } else {
           val s = sv.asInstanceOf[Double]
-          if (heap.size < k) {
-            heap.add((s, row.copy()))
-          } else if (cmp.compare((s, row), heap.peek()) > 0) {
-            heap.poll()
-            heap.add((s, row.copy()))
+          if (st.heap.size < k) {
+            st.heap.add((s, row.copy()))
+          } else if (cmp.compare((s, row), st.heap.peek()) > 0) {
+            st.heap.poll()
+            st.heap.add((s, row.copy()))
           }
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala.map(_._2))
+      groups.values().iterator().asScala.flatMap { st =>
+        st.heap.iterator().asScala.map(_._2) ++
+          st.nullRows.iterator.take(k - st.heap.size)
+      }
     }, preservesPartitioning = true)
   }
 
@@ -97,9 +110,10 @@ object TopKPerGroup {
   /** Column-API entry: top `k` rows per `keys` group by descending
     * `score`. Any numeric score column is accepted — it is cast to
     * double for heap comparison (the exec binds a DoubleType
-    * expression, never a raw attribute of another type). Rows with a
-    * null score are excluded. Registers the planner strategy on first
-    * use (idempotent). */
+    * expression, never a raw attribute of another type). Null scores
+    * rank after every non-null score (ROW_NUMBER ... DESC NULLS LAST
+    * parity). Registers the planner strategy on first use
+    * (idempotent). */
   def topKPerGroup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                    scoreCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, IntegerType, NumericType}
+
+/** Optimizer rule (`Rule[LogicalPlan]`, the missing rung of the
+  * customization ladder next to the expressions and the planner
+  * strategy): rewrites the classic top-k-per-group idiom
+  *
+  * {{{
+  *   ... row_number() OVER (PARTITION BY p ORDER BY score DESC) AS rn
+  *   WHERE rn <= k          -- rn then dropped from the projection
+  * }}}
+  *
+  * into the heap-based [[TopKPerGroup]] operator, eliminating the
+  * per-partition sort the window formulation pays (O(n log n) + full
+  * materialization → O(n log k) streaming). Spark's own
+  * InferWindowGroupLimit inserts a group-limit BELOW the window but
+  * still sorts and still runs the window; this rewrite removes both.
+  *
+  * Semantics: row_number over a non-unique ordering is already
+  * nondeterministic in its tie choice, so replacing it with the heap
+  * operator (arbitrary ties at the k boundary) preserves the same
+  * deterministic contract. The rewrite fires only when provably safe:
+  *
+  *  - the window computes exactly ONE expression: row_number() with
+  *    the default (UnboundedPreceding, CurrentRow) row frame;
+  *  - ordered by a single numeric column, DESCENDING (the heap is a
+  *    max-take; ascending would need a mirrored comparator);
+  *  - the rn attribute is used ONLY by the `rn <= k` / `rn < k`
+  *    filter and dropped by the projection directly above it (the
+  *    Project match proves nothing upstream reads rn);
+  *  - null ordering is NULLS LAST (the DESC default), which the heap
+  *    operator reproduces (null scores fill trailing slots only).
+  *
+  * Off by default; enable with `spark.graft.topk.rewrite=true`.
+  * Registered by [[graft.functions.GraftExtensions]] (which also
+  * injects [[TopKStrategy]] so the logical node it produces is
+  * plannable), or manually via `spark.experimental`.
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.topk.rewrite"
+
+  private def enabled: Boolean =
+    conf.getConfString(ConfKey, "false").toBoolean
+
+  private object RowNumberWindow {
+    /** Matches Window nodes whose single expression is a default-frame
+      * row_number over (part, single numeric DESC order); returns
+      * (rnAttrId, partition, score, child). */
+    def unapply(w: Window): Option[(ExprId, Seq[Expression], Expression, LogicalPlan)] =
+      w match {
+        case Window(Seq(a @ Alias(WindowExpression(_: RowNumber,
+              WindowSpecDefinition(part, Seq(order), frame)), _)),
+            _, _, child, _)
+          if frame == SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) &&
+            order.direction == Descending &&
+            order.nullOrdering == NullsLast &&
+            order.child.isInstanceOf[AttributeReference] &&
+            order.child.dataType.isInstanceOf[NumericType] =>
+          Some((a.exprId, part, order.child, unwrapGroupLimit(child)))
+        case _ => None
+      }
+
+    /** Depending on where the rule runs (extension-injected rules run
+      * inside operator optimization; `spark.experimental` rules run
+      * after everything), Spark's InferWindowGroupLimit may already
+      * have inserted a WindowGroupLimit below the Window. It's
+      * redundant once the whole window is replaced — and worse, its
+      * physical operator requires sorted input, reintroducing exactly
+      * the sort this rewrite removes — so strip it. */
+    private def unwrapGroupLimit(child: LogicalPlan): LogicalPlan = child match {
+      case WindowGroupLimit(_, _, _: RowNumber, _, grandchild) => grandchild
+      case other => other
+    }
+  }
+
+  /** `rn <= k` / `rn < k+1` → k (the top-k bound), if positive. */
+  private object RankBound {
+    def unapply(e: Expression): Option[(AttributeReference, Int)] = e match {
+      case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
+        if k > 0 => Some((a, k))
+      case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
+        if k > 1 => Some((a, k - 1))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case p @ Project(projList,
+          Filter(RankBound(rnAttr, k), RowNumberWindow(rnId, part, score, child)))
+        if rnAttr.exprId == rnId &&
+          p.references.subsetOf(child.outputSet) &&
+          projList.forall(_.deterministic) =>
+        val scoreExpr =
+          if (score.dataType == DoubleType) score else Cast(score, DoubleType)
+        Project(projList, TopKPerGroup(part, scoreExpr, k, child))
+    }
+}

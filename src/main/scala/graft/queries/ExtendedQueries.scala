@@ -389,9 +389,142 @@ object ExtendedQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** ORC sink → source round-trip (second columnar format; same
+    * pushdown story as parquet — asserted in SinksSpec). */
+  val q73OrcRoundtrip = QueryDef(
+    "q73_orc_roundtrip",
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_nationkey < 10
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+    val path = tmpDir(s, "q73_orc", d)
+    graft.sources.Sinks.writeOrc(
+      Tables.customer(s, d).filter(col("c_nationkey") < 10), path)
+    s.read.orc(path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), decSum(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** DISTINCT projection (the Deduplicate operator — hash aggregate
+    * with no aggregate functions). */
+  val q74Distinct = QueryDef(
+    "q74_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus, CAST(l_quantity AS INT) % 10 AS qmod
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus, qmod""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("l_quantity").cast("int") % 10).as("qmod"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("qmod"))
+  }
+
+  /** Bag (multiset) set operations: INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicities — the multiset twins of q10. */
+  val q75BagSetOps = QueryDef(
+    "q75_bag_set_ops",
+    """SELECT o_custkey, 'both_all' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |  INTERSECT ALL
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+      |UNION ALL
+      |SELECT o_custkey, 'extra_1995' AS op FROM (
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+      |  EXCEPT ALL
+      |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996)
+      |ORDER BY o_custkey, op""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    def keysIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = keysIn(1995)
+    val b = keysIn(1996)
+    a.intersectAll(b).withColumn("op", lit("both_all"))
+      .union(a.exceptAll(b).withColumn("op", lit("extra_1995")))
+      .orderBy(col("o_custkey"), col("op"))
+  }
+
+  /** Nested types: struct construction + field access, map
+    * construction + key lookup, array construction / indexing /
+    * membership / in-row sort. Outputs are scalar extractions only
+    * (nested cells never reach the verification harness, which can't
+    * sort them). */
+  val q77NestedTypes = QueryDef(
+    "q77_nested_types",
+    """WITH n AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    {'key': o_orderkey, 'price': o_totalprice} AS st,
+      |    MAP(['prio','status'], [o_orderpriority, o_orderstatus]) AS m,
+      |    [o_orderkey, o_custkey, 42] AS arr
+      |  FROM orders WHERE o_orderkey < 2000)
+      |SELECT o_orderkey,
+      |  st.price AS st_price,
+      |  m['prio'][1] AS m_prio,
+      |  arr[2] AS arr_second,
+      |  CAST(len(arr) AS INT) AS arr_len,
+      |  list_contains(arr, 42) AS has42,
+      |  CAST(list_sort([o_custkey % 5, o_orderkey % 3])[1] AS BIGINT) AS sorted_first
+      |FROM n ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        struct(col("o_orderkey").as("key"), col("o_totalprice").as("price")).as("st"),
+        map(lit("prio"), col("o_orderpriority"),
+          lit("status"), col("o_orderstatus")).as("m"),
+        array(col("o_orderkey"), col("o_custkey"), lit(42L)).as("arr"),
+        col("o_custkey"))
+      .select(col("o_orderkey"),
+        col("st").getField("price").as("st_price"),
+        element_at(col("m"), "prio").as("m_prio"),
+        element_at(col("arr"), 2).as("arr_second"),
+        size(col("arr")).as("arr_len"),
+        array_contains(col("arr"), 42L).as("has42"),
+        element_at(array_sort(array(col("o_custkey") % 5, col("o_orderkey") % 3)), 1)
+          .as("sorted_first"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Positional explode (generator with ordinality) — the lateral-join
+    * shape: each doc row fans out to (pos, token) rows. */
+  val q78Posexplode = QueryDef(
+    "q78_posexplode",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 50)
+      |SELECT doc_id, CAST(i - 1 AS INT) AS pos, toks[i] AS token
+      |FROM t, unnest(generate_series(1, len(toks))) AS g(i)
+      |ORDER BY doc_id, pos""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** Bounded ROWS frame: centered moving average (3 preceding to 3
+    * following) of order value per customer — exact decimal numerator,
+    * one double division per row. */
+  val q79MovingAvg = QueryDef(
+    "q79_moving_avg",
+    """SELECT o_orderkey, o_custkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS DOUBLE) /
+      | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS mavg
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val f = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, 3)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).over(f).cast("double") /
+          count(lit(1)).over(f)).as("mavg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
     q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
-    q76DateArith)
+    q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
+    q78Posexplode, q79MovingAvg)
 }

@@ -111,6 +111,38 @@ object EventStreams {
              dimKey: String): DataFrame =
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left_outer")
 
+  /** Sliding-window aggregation: overlapping windows (`length` every
+    * `slide`) per event_type — each event contributes to
+    * length/slide windows; the watermark bounds open-window state. */
+  def slidingAgg(events: DataFrame, length: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), length, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Stream-stream interval join: each error event picks up purchases
+    * of the same user from the trailing `windowMinutes` — both sides
+    * watermarked, and the time-bound predicate lets Spark evict
+    * buffered rows once the watermark passes (bounded state; an
+    * unbounded stream-stream equi-join would buffer forever). */
+  def errorPurchaseJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    errors.join(purchases,
+      col("err_user") === col("p_user") &&
+        col("p_ts") <= col("err_ts") &&
+        col("p_ts") >= col("err_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+  }
+
   /** Exactly-once parquet sink: append-mode file sink with a
     * checkpoint — restarts resume from the checkpointed offsets
     * without re-emitting (the production landing path; the memory

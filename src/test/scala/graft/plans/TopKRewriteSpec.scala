@@ -1,0 +1,92 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKRewriteSpec extends SparkSpec {
+
+  private def withRule[A](f: => A): A = {
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+    }
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    spark.conf.set(TopKRewriteRule.ConfKey, "true")
+    try f finally spark.conf.set(TopKRewriteRule.ConfKey, "false")
+  }
+
+  private def idiom(): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+  }
+
+  test("rewrites row_number<=k filter+drop into TopKPerGroup, eliminating the sort") {
+    withRule {
+      val df = idiom()
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.collect { case t: TopKPerGroup => t }.nonEmpty,
+        s"expected TopKPerGroup in:\n$optimized")
+      df.collect() // finalize the adaptive plan
+      val physical = df.queryExecution.executedPlan
+      assert(physical.collect { case e: TopKPerGroupExec => e }.nonEmpty ||
+        physical.toString.contains("TopKPerGroup"),
+        s"expected TopKPerGroupExec in:\n$physical")
+      assert(physical.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"sort should be gone:\n$physical")
+    }
+  }
+
+  test("rewritten plan returns the same (key, score) multiset as the window plan") {
+    val expected = idiom() // rule off
+      .select(col("o_custkey"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    val got = withRule {
+      idiom().select(col("o_custkey"), col("o_totalprice"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+    }
+    assert(got.sameElements(expected))
+  }
+
+  test("does NOT rewrite when rn is kept in the output") {
+    withRule {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc)
+      val df = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3) // rn still projected
+      assert(df.queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.isEmpty)
+      assert(df.filter(col("rn") === 1).count() > 0)
+    }
+  }
+
+  test("does NOT rewrite multi-column orderings (tiebreaks the heap can't honor)") {
+    withRule {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val df = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+      assert(df.queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.isEmpty)
+    }
+  }
+
+  test("off by default: same idiom without the flag keeps the window plan") {
+    val df = idiom()
+    assert(df.queryExecution.optimizedPlan
+      .collect { case t: TopKPerGroup => t }.isEmpty)
+  }
+}

@@ -115,6 +115,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(back.select("event_id").distinct().count() === 10000) // ids overlap across files
   }
 
+  test("slidingAgg: events land in every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(50), 1, "click", 3.0), // in windows starting 0,15,30,45
+      Event(2, ts(400), 9, "view", 0.0)) // watermark advancer
+    val got = runToMemory(slidingAgg(mem.toDF()), "sliding_stream")
+      .filter($"event_type" === "click")
+      .select($"w_start", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    val expected = Seq(0, 15, 30, 45).map(m => Seq(ts(m), 1L, 3.0)).toSet
+    assert(got === expected)
+  }
+
+  test("stream-stream interval join: purchases within the trailing window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(10), 1, "purchase", 100.0), // 20 min before error: in
+      Event(2, ts(29), 1, "purchase", 50.0),  // 1 min before error: in
+      Event(3, ts(31), 1, "purchase", 25.0),  // AFTER the error: out
+      Event(4, ts(30), 1, "error", 0.0),
+      Event(5, ts(29), 2, "purchase", 9.0),   // other user: out
+      Event(9, ts(500), 9, "view", 0.0))      // watermark advancer
+    val got = runToMemory(errorPurchaseJoin(mem.toDF(), windowMinutes = 30),
+      "ss_join_stream")
+      .select($"err_id", $"p_id", $"p_value")
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(Seq(4L, 1L, 100.0), Seq(4L, 2L, 50.0)))
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
