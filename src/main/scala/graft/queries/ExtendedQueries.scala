@@ -521,10 +521,96 @@ object ExtendedQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Safe-cast + null-function surface: try_cast (ANSI-mode-safe
+    * failure → null), nullif, ifnull-with-fallback. */
+  val q80TryCast = QueryDef(
+    "q80_try_cast",
+    """SELECT p_partkey,
+      | TRY_CAST(substring(p_brand, 7) AS INT) AS brand_num,
+      | TRY_CAST(p_type AS INT) AS bad_cast,
+      | nullif(p_size, 25) AS size_nz,
+      | ifnull(TRY_CAST(p_type AS INT), -1) AS fallback
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        substring(col("p_brand"), 7, 100).try_cast("int").as("brand_num"),
+        col("p_type").try_cast("int").as("bad_cast"),
+        nullif(col("p_size"), lit(25)).as("size_nz"),
+        ifnull(col("p_type").try_cast("int"), lit(-1)).as("fallback"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** UNION by column NAME (not position), null-filling columns missing
+    * from either side — the schema-evolution-friendly union. */
+  val q81UnionByName = QueryDef(
+    "q81_union_by_name",
+    """SELECT k, prio, price FROM (
+      |  SELECT o_orderkey AS k, o_orderpriority AS prio FROM orders WHERE o_orderkey < 500
+      |  UNION ALL BY NAME
+      |  SELECT o_totalprice AS price, o_orderkey AS k FROM orders WHERE o_orderkey < 300)
+      |ORDER BY k, prio NULLS FIRST""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+    val b = o.filter(col("o_orderkey") < 300)
+      .select(col("o_totalprice").as("price"), col("o_orderkey").as("k"))
+    a.unionByName(b, allowMissingColumns = true)
+      .select(col("k"), col("prio"), col("price"))
+      .orderBy(col("k"), col("prio").asc_nulls_first)
+  }
+
+  /** Bitwise operator surface: AND / OR / XOR / shifts / popcount on
+    * the integer keys. */
+  val q82BitOps = QueryDef(
+    "q82_bit_ops",
+    """SELECT l_orderkey, l_linenumber,
+      | l_orderkey & l_partkey AS b_and,
+      | l_orderkey | 255 AS b_or,
+      | xor(l_orderkey, l_partkey) AS b_xor,
+      | l_orderkey << 2 AS shl,
+      | l_orderkey >> 1 AS shr,
+      | CAST(bit_count(l_orderkey) AS INT) AS pc
+      |FROM lineitem WHERE l_orderkey < 400
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 400)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+        col("l_orderkey").bitwiseOR(lit(255L)).as("b_or"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+        shiftleft(col("l_orderkey"), 2).as("shl"),
+        shiftright(col("l_orderkey"), 1).as("shr"),
+        bit_count(col("l_orderkey")).as("pc"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** max_by / min_by (argmax aggregation) with a deterministic
+    * tiebreak: the ordering key is a fixed-width padded string of
+    * (value, unique key), identical in both engines — plain
+    * max_by(x, value) is nondeterministic under value ties. */
+  val q83MinMaxBy = QueryDef(
+    "q83_min_max_by",
+    """SELECT o_custkey,
+      | arg_max(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey)) AS best_order,
+      | arg_min(o_orderkey, printf('%020.2f|%020d', o_totalprice, o_orderkey)) AS worst_order,
+      | max(o_totalprice) AS best_price
+      |FROM orders WHERE o_custkey < 200
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val ordKey = format_string("%020.2f|%020d", col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"), ordKey).as("best_order"),
+        min_by(col("o_orderkey"), ordKey).as("worst_order"),
+        max(col("o_totalprice")).as("best_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
     q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
-    q78Posexplode, q79MovingAvg)
+    q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
+    q83MinMaxBy)
 }
