@@ -606,11 +606,42 @@ object ExtendedQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Sketch-based quantiles (approx_percentile, the streaming-friendly
+    * bounded-memory path): estimates are engine-specific → rows-only;
+    * the spec asserts they bracket q61's exact percentiles. */
+  val q84ApproxQuantiles = QueryDef.rowsOnly("q84_approx_quantiles") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("ap50"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(10000)).as("ap90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Join-strategy hints: force a sort-merge join where AQE would
+    * broadcast — results are identical to the unhinted join (the
+    * oracle IS the plain join); the spec asserts the physical plan
+    * obeyed the hint. The knob that matters at 100 TB when a
+    * "small" side isn't. */
+  val q85JoinHints = QueryDef(
+    "q85_join_hints",
+    """SELECT n_name, COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d).hint("merge")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
     q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
-    q83MinMaxBy)
+    q83MinMaxBy, q84ApproxQuantiles, q85JoinHints)
 }

@@ -93,4 +93,49 @@ object EngineProperties extends Properties("graft") {
         .select(Relational.argmax(col("scores"))).as[Int].collect()(0)
       Prop(xs(got) == xs.max)
     }
+
+  /** Random (key, nullable score) tables with heavy ties: the
+    * TopKRewrite plan must return the same (key, score) multiset as
+    * the untouched row_number window plan — including groups padded
+    * out of null scores (NULLS LAST parity). */
+  private val keyedScores: Gen[(List[(Int, Option[Double])], Int)] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.choose(0, 4)
+      // tiny value domain → frequent score ties across and within keys
+      v <- Gen.option(Gen.choose(0, 3).map(_.toDouble))
+    } yield (k, v))
+    k <- Gen.choose(1, 4)
+  } yield (rows, k)
+
+  property("TopKRewrite: rewritten plan == window plan as (key,score) multiset") =
+    forAll(keyedScores) { case (rows, k) =>
+      import graft.plans.{TopKRewriteRule, TopKStrategy}
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val df = rows.toDF("k", "v")
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      def idiom = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      def multiset(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getInt(0), Option(r.get(1)))).toList
+          .sortBy(t => (t._1, t._2.map(_.asInstanceOf[Double]).getOrElse(-1.0)))
+      val plain = multiset(idiom)
+      if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ TopKRewriteRule
+      }
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
+      spark.conf.set(TopKRewriteRule.ConfKey, "true")
+      try {
+        val rewritten = idiom
+        val fired = rewritten.queryExecution.optimizedPlan
+          .collect { case t: graft.plans.TopKPerGroup => t }.nonEmpty
+        Prop(fired) :| "rule must fire on the idiom" &&
+          Prop(multiset(rewritten) == plain) :| s"multiset mismatch k=$k"
+      } finally spark.conf.set(TopKRewriteRule.ConfKey, "false")
+    }
 }

@@ -76,6 +76,26 @@ class ExtendedQueriesSpec extends SparkSpec {
       .sameElements(direct.orderBy("event_type").collect()))
   }
 
+  test("q84 approx quantiles land near q61's exact percentiles") {
+    val exact = ExtendedQueries.q61Percentiles.fn(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val approx = ExtendedQueries.q84ApproxQuantiles.fn(spark, sf001).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (p50, p90) = exact(r.getString(0))
+      // 10000-bucket sketch on ~3k rows per group: near-exact
+      assert(math.abs(r.getDouble(1) - p50) / p50 < 0.02)
+      assert(math.abs(r.getDouble(2) - p90) / p90 < 0.02)
+    }
+  }
+
+  test("q85 merge hint forces a sort-merge join over the broadcastable dim") {
+    val df = ExtendedQueries.q85JoinHints.fn(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"hint ignored:\n${plan.take(600)}")
+  }
+
   test("q67 window suite: rank fields consistent within each partition") {
     val rows = ExtendedQueries.q67WindowSuite.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
