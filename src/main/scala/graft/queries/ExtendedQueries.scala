@@ -637,11 +637,53 @@ object ExtendedQueries {
       .orderBy(col("n_name"))
   }
 
+  /** One order row for the typed API (fields = the columns used). */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+                            o_orderdate: java.sql.Timestamp)
+
+  /** Typed Dataset API + per-group imperative logic
+    * (KeyValueGroupedDataset.flatMapGroups): the maximum day-gap
+    * between a customer's consecutive orders. The group logic is a
+    * genuine sort-and-scan (awkward as pure SQL composition, natural
+    * as code); the oracle re-derives it with lag + datediff. Day
+    * arithmetic is done on the epoch millis (floorDiv) — timezone- and
+    * JVM-default-independent. Groups are bounded (orders per
+    * customer), so the in-memory per-group sort is safe at any corpus
+    * size. */
+  val q86TypedMaxGap = QueryDef(
+    "q86_typed_max_gap",
+    """SELECT o_custkey, CAST(MAX(d) AS INT) AS max_gap_days FROM (
+      |  SELECT o_custkey,
+      |    datediff('day',
+      |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate, o_orderkey),
+      |      o_orderdate) AS d
+      |  FROM orders)
+      |WHERE d IS NOT NULL GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dayMs = 86400000L
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .as[OrderRow]
+      .groupByKey(_.o_custkey)
+      .flatMapGroups { (custkey, rows) =>
+        val sorted = rows.toSeq.sortBy(r => (r.o_orderdate.getTime, r.o_orderkey))
+        if (sorted.size < 2) Iterator.empty
+        else {
+          val days = sorted.map(r => Math.floorDiv(r.o_orderdate.getTime, dayMs))
+          val maxGap = days.sliding(2).map { case Seq(a, b) => b - a }.max
+          Iterator((custkey, maxGap.toInt))
+        }
+      }
+      .toDF("o_custkey", "max_gap_days")
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
     q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
-    q83MinMaxBy, q84ApproxQuantiles, q85JoinHints)
+    q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap)
 }
