@@ -97,7 +97,10 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val base = df.select(col(idCol), v.as("vec"))
       .withColumn("fv", array_to_vector(col("vec")))
-    def fit() = new KMeans().setK(nlist).setSeed(seed)
+    // A coarse quantizer doesn't need full convergence: cell BOUNDARIES
+    // shift slightly with more iterations but recall is governed by
+    // nprobe, and 10 iterations is the standard IVF training budget.
+    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
     val model = cacheKey match {
       case Some(key) =>
