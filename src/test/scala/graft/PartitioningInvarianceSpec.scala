@@ -1,0 +1,37 @@
+package graft
+
+import graft.queries.{AdvancedQueries, CoreQueries, ExtendedQueries}
+import org.apache.spark.sql.SparkSession
+
+/** Results must be BYTE-IDENTICAL regardless of parallelism — the
+  * property that lets the same query run on local[4] and a
+  * 1000-executor cluster and hash-match the same oracle. Exercises the
+  * exact-decimal aggregation discipline end-to-end: each query runs in
+  * two child sessions with shuffle parallelism 1 vs 24 and the
+  * collected outputs are compared row-for-row. */
+class PartitioningInvarianceSpec extends SparkSpec {
+
+  private def withParallelism(n: Int): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // disable AQE partition coalescing so the parallelism actually differs
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s
+  }
+
+  private val cases = Seq(
+    CoreQueries.q01PricingSummary,   // decimal sums + decimal-derived mean
+    CoreQueries.q12MeanFill,         // broadcast mean fill
+    AdvancedQueries.q19Sessionize,   // window + gaps-and-islands + decimal
+    AdvancedQueries.q46RunningTotal, // running decimal frame
+    ExtendedQueries.q60StatsMoments, // variance/corr from exact moments
+    ExtendedQueries.q83MinMaxBy)     // argmax with deterministic tiebreak
+
+  cases.foreach { q =>
+    test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {
+      val lo = q.fn(withParallelism(1), sf0001).collect().map(_.toString).toSeq
+      val hi = q.fn(withParallelism(24), sf0001).collect().map(_.toString).toSeq
+      assert(lo == hi)
+    }
+  }
+}
