@@ -679,11 +679,85 @@ object ExtendedQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Second string-function tranche: pad/reverse/position/repeat/
+    * left/right/trim/replace/predicates/translate. */
+  val q87StringSuite2 = QueryDef(
+    "q87_string_suite2",
+    """SELECT p_partkey,
+      | lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '.') AS rp,
+      | reverse(p_name) AS rev,
+      | CAST(strpos(p_name, 'a') AS INT) AS pos_a,
+      | repeat(p_brand, 2) AS rep,
+      | left(p_name, 4) AS l4, right(p_name, 4) AS r4,
+      | trim(concat(' ', p_name, ' ')) AS trimmed,
+      | replace(p_type, 'ECONOMY', 'ECO') AS repl,
+      | contains(p_name, 'gear') AS has_gear,
+      | starts_with(p_type, 'STA') AS st,
+      | ends_with(p_type, 'RD') AS en,
+      | translate(p_brand, '#', '-') AS tr
+      |FROM part WHERE p_partkey < 800
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 800)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("lp"),
+        rpad(col("p_brand"), 12, ".").as("rp"),
+        reverse(col("p_name")).as("rev"),
+        instr(col("p_name"), "a").as("pos_a"),
+        repeat(col("p_brand"), 2).as("rep"),
+        expr("left(p_name, 4)").as("l4"),
+        expr("right(p_name, 4)").as("r4"),
+        trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+        expr("replace(p_type, 'ECONOMY', 'ECO')").as("repl"),
+        col("p_name").contains("gear").as("has_gear"),
+        col("p_type").startsWith("STA").as("st"),
+        col("p_type").endsWith("RD").as("en"),
+        translate(col("p_brand"), "#", "-").as("tr"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Spark's built-in session windows (session_window) in BATCH mode —
+    * dynamic-length windows that extend while events keep arriving
+    * within the gap. Oracled against the gaps-and-islands formulation
+    * (new island when the gap >= 30 min; window end = last event +
+    * gap). Bounds surfaced as epoch micros: exact integers, immune to
+    * fractional-second repr drift between engines. */
+  val q88SessionWindow = QueryDef(
+    "q88_session_window",
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                        ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT user_id,
+      |  min(epoch_us(ts)) AS s_start_us,
+      |  max(epoch_us(ts)) + 1800000000 AS s_end_us,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), decSum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("s_start_us"),
+        unix_micros(col("sw.end")).as("s_end_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start_us"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
     q69CsvRoundtrip, q70JsonRoundtrip, q71PartitionedParquet, q72SaltedJoin,
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
-    q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap)
+    q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
+    q87StringSuite2, q88SessionWindow)
 }
