@@ -159,6 +159,51 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming session windows: the built-in dynamic-gap windows
+    * (same transform as batch q88), watermarked so closed sessions
+    * are emitted and evicted in append mode. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n"), col("sum_value"))
+
+  /** foreachBatch keyed upsert — the MERGE pattern for plain parquet:
+    * per micro-batch, merge the batch into the snapshot keeping the
+    * newest row per key (by `tsCol`, batch wins ties). The merged
+    * frame is eagerly localCheckpoint-ed to sever lineage from the
+    * files being overwritten. Idempotent per key, so batch replays
+    * (at-least-once foreachBatch) converge to the same snapshot. */
+  def runUpsertToParquet(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                         outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existing =
+          if (new java.io.File(outDir).exists)
+            spark.read.parquet(outDir).withColumn("__new", lit(0))
+          else batch.limit(0).withColumn("__new", lit(0))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          .orderBy(col(tsCol).desc, col("__new").desc)
+        val merged = existing
+          .unionByName(batch.withColumn("__new", lit(1)))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", "__new")
+          .localCheckpoint(true)
+        merged.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until all available input is processed (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

@@ -146,6 +146,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set(Seq(4L, 1L, 100.0), Seq(4L, 2L, 50.0)))
   }
 
+  test("streaming session windows match the batch session_window transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),  // same session (gap 10 < 30)
+      Event(3, ts(60), 1, "click", 4.0),  // new session (gap 50 >= 30)
+      Event(9, ts(600), 9, "view", 0.0))  // watermark advancer
+    val got = runToMemory(sessionWindowAgg(mem.toDF()), "sess_win_stream")
+      .filter($"user_id" === 1)
+      .select($"s_start", $"s_end", $"n", $"sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(got === Set(
+      Seq(ts(0), ts(40), 2L, 3.0),   // [0, 10+30)
+      Seq(ts(60), ts(90), 1L, 4.0))) // [60, 60+30)
+  }
+
+  test("foreachBatch upsert keeps the newest row per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("upsert_out")
+      .resolve("snap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 10.0),
+      Event(2, ts(1), 2, "view", 20.0))
+    runUpsertToParquet(mem.toDF(), Seq("event_id"), "ts", out, ckpt)
+    mem.addData(
+      Event(1, ts(5), 1, "click", 99.0),  // newer version of key 1
+      Event(3, ts(2), 3, "click", 30.0))  // new key
+    runUpsertToParquet(mem.toDF(), Seq("event_id"), "ts", out, ckpt)
+
+    val snap = spark.read.parquet(out)
+      .select($"event_id", $"value").as[(Long, Double)].collect().toMap
+    assert(snap === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
