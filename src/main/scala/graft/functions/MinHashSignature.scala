@@ -8,15 +8,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native MinHash signature: input is a document's hashed shingle set
   * (`array<long>`), output is the `numHashes`-long signature where
-  *   sig[i] = min over shingles h of XXH64.hashLong(h, SEED + i).
+  *   sig[i] = min over shingles h of xxhash64(h, i)
+  * with xxhash64's column-chaining semantics replicated exactly:
+  *   xxhash64(h, i) = XXH64.hashLong(i, XXH64.hashLong(h, 42L)),
+  * so this expression is BIT-IDENTICAL to the HOF formulation
+  * [[graft.ops.Dedup.minhashSignatureHof]] (long-typed seed sequence).
+  * The inner hash depends only on the shingle — it is computed once
+  * per shingle, not once per (shingle, i).
   *
-  * Rationale (scale/perf): the HOF formulation
-  * `transform(seq, i -> array_min(transform(hs, h -> xxhash64(h, i))))`
-  * evaluates interpreted lambdas — shingles × numHashes expression
-  * dispatches per row, which dominated near-dup detection cost. This
-  * expression generates one fused two-level Java loop (no per-element
-  * allocation, no virtual dispatch) and stays inside whole-stage
-  * codegen.
+  * Rationale (scale/perf): the HOF formulation evaluates interpreted
+  * lambdas — shingles × numHashes expression dispatches per row, which
+  * dominated near-dup detection cost. This expression generates one
+  * fused two-level Java loop (no per-element allocation, no virtual
+  * dispatch) and stays inside whole-stage codegen.
   */
 case class MinHashSignature(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -40,24 +44,25 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     * collide them into the same LSH buckets. */
   override def nullable: Boolean = true
 
-  private final val Seed = 0x9747b28cL
+  /** xxhash64's default seed (Spark's XxHash64 expression). */
+  private final val Seed = 42L
 
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     if (n == 0) return null
     val sig = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      var best = Long.MaxValue
-      var j = 0
-      while (j < n) {
-        val h = XXH64.hashLong(hs.getLong(j), Seed + i)
-        if (h < best) best = h
-        j += 1
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val inner = XXH64.hashLong(hs.getLong(j), Seed)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(i.toLong, inner)
+        if (h < sig(i)) sig(i) = h
+        i += 1
       }
-      sig(i) = best
-      i += 1
+      j += 1
     }
     new GenericArrayData(sig)
   }
@@ -78,13 +83,13 @@ case class MinHashSignature(child: Expression, numHashes: Int)
          |  ${ev.isNull} = true;
          |} else {
          |  long[] $sig = new long[$numHashes];
-         |  for (int $i = 0; $i < $numHashes; $i++) {
-         |    long $best = Long.MAX_VALUE;
-         |    for (int $j = 0; $j < $n; $j++) {
-         |      long $h = $xxh.hashLong($a.getLong($j), ${Seed}L + $i);
-         |      if ($h < $best) $best = $h;
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    long $best = $xxh.hashLong($a.getLong($j), ${Seed}L);
+         |    for (int $i = 0; $i < $numHashes; $i++) {
+         |      long $h = $xxh.hashLong((long) $i, $best);
+         |      if ($h < $sig[$i]) $sig[$i] = $h;
          |    }
-         |    $sig[$i] = $best;
          |  }
          |  ${ev.value} = new $gad($sig);
          |}

@@ -62,13 +62,15 @@ object Dedup {
   def minhashSignature(hashedSet: Column, numHashes: Int): Column =
     graft.functions.GraftFunctions.minhash_signature(hashedSet, numHashes)
 
-  /** Interpreted-HOF minhash signature (reference formulation). Null
-    * on an empty shingle set — array_min of an empty array is null per
-    * element; the whole signature is nulled so both paths agree
-    * bit-identically (including on empty/short docs). */
+  /** Interpreted-HOF minhash signature (reference formulation),
+    * bit-identical to the native expression: the seed sequence is
+    * LONG-typed (xxhash64 hashes ints and longs differently), and an
+    * empty shingle set yields null in both paths (array_min of an
+    * empty array is null per element; empty/short docs must not share
+    * a sentinel signature). */
   def minhashSignatureHof(hashedSet: Column, numHashes: Int): Column =
     when(size(hashedSet) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
+      transform(sequence(lit(0L), lit((numHashes - 1).toLong)),
         seed => array_min(transform(hashedSet, h => xxhash64(h, seed)))))
 
   /** LSH band keys: the signature split into `bands` contiguous chunks,

@@ -52,6 +52,22 @@ class FunctionsSpec extends SparkSpec {
     assert(sig(0) !== sig(2))
   }
 
+  test("minhash_signature: null on empty shingle set, in BOTH native and HOF paths") {
+    import org.apache.spark.sql.functions.col
+    // one-word docs yield empty 2-shingle sets: no sentinel signature
+    // (empty docs must not collide into shared LSH buckets)
+    val df = Seq("solo", "a b c").toDF("t")
+      .select(
+        GraftFunctions.minhash_signature(
+          GraftFunctions.hashed_shingles(col("t"), 2), 8).as("native"),
+        graft.ops.Dedup.minhashSignatureHof(
+          GraftFunctions.hashed_shingles(col("t"), 2), 8).as("hof"))
+      .collect()
+    assert(df(0).isNullAt(0) && df(0).isNullAt(1))   // "solo"
+    assert(!df(1).isNullAt(0) && !df(1).isNullAt(1)) // "a b c"
+    assert(df(1).getSeq[Long](0) === df(1).getSeq[Long](1)) // paths agree
+  }
+
   test("reservoir_sample: exact sizes, members from the group, bounded memory semantics") {
     val df = spark.range(100000).toDF("id")
       .withColumn("g", pmod($"id", lit(4L)))

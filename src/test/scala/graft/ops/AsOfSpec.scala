@@ -40,4 +40,20 @@ class AsOfSpec extends SparkSpec {
     assert(out.columns.toSeq ===
       Seq("k", "ts", "ev", "asof_pid", "asof_pval"))
   }
+
+  test("numeric tiebreaks compare numerically, not lexicographically") {
+    // Two right rows at the SAME timestamp with Long ids 9 and 10:
+    // a string-ordered tiebreak would pick 9 ('9' > '10'); the
+    // documented greatest-tiebreak-wins must pick 10.
+    val l = Seq((1L, t(20), "e1")).toDF("k", "ts", "ev")
+    val r = Seq(
+      (1L, t(10), 9L, 1.0),
+      (1L, t(10), 10L, 2.0))
+      .toDF("k", "ts", "pid", "pval")
+    val got = AsOf.asOfJoin(l, r, Seq("k"), "ts", "ts",
+      Seq("pid", "pval"), tiebreak = Some("pid"))
+      .select("asof_pid", "asof_pval").collect()(0)
+    assert(got.getLong(0) === 10L)
+    assert(got.getDouble(1) === 2.0)
+  }
 }
