@@ -142,4 +142,17 @@ object Relational {
     * on identical inputs, so the result is bit-identical everywhere. */
   def decAvg(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(28, scale))).cast("double") / count(c)
+
+  /** Forward fill (last observation carried forward): each null takes
+    * the latest non-null value earlier in `order` within the same
+    * `keys` partition — the standard time-series gap fill, as one
+    * ignore-nulls window (single shuffle on the keys, no self-join).
+    * Rows before the first observation stay null. */
+  def forwardFill(df: DataFrame, valueCol: String, keys: Seq[String],
+                  order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
 }

@@ -752,6 +752,50 @@ object ExtendedQueries {
       .orderBy(col("user_id"), col("s_start_us"))
   }
 
+  /** Forward fill (LOCF gap filling) via an ignore-nulls window:
+    * sparse sensor readings (only values ≥ 100 observed) carried
+    * forward per user in event order. */
+  val q89ForwardFill = QueryDef(
+    "q89_forward_fill",
+    """SELECT event_id, user_id,
+      | last_value(CASE WHEN value >= 100 THEN value END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+    import graft.ops.Relational.forwardFill
+    val sparse = Tables.events(s, d)
+      .withColumn("filled", when(col("value") >= 100, col("value")))
+    forwardFill(sparse, "filled", Seq("user_id"),
+      Seq(col("ts"), col("event_id")))
+      .select(col("event_id"), col("user_id"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Full outer join: rows null-extended on BOTH sides — customers
+    * without big orders and (synthetic) order groups without a
+    * customer row, keys coalesced. */
+  val q90FullOuter = QueryDef(
+    "q90_full_outer",
+    """SELECT coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment, n_big
+      |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 700)
+      |FULL OUTER JOIN (
+      |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      |  WHERE o_totalprice > 300000 AND o_custkey < 1000
+      |  GROUP BY o_custkey
+      |) ON c_custkey = o_custkey
+      |ORDER BY custkey, c_mktsegment NULLS FIRST""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).filter(col("c_custkey") < 700)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000 && col("o_custkey") < 1000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_big"))
+      .orderBy(col("custkey"), col("c_mktsegment").asc_nulls_first)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
@@ -759,5 +803,5 @@ object ExtendedQueries {
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
     q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
-    q87StringSuite2, q88SessionWindow)
+    q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter)
 }
