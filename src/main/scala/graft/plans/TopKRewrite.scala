@@ -27,8 +27,10 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, NumericType}
   *
   *  - the window computes exactly ONE expression: row_number() with
   *    the default (UnboundedPreceding, CurrentRow) row frame;
-  *  - ordered by a single numeric column, DESCENDING (the heap is a
-  *    max-take; ascending would need a mirrored comparator);
+  *  - ordered by a numeric column DESCENDING (the heap is a max-take;
+  *    ascending would need a mirrored comparator), optionally followed
+  *    by ONE integral tiebreak column ASC NULLS FIRST (row_number's
+  *    ASC default) — the heap honors it exactly;
   *  - the rn attribute is used ONLY by the `rn <= k` / `rn < k`
   *    filter and dropped by the projection directly above it (the
   *    Project match proves nothing upstream reads rn);
@@ -47,21 +49,44 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     conf.getConfString(ConfKey, "false").toBoolean
 
+  private[plans] def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean =
+    t match {
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
   private object RowNumberWindow {
     /** Matches Window nodes whose single expression is a default-frame
-      * row_number over (part, single numeric DESC order); returns
-      * (rnAttrId, partition, score, child). */
-    def unapply(w: Window): Option[(ExprId, Seq[Expression], Expression, LogicalPlan)] =
+      * row_number over (part, numeric DESC [, integral ASC tiebreak]);
+      * returns (rnAttrId, partition, score, tiebreak, child). */
+    def unapply(w: Window): Option[(ExprId, Seq[Expression], Expression,
+        Option[Expression], LogicalPlan)] =
       w match {
         case Window(Seq(a @ Alias(WindowExpression(_: RowNumber,
-              WindowSpecDefinition(part, Seq(order), frame)), _)),
+              WindowSpecDefinition(part, orders, frame)), _)),
             _, _, child, _)
-          if frame == SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) &&
-            order.direction == Descending &&
-            order.nullOrdering == NullsLast &&
-            order.child.isInstanceOf[AttributeReference] &&
-            order.child.dataType.isInstanceOf[NumericType] =>
-          Some((a.exprId, part, order.child, unwrapGroupLimit(child)))
+          if frame == SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow) =>
+          val scoreOk = orders.headOption.exists(o =>
+            o.direction == Descending && o.nullOrdering == NullsLast &&
+              o.child.isInstanceOf[AttributeReference] &&
+              o.child.dataType.isInstanceOf[NumericType])
+          val tiebreak = orders match {
+            case Seq(_) => Some(None)
+            case Seq(_, t) if t.direction == Ascending &&
+                t.nullOrdering == NullsFirst &&
+                t.child.isInstanceOf[AttributeReference] &&
+                isIntegral(t.child.dataType) =>
+              Some(Some(t.child))
+            case _ => None // unsupported ordering shape
+          }
+          (scoreOk, tiebreak) match {
+            case (true, Some(tb)) =>
+              Some((a.exprId, part, orders.head.child, tb, unwrapGroupLimit(child)))
+            case _ => None
+          }
         case _ => None
       }
 
@@ -93,12 +118,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     if (!enabled) plan
     else plan.transformUp {
       case p @ Project(projList,
-          Filter(RankBound(rnAttr, k), RowNumberWindow(rnId, part, score, child)))
+          Filter(RankBound(rnAttr, k),
+            RowNumberWindow(rnId, part, score, tiebreak, child)))
         if rnAttr.exprId == rnId &&
           p.references.subsetOf(child.outputSet) &&
           projList.forall(_.deterministic) =>
         val scoreExpr =
           if (score.dataType == DoubleType) score else Cast(score, DoubleType)
-        Project(projList, TopKPerGroup(part, scoreExpr, k, child))
+        Project(projList, TopKPerGroup(part, scoreExpr, tiebreak, k, child))
     }
 }

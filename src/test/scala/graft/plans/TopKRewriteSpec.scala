@@ -71,10 +71,28 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
-  test("does NOT rewrite multi-column orderings (tiebreaks the heap can't honor)") {
+  test("rewrites the integral-ASC-tiebreak idiom and matches it EXACTLY") {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def idiomTb = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .drop("rn")
+    // unique (score, orderkey) ordering → selection is deterministic:
+    // the rewritten plan must return the IDENTICAL row set
+    val expected = idiomTb.collect().map(_.toString).sorted
+    withRule {
+      val df = idiomTb
+      assert(df.queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.exists(_.tiebreak.isDefined))
+      assert(df.collect().map(_.toString).sorted.sameElements(expected))
+    }
+  }
+
+  test("does NOT rewrite non-integral tiebreaks (string ordering the heap can't honor)") {
     withRule {
       val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderpriority"))
       val df = Tables.orders(spark, sf0001)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
