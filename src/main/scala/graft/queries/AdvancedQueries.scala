@@ -323,23 +323,24 @@ object AdvancedQueries {
   }
 
   /** The custom heap-based top-k physical operator (no per-partition
-    * sort; see [[graft.plans.TopKPerGroup]]). Projected to
-    * (key, score) the result is multiset-identical to the window
-    * formulation even under score ties, so it oracle-checks against
-    * ROW_NUMBER SQL. */
+    * sort; see [[graft.plans.TopKPerGroup]]). With the o_orderkey
+    * tiebreak the heap's selection is EXACTLY the rows the ROW_NUMBER
+    * formulation keeps — the oracle checks full rows, not just the
+    * (key, score) multiset. */
   val q59TopkCustomOp = QueryDef(
     "q59_topk_custom_op",
-    """SELECT o_custkey, o_totalprice FROM (
-      |  SELECT o_custkey, o_totalprice,
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    ROW_NUMBER() OVER (PARTITION BY o_custkey
-      |                       ORDER BY o_totalprice DESC) AS rn
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders)
       |WHERE rn <= 3
-      |ORDER BY o_custkey, o_totalprice DESC""".stripMargin) { (s, d) =>
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) { (s, d) =>
     graft.plans.TopKPerGroup.topKPerGroup(
-      Tables.orders(s, d), Seq("o_custkey"), "o_totalprice", 3)
-      .select(col("o_custkey"), col("o_totalprice"))
-      .orderBy(col("o_custkey"), col("o_totalprice").desc)
+      Tables.orders(s, d), Seq("o_custkey"), "o_totalprice", 3,
+      tiebreakCol = Some("o_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
   }
 
   val all: Seq[QueryDef] =
