@@ -266,9 +266,68 @@ object DataQueries {
       .limit(20)
   }
 
+  /** The end-to-end training-data prep pipeline composed from the
+    * engine's primitives — what a corpus-curation user actually runs:
+    * exact dedup (keep min doc_id per digest) → quality gate → detected
+    * language filter → per-source token statistics. One oracled query
+    * proving the pieces COMPOSE, not just work in isolation. Chain
+    * cost: dedup's digest aggregate is the only extra shuffle; quality
+    * and lang-id ride the scan as projections. */
+  val q96PipelineE2e = QueryDef(
+    "q96_pipeline_e2e",
+    s"""WITH survivors AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |scored AS (
+       |  SELECT d.doc_id, d.source, d.text,
+       |    len(string_split(d.text, ' ')) AS n_tokens,
+       |    (CASE WHEN len(string_split(d.text, ' ')) / 20.0 < 1.0
+       |          THEN len(string_split(d.text, ' ')) / 20.0 ELSE 1.0 END)
+       |    * (CASE WHEN CAST(length(d.text) - len(string_split(d.text, ' ')) + 1 AS DOUBLE)
+       |             / len(string_split(d.text, ' ')) BETWEEN 2.0 AND 12.0
+       |        THEN 1.0 ELSE 0.3 END)
+       |    * (CASE WHEN CAST(len(list_filter(string_split(d.text, ' '),
+       |                t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |             / len(string_split(d.text, ' ')) BETWEEN 0.01 AND 0.6
+       |        THEN 1.0 ELSE 0.5 END) AS quality,
+       |    greatest(
+       |      printf('%08d', len(list_filter(string_split(d.text, ' '), t -> t IN ('the','a','of','and','is','to')))) || 'en',
+       |      printf('%08d', len(list_filter(string_split(d.text, ' '), t -> t IN ('el','la','de','y','que','en')))) || 'es',
+       |      printf('%08d', len(list_filter(string_split(d.text, ' '), t -> t IN ('der','die','und','das','ist','ein')))) || 'de',
+       |      printf('%08d', len(list_filter(string_split(d.text, ' '), t -> t IN ('le','la','et','les','des','un')))) || 'fr') AS best
+       |  FROM documents d JOIN survivors USING (doc_id))
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(n_tokens AS DECIMAL(18,0))) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM scored
+       |WHERE quality >= 0.5
+       |  AND CAST(substring(best, 1, 8) AS INT) > 0
+       |  AND substring(best, 9) = 'en'
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(s, d)
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val t = col("text")
+    val nTokens = TextAnalysis.tokenCount(t)
+    val meanTokLen = (length(t) - nTokens + 1).cast("double") / nTokens
+    val stopRatio = TextAnalysis.stopwordCount(t).cast("double") / nTokens
+    val quality = least(nTokens / 20.0, lit(1.0)) *
+      when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3) *
+      when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    docs.join(survivors, "doc_id")
+      .select(col("source"), nTokens.as("n_tokens"), quality.as("quality"),
+        TextAnalysis.langId(t).as("lang"))
+      .filter(col("quality") >= 0.5 && col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast(DecimalType(18, 0))).cast("long").as("total_tokens"),
+        sum(col("quality").cast(DecimalType(18, 6))).cast("double").as("sum_quality"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
-    q55Multimodal)
+    q55Multimodal, q96PipelineE2e)
 }

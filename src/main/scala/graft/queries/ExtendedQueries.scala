@@ -796,6 +796,29 @@ object ExtendedQueries {
       .orderBy(col("custkey"), col("c_mktsegment").asc_nulls_first)
   }
 
+  /** Scalar subqueries through the SQL front end: an uncorrelated
+    * scalar in the WHERE (broadcast as a literal after its own
+    * 1-row plan) and a correlated scalar in the SELECT (decorrelated
+    * by Catalyst into an aggregate + left outer join). */
+  val q91ScalarSubquery = QueryDef(
+    "q91_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice,
+      | CAST((SELECT COUNT(*) FROM lineitem l
+      |       WHERE l.l_orderkey = o.o_orderkey) AS BIGINT) AS n_lines
+      |FROM orders o
+      |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders) * 0.5
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("orders_v91")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v91")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice,
+        | (SELECT COUNT(*) FROM lineitem_v91 l
+        |  WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+        |FROM orders_v91 o
+        |WHERE o_totalprice >= (SELECT max(o_totalprice) FROM orders_v91) * 0.5
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
@@ -803,5 +826,6 @@ object ExtendedQueries {
     q73OrcRoundtrip, q74Distinct, q75BagSetOps, q76DateArith, q77NestedTypes,
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
     q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
-    q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter)
+    q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter,
+    q91ScalarSubquery)
 }
