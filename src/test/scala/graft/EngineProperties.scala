@@ -108,6 +108,93 @@ object EngineProperties extends Properties("graft") {
     k <- Gen.choose(1, 4)
   } yield (rows, k)
 
+  private val asOfData: Gen[(List[(Int, Int, Int)], List[(Int, Int, Long, Double)])] =
+    for {
+      nl <- Gen.choose(1, 15)
+      nr <- Gen.choose(0, 15)
+      left <- Gen.listOfN(nl, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0, 20); id <- Gen.choose(0, 99)
+      } yield (k, t, id))
+      right <- Gen.listOfN(nr, for {
+        k <- Gen.choose(0, 3); t <- Gen.choose(0, 20)
+        pid <- Gen.choose(0L, 12L); v <- Gen.choose(0.0, 9.0)
+      } yield (k, t, pid, v))
+    } yield (left, right)
+
+  property("asOfJoin == brute-force latest-at-or-before, greatest tiebreak wins") =
+    forAll(asOfData) { case (lRows, rRows) =>
+      import spark.implicits._
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:${m}%02d:00")
+      val l = lRows.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "ts", "lid")
+      val r = rRows.map { case (k, t, pid, v) => (k, ts(t), pid, v) }
+        .toDF("k", "ts", "pid", "pval")
+      val got = graft.ops.AsOf
+        .asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("pid", "pval"),
+          tiebreak = Some("pid"))
+        .collect()
+        .map(x => (x.getInt(0), x.getTimestamp(1), x.getInt(2),
+          Option(x.get(3)).map(_.asInstanceOf[Long])))
+        .toList.sorted(Ordering.by((t: (Int, java.sql.Timestamp, Int, Option[Long])) =>
+          (t._1, t._2.getTime, t._3, t._4.getOrElse(-1L))))
+      val expected = lRows.map { case (k, t, id) =>
+        val cands = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+        val best = if (cands.isEmpty) None
+          else Some(cands.maxBy(rr => (rr._2, rr._3))._3)
+        (k, ts(t), id, best)
+      }.sorted(Ordering.by((t: (Int, java.sql.Timestamp, Int, Option[Long])) =>
+        (t._1, t._2.getTime, t._3, t._4.getOrElse(-1L))))
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  private val rangeData: Gen[(List[Double], List[(Double, Double)], Double)] =
+    for {
+      pts <- Gen.listOfN(20, Gen.choose(-50.0, 50.0))
+      ivs <- Gen.listOfN(8, for {
+        lo <- Gen.choose(-50.0, 50.0); span <- Gen.choose(0.0, 15.0)
+      } yield (lo, lo + span))
+      bw <- Gen.oneOf(1.0, 3.0, 7.5, 20.0)
+    } yield (pts, ivs, bw)
+
+  property("binnedRangeJoin == brute-force interval containment, any bin width") =
+    forAll(rangeData) { case (pts, ivs, bw) =>
+      import spark.implicits._
+      val p = pts.zipWithIndex.map { case (v, i) => (i, v) }.toDF("pid", "v")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val got = graft.ops.Ranges.binnedRangeJoin(p, "v", iv, "lo", "hi", bw)
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val expected = (for {
+        (v, pi) <- pts.zipWithIndex
+        ((lo, hi), ii) <- ivs.zipWithIndex
+        if v >= lo && v <= hi
+      } yield (pi, ii)).toSet
+      Prop(got == expected) :| s"binWidth=$bw diff=${got.diff(expected)}/${expected.diff(got)}"
+    }
+
+  property("forwardFill == naive last-non-null scan per key") =
+    forAll(Gen.listOfN(25, for {
+      k <- Gen.choose(0, 2); o <- Gen.choose(0, 999)
+      v <- Gen.option(Gen.choose(0.0, 9.0))
+    } yield (k, o, v))) { rows =>
+      import spark.implicits._
+      // unique (k, o) so ordering is total
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toList
+      val df = uniq.toDF("k", "o", "v")
+      val got = graft.ops.Relational
+        .forwardFill(df, "v", Seq("k"), Seq(col("o")))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+      val expected = uniq.groupBy(_._1).flatMap { case (_, grp) =>
+        val sorted = grp.sortBy(_._2)
+        var last: Option[Double] = None
+        sorted.map { case (k, o, v) =>
+          if (v.isDefined) last = v
+          ((k, o), last)
+        }
+      }
+      Prop(got == expected)
+    }
+
   property("TopKRewrite: rewritten plan == window plan as (key,score) multiset") =
     forAll(keyedScores) { case (rows, k) =>
       import graft.plans.{TopKRewriteRule, TopKStrategy}
