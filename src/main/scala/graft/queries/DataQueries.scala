@@ -325,9 +325,24 @@ object DataQueries {
       .orderBy(col("source"))
   }
 
+  /** Sketch-based heavy hitters (approx_top_k): bounded-memory
+    * vocabulary statistics — the scale path where an exact groupBy
+    * over a 100 TB token stream would shuffle the whole vocabulary.
+    * Sketch contents are merge-order-dependent → rows-only; the spec
+    * checks the hitters against exact counts. */
+  val q92HeavyHitters = QueryDef.rowsOnly("q92_heavy_hitters") { (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .createOrReplaceTempView("tokens_v92")
+    s.sql(
+      """SELECT hit.item AS token, CAST(hit.count AS BIGINT) AS approx_n
+        |FROM (SELECT explode(approx_top_k(token, 15)) AS hit FROM tokens_v92)
+        |ORDER BY approx_n DESC, token""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
-    q55Multimodal, q96PipelineE2e)
+    q55Multimodal, q92HeavyHitters, q96PipelineE2e)
 }

@@ -96,6 +96,23 @@ class ExtendedQueriesSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"hint ignored:\n${plan.take(600)}")
   }
 
+  test("q92 heavy hitters agree with the exact top token counts") {
+    val approx = graft.queries.DataQueries.q92HeavyHitters.fn(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .orderBy(col("count").desc, col("token"))
+      .limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every exact top-10 token appears among the 15 sketch hitters,
+    // with a count within 5% (the sketch overestimates bounded by eps)
+    exact.foreach { case (tok, n) =>
+      assert(approx.contains(tok), s"missing hitter $tok")
+      assert(math.abs(approx(tok) - n).toDouble / n < 0.05)
+    }
+  }
+
   test("q67 window suite: rank fields consistent within each partition") {
     val rows = ExtendedQueries.q67WindowSuite.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
