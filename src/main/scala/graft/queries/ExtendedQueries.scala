@@ -819,6 +819,75 @@ object ExtendedQueries {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Date spine + zero-fill: a generated calendar (sequence/explode —
+    * no source table) left-joined to daily counts so empty days show
+    * as 0 — the standard time-series densification. */
+  val q93DateSpine = QueryDef(
+    "q93_date_spine",
+    """WITH spine AS (
+      |  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+      |                                INTERVAL 1 DAY)) AS d),
+      |daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(CAST(spine.d AS DATE) AS VARCHAR) AS day,
+      |  coalesce(n, 0) AS n_orders
+      |FROM spine LEFT JOIN daily ON CAST(spine.d AS DATE) = daily.d
+      |ORDER BY day""".stripMargin) { (s, d) =>
+    val spine = s.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date"),
+        expr("INTERVAL 1 DAY"))).as("d"))
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("d"), "left_outer")
+      .select(col("d").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy(col("day"))
+  }
+
+  /** Share-of-total via an unpartitioned window: each priority's
+    * revenue share — numerator and denominator both exact decimal
+    * sums cast to double, one division. */
+  val q94ShareOfTotal = QueryDef(
+    "q94_share_of_total",
+    """WITH g AS (
+      |  SELECT o_orderpriority,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, rev,
+      |  rev / SUM(rev) OVER () AS share
+      |FROM g ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy()
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(decSum(col("o_totalprice")).as("rev"))
+      .select(col("o_orderpriority"), col("rev"),
+        (col("rev") / sum(col("rev")).over(w)).as("share"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Latest record per key (CDC-style compaction): the newest order
+    * per customer, full row, deterministic tiebreak — the batch twin
+    * of the streaming foreachBatch upsert. */
+  val q95LatestPerKey = QueryDef(
+    "q95_latest_per_key",
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
@@ -827,5 +896,5 @@ object ExtendedQueries {
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
     q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
     q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter,
-    q91ScalarSubquery)
+    q91ScalarSubquery, q93DateSpine, q94ShareOfTotal, q95LatestPerKey)
 }
