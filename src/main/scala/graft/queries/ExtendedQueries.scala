@@ -847,24 +847,28 @@ object ExtendedQueries {
       .orderBy(col("day"))
   }
 
-  /** Share-of-total via an unpartitioned window: each priority's
-    * revenue share — numerator and denominator both exact decimal
-    * sums cast to double, one division. */
+  /** Share-of-total via an unpartitioned window. The denominator
+    * window-sums the DECIMAL revenue, not the double: a double
+    * `SUM(rev) OVER ()` accumulates in engine/partition order and
+    * drifts by an ulp between engines; the decimal window sum is
+    * order-independent, so both sides divide bit-identical doubles. */
   val q94ShareOfTotal = QueryDef(
     "q94_share_of_total",
     """WITH g AS (
       |  SELECT o_orderpriority,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
       |  FROM orders GROUP BY o_orderpriority)
-      |SELECT o_orderpriority, rev,
-      |  rev / SUM(rev) OVER () AS share
+      |SELECT o_orderpriority, CAST(rev_dec AS DOUBLE) AS rev,
+      |  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share
       |FROM g ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
     val w = Window.partitionBy()
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
-      .agg(decSum(col("o_totalprice")).as("rev"))
-      .select(col("o_orderpriority"), col("rev"),
-        (col("rev") / sum(col("rev")).over(w)).as("share"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+      .select(col("o_orderpriority"),
+        col("rev_dec").cast("double").as("rev"),
+        (col("rev_dec").cast("double") /
+          sum(col("rev_dec")).over(w).cast("double")).as("share"))
       .orderBy(col("o_orderpriority"))
   }
 
