@@ -892,6 +892,47 @@ object ExtendedQueries {
       .orderBy(col("o_custkey"))
   }
 
+  /** Binary/encoding scalar surface: UTF-8 byte length, hex and
+    * base64 of string payloads — the provenance/dedup-key encodings. */
+  val q97BinaryFuncs = QueryDef(
+    "q97_binary_funcs",
+    """SELECT p_partkey,
+      | base64(encode(p_name)) AS b64,
+      | hex(encode(p_brand)) AS hx,
+      | CAST(octet_length(encode(p_name)) AS INT) AS n_bytes
+      |FROM part WHERE p_partkey < 1000
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 1000)
+      .select(col("p_partkey"),
+        base64(col("p_name").cast("binary")).as("b64"),
+        hex(col("p_brand").cast("binary")).as("hx"),
+        octet_length(col("p_name")).as("n_bytes"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Word-bigram frequencies (n-gram corpus statistics): in-row
+    * windowed concat → explode → count, the n>1 twin of q29's unigram
+    * explode. */
+  val q98Bigrams = QueryDef(
+    "q98_bigrams",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |              i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+      |SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
+      |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(1), size(toks) - 1),
+          i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
@@ -900,5 +941,6 @@ object ExtendedQueries {
     q78Posexplode, q79MovingAvg, q80TryCast, q81UnionByName, q82BitOps,
     q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
     q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter,
-    q91ScalarSubquery, q93DateSpine, q94ShareOfTotal, q95LatestPerKey)
+    q91ScalarSubquery, q93DateSpine, q94ShareOfTotal, q95LatestPerKey,
+    q97BinaryFuncs, q98Bigrams)
 }
