@@ -340,9 +340,23 @@ object DataQueries {
         |ORDER BY approx_n DESC, token""".stripMargin)
   }
 
+  /** Multimodal → similarity, end-to-end: batched decode extracts a
+    * feature vector per media item, then exact cosine top-10 against
+    * media_id 0 — the media-retrieval pipeline (decode once, search
+    * many) over the same ANN operators the embeddings table uses.
+    * Stub-derived features → rows-only; decode parity and recall are
+    * asserted in specs. */
+  val q99MultimodalAnn = QueryDef.rowsOnly("q99_multimodal_ann") { (s, _) =>
+    import graft.sources.Multimodal
+    val decoded = Multimodal.decodeBatched(Multimodal.syntheticMedia(s, 500)).toDF()
+    Similarity.cosineTopK(
+      decoded.select(col("media_id"), col("feature")),
+      "media_id", "feature", queryId = 0L, k = 10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
-    q55Multimodal, q92HeavyHitters, q96PipelineE2e)
+    q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn)
 }

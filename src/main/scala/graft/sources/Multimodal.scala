@@ -50,6 +50,17 @@ object Multimodal {
         ((h >> (i * 4)) & 0xF).toFloat / 15f)
       (width, height, frames, feature)
     }
+
+    /** STUB batch decode: one call per batch (where a real codec
+      * amortizes setup); per-item results identical to [[decodeStub]].
+      * Corrupt (null) payloads are dropped, not thrown. */
+    def decodeBatchStub(batch: Array[MediaRow]): Array[DecodedMedia] =
+      batch.flatMap { m =>
+        Option(m.payload).map { p =>
+          val (w, h, f, feat) = decodeStub(p)
+          DecodedMedia(m.media_id, m.kind, w, h, f, feat)
+        }
+      }
   }
 
   /** Decode/feature-extract as a partition-parallel typed map: one
@@ -65,6 +76,21 @@ object Multimodal {
           val (w, ht, frames, feat) = MediaCodec.decodeStub(p)
           DecodedMedia(m.media_id, m.kind, w, ht, frames, feat)
         }
+      }
+    }
+  }
+
+  /** Batched decode — the mapInPandas/Arrow batch shape: the codec is
+    * called once per `batchSize` items, not per item (real decoders
+    * amortize model/codec setup across a batch; a per-item call is
+    * the classic 100× slowdown). Same output as [[decode]], proven in
+    * the spec. */
+  def decodeBatched(media: Dataset[MediaRow], batchSize: Int = 64)
+      : Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        MediaCodec.decodeBatchStub(batch.toArray)
       }
     }
   }

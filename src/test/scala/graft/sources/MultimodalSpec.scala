@@ -43,4 +43,27 @@ class MultimodalSpec extends SparkSpec {
     val r = df.select($"resize_target.w", $"resize_target.h").distinct().collect()
     assert(r.length === 1 && r(0).getInt(0) === 224)
   }
+
+  test("batched decode == streaming decode, including at odd batch boundaries") {
+    val m = Multimodal.syntheticMedia(spark, 101) // not a multiple of batchSize
+    val streaming = Multimodal.decode(m).collect().map(_.media_id).sorted
+    val batched = Multimodal.decodeBatched(m, batchSize = 16)
+      .collect().map(_.media_id).sorted
+    assert(batched.sameElements(streaming))
+    val one = Multimodal.decodeBatched(m, batchSize = 16)
+      .filter(_.media_id == 7).collect()(0)
+    val oneStreaming = Multimodal.decode(m).filter(_.media_id == 7).collect()(0)
+    assert((one.media_id, one.kind, one.width, one.height, one.n_frames) ===
+      (oneStreaming.media_id, oneStreaming.kind, oneStreaming.width,
+        oneStreaming.height, oneStreaming.n_frames))
+    assert(one.feature.sameElements(oneStreaming.feature))
+  }
+
+  test("multimodal ANN query returns k nearest decoded features") {
+    val topk = graft.queries.DataQueries.q99MultimodalAnn.fn(spark, sf0001).collect()
+    assert(topk.length === 10)
+    val scores = topk.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "descending cosine order")
+    assert(!topk.map(_.getLong(0)).contains(0L), "query item excluded")
+  }
 }
