@@ -135,6 +135,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialized IVF index: cell assignments written as parquet
+    * PARTITIONED BY cell, centroids as a tiny side table. At query
+    * time the probe-set filter `cell IN (...)` prunes whole
+    * directories — the scan touches ~nprobe/nlist of the stored bytes
+    * with zero index-structure code, which is exactly how a stored
+    * ANN index should behave on an object store. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    indexDir: String, nlist: Int = 16,
+                    seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(vecCol).cast("array<double>")
+    val base = df.select(col(idCol).as("vec_id"), v.as("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+    model.transform(base)
+      .select(col("vec_id"), col("vec"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query the stored index: centroid ranking is a driver-side loop
+    * over nlist tiny vectors; the data scan reads ONLY the nprobe
+    * pruned partitions (PartitionFilters — asserted in the spec). */
+  def ivfCosineTopKStored(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, queryId: Long, k: Int,
+                          nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val qVec = vectors.filter(col("vec_id") === queryId)
+      .select(col("vec")).head().getSeq[Double](0).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeCells = spark.read.parquet(s"$indexDir/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (_, c) => -cos(c, qVec) }
+      .take(nprobe).map(_._1)
+    val q = vectors.filter(col("vec_id") === queryId)
+      .select(col("vec").as("qvec"))
+    vectors
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"),
+        col("cell"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket all
     * vectors (projection), generate candidate pairs only within
     * buckets (equality join on the bucket id — never a cross join),

@@ -64,6 +64,25 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & ivf).size >= 3, s"recall too low: ${(exact & ivf).size}/10")
   }
 
+  test("stored IVF index: partition-pruned probes, same result as in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.buildIvfIndex(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", dir, nlist = 8)
+    val stored = Similarity.ivfCosineTopKStored(spark, dir, queryId = 0L,
+      k = 10, nprobe = 4)
+    stored.collect()
+    // the probe filter must prune index directories, not scan them all
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+    val inMem = Similarity.ivfCosineTopK(Tables.embeddings(spark, sf0001),
+      "vec_id", "embedding", queryId = 0L, k = 10, nlist = 8, nprobe = 4)
+    // same seed -> same KMeans cells -> identical top-k
+    assert(stored.select("vec_id", "cos").collect().map(_.toString).toSeq ===
+      inMem.select("vec_id", "cos").collect().map(_.toString).toSeq)
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
