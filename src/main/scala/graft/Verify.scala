@@ -14,7 +14,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // wipe stale outputs: a renamed/removed query must not leave its
+    // old dump behind to be compared (or "pass" rows-only) on rerun
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      outRoot.listFiles.foreach(rm)
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

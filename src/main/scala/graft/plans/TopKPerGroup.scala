@@ -161,6 +161,9 @@ object TopKPerGroup {
   def topKPerGroup(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                    scoreCol: String, k: Int,
                    tiebreakCol: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty,
+      "topKPerGroup needs at least one grouping key; for a global " +
+        "top-k use orderBy(...).limit(k) (TakeOrderedAndProject)")
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
