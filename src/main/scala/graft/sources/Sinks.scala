@@ -24,9 +24,31 @@ object Sinks {
     Tables.loan(spark, destPath)
   }
 
-  /** Plain parquet sink. */
-  def writeParquet(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+  /** Plain parquet sink. `codec` matters at scale: zstd trades ~10%
+    * write CPU for ~30% smaller files than snappy — at 100 TB that is
+    * 30 TB less scan I/O on every downstream read. */
+  def writeParquet(df: DataFrame, path: String,
+                   codec: String = "snappy"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", codec)
+      .parquet(path)
+
+  /** Size-bounded parquet sink: caps rows per output file so a
+    * skewed final partition can't emit one giant file (file-level
+    * parallelism on read = number of files for non-splittable work). */
+  def writeParquetSized(df: DataFrame, path: String,
+                        maxRecordsPerFile: Long): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+
+  /** Incremental batch ingestion: read only files modified after the
+    * given timestamp — the poor-man's CDC for landing zones written by
+    * an external producer (the streaming file source is the
+    * continuous twin). Timestamp format: yyyy-MM-dd'T'HH:mm:ss. */
+  def readParquetModifiedAfter(spark: SparkSession, path: String,
+                               modifiedAfter: String): DataFrame =
+    spark.read.option("modifiedAfter", modifiedAfter).parquet(path)
 
   /** Hive-style partitioned parquet: one directory per distinct value
     * of `partitionCol`. Read-side filters on that column prune whole
