@@ -45,6 +45,21 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** All testdata table names, in TESTDATA.md order. */
+  val allTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view so the SQL front
+    * end (`spark.sql`) can query the full catalog by name — the
+    * SQL-first entry point for users who don't touch the Column API.
+    * Events goes through the nanos-normalizing reader. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    allTables.foreach {
+      case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+      case t => table(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
   /** Default location of the reference's loan dataset (read-only). */
   val LoanCsvPath = "/root/reference/Loan_Default.csv"
 
