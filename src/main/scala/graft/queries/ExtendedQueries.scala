@@ -933,6 +933,43 @@ object ExtendedQueries {
       .limit(20)
   }
 
+  /** Higher-order array functions as user surface: exists / forall /
+    * aggregate / transform+sort over token arrays, scalar outputs. */
+  val q100HofSuite = QueryDef(
+    "q100_hof_suite",
+    """SELECT doc_id,
+      | len(list_filter(string_split(text,' '), t -> t = 'the')) > 0 AS has_the,
+      | len(list_filter(string_split(text,' '), t -> length(t) < 20))
+      |   = len(string_split(text,' ')) AS all_short,
+      | CAST(list_sum(list_transform(string_split(text,' '), t -> length(t)))
+      |      AS BIGINT) AS total_chars,
+      | list_sort(list_transform(string_split(text,' '), t -> length(t)))[1]
+      |   AS min_tok_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        exists(toks, t => t === "the").as("has_the"),
+        forall(toks, t => length(t) < 20).as("all_short"),
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+        array_min(transform(toks, t => length(t))).as("min_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed-width histogram (profiling primitive): bucket counts via
+    * floor division — one hash aggregate, no sort, any scale. */
+  val q101Histogram = QueryDef(
+    "q101_histogram",
+    """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_sum
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("bucket_sum"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q60StatsMoments, q61Percentiles, q62Listagg, q63Regexp, q64MathFuncs,
     q65InSubquery, q66CrossJoin, q67WindowSuite, q68RangeFrame,
@@ -942,5 +979,5 @@ object ExtendedQueries {
     q83MinMaxBy, q84ApproxQuantiles, q85JoinHints, q86TypedMaxGap,
     q87StringSuite2, q88SessionWindow, q89ForwardFill, q90FullOuter,
     q91ScalarSubquery, q93DateSpine, q94ShareOfTotal, q95LatestPerKey,
-    q97BinaryFuncs, q98Bigrams)
+    q97BinaryFuncs, q98Bigrams, q100HofSuite, q101Histogram)
 }
