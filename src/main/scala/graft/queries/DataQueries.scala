@@ -354,9 +354,25 @@ object DataQueries {
       "media_id", "feature", queryId = 0L, k = 10)
   }
 
+  /** Stratified (per-class) sampling — the class-rebalancing primitive
+    * for imbalanced training data: down-sample the majority language
+    * to ~20%, keep the rest whole. Seeded Bernoulli per stratum, so
+    * it is reproducible in Spark but engine-specific → rows-only; the
+    * spec asserts per-stratum fractions. */
+  val q102StratifiedSample = QueryDef.rowsOnly("q102_stratified_sample") { (s, d) =>
+    val fractions = Map("en" -> 0.2, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0,
+      "zh" -> 1.0)
+    Tables.documents(s, d)
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
-    q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn)
+    q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn,
+    q102StratifiedSample)
 }

@@ -113,6 +113,20 @@ class ExtendedQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q102 stratified sample: majority class down-sampled, minorities kept") {
+    val totals = graft.sources.Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = graft.queries.DataQueries.q102StratifiedSample.fn(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en targeted at 20% (Bernoulli, so tolerance); others kept whole
+    val enFrac = sampled("en").toDouble / totals("en")
+    assert(enFrac > 0.1 && enFrac < 0.3, s"en fraction $enFrac")
+    (totals.keySet - "en").foreach { l =>
+      assert(sampled.getOrElse(l, 0L) === totals(l), s"stratum $l truncated")
+    }
+  }
+
   test("q67 window suite: rank fields consistent within each partition") {
     val rows = ExtendedQueries.q67WindowSuite.fn(spark, sf0001).collect()
     assert(rows.nonEmpty)
