@@ -103,13 +103,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** `rn <= k` / `rn < k+1` → k (the top-k bound), if positive. */
+  /** `rn <= k` / `rn < k+1` / `rn = 1` → k (the top-k bound).
+    * Equality matches only k=1 (the argmax/latest-per-key idiom);
+    * `rn = 5` alone is NOT a top-k. */
   private object RankBound {
     def unapply(e: Expression): Option[(AttributeReference, Int)] = e match {
       case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType))
         if k > 0 => Some((a, k))
       case LessThan(a: AttributeReference, Literal(k: Int, IntegerType))
         if k > 1 => Some((a, k - 1))
+      case EqualTo(a: AttributeReference, Literal(1, IntegerType)) =>
+        Some((a, 1))
       case _ => None
     }
   }

@@ -89,6 +89,29 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rewrites the rn = 1 argmax idiom (but NOT rn = 5)") {
+    withRule {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      def idiomEq(n: Int) = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === n)
+        .drop("rn")
+      assert(idiomEq(1).queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.exists(_.k == 1))
+      assert(idiomEq(5).queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.isEmpty,
+        "rn = 5 alone is not a top-k")
+      // argmax result check: one row per customer, the max-price order
+      val got = idiomEq(1).select("o_custkey", "o_totalprice").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = Tables.orders(spark, sf0001)
+        .groupBy("o_custkey").agg(max("o_totalprice").as("m"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got === expected)
+    }
+  }
+
   test("does NOT rewrite non-integral tiebreaks (string ordering the heap can't honor)") {
     withRule {
       val w = Window.partitionBy(col("o_custkey"))
