@@ -195,6 +195,36 @@ object EngineProperties extends Properties("graft") {
       Prop(got == expected)
     }
 
+  private val wordLists: Gen[(List[String], List[String])] = {
+    val word = Gen.oneOf("a", "b", "c", "d", "e", "f")
+    for {
+      x <- Gen.listOfN(8, word)
+      y <- Gen.listOfN(8, word)
+    } yield (x, y)
+  }
+
+  property("jaccard == |A∩B| / |A∪B| on the hashed shingle sets") =
+    forAll(wordLists) { case (xs, ys) =>
+      import spark.implicits._
+      val df = Seq((xs.mkString(" "), ys.mkString(" "))).toDF("a", "b")
+      val got = df.select(graft.ops.Dedup.jaccard(
+        graft.functions.GraftFunctions.hashed_shingles(col("a"), 1),
+        graft.functions.GraftFunctions.hashed_shingles(col("b"), 1)))
+        .as[Double].collect()(0)
+      val (sa, sb) = (xs.toSet, ys.toSet)
+      val expected = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      Prop(math.abs(got - expected) < 1e-12) :| s"got=$got expected=$expected"
+    }
+
+  property("qualityScore is always within [0, 1]") =
+    forAll(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(15))).map(_.take(30))) { ws =>
+      import spark.implicits._
+      val q = Seq(ws.mkString(" ")).toDF("text")
+        .select(graft.ops.TextAnalysis.qualityScore(col("text")))
+        .as[Double].collect()(0)
+      Prop(q >= 0.0 && q <= 1.0) :| s"quality=$q for ${ws.take(3)}..."
+    }
+
   property("TopKRewrite: rewritten plan == window plan as (key,score) multiset") =
     forAll(keyedScores) { case (rows, k) =>
       import graft.plans.{TopKRewriteRule, TopKStrategy}
