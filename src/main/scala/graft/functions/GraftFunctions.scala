@@ -36,6 +36,10 @@ object GraftFunctions {
     ColumnBridge.column(
       ReservoirSample(ColumnBridge.expression(c), k, seed).toAggregateExpression())
 
+  /** Fused zero-copy marker-word counter (see [[TokensInSet]]). */
+  def tokens_in_set(text: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokensInSet(ColumnBridge.expression(text), words))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -59,7 +63,16 @@ object GraftFunctions {
     "reservoir_sample" -> (exprs =>
       ReservoirSample(exprs(0), intArg("reservoir_sample", exprs(1)),
         if (exprs.length > 2) intArg("reservoir_sample", exprs(2)).toLong
-        else 42L)))
+        else 42L)),
+    "tokens_in_set" -> (exprs => {
+      require(exprs(1).foldable,
+        "tokens_in_set: expected a literal array of words")
+      val arr = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val words = (0 until arr.numElements())
+        .map(i => arr.getUTF8String(i).toString)
+      TokensInSet(exprs(0), words)
+    }))
 
   /** Register all custom functions in an existing session's registry
     * (SQL name resolution). Idempotent. */

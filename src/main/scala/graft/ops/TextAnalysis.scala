@@ -28,7 +28,17 @@ object TextAnalysis {
   /** English-ish stopword set used by the quality heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  def stopwordCount(text: Column): Column =
+  /** Tokens-in-set count via the fused native expression
+    * ([[graft.functions.TokensInSet]]): one zero-copy byte scan
+    * instead of split + interpreted per-token lambda. The HOF twin is
+    * kept as [[stopwordCountHof]] for property tests. */
+  def tokensInSet(text: Column, words: Seq[String]): Column =
+    graft.functions.GraftFunctions.tokens_in_set(text, words)
+
+  def stopwordCount(text: Column): Column = tokensInSet(text, Stopwords)
+
+  /** Interpreted-HOF formulation (reference semantics). */
+  def stopwordCountHof(text: Column): Column =
     size(filter(tokens(text), t => t.isin(Stopwords: _*)))
 
   /** Quality heuristics (length / punctuation / stopword ratios):
@@ -77,12 +87,11 @@ object TextAnalysis {
     * One pass over the token array per profile — a per-row projection,
     * embarrassingly parallel at any scale. */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
     // array of (score, lang) structs; array_max picks lexicographically
-    // greatest = highest score, ties broken by lang name.
+    // greatest = highest score, ties broken by lang name. Scores are
+    // fused native tokens-in-set counts (one byte scan per profile).
     val scored = array(LangProfiles.map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words: _*))).as("score"),
-        lit(lang).as("lang"))
+      struct(tokensInSet(text, words).as("score"), lit(lang).as("lang"))
     }: _*)
     val best = array_max(scored)
     when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))

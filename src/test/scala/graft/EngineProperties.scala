@@ -216,6 +216,22 @@ object EngineProperties extends Properties("graft") {
       Prop(math.abs(got - expected) < 1e-12) :| s"got=$got expected=$expected"
     }
 
+  property("tokens_in_set native == HOF filter+isin, incl. repeated spaces") =
+    forAll(Gen.listOfN(12,
+      Gen.oneOf("the", "a", "zz", "", "of", "qqq", " "))) { parts =>
+      import spark.implicits._
+      val text = parts.mkString(" ") // empty parts create repeated spaces
+      val words = graft.ops.TextAnalysis.Stopwords
+      val row = Seq(text).toDF("text")
+        .select(
+          graft.ops.TextAnalysis.tokensInSet(col("text"), words).as("native"),
+          size(filter(split(col("text"), " "),
+            t => t.isin(words: _*))).as("hof"))
+        .collect()(0)
+      Prop(row.getInt(0) == row.getInt(1)) :|
+        s"native=${row.getInt(0)} hof=${row.getInt(1)} text='$text'"
+    }
+
   property("qualityScore is always within [0, 1]") =
     forAll(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(15))).map(_.take(30))) { ws =>
       import spark.implicits._
