@@ -40,6 +40,10 @@ object GraftFunctions {
   def tokens_in_set(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokensInSet(ColumnBridge.expression(text), words))
 
+  /** Fused character-n-gram counter (see [[NgramsInSet]]). */
+  def ngrams_in_set(text: Column, grams: Seq[String]): Column =
+    ColumnBridge.column(NgramsInSet(ColumnBridge.expression(text), grams))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {

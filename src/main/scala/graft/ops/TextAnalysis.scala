@@ -107,8 +107,24 @@ object TextAnalysis {
   /** Character-n-gram language ID: argmax over languages of profile
     * trigram hits in the text's char-trigram multiset. Complements the
     * word-marker [[langId]]; works on unsegmented scripts where
-    * whitespace tokenization fails. */
+    * whitespace tokenization fails. Scores are fused native n-gram
+    * counts ([[graft.functions.NgramsInSet]] — one byte scan per
+    * profile instead of a substring allocation per window position);
+    * the HOF twin is kept as [[langIdCharNgramHof]] for property
+    * tests. */
   def langIdCharNgram(text: Column): Column = {
+    val lowered = lower(text)
+    val scored = array(CharNgramProfiles.map { case (lang, grams) =>
+      struct(graft.functions.GraftFunctions.ngrams_in_set(lowered, grams)
+        .as("score"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Interpreted-HOF formulation (reference semantics): explicit
+    * char-window substrings + isin filter. */
+  def langIdCharNgramHof(text: Column): Column = {
     val lowered = lower(text)
     val tris = when(length(lowered) >= 3,
       transform(sequence(lit(1), length(lowered) - 2),

@@ -232,6 +232,26 @@ object EngineProperties extends Properties("graft") {
         s"native=${row.getInt(0)} hof=${row.getInt(1)} text='$text'"
     }
 
+  property("ngrams_in_set native == HOF char-window substrings, incl. unicode") =
+    forAll(Gen.listOfN(20,
+      Gen.oneOf("t", "h", "e", "i", "n", "g", " ", "é", "中"))) { chars =>
+      import spark.implicits._
+      val text = chars.mkString
+      val grams = graft.ops.TextAnalysis.CharNgramProfiles.head._2
+      val lowered = lower(col("text"))
+      val tris = when(length(lowered) >= 3,
+        transform(sequence(lit(1), length(lowered) - 2),
+          i => call_function("substring", lowered, i, lit(3))))
+        .otherwise(array().cast("array<string>"))
+      val row = Seq(text).toDF("text")
+        .select(
+          graft.functions.GraftFunctions.ngrams_in_set(lowered, grams).as("native"),
+          size(filter(tris, t => t.isin(grams: _*))).as("hof"))
+        .collect()(0)
+      Prop(row.getInt(0) == row.getInt(1)) :|
+        s"native=${row.getInt(0)} hof=${row.getInt(1)} text='$text'"
+    }
+
   property("qualityScore is always within [0, 1]") =
     forAll(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(15))).map(_.take(30))) { ws =>
       import spark.implicits._
