@@ -252,6 +252,27 @@ object EngineProperties extends Properties("graft") {
         s"native=${row.getInt(0)} hof=${row.getInt(1)} text='$text'"
     }
 
+  property("minhash signature agreement estimates jaccard (sketch soundness)") =
+    forAll(wordLists) { case (xs, ys) =>
+      import spark.implicits._
+      val (a, b) = (xs.mkString(" "), ys.mkString(" "))
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.ops.Dedup.minhashSignature(
+            graft.functions.GraftFunctions.hashed_shingles(col("a"), 1), 64).as("sa"),
+          graft.ops.Dedup.minhashSignature(
+            graft.functions.GraftFunctions.hashed_shingles(col("b"), 1), 64).as("sb"),
+          graft.ops.Dedup.jaccard(
+            graft.functions.GraftFunctions.hashed_shingles(col("a"), 1),
+            graft.functions.GraftFunctions.hashed_shingles(col("b"), 1)).as("j"))
+        .collect()(0)
+      val (sa, sb) = (row.getSeq[Long](0), row.getSeq[Long](1))
+      val estimate = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 64
+      val j = row.getDouble(2)
+      // 64 hashes -> stderr <= sqrt(0.25/64) ~= 0.0625; 4 sigma bound
+      Prop(math.abs(estimate - j) <= 0.25) :| s"estimate=$estimate jaccard=$j"
+    }
+
   property("qualityScore is always within [0, 1]") =
     forAll(Gen.nonEmptyListOf(Gen.alphaStr.map(_.take(15))).map(_.take(30))) { ws =>
       import spark.implicits._
