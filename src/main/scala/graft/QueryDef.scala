@@ -7,12 +7,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query over the same parquet tables. Queries without an oracle get
   * the driver's weaker rows-only check.
   *
-  * Conventions that make the oracle hash-compare exact:
+  * Conventions that make the oracle hash-compare exact (see
+  * tools/driver_sim.py, the pandas-faithful gate):
   *  - every computed column is aliased identically in both engines;
-  *  - double aggregates are routed through decimal (order-independent)
-  *    or derived from exact decimal/long inputs with a single final
-  *    double op;
-  *  - output includes a deterministic ORDER BY with a unique tiebreak.
+  *  - double aggregates (INCLUDING window sums) are routed through
+  *    decimal internally (order-independent) and only the OUTPUT
+  *    column is cast to DOUBLE in both engines — decimal-typed
+  *    outputs reach pandas as Decimal objects on one side and float64
+  *    on the other and never hash-match;
+  *  - derived doubles (variance, shares, ratios) are built from exact
+  *    decimal/long inputs with the SAME IEEE expression tree on both
+  *    sides;
+  *  - no array/struct/map-typed output columns, even in rows-only
+  *    queries (the harness row-sorts in pandas, where nested cells
+  *    are unhashable); timestamps in outputs go through VARCHAR or
+  *    epoch integers;
+  *  - output includes a deterministic ORDER BY with a unique tiebreak;
+  *  - every new oracle is validated at BOTH sf0.001 and sf0.01
+  *    (order-dependence can hash-match by luck at a single SF).
   */
 final case class QueryDef(
     name: String,
