@@ -913,7 +913,11 @@ object ExtendedQueries {
 
   /** Word-bigram frequencies (n-gram corpus statistics): in-row
     * windowed concat → explode → count, the n>1 twin of q29's unigram
-    * explode. */
+    * explode. Scale note: this materializes every bigram STRING
+    * through the shuffle — exact and fine to ~10^9 bigrams; beyond
+    * that, count hashed bigrams (the fused `hashed_shingles` path)
+    * under a heavy-hitter sketch (q92's shape) and recover strings
+    * for the winners only. */
   val q98Bigrams = QueryDef(
     "q98_bigrams",
     """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
