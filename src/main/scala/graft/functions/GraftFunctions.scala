@@ -68,15 +68,18 @@ object GraftFunctions {
       ReservoirSample(exprs(0), intArg("reservoir_sample", exprs(1)),
         if (exprs.length > 2) intArg("reservoir_sample", exprs(2)).toLong
         else 42L)),
-    "tokens_in_set" -> (exprs => {
-      require(exprs(1).foldable,
-        "tokens_in_set: expected a literal array of words")
-      val arr = exprs(1).eval()
-        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-      val words = (0 until arr.numElements())
-        .map(i => arr.getUTF8String(i).toString)
-      TokensInSet(exprs(0), words)
-    }))
+    "tokens_in_set" -> (exprs =>
+      TokensInSet(exprs(0), stringArrayArg("tokens_in_set", exprs(1)))),
+    "ngrams_in_set" -> (exprs =>
+      NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))))
+
+  /** Evaluate a foldable array-of-strings argument of a SQL call. */
+  private def stringArrayArg(fn: String, e: Expression): Seq[String] = {
+    require(e.foldable, s"$fn: expected a literal array of strings")
+    val arr = e.eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
 
   /** Register all custom functions in an existing session's registry
     * (SQL name resolution). Idempotent. */
