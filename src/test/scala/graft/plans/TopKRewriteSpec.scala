@@ -125,6 +125,23 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("fires on SQL-front-end queries (the shape users actually write)") {
+    withRule {
+      Tables.orders(spark, sf0001).createOrReplaceTempView("orders_rw")
+      val df = spark.sql(
+        """SELECT o_custkey, o_totalprice FROM (
+          |  SELECT o_custkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders_rw)
+          |WHERE rn <= 3""".stripMargin)
+      assert(df.queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.exists(_.tiebreak.isDefined),
+        s"SQL idiom must rewrite:\n${df.queryExecution.optimizedPlan}")
+      assert(df.count() > 0)
+    }
+  }
+
   test("off by default: same idiom without the flag keeps the window plan") {
     val df = idiom()
     assert(df.queryExecution.optimizedPlan
