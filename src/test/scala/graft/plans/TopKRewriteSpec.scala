@@ -142,6 +142,19 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("does NOT rewrite ascending scores (bottom-k needs a mirrored heap)") {
+    withRule {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").asc)
+      val df = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .drop("rn")
+      assert(df.queryExecution.optimizedPlan
+        .collect { case t: TopKPerGroup => t }.isEmpty)
+    }
+  }
+
   test("off by default: same idiom without the flag keeps the window plan") {
     val df = idiom()
     assert(df.queryExecution.optimizedPlan
