@@ -16,6 +16,10 @@ run / fork := true
 // the logger's "[info] " prefix breaks the driver's JSON extraction.
 outputStrategy := Some(StdoutOutput)
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line: the
+// driver parses the LAST stdout line as JSON, and that line landed
+// after Bench's JSON (round-2 BENCH had parsed:null because of it).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

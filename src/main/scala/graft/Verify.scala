@@ -18,11 +18,13 @@ object Verify {
     // old dump behind to be compared (or "pass" rows-only) on rerun
     val outRoot = new java.io.File(outDir)
     if (outRoot.exists) {
+      // listFiles returns null for a non-directory or on I/O error —
+      // guard both call sites or the wipe NPEs before mkdirs
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
+        Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
-      outRoot.listFiles.foreach(rm)
+      Option(outRoot.listFiles).foreach(_.foreach(rm))
     }
     outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

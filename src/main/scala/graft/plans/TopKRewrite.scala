@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, NumericType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Optimizer rule (`Rule[LogicalPlan]`, the missing rung of the
   * customization ladder next to the expressions and the planner
@@ -28,9 +28,14 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, NumericType}
   *  - the window computes exactly ONE expression: row_number() with
   *    the default (UnboundedPreceding, CurrentRow) row frame;
   *  - ordered by a numeric column DESCENDING (the heap is a max-take;
-  *    ascending would need a mirrored comparator), optionally followed
-  *    by ONE integral tiebreak column ASC NULLS FIRST (row_number's
-  *    ASC default) — the heap honors it exactly;
+  *    ascending would need a mirrored comparator) whose type is
+  *    EXACTLY representable as double — double/float/int/short/byte.
+  *    Long and decimal are excluded: the heap compares doubles, and
+  *    distinct values beyond 2^53 would collapse to equal doubles,
+  *    silently changing which rows (and which tiebreak resolution) the
+  *    exact ROW_NUMBER ordering selects. Optionally followed by ONE
+  *    integral tiebreak column ASC NULLS FIRST (row_number's ASC
+  *    default) — the heap honors it exactly;
   *  - the rn attribute is used ONLY by the `rn <= k` / `rn < k`
   *    filter and dropped by the projection directly above it (the
   *    Project match proves nothing upstream reads rn);
@@ -58,6 +63,15 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Types whose every value survives a cast to double unchanged —
+    * the only scores the heap (which compares doubles) may rank on
+    * behalf of an exact ROW_NUMBER ordering. Long/decimal are out:
+    * distinct values beyond 2^53 collapse to equal doubles. */
+  private[plans] def isExactAsDouble(t: DataType): Boolean = t match {
+    case DoubleType | FloatType | IntegerType | ShortType | ByteType => true
+    case _ => false
+  }
+
   private object RowNumberWindow {
     /** Matches Window nodes whose single expression is a default-frame
       * row_number over (part, numeric DESC [, integral ASC tiebreak]);
@@ -72,7 +86,7 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
           val scoreOk = orders.headOption.exists(o =>
             o.direction == Descending && o.nullOrdering == NullsLast &&
               o.child.isInstanceOf[AttributeReference] &&
-              o.child.dataType.isInstanceOf[NumericType])
+              isExactAsDouble(o.child.dataType))
           val tiebreak = orders match {
             case Seq(_) => Some(None)
             case Seq(_, t) if t.direction == Ascending &&
@@ -127,8 +141,19 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
         if rnAttr.exprId == rnId &&
           p.references.subsetOf(child.outputSet) &&
           projList.forall(_.deterministic) =>
-        val scoreExpr =
-          if (score.dataType == DoubleType) score else Cast(score, DoubleType)
-        Project(projList, TopKPerGroup(part, scoreExpr, tiebreak, k, child))
+        if (part.nonEmpty) {
+          val scoreExpr =
+            if (score.dataType == DoubleType) score else Cast(score, DoubleType)
+          Project(projList, TopKPerGroup(part, scoreExpr, tiebreak, k, child))
+        } else {
+          // global ranking (empty PARTITION BY): TopKPerGroup would
+          // declare ClusteredDistribution(Nil), which Spark rejects.
+          // Sort+Limit carries the same semantics and plans as
+          // TakeOrderedAndProject — per-partition k-heaps merged on a
+          // single reducer, still no full sort.
+          val orders = SortOrder(score, Descending, NullsLast, Seq.empty) +:
+            tiebreak.toSeq.map(SortOrder(_, Ascending, NullsFirst, Seq.empty))
+          Project(projList, Limit(Literal(k), Sort(orders, global = true, child)))
+        }
     }
 }

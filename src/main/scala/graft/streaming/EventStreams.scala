@@ -183,8 +183,13 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // existence via the Hadoop FileSystem for the path's scheme —
+        // java.io.File only sees the local FS, and a false negative
+        // here silently replaces the snapshot with just this batch
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existing =
-          if (new java.io.File(outDir).exists)
+          if (fs.exists(outPath))
             spark.read.parquet(outDir).withColumn("__new", lit(0))
           else batch.limit(0).withColumn("__new", lit(0))
         val w = org.apache.spark.sql.expressions.Window

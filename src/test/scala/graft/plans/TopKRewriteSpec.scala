@@ -155,6 +155,51 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("global ranking (empty PARTITION BY) rewrites to sort+limit, not a crash") {
+    // TopKPerGroup(Nil, ...) would declare ClusteredDistribution(Nil),
+    // which Spark's constructor rejects — the global case must route to
+    // TakeOrderedAndProject instead.
+    val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    def global = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .drop("rn")
+      .select("o_orderkey", "o_totalprice")
+    val expected = global.collect().map(_.toString).sorted // rule off
+    withRule {
+      val df = global
+      val optimized = df.queryExecution.optimizedPlan
+      assert(optimized.collect { case t: TopKPerGroup => t }.isEmpty,
+        s"no TopKPerGroup for empty partition keys:\n$optimized")
+      assert(optimized.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty, s"window should be rewritten away:\n$optimized")
+      assert(df.collect().map(_.toString).sorted.sameElements(expected))
+      assert(df.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        s"global top-k should plan as TakeOrderedAndProject:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("does NOT rewrite long/decimal scores (not exact as double beyond 2^53)") {
+    withRule {
+      for (scoreCol <- Seq("o_orderkey", "o_totalprice_dec")) {
+        val base = Tables.orders(spark, sf0001)
+          .withColumn("o_totalprice_dec",
+            col("o_totalprice").cast("decimal(20,2)"))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col(scoreCol).desc)
+        val df = base
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .drop("rn")
+        assert(df.queryExecution.optimizedPlan
+          .collect { case t: TopKPerGroup => t }.isEmpty,
+          s"$scoreCol must not rewrite through a double-comparing heap")
+      }
+    }
+  }
+
   test("off by default: same idiom without the flag keeps the window plan") {
     val df = idiom()
     assert(df.queryExecution.optimizedPlan
