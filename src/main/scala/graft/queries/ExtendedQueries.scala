@@ -925,8 +925,13 @@ object ExtendedQueries {
       |              i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
       |SELECT bigram, COUNT(*) AS n FROM bi GROUP BY bigram
       |ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
-    val toks = split(col("text"), " ")
+    // materialize the token array in its own projection first: inside a
+    // HOF lambda, element_at(split(text), i) re-runs split PER ELEMENT
+    // (no common-subexpression elimination across lambda invocations),
+    // turning the bigram build O(tokens^2) per document
+    val toks = col("toks")
     Tables.documents(s, d)
+      .select(split(col("text"), " ").as("toks"))
       .select(explode(when(size(toks) >= 2,
         transform(sequence(lit(1), size(toks) - 1),
           i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
