@@ -55,7 +55,25 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"runs":$runs,"sf":"$sfDir"}""")
+    // Full per-query detail for humans/logs — this line is ~3k chars,
+    // larger than the 2000-char stdout tail the driver keeps, so it
+    // must NOT be the last line (rounds 1-3 recorded parsed:null
+    // because the tail clipped the front of the one big JSON line).
+    println(s"""{"metric":"detail","queries":$qs,"errors":$errors}""")
+    // Compact line LAST: total + a stable headline subset (one per
+    // operator family, 3-decimal rounding) — guaranteed < 1 KB so the
+    // driver's tail always contains the complete parseable line.
+    val headline = Seq(
+      "q01_pricing_summary", "q04_large_join", "q07_window_topk",
+      "q21_token_stats", "q25_minhash_pairs", "q30_loan_pipeline_metrics",
+      "q40_cosine_topk", "q54_embedding_dedup", "q59_topk_custom_op",
+      "q72_salted_join", "q96_pipeline_e2e")
+    val hs = results.collect {
+      case (k, v, ok) if headline.contains(k) =>
+        "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
+    }.mkString("{", ",", "}")
+    val nOk = results.count(_._3)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_ok":$nOk,"errors":$errors,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
