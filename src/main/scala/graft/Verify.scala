@@ -27,7 +27,13 @@ object Verify {
       Option(outRoot.listFiles).foreach(_.foreach(rm))
     }
     outRoot.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter (unset for the driver's full run):
+    // SPARK_GRAFT_VERIFY_ONLY=q103_dedup_clusters,q104_... dumps just those
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -167,4 +167,30 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /** Balanced shard assignment for training output: shard count =
+    * ceil(total_size / budget), items dealt round-robin in descending
+    * size order (longest-processing-time heuristic — the classic
+    * 4/3-approximation of perfect balance, deterministic given the
+    * size-then-id ordering). Used to write N similar-sized training
+    * shards regardless of the document length distribution.
+    *
+    * The global row_number is a single total sort of (size, id) pairs
+    * — two narrow columns, NOT the payload; at 100 TB the payload
+    * joins back on `idCol` afterwards (one shuffle), or the sort is
+    * replaced by a range-partitioned rank over the same key. */
+  def roundRobinShards(df: DataFrame, idCol: String, sizeCol: String,
+                       budget: Long): DataFrame = {
+    // integer ceil-div keeps the shard count exact in any engine
+    // (double division can land either side of an integer boundary)
+    val total = df.agg(sum(col(sizeCol)).cast("long").as("t"))
+      .select(expr(s"(t + ${budget - 1}) DIV $budget").as("n_shards"))
+    val w = Window.orderBy(col(sizeCol).desc, col(idCol))
+    df.select(col(idCol), col(sizeCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        ((col("rn") - 1) % greatest(col("n_shards"), lit(1L))).as("shard"),
+        col(sizeCol))
+  }
 }

@@ -248,4 +248,31 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /** Per-vector int8 symmetric-quantization statistics: the scale a
+    * quantizer would store (127 / max|x|) and the worst-case
+    * reconstruction error of round-to-nearest int8 at that scale —
+    * the audit query run before shipping a quantized embedding index
+    * (4× smaller than f32, memory-bound ANN gets ~4× faster).
+    *
+    * Everything is a per-row projection (no shuffle) built from
+    * exactly-rounded IEEE ops (mul/add/floor/div/sub/abs and an
+    * order-independent max), so results are bit-identical across
+    * engines and cluster sizes. Quantized values use floor(x·s + 0.5)
+    * — explicit round-half-up — because engine-native `round` differs
+    * (half-even vs half-away) across implementations.
+    */
+  def int8QuantStats(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol), xd.as("__v"))
+      .withColumn("dim", size(col("__v")).cast("long"))
+      .withColumn("scale",
+        lit(127.0) / greatest(array_max(transform(col("__v"), x => abs(x))),
+          lit(1e-12)))
+      .withColumn("max_abs_err",
+        array_max(transform(col("__v"), x =>
+          abs(x - greatest(least(floor(x * col("scale") + lit(0.5)), lit(127L)),
+            lit(-127L)).cast("double") / col("scale")))))
+      .drop("__v")
+  }
 }

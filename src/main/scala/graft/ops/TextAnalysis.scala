@@ -147,4 +147,59 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
+
+  /** Fixed-size token chunking with overlap — the standard step that
+    * turns variable-length documents into training-window-sized pieces
+    * (stride = chunkTokens - overlap). Implemented as an in-row
+    * generator: `sequence` of chunk starts → `posexplode` → `slice`,
+    * so the fan-out is a per-row projection with NO shuffle and no
+    * driver involvement; a 100 TB corpus chunks at scan speed.
+    *
+    * Coverage guarantee: every token lands in at least one chunk.
+    * Starts run 1, 1+stride, … while start ≤ max(1, n − overlap), so
+    * the final chunk may be a partial tail (shorter than chunkTokens)
+    * but nothing past the last full window is dropped. Short docs
+    * produce exactly one (partial) chunk.
+    *
+    * Output: one row per chunk with (…idCols, chunk_idx, chunk_tokens,
+    * chunk_text).
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+            chunkTokens: Int, overlap: Int,
+            idCols: String*): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunk=$chunkTokens overlap=$overlap")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(1),
+      greatest(size(toks) - overlap, lit(1)), lit(stride))
+    df.select(idCols.map(col) :+ toks.as("__toks") :+ starts.as("__starts"): _*)
+      .select(idCols.map(col) :+ posexplode(col("__starts")) :+ col("__toks"): _*)
+      .select(idCols.map(col) ++ Seq(
+        col("pos").cast("long").as("chunk_idx"),
+        size(slice(col("__toks"), col("col"), lit(chunkTokens)))
+          .cast("long").as("chunk_tokens"),
+        concat_ws(" ", slice(col("__toks"), col("col"), lit(chunkTokens)))
+          .as("chunk_text")): _*)
+  }
+
+  /** Per-(lang, term) corpus statistics with a TF-IDF-style weight.
+    * The weight is `tf * (n_docs / df)` — the inverse-document-
+    * frequency ratio WITHOUT the usual log so the number is exactly
+    * reproducible cross-engine (libm `ln` is not bit-stable across
+    * implementations; a monotone transform does not change any
+    * ranking). Two shuffles total: explode→agg on (lang, term), plus
+    * a broadcast of the tiny per-lang doc counts.
+    */
+  def termStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ex = docs.select(col("lang"), col("doc_id"),
+      explode(tokens(col("text"))).as("term"))
+    val stats = ex.groupBy("lang", "term")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+    val nDocs = ex.groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    stats.join(broadcast(nDocs), "lang")
+      .withColumn("weight",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)],
+                 nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+    Clustering.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst",
+        nodes.map(_.toDF("src")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: path graph collapses to min label") {
+    // 1-2-3-4-5 is a single component labelled 1, even though node 5
+    // is 4 hops from the label source (exercises multiple iterations)
+    val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents: disjoint components keep distinct labels") {
+    val got = cc(Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L)))
+    assert(got === Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("connectedComponents: direction and duplicate edges are irrelevant") {
+    val got = cc(Seq((5L, 1L), (1L, 5L), (5L, 1L), (3L, 5L)))
+    assert(got === Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents: node universe adds singleton components") {
+    val got = cc(Seq((1L, 2L)), nodes = Some(Seq(1L, 2L, 7L, 8L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("jaccardDedupClusters: transitive closure groups A~B~C together") {
+    // b is within 0.7 Jaccard of both a and c, but a~c alone is below
+    // the threshold — the transitive closure must still cluster all 3
+    val base = (1 to 20).map(i => s"w$i")
+    val a = base.mkString(" ")
+    // a~b: 17/23 = 0.739; b~c: 17/23 = 0.739; a~c: 14/26 = 0.538 < 0.7
+    val b = (base.drop(3) ++ Seq("x1", "x2", "x3")).mkString(" ")
+    val c = (base.drop(6) ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    val docs = Seq((1L, a, "en"), (2L, b, "en"), (3L, c, "en"),
+      (9L, (1 to 20).map(i => s"z$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Clustering.jaccardDedupClusters(docs, threshold = 0.7, lenBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(1L) === 1L && byId(2L) === 1L && byId(3L) === 1L)
+    assert(byId(9L) === 9L)
+    assert(got.collect { case (_, 1L, n) => n }.toSet === Set(3L))
+  }
+
+  test("jaccardDedupClusters: every doc appears exactly once") {
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val out = Clustering.jaccardDedupClusters(docs)
+    assert(out.count() === 100)
+    assert(out.select("doc_id").distinct().count() === 100)
+  }
+}

@@ -105,4 +105,27 @@ class RelationalSpec extends SparkSpec {
     val many = vals.toDF("v").repartition(7).agg(decSum($"v")).collect()(0).get(0)
     assert(one === many)
   }
+
+  test("roundRobinShards: every item assigned once, shard count = ceil(total/budget)") {
+    val df = (1L to 100L).map(i => (i, 10L + i % 7)).toDF("id", "sz")
+    val total = (1L to 100L).map(i => 10L + i % 7).sum
+    val out = roundRobinShards(df, "id", "sz", budget = 100L).collect()
+    assert(out.length === 100)
+    assert(out.map(_.getLong(0)).toSet === (1L to 100L).toSet)
+    val expectShards = (total + 99) / 100
+    assert(out.map(_.getLong(1)).distinct.length === expectShards)
+  }
+
+  test("roundRobinShards: LPT round-robin balances shard loads") {
+    // skewed sizes: a few huge docs + many small ones
+    val df = ((1L to 5L).map(i => (i, 500L)) ++
+      (6L to 105L).map(i => (i, 7L))).toDF("id", "sz")
+    val loads = roundRobinShards(df, "id", "sz", budget = 400L)
+      .groupBy("shard").agg(sum($"sz").as("load"))
+      .collect().map(_.getLong(1))
+    // perfect balance = total/n; LPT round-robin stays well inside 2×
+    val ideal = loads.sum.toDouble / loads.length
+    assert(loads.max <= ideal * 2,
+      s"max load ${loads.max} vs ideal $ideal")
+  }
 }

@@ -106,4 +106,19 @@ class SimilaritySpec extends SparkSpec {
     // LSH recall against the exact top-50 should be nonzero
     assert((exact & approx).nonEmpty)
   }
+
+  test("int8QuantStats: error bounded by half a quantization step") {
+    val out = Similarity.int8QuantStats(
+      Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")
+      .collect()
+    assert(out.length === 100)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val err = r.getAs[Double]("max_abs_err")
+      // round-to-nearest at step 1/scale: |x - q/s| <= 0.5/s (+ulp slack)
+      assert(err <= 0.5 / scale * (1 + 1e-12),
+        s"vec ${r.get(0)}: err $err > half-step ${0.5 / scale}")
+      assert(r.getAs[Long]("dim") === 64L)
+    }
+  }
 }

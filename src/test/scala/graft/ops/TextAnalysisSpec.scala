@@ -57,4 +57,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(0) === fps(2))
     assert(fps(0) !== fps(1))
   }
+
+  test("chunk: windows, stride, and tail behavior") {
+    // 10 tokens, chunk=4, overlap=2 → starts 1,3,5,7 (last start 7 = n-chunk+1)
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", chunkTokens = 4, overlap = 2, "doc_id")
+      .orderBy($"chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length === 4)
+    assert(got(0) === ((0L, 4L, "t1 t2 t3 t4")))
+    assert(got(1) === ((1L, 4L, "t3 t4 t5 t6")))
+    assert(got(3) === ((3L, 4L, "t7 t8 t9 t10")))
+  }
+
+  test("chunk: short doc yields one partial chunk; coverage is complete") {
+    val df = Seq((1L, "a b"), (2L, (1 to 7).map("w" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "text", chunkTokens = 5, overlap = 1, "doc_id")
+    val short = got.filter($"doc_id" === 1).collect()
+    assert(short.length === 1 && short(0).getLong(2) === 2L)
+    // every token of doc 2 appears in some chunk (stride 4, n=7 → starts 1,5)
+    val toks = got.filter($"doc_id" === 2)
+      .select(explode(split($"chunk_text", " ")))
+      .as[String].collect().toSet
+    assert(toks === (1 to 7).map("w" + _).toSet)
+  }
+
+  test("termStats: tf/df/weight on a hand-checked corpus") {
+    val df = Seq((1L, "a a b", "en"), (2L, "a c", "en"), (3L, "x", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.termStats(df)
+      .select("lang", "term", "tf", "df", "weight")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(("en", "a")) === ((3L, 2L, 3.0)))   // tf=3, df=2, 3*2/2
+    assert(got(("en", "b")) === ((1L, 1L, 2.0)))   // 1*2/1
+    assert(got(("fr", "x")) === ((1L, 1L, 1.0)))   // 1*1/1
+  }
 }
