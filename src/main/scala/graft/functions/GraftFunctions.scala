@@ -44,6 +44,12 @@ object GraftFunctions {
   def ngrams_in_set(text: Column, grams: Seq[String]): Column =
     ColumnBridge.column(NgramsInSet(ColumnBridge.expression(text), grams))
 
+  /** Sorted-merge intersection size (see [[SortedIntersectCount]]). */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -71,7 +77,9 @@ object GraftFunctions {
     "tokens_in_set" -> (exprs =>
       TokensInSet(exprs(0), stringArrayArg("tokens_in_set", exprs(1)))),
     "ngrams_in_set" -> (exprs =>
-      NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))))
+      NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),
+    "sorted_intersect_count" -> (exprs =>
+      SortedIntersectCount(exprs(0), exprs(1))))
 
   /** Evaluate a foldable array-of-strings argument of a SQL call. */
   private def stringArrayArg(fn: String, e: Expression): Seq[String] = {

@@ -233,15 +233,19 @@ object Clustering {
             (col("na") + col("nb") - col("shared")) >= threshold)
           .select("src", "dst")
       } else {
+        // arrays sorted ONCE per document; each candidate pair is then
+        // one zero-allocation sorted-merge scan inside whole-stage
+        // codegen (graft.functions.SortedIntersectCount)
         val htoks = base.select(col("doc_id"), col("lang"), col("blk"),
-          transform(col("ts"), t => xxhash64(t)).as("hs"))
+          array_sort(transform(col("ts"), t => xxhash64(t))).as("hs"))
         val a = htoks.select(col("doc_id").as("src"), col("lang"), col("blk"),
           col("hs").as("hs_a"))
         val b = htoks.select(col("doc_id").as("dst"), col("lang"), col("blk"),
           col("hs").as("hs_b"))
         a.join(b, Seq("lang", "blk"))
           .where(col("src") < col("dst"))
-          .withColumn("shared", size(array_intersect(col("hs_a"), col("hs_b"))))
+          .withColumn("shared", graft.functions.GraftFunctions
+            .sorted_intersect_count(col("hs_a"), col("hs_b")))
           .where(col("shared").cast("double") /
             (size(col("hs_a")) + size(col("hs_b")) - col("shared")) >= threshold)
           .select("src", "dst")

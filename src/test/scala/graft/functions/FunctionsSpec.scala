@@ -112,6 +112,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_count equals array_intersect size on random sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (a, b)
+    }
+    cases.foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(GraftFunctions.sorted_intersect_count($"a", $"b"))
+        .as[Int].collect()(0)
+      assert(got === (a.toSet & b.toSet).size, s"a=$a b=$b")
+    }
+  }
+
+  test("sorted_intersect_count: nulls and empties") {
+    val df = Seq(
+      (Some(Seq(1L, 2L)), None),
+      (Some(Seq.empty[Long]), Some(Seq(1L, 2L))),
+      (Some(Seq(1L, 2L)), Some(Seq(2L, 3L)))).toDF("a", "b")
+    val got = df.select(GraftFunctions.sorted_intersect_count($"a", $"b"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(got.toSeq === Seq(-1, 0, 1))
+  }
+
+  test("sorted_intersect_count resolves in SQL after register()") {
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L,3L,5L), array(3L,4L,5L))")
+      .collect()(0).getInt(0) === 2)
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
