@@ -57,4 +57,65 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange ".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n${plan.take(800)}")
   }
+
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp").toString
+    // partitioned fact: 3 region partitions; selective dim filter on a
+    // non-partition attribute must reach the fact scan as a runtime
+    // (dynamicpruning) subquery, not as a full 3-partition scan
+    graft.sources.Tables.orders(spark, sf0001)
+      .withColumn("part_key", pmod(col("o_custkey"), lit(3)))
+      .write.mode("overwrite").partitionBy("part_key").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // partition-column types must match EXACTLY (a cast on the
+    // partition key disqualifies dynamic pruning — the directory
+    // column is discovered as int), and the dim must be a FILE
+    // relation: a local Seq gets constant-folded by
+    // ConvertToLocalRelation, which erases the selective Filter the
+    // pruning rule looks for
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq((0, "keep"), (1, "drop"), (2, "drop")).toDF("part_key", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val q = fact.join(dim, Seq("part_key")).where(col("label") === "keep")
+      .agg(count(lit(1)))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("DynamicPruning"),
+      s"no dynamic partition pruning in:\n${plan.take(1200)}")
+  }
+
+  test("runtime bloom filter prunes the fact side of a selective fact-fact join") {
+    import org.apache.spark.sql.functions._
+    // thresholds lowered so the optimizer considers the tiny test
+    // inputs; the assertion is about PLAN SHAPE (the injected
+    // bloom_filter semi-join filter), which is config-independent
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // runtime filters only piggyback on SHUFFLE joins — at test
+      // scale both sides would broadcast, which never needs one
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = graft.sources.Tables.orders(spark, sf0001)
+        .where(col("o_totalprice") > 400000)   // selective build side
+        .select(col("o_orderkey"))
+      val q = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"no runtime bloom filter in:\n${plan.take(1200)}")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
