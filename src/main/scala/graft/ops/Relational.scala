@@ -168,6 +168,26 @@ object Relational {
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row gets priority −ln(u)/w with u a DETERMINISTIC uniform
+    * derived from md5(id, seed) — not rand(), whose draw depends on
+    * partition layout — and the k smallest priorities win. Selecting
+    * row i with probability ∝ wᵢ at every step, this is the standard
+    * one-pass weighted reservoir formulation, here as a top-k: Spark
+    * plans the ascending LIMIT k as TakeOrderedAndProject (per-
+    * partition k-heaps, one k-row merge — no global sort), so it runs
+    * at any scale and reproduces exactly across cluster sizes. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    // 60 bits of md5 → uniform in (0,1): (h+1)/(2^60+1) keeps ln(u)
+    // finite at both ends
+    val u = (conv(substring(md5(concat_ws("|", col(idCol), lit(seed))), 1, 15),
+      16, 10).cast("double") + 1.0) / 1.152921504606847e18
+    df.withColumn("priority", -log(u) / col(weightCol))
+      .orderBy(col("priority"))
+      .limit(k)
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

@@ -141,7 +141,61 @@ object PipelineQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** End-to-end canonical dedup: clusters → survivors (doc_id ==
+    * component) → per-lang corpus stats of the deduplicated corpus —
+    * what a training pipeline actually ships after near-dup removal. */
+  val q108DedupSurvivors = QueryDef(
+    "q108_dedup_survivors",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts,
+      |         len(string_split(text, ' ')) AS n_toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND (a.n_toks // 10) = (b.n_toks // 10)
+      |       AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.ts, b.ts))) >= 0.7
+      |), sym AS (
+      |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+      |)
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+      |FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+      |WHERE c.doc_id = c.component
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val survivors = Clustering.jaccardDedupClusters(docs,
+        threshold = 0.7, lenBlock = 10)
+      .where(col("doc_id") === col("component"))
+      .select("doc_id")
+    survivors.join(docs, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic weighted sample (A-ES priorities from md5-derived
+    * uniforms, [[Relational.weightedSample]]): rows-only — ln is not
+    * bit-stable across engines, so no SQL oracle; the spec pins
+    * determinism and weight bias instead. */
+  val q109WeightedSample = QueryDef.rowsOnly("q109_weighted_sample") { (s, d) =>
+    Relational.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q103DedupClusters, q104DocChunks, q105TermStats, q106ShardPack,
-    q107Int8Quant)
+    q107Int8Quant, q108DedupSurvivors, q109WeightedSample)
 }

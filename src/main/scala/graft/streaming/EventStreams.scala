@@ -53,6 +53,17 @@ object EventStreams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id", "ts")
 
+  /** Streaming dedup for LATE duplicates: unlike [[dedupStream]]
+    * (whose key includes `ts`, so the same event_id re-delivered with
+    * a different timestamp survives), this keeps state per event_id
+    * alone and drops any re-delivery arriving within the watermark
+    * delay of the first sighting. State is evicted by the watermark —
+    * bounded by the id-arrival rate × delay, not the stream length —
+    * which is the production retry-dedup pattern (at-least-once
+    * sources re-send with jittered timestamps). */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay).dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
                          user_id: Long, event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int, sum: Double)
@@ -207,6 +218,24 @@ object EventStreams {
       .start()
     q.processAllAvailable()
     q.stop()
+  }
+
+  /** Batch-over-stream: process EVERYTHING currently available in
+    * bounded micro-batches, then stop — Trigger.AvailableNow, the
+    * scheduled-ingest pattern (a cron'd job drains the landing zone
+    * with streaming-checkpoint exactly-once semantics, without a
+    * long-running cluster). `maxFilesPerTrigger` bounds each batch so
+    * a large backlog cannot OOM a drain run. */
+  def drainAvailableNow(df: DataFrame, outDir: String,
+                        checkpointDir: String): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", outDir)
+      .start()
+    q.awaitTermination()
   }
 
   /** Run a streaming DataFrame to a named in-memory table and block

@@ -116,6 +116,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length === expectShards)
   }
 
+  test("weightedSample: deterministic, k rows, biased toward heavy weights") {
+    val df = (1L to 500L).map(i => (i, if (i <= 50) 100L else 1L))
+      .toDF("id", "w")
+    val s1 = weightedSample(df, "id", "w", 50).select("id")
+      .as[Long].collect().toSet
+    val s2 = weightedSample(df.repartition(7), "id", "w", 50).select("id")
+      .as[Long].collect().toSet
+    assert(s1.size === 50)
+    assert(s1 === s2) // same sample under any partitioning
+    // the 50 heavy rows (100x weight) should dominate the sample
+    assert(s1.count(_ <= 50) >= 35, s"heavy rows in sample: ${s1.count(_ <= 50)}")
+    // different seed, different sample
+    val s3 = weightedSample(df, "id", "w", 50, seed = 7L).select("id")
+      .as[Long].collect().toSet
+    assert(s1 !== s3)
+  }
+
   test("roundRobinShards: LPT round-robin balances shard loads") {
     // skewed sizes: a few huge docs + many small ones
     val df = ((1L to 5L).map(i => (i, 500L)) ++

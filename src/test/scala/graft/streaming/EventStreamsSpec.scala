@@ -51,6 +51,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.count() === 2)
   }
 
+  test("dedupWithinWatermark drops re-deliveries with JITTERED timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0),
+      Event(1, ts(4), 1, "click", 1.0),  // same id, later ts: retry jitter
+      Event(2, ts(2), 1, "view", 2.0))
+    val got = runToMemory(dedupWithinWatermark(mem.toDF()), "dedup_wwm")
+    // ts-keyed dedupStream would keep 3 rows here; id-keyed keeps 2
+    assert(got.count() === 2)
+    assert(got.select("event_id").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("AvailableNow drain: bounded batches, exactly-once across repeated drains") {
+    val ingest = java.nio.file.Files.createTempDirectory("drain_ingest")
+    val out = java.nio.file.Files.createTempDirectory("drain_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("drain_ckpt").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      ingest.resolve("a.parquet"))
+    def src = readEventStream(spark, ingest.toString)
+      .select($"event_id", $"user_id", $"value")
+    drainAvailableNow(src, out, ckpt)
+    assert(spark.read.parquet(out).count() === 1000)
+    // drain again with no new input: nothing re-emitted
+    drainAvailableNow(src, out, ckpt)
+    assert(spark.read.parquet(out).count() === 1000)
+    // new file lands; only it is drained
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      ingest.resolve("b.parquet"))
+    drainAvailableNow(src, out, ckpt)
+    assert(spark.read.parquet(out).count() === 1000 + 10000)
+  }
+
   test("sessionize closes sessions after the gap and emits on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
