@@ -195,7 +195,56 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Correlated EXISTS / NOT EXISTS via the SQL front end — planned by
+    * Catalyst as left-semi and left-anti joins (no per-row subquery
+    * execution, unlike a naive engine). Completes the subquery surface
+    * next to IN/NOT IN (q65) and scalar subqueries (q91). */
+  val q110ExistsSubquery = QueryDef(
+    "q110_exists_subquery",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("customer_v110")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v110")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v110 c
+        |WHERE EXISTS (SELECT 1 FROM orders_v110 o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v110 o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery: each nation's top-2 customers by
+    * account balance — the SQL-standard form of the per-group top-k
+    * the engine also serves via window functions (q07) and the native
+    * TopKPerGroup operator (q59). Catalyst decorrelates to a join. */
+  val q111Lateral = QueryDef(
+    "q111_lateral",
+    """SELECT n.n_name, t.c_custkey, t.c_acctbal FROM nation n,
+      |  LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+      |           WHERE c.c_nationkey = n.n_nationkey
+      |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin) { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("nation_v111")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v111")
+    s.sql(
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal FROM nation_v111 n,
+        |  LATERAL (SELECT c_custkey, c_acctbal FROM customer_v111 c
+        |           WHERE c.c_nationkey = n.n_nationkey
+        |           ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q103DedupClusters, q104DocChunks, q105TermStats, q106ShardPack,
-    q107Int8Quant, q108DedupSurvivors, q109WeightedSample)
+    q107Int8Quant, q108DedupSurvivors, q109WeightedSample,
+    q110ExistsSubquery, q111Lateral)
 }

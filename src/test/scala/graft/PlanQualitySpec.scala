@@ -58,6 +58,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 key shuffle, got $exchanges:\n${plan.take(800)}")
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to semi/anti joins (no per-row subqueries)") {
+    val plan = executed(
+      graft.queries.PipelineQueries.q110ExistsSubquery.fn(spark, sf0001))
+    assert(plan.contains("LeftSemi"), plan.take(600))
+    assert(plan.contains("LeftAnti"), plan.take(600))
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
