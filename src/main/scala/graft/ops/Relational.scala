@@ -168,6 +168,38 @@ object Relational {
     df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation of missing values between observations —
+    * the time-series twin of [[forwardFill]]: each null takes
+    * prev + (next − prev) · (t − t_prev)/(t_next − t_prev) from the
+    * nearest non-null neighbors in `order` within the same `keys`
+    * partition. Two ignore-nulls windows over ONE shuffle on the keys
+    * (no self-joins); nulls before the first or after the last
+    * observation stay null (interior interpolation only). The
+    * arithmetic is a fixed IEEE expression tree over exact inputs, so
+    * results are bit-reproducible across engines and cluster sizes. */
+  def linearInterpolate(df: DataFrame, valueCol: String, tCol: String,
+                        keys: Seq[String],
+                        tiebreak: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol)
+    // ROWS frames are order-sensitive under ties — callers with
+    // non-unique (keys, tCol) pass a tiebreak for determinism
+    val ord = col(tCol) +: tiebreak.map(col)
+    val wPrev = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obsV = when(v.isNotNull, v)
+    val obsT = when(v.isNotNull, col(tCol))
+    val prevV = last(obsV, ignoreNulls = true).over(wPrev)
+    val prevT = last(obsT, ignoreNulls = true).over(wPrev)
+    val nextV = first(obsV, ignoreNulls = true).over(wNext)
+    val nextT = first(obsT, ignoreNulls = true).over(wNext)
+    df.withColumn(valueCol,
+      when(v.isNotNull, v).otherwise(
+        prevV + (nextV - prevV) * (col(tCol) - prevT).cast("double") /
+          (nextT - prevT).cast("double")))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
     * each row gets priority −ln(u)/w with u a DETERMINISTIC uniform
     * derived from md5(id, seed) — not rand(), whose draw depends on

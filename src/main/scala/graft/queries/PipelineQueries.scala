@@ -243,8 +243,50 @@ object PipelineQueries {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
   }
 
+  /** Linear interpolation of planted gaps in the event stream
+    * ([[Relational.linearInterpolate]]): every 7th event's value is
+    * nulled, then refilled from its temporal neighbors per user. One
+    * shuffle, two ignore-nulls windows, bit-reproducible arithmetic. */
+  val q112LinearInterp = QueryDef(
+    "q112_linear_interp",
+    """WITH src AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+      |         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      |  FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, t_us, v,
+      |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+      |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN t_us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY t_us, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      |  FROM src
+      |)
+      |SELECT event_id, user_id, t_us,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) * CAST(t_us - pt AS DOUBLE) /
+      |            CAST(nt - pt AS DOUBLE) END AS v_filled
+      |FROM w ORDER BY user_id, t_us, event_id""".stripMargin) { (s, d) =>
+    val src = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"),
+      when(col("event_id") % 7 === 0, lit(null).cast("double"))
+        .otherwise(col("value")).as("v"))
+    Relational.linearInterpolate(src, "v", "t_us", Seq("user_id"),
+        tiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("t_us"),
+        col("v").as("v_filled"))
+      .orderBy(col("user_id"), col("t_us"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q103DedupClusters, q104DocChunks, q105TermStats, q106ShardPack,
     q107Int8Quant, q108DedupSurvivors, q109WeightedSample,
-    q110ExistsSubquery, q111Lateral)
+    q110ExistsSubquery, q111Lateral, q112LinearInterp)
 }

@@ -116,6 +116,23 @@ class RelationalSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).distinct.length === expectShards)
   }
 
+  test("linearInterpolate: interior gaps filled proportionally, edges stay null") {
+    val df = Seq(
+      (1L, 0L, Some(10.0)),
+      (1L, 10L, None),          // 1/4 of the way 10 -> 30: expect 15
+      (1L, 40L, Some(30.0)),
+      (1L, 50L, None),          // trailing: no next -> null
+      (2L, 0L, None),           // leading: no prev -> null
+      (2L, 10L, Some(5.0)))
+      .map { case (k, t, v) =>
+        (k, t, v.map(java.lang.Double.valueOf).orNull) }
+      .toDF("k", "t", "v")
+    val got = linearInterpolate(df, "v", "t", Seq("k"))
+      .orderBy($"k", $"t")
+      .collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(got.toSeq === Seq(10.0, 15.0, 30.0, null, null, 5.0))
+  }
+
   test("weightedSample: deterministic, k rows, biased toward heavy weights") {
     val df = (1L to 500L).map(i => (i, if (i <= 50) 100L else 1L))
       .toDF("id", "w")
