@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines — the steps
+  * between "raw crawl" and "training shards" that SURVEY.md §8.3's
+  * dedup/quality/token primitives don't yet cover:
+  *
+  *  - benchmark decontamination (exact n-gram overlap vs an eval set),
+  *  - repetition signals (duplicate-word / duplicate-bigram / top-word
+  *    fractions — the Gopher-style quality filters),
+  *  - tokenizer vocabulary coverage (frequency-ranked cumulative mass),
+  *  - PII redaction (regex scrub + audit counts).
+  *
+  * All are declarative DataFrame compositions: Catalyst pushes the
+  * column prunes into the scans, the only shuffles are the stated
+  * aggregations, and every derived double is a single IEEE division of
+  * exact integers (cross-engine bit parity — see QueryDef's rules).
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every training document, the
+    * fraction of its distinct word n-grams that also appear in ANY
+    * eval-set document. The standard exact-overlap filter run before
+    * training so test questions don't leak into the corpus.
+    *
+    * Shape at scale: the eval side (a benchmark suite — MBs, not TBs)
+    * aggregates to a distinct gram set and BROADCASTS; the training
+    * corpus streams through scan → in-row gram build → explode →
+    * broadcast hash join (no shuffle) → ONE aggregation shuffle on
+    * doc_id. Nothing about the 100 TB side is ever collected or
+    * re-partitioned beyond that single agg.
+    *
+    * Documents with fewer than n tokens carry no n-grams and are
+    * excluded (they cannot leak an n-gram).
+    *
+    * @param train     documents to audit (`doc_id`, `text`)
+    * @param evalDocs  held-out benchmark documents (`text`)
+    * @param n         n-gram order (8 is the common contamination
+    *                  choice; tests use 3 on the tiny synthetic vocab)
+    * @param threshold contamination ratio at or above which the doc is
+    *                  flagged
+    */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      threshold: Double = 0.05): DataFrame = {
+    def distinctGrams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("ts"), n))).as("g"))
+    val evalGrams = broadcast(
+      distinctGrams(evalDocs).select("g").distinct().withColumn("hit", lit(1L)))
+    distinctGrams(train)
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
+  /** Repetition quality signals per document (the Gopher repetition
+    * filters): duplicate-word fraction, duplicate-bigram fraction and
+    * top-word share. High values mean boilerplate / degenerate
+    * repetition; callers threshold them into keep/drop decisions.
+    *
+    * The bigram stats are computed IN-ROW (arrays never leave the row)
+    * and ride the word explode as grouping keys — they are
+    * functionally dependent on doc_id, so the two-level aggregation
+    * (doc×word counts, then per-doc) stays a single shuffle chain with
+    * map-side partials and needs no join back.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val withBigrams = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        size(TextAnalysis.wordNgrams(col("ts"), 2)).cast("long").as("nb"),
+        size(array_distinct(TextAnalysis.wordNgrams(col("ts"), 2)))
+          .cast("long").as("nbd"))
+    withBigrams
+      .select(col("doc_id"), col("nb"), col("nbd"), explode(col("ts")).as("w"))
+      .groupBy(col("doc_id"), col("nb"), col("nbd"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("nb"), col("nbd"))
+      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+        ((col("n_toks") - col("n_distinct")).cast("double") / col("n_toks"))
+          .as("dup_word_frac"),
+        (col("top_cnt").cast("double") / col("n_toks")).as("top_word_share"),
+        when(col("nb") === 0L, lit(0.0))
+          .otherwise((col("nb") - col("nbd")).cast("double") / col("nb"))
+          .as("dup_bigram_frac"))
+  }
+
+  /** Tokenizer-vocabulary coverage: corpus word frequencies ranked
+    * descending (word as the deterministic tiebreak) with cumulative
+    * mass share — the table a BPE/vocab build reads to pick its cutoff
+    * ("smallest vocab covering X of token mass").
+    *
+    * Scale: ONE count shuffle over the corpus (map-side partials make
+    * the shuffle |vocab|-sized, not |corpus|-sized); the unpartitioned
+    * ranking window then runs over the VOCABULARY, which is orders of
+    * magnitude smaller than the data (≤ a few million rows even for
+    * web-scale corpora) — the one case where a single-reducer window
+    * is safe by construction. Cumulative sums stay in exact longs; the
+    * only double is the final one-division share.
+    */
+  def vocabCoverage(docs: DataFrame, coverage: Double = 0.95): DataFrame = {
+    val ord = Window.orderBy(col("cnt").desc, col("w"))
+    docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"), col("cnt"),
+        row_number().over(ord).as("rank"),
+        sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)).as("cum"),
+        sum(col("cnt")).over(Window.partitionBy()).as("total"))
+      .select(col("w"), col("cnt"), col("rank"),
+        (col("cum").cast("double") / col("total")).as("cum_share"),
+        (col("cum").cast("double") / col("total") <= coverage).as("in_vocab"))
+  }
+
+  /** PII redaction patterns (RE2-subset — no lookarounds — so an
+    * external oracle can replicate them byte-for-byte). */
+  val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
+  val PhonePattern = "[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails and phone numbers from a text column, returning the
+    * redacted text plus audit counts (how many of each were removed —
+    * the numbers a compliance report wants). Pure per-row projection:
+    * codegen'd regexes, no shuffle, scan-speed at any corpus size. */
+  def piiRedact(text: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(text, lit(EmailPattern)).cast("long"),
+    "n_phone" -> regexp_count(text, lit(PhonePattern)).cast("long"),
+    "redacted" -> regexp_replace(
+      regexp_replace(text, EmailPattern, "[EMAIL]"), PhonePattern, "[PHONE]"))
+}

@@ -25,6 +25,22 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
 
+  /** Word n-grams as an in-row array (q98's bigram builder generalized
+    * to any n): the token array is materialized ONCE in a parent
+    * projection by the caller — inside a HOF lambda, `split` would
+    * re-run per element with no common-subexpression elimination,
+    * turning the build O(tokens²) per document. Documents with fewer
+    * than n tokens yield an empty array (full-coverage semantics are
+    * the chunker's job, not the n-gram builder's). Pure projection: no
+    * shuffle, embarrassingly parallel at any corpus size. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** English-ish stopword set used by the quality heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
