@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.Curation
+import graft.ops.{Curation, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -206,6 +206,124 @@ object CurationQueries {
           .as("conv_purchase"))
   }
 
+  /** Temperature-based source mixing (the data-mixture step of a
+    * training run): per-source token counts reweighted by α=0.5
+    * (sqrt), i.e. upsample small sources, downsample giants. The
+    * sqrt goes through floor-to-long (integer sqrt) so the weight
+    * denominator is an EXACT long sum — order-independent at any
+    * cluster size, where a sum of raw doubles would drift an ulp per
+    * merge order. Weight + a 1M-token budget per source are then
+    * single IEEE ops on exact longs (cross-engine bit parity). */
+  val q118MixtureWeights = QueryDef(
+    "q118_mixture_weights",
+    """WITH src AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS iw
+      |  FROM src
+      |)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(iw AS DOUBLE) / CAST(SUM(iw) OVER () AS DOUBLE) AS weight,
+      |  CAST(floor(1000000 * (CAST(iw AS DOUBLE)
+      |    / CAST(SUM(iw) OVER () AS DOUBLE))) AS BIGINT) AS token_budget
+      |FROM w ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = TextAnalysis.tokens(col("text"))
+    val src = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("iw",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val total = org.apache.spark.sql.expressions.Window.partitionBy()
+    val weight = col("iw").cast("double") /
+      sum(col("iw")).over(total).cast("double")
+    src.select(col("source"), col("n_docs"), col("n_tokens"),
+        weight.as("weight"),
+        floor(lit(1000000) * weight).cast("long").as("token_budget"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-source curation report: the composed keep/drop funnel a
+    * corpus owner reads before a training run — decontamination,
+    * repetition and length gates joined per document, rolled up per
+    * source. One plan: decontam's broadcast join + agg, repetition's
+    * agg chain, two doc_id joins (co-partitioned), final source
+    * rollup. Thresholds sit at points where the synthetic corpus
+    * actually varies (see CurationSpec for the flag semantics). */
+  val q119CurationReport = QueryDef(
+    "q119_curation_report",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 2),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+      |  FROM toks WHERE len(ts) >= 3
+      |), eval_g AS (
+      |  SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0
+      |), contam AS (
+      |  SELECT t.doc_id,
+      |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) >= 0.08 AS contaminated
+      |  FROM grams t LEFT JOIN eval_g e ON t.g = e.g
+      |  GROUP BY t.doc_id
+      |), rep AS (
+      |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks,
+      |    CASE WHEN len(ts) < 2 THEN false
+      |      ELSE CAST(len(list_transform(generate_series(1, len(ts) - 1),
+      |             i -> ts[i] || ' ' || ts[i+1]))
+      |         - len(list_distinct(list_transform(generate_series(1, len(ts) - 1),
+      |             i -> ts[i] || ' ' || ts[i+1]))) AS DOUBLE)
+      |        / len(list_transform(generate_series(1, len(ts) - 1),
+      |             i -> ts[i] || ' ' || ts[i+1])) >= 0.05 END AS repetitive
+      |  FROM toks
+      |)
+      |SELECT d.source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN coalesce(c.contaminated, false) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_contaminated,
+      |  CAST(sum(CASE WHEN r.repetitive THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repetitive,
+      |  CAST(sum(CASE WHEN r.n_toks < 25 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_short,
+      |  CAST(sum(CASE WHEN NOT coalesce(c.contaminated, false)
+      |    AND NOT r.repetitive AND r.n_toks >= 25 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_kept
+      |FROM documents d
+      |JOIN rep r ON d.doc_id = r.doc_id
+      |LEFT JOIN contam c ON d.doc_id = c.doc_id
+      |WHERE d.doc_id % 19 <> 0
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // contamination over ALL docs vs the eval set (q113 audits only
+    // the train split; the report wants every doc flagged, then
+    // excludes the eval docs themselves from the rollup)
+    val contam = Curation.decontaminate(docs, docs.filter(col("doc_id") % 19 === 0),
+        n = 3, threshold = 0.08)
+      .select(col("doc_id"), col("contaminated"))
+    val rep = Curation.repetitionSignals(docs)
+      .select(col("doc_id"), col("n_toks"),
+        (col("dup_bigram_frac") >= 0.05).as("repetitive"))
+    docs.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), col("source"))
+      .join(rep, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("contaminated"), lit(false)), 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(when(col("n_toks") < 25L, 1L).otherwise(0L)).as("n_short"),
+        sum(when(!coalesce(col("contaminated"), lit(false)) &&
+          !col("repetitive") && col("n_toks") >= 25L, 1L).otherwise(0L))
+          .as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel)
+    q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
+    q118MixtureWeights, q119CurationReport)
 }

@@ -77,6 +77,17 @@ class CurationSpec extends SparkSpec {
       "mail me at [EMAIL] or [PHONE] or [PHONE] ok")
   }
 
+  test("decontaminate plans the eval-gram side as a broadcast join") {
+    // the 100 TB contract: the corpus side must never shuffle for the
+    // join — only the benchmark-sized eval gram set moves
+    val docs = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val plan = Curation.decontaminate(docs, docs.limit(1), n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join for eval grams, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("piiRedact leaves clean text untouched") {
     val row = Seq("no pii here at all").toDF("t")
       .select(Curation.piiRedact($"t").map { case (n, c) => c.as(n) }: _*)
