@@ -61,6 +61,36 @@ object Curation {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Hashed variant of [[decontaminate]] — the 100 TB path. Grams ride
+    * the explode/join as 64-bit XXH64 hashes (the fused
+    * [[graft.functions.HashedShingles]] codegen expression: one
+    * zero-copy byte scan per doc, distinct hashes out, no window
+    * strings ever allocated), so the broadcast table and the join keys
+    * are 8 bytes per gram instead of n words of UTF-8.
+    *
+    * Semantics vs the exact path: identical except for XXH64
+    * collisions, which can only OVER-count overlap (flag a clean doc),
+    * never miss real contamination — the safe direction for a
+    * decontamination filter. At 10^9 distinct grams the expected
+    * collision count is ~0.05 pairs. CurationSpec asserts flag parity
+    * with [[decontaminate]] on the test corpus. */
+  def decontaminateHashed(train: DataFrame, evalDocs: DataFrame, n: Int = 8,
+      threshold: Double = 0.05): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.hashed_shingles(col("text"), n))
+          .as("g"))
+    val evalGrams = broadcast(
+      gramHashes(evalDocs).select("g").distinct().withColumn("hit", lit(1L)))
+    gramHashes(train)
+      .join(evalGrams, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("contamination", col("n_hit").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
   /** Repetition quality signals per document (the Gopher repetition
     * filters): duplicate-word fraction, duplicate-bigram fraction and
     * top-word share. High values mean boilerplate / degenerate

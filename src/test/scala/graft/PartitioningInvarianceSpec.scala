@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, ExtendedQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, CurationQueries, ExtendedQueries}
 import org.apache.spark.sql.SparkSession
 
 /** Results must be BYTE-IDENTICAL regardless of parallelism — the
@@ -25,7 +25,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AdvancedQueries.q19Sessionize,   // window + gaps-and-islands + decimal
     AdvancedQueries.q46RunningTotal, // running decimal frame
     ExtendedQueries.q60StatsMoments, // variance/corr from exact moments
-    ExtendedQueries.q83MinMaxBy)     // argmax with deterministic tiebreak
+    ExtendedQueries.q83MinMaxBy,     // argmax with deterministic tiebreak
+    CurationQueries.q118MixtureWeights, // exact-long weight denominator
+    CurationQueries.q119CurationReport) // composed curation flags
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {

@@ -77,6 +77,22 @@ class CurationSpec extends SparkSpec {
       "mail me at [EMAIL] or [PHONE] or [PHONE] ok")
   }
 
+  test("decontaminateHashed matches the exact path on the test corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val train = docs.filter($"doc_id" % 19 =!= 0)
+    val eval_ = docs.filter($"doc_id" % 19 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_grams", $"n_hit", $"contaminated")
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Boolean)].collect().toSeq
+    val exact = canon(Curation.decontaminate(train, eval_, n = 3))
+    val hashed = canon(Curation.decontaminateHashed(train, eval_, n = 3))
+    // identical gram counts, hit counts and flags: XXH64 has no
+    // collisions on this corpus, and hashed_shingles' distinct-hash
+    // semantics equal distinct-gram semantics
+    assert(hashed === exact)
+  }
+
   test("decontaminate plans the eval-gram side as a broadcast join") {
     // the 100 TB contract: the corpus side must never shuffle for the
     // join — only the benchmark-sized eval gram set moves
