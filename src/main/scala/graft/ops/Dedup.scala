@@ -217,6 +217,42 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
+  /** Substring-level exact dedup signal: per-document duplicated-SPAN
+    * fraction — how much of each document consists of token windows
+    * that appear verbatim elsewhere in the corpus (or again in the
+    * same document). The scalable proxy for suffix-array substring
+    * dedup: documents are cut into non-overlapping `chunkTokens`-token
+    * chunks ([[TextAnalysis.chunk]] with overlap 0 — full coverage,
+    * partial tail kept), chunks are keyed by hash, and a chunk whose
+    * hash occurs ≥ 2 times corpus-wide is a duplicated span.
+    *
+    * Shape at scale: chunking is a per-row projection (no shuffle);
+    * occurrence counting is ONE hash aggregation whose keys are 8-byte
+    * xxhash64 values (chunk text never rides the shuffle); the
+    * join-back is co-partitioned on the same hash; the per-doc rollup
+    * is the final aggregation. Hash collisions can only OVER-count
+    * duplication — the safe direction for a dedup filter.
+    *
+    * Output per doc: n_chunks, n_dup_chunks, n_tokens, dup_tokens and
+    * dup_span_frac = dup_tokens / n_tokens (exact longs, one final
+    * IEEE division — cross-engine bit parity). */
+  def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                     chunkTokens: Int = 50): DataFrame = {
+    val chunks = TextAnalysis.chunk(df, textCol, chunkTokens, 0, idCol)
+      .select(col(idCol), col("chunk_tokens"),
+        xxhash64(col("chunk_text")).as("ch"))
+    val occ = chunks.groupBy(col("ch")).agg(count(lit(1)).as("occ"))
+    chunks.join(occ, "ch")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(when(col("occ") >= 2, col("chunk_tokens")).otherwise(0L))
+          .as("dup_tokens"))
+      .withColumn("dup_span_frac",
+        col("dup_tokens").cast("double") / col("n_tokens"))
+  }
+
   /** n-gram Jaccard pairs via a capped inverted index: explode
     * shingles, drop shingles appearing in more than `dfCap` docs (the
     * stop-shingles that would otherwise make candidate generation

@@ -249,6 +249,74 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch exact k-NN join (brute-force baseline): the top-k corpus
+    * neighbors for EVERY row of a query set in one plan — the
+    * set-valued generalization of [[cosineTopK]] that retrieval and
+    * semantic-dedup pipelines actually run (one query at a time does
+    * not scale past debugging).
+    *
+    * Shape at scale: the QUERY side of a retrieval batch is KBs–MBs
+    * (a batch of prompts/eval rows), so it broadcasts; the corpus
+    * streams through scan → broadcast nested-loop (bounded: |batch|
+    * rows on the build side) → fused-codegen cosine → per-query top-k.
+    * The ranking is the row_number idiom, so Spark's WindowGroupLimit
+    * caps each map partition at k rows per query BEFORE the shuffle —
+    * only |queries|·k·partitions candidate rows ever move — and the
+    * engine's [[graft.plans.TopKRewriteRule]] can replace the window
+    * with the heap operator outright. Corpus rows whose id appears in
+    * the query set are excluded as self-matches only for their own
+    * query, not for other queries.
+    */
+  def annJoinBruteForce(queries: DataFrame, corpus: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        roundTo: Int = 6): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Batch approximate k-NN join — the 100 TB path: both sides get the
+    * same deterministic hyperplane-LSH bucket signature; candidates
+    * come from an EQUALITY join on the bucket id (hash-partitioned,
+    * never a cross join, regardless of how large either side is);
+    * exact cosine re-ranks within buckets and a per-query row_number
+    * keeps rank ≤ k. Queries whose bucket holds fewer than k corpus
+    * vectors return fewer rows (recall is tuned by `bits` — fewer bits
+    * → bigger buckets → higher recall, more re-rank compute), which is
+    * the standard ANN contract. The generalization of
+    * [[embeddingDedupPairs]] from pairs-above-threshold to
+    * (query_id, neighbor_id, rank ≤ k). */
+  def annJoinLsh(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 bits: Int = 4, dim: Int = 64,
+                 roundTo: Int = 6): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), planes))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("bucket", lshBucket(col("qvec"), planes))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(q, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-vector int8 symmetric-quantization statistics: the scale a
     * quantizer would store (127 / max|x|) and the worst-case
     * reconstruction error of round-to-nearest int8 at that scale —

@@ -145,8 +145,37 @@ object DataQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** n-gram Jaccard near-dup pairs via capped inverted index. */
-  val q27NgramJaccard = QueryDef.rowsOnly("q27_ngram_jaccard") { (s, d) =>
+  /** n-gram Jaccard near-dup pairs via capped inverted index. The
+    * oracle replays the whole pipeline on STRING shingles (Spark runs
+    * on xxhash64'd shingles — set sizes, hence Jaccard values, are
+    * identical up to 64-bit collisions): distinct 2-gram sets, df-cap
+    * 2..20 inverted index, candidate pairs, exact Jaccard ≥ 0.2. */
+  val q27NgramJaccard = QueryDef(
+    "q27_ngram_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), inv AS (
+      |  SELECT doc_id, unnest(s) AS g FROM sh
+      |), rare AS (
+      |  SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  JOIN rare r ON r.g = x.g
+      |)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM pairs p
+      |JOIN sh a ON a.doc_id = p.id_a
+      |JOIN sh b ON b.doc_id = p.id_b
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "text", "doc_id",
       shingleK = 2, threshold = 0.2, dfCap = 20)
       .orderBy(col("id_a"), col("id_b"))

@@ -184,10 +184,27 @@ object PipelineQueries {
   }
 
   /** Deterministic weighted sample (A-ES priorities from md5-derived
-    * uniforms, [[Relational.weightedSample]]): rows-only — ln is not
-    * bit-stable across engines, so no SQL oracle; the spec pins
-    * determinism and weight bias instead. */
-  val q109WeightedSample = QueryDef.rowsOnly("q109_weighted_sample") { (s, d) =>
+    * uniforms, [[Relational.weightedSample]]): oracled — md5 is
+    * cross-engine identical, so both engines derive the SAME 60-bit
+    * uniforms; the only non-portable op is ln, which enters ONLY the
+    * comparator (-ln(u)/w). A 1-ulp libm divergence could flip the
+    * selection only if priorities #k and #k+1 collide to ~1e-16
+    * relative — md5 uniforms make that measure-zero (validated at
+    * both sf0.001 and sf0.01). Output carries no doubles at all.
+    * DuckDB parses the 15-hex-char md5 prefix via CAST('0x…'). */
+  val q109WeightedSample = QueryDef(
+    "q109_weighted_sample",
+    """WITH pri AS (
+      |  SELECT doc_id, n_chars,
+      |    -ln((CAST(CAST('0x' || substring(
+      |         md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15) AS BIGINT)
+      |       AS DOUBLE) + 1.0) / 1.152921504606847e18) / n_chars AS priority
+      |  FROM documents
+      |)
+      |, sel AS (
+      |  SELECT doc_id, n_chars FROM pri ORDER BY priority LIMIT 100
+      |)
+      |SELECT doc_id, n_chars FROM sel ORDER BY doc_id""".stripMargin) { (s, d) =>
     Relational.weightedSample(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 100)

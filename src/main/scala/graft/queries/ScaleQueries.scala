@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Dedup, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-5 scale-path queries: the set-valued batch k-NN join (every
+  * retrieval / semantic-dedup pipeline's core operation) in both its
+  * exact broadcast form and its LSH-bucketed 100 TB form, plus
+  * substring-level dedup (duplicated-chunk spans — the scalable proxy
+  * for suffix-array dedup). All three carry DuckDB oracles: the LSH
+  * oracle embeds the same deterministic hyperplanes the Spark path
+  * uses (the q41/q54 generated-oracle pattern).
+  */
+object ScaleQueries {
+
+  /** Query set for the batch k-NN joins: every 100th vector. */
+  private val QueryFilter = "vec_id % 100 = 0"
+
+  /** Batch EXACT k-NN join: top-5 corpus neighbors for every query
+    * vector in one plan. Query side broadcasts (bounded batch); the
+    * corpus streams once; per-query ranking is map-side-limited by
+    * WindowGroupLimit before the shuffle. */
+  val q122AnnJoinExact = QueryDef(
+    "q122_knn_join_exact",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE $QueryFilter
+       |), s AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(e.v, q.qv), 6) AS cos
+       |  FROM e, q WHERE e.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annJoinBruteForce(
+        queries = emb.filter(expr(QueryFilter)), corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The same hyperplane-literal SQL builder as q41/q54: replays
+    * sign-of-projection bucketing in DuckDB from the SAME deterministic
+    * planes, so the oracle exercises identical bucket membership. */
+  private val annJoinLshOracle: String = {
+    val planes = Similarity.hyperplanes(bits = 4, dim = 64)
+    def lit(p: Seq[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${lit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    CAST($bits AS BIGINT) AS bucket
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, bucket FROM h WHERE $QueryFilter
+       |), s AS (
+       |  SELECT q.query_id, h.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(h.v, q.qv), 6) AS cos
+       |  FROM q JOIN h ON h.bucket = q.bucket AND h.vec_id <> q.query_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Batch APPROXIMATE k-NN join — the 100 TB path: candidates come
+    * from a bucket EQUALITY join (never a cross join; PlanQualitySpec
+    * asserts no nested-loop in this plan), exact cosine re-ranks
+    * within buckets. */
+  val q120AnnJoinLsh = QueryDef("q120_knn_join_lsh", annJoinLshOracle) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annJoinLsh(
+        queries = emb.filter(expr(QueryFilter)), corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5, bits = 4, dim = 64)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Substring-level dedup signal ([[Dedup.duplicateSpans]]):
+    * per-document duplicated-chunk-span fraction at 10-token chunks.
+    * Spark groups chunks by xxhash64 (8-byte shuffle keys); the oracle
+    * groups by the chunk text itself — identical up to 64-bit
+    * collisions, which can only over-count duplication. */
+  val q121DupSpans = QueryDef(
+    "q121_dup_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), chunks AS (
+      |  SELECT doc_id, array_to_string(ts[i : i + 9], ' ') AS chunk_text,
+      |         CAST(len(ts[i : i + 9]) AS BIGINT) AS chunk_tokens
+      |  FROM toks, unnest(generate_series(1, greatest(len(ts), 1), 10)) AS g(i)
+      |), occ AS (
+      |  SELECT chunk_text, count(*) AS occ FROM chunks GROUP BY 1
+      |), agg AS (
+      |  SELECT c.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_chunks,
+      |    CAST(sum(c.chunk_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN o.occ >= 2 THEN c.chunk_tokens ELSE 0 END)
+      |      AS BIGINT) AS dup_tokens
+      |  FROM chunks c JOIN occ o ON c.chunk_text = o.chunk_text
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT doc_id, n_chunks, n_dup_chunks, n_tokens, dup_tokens,
+      |  CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_span_frac
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.duplicateSpans(Tables.documents(s, d), "text", "doc_id",
+        chunkTokens = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact)
+}

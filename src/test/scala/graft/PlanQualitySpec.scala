@@ -125,4 +125,37 @@ class PlanQualitySpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("batch k-NN join (LSH): candidates come from a bucket EQUALITY join, " +
+      "never a cross join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = graft.ops.Similarity.annJoinLsh(
+      queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val plan = executed(q)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(800))
+    // and the self-match exclusion must not have been pulled out of the
+    // equality join into a post-join nested loop
+    assert(q.count() > 0)
+  }
+
+  test("batch k-NN join (brute force): the only nested loop is the bounded " +
+      "query-batch broadcast; ranking is group-limited before the shuffle") {
+    import org.apache.spark.sql.functions.expr
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = graft.ops.Similarity.annJoinBruteForce(
+      queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val plan = executed(q)
+    // the query batch side must be the broadcast build side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // WindowGroupLimit caps per-query candidates at k map-side — the
+    // shuffle moves |queries|·k·partitions rows, not |corpus|·|queries|
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }

@@ -76,6 +76,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
   }
 
+  test("duplicateSpans: repeated chunks flagged, unique docs at zero") {
+    // 4-token chunks; doc 1 and 2 share their first 4-token chunk
+    // exactly; doc 3 shares nothing; doc 4 == doc 1 entirely.
+    val d = Seq(
+      (1L, "a b c d e f g h"),        // chunks: "a b c d", "e f g h"
+      (2L, "a b c d x y z w"),        // shares chunk 1 with doc 1
+      (3L, "p q r s t u v n"),        // unique
+      (4L, "a b c d e f g h"))        // exact dup of doc 1
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, "text", "doc_id", chunkTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))          // both chunks duplicated
+    assert(got(2L) === ((2L, 1L, 0.5)))          // first chunk only
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 2L, 1.0)))
+  }
+
+  test("duplicateSpans: partial tail chunk counted, full token coverage") {
+    val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, "text", "doc_id", chunkTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // 5 tokens → chunks of 4 + tail of 1; n_tokens must equal 5
+    assert(got(1L) === ((2L, 5L, 4L)))  // "a b c d" shared, tail "e" unique
+    assert(got(2L) === ((2L, 5L, 4L)))
+  }
+
   test("ngramJaccardPairs: jaccard 1.0 for exact dups, respects threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleK = 2, threshold = 0.5, dfCap = 10)

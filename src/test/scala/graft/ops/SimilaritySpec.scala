@@ -107,6 +107,42 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & approx).nonEmpty)
   }
 
+  test("annJoinBruteForce: exact per-query top-k, self excluded, dense ranks") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Similarity.annJoinBruteForce(
+      queries = emb.filter($"vec_id" % 100 === 0), corpus = emb,
+      idCol = "vec_id", vecCol = "embedding", k = 5)
+    val rows = got.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet === Set(0L, 100L, 200L, 300L, 400L))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length === 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+      assert(!rs.map(_.getLong(1)).contains(q), s"query $q is its own neighbor")
+      // rank order must agree with the single-query exact baseline
+      val single = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 5)
+        .select("vec_id").as[Long].collect().toSeq
+      val batch = rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq
+      assert(batch === single, s"query $q: batch $batch vs single $single")
+    }
+  }
+
+  test("annJoinLsh: subset of brute-force candidates, ranks consistent in-bucket") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val lsh = Similarity.annJoinLsh(queries, emb, "vec_id", "embedding", k = 5)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      // within a query: descending cos, ranks 1..n
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq === (1 to rs.length))
+      assert(sorted.map(_.getDouble(2)).toSeq ===
+        sorted.map(_.getDouble(2)).sortBy(-_).toSeq)
+    }
+  }
+
   test("int8QuantStats: error bounded by half a quantization step") {
     val out = Similarity.int8QuantStats(
       Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")
