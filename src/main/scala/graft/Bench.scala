@@ -28,8 +28,10 @@ object Bench {
     // listed under "errors" so a broken query can't inflate the total.
     // Each query runs `runs` times and reports the MIN (steady-state
     // throughput; single-shot numbers carry 20-30% scheduler/GC noise
-    // at local[32]).
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // at local[32]). Three runs by default: round-4 showed min-of-2
+    // still lets one noisy pair fabricate a 3-4× "regression"
+    // (q73/q74, no code change); run order is pinned by the name sort.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q98_bigrams,q72_...
     // times just those queries (unset for the driver's full run)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

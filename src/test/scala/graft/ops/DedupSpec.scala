@@ -104,6 +104,47 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((2L, 5L, 4L)))
   }
 
+  test("dedupAgainstSidecar: second batch drops exactly the overlap; " +
+      "replay is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar").toString
+    val sidecar = s"$dir/fp"
+    val batch1 = Seq(
+      (1L, "alpha doc"), (2L, "beta doc"),
+      (3L, "alpha doc"))               // within-batch dup of 1
+      .toDF("doc_id", "text")
+    val s1 = Dedup.dedupAgainstSidecar(batch1, "text", "doc_id", sidecar)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === Set(1L, 2L))         // min id survives the in-batch dup
+
+    val batch2 = Seq(
+      (10L, "alpha doc"),              // seen in batch 1 → dropped
+      (11L, "gamma doc"),              // new → kept
+      (12L, "beta doc"))               // seen → dropped
+      .toDF("doc_id", "text")
+    val s2 = Dedup.dedupAgainstSidecar(batch2, "text", "doc_id", sidecar)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 === Set(11L))
+
+    // replaying batch 2 is a no-op: its fingerprints are now persisted
+    val s3 = Dedup.dedupAgainstSidecar(batch2, "text", "doc_id", sidecar)
+      .count()
+    assert(s3 === 0L)
+
+    // the sidecar accumulated exactly the 3 distinct fingerprints
+    assert(spark.read.parquet(sidecar).distinct().count() === 3L)
+  }
+
+  test("writeFingerprintSidecar seeds the sidecar from an existing corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar2").toString
+    val sidecar = s"$dir/fp"
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    Dedup.writeFingerprintSidecar(corpus, "text", sidecar)
+    val batch = Seq((10L, "seen one"), (11L, "fresh")).toDF("doc_id", "text")
+    val got = Dedup.dedupAgainstSidecar(batch, "text", "doc_id", sidecar)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got === Set(11L))
+  }
+
   test("ngramJaccardPairs: jaccard 1.0 for exact dups, respects threshold") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
       shingleK = 2, threshold = 0.5, dfCap = 10)
