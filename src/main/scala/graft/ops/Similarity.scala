@@ -317,6 +317,63 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Batch approximate k-NN join through the IVF index — the stored-
+    * index twin of [[annJoinLsh]]: the corpus carries its KMeans cell
+    * assignment (a stored column in the materialized-index layout, see
+    * [[buildIvfIndex]]); each QUERY row picks its `nprobe` probe cells
+    * IN-ROW against the broadcast centroid table (nlist tiny rows —
+    * no per-query driver loop, unlike the single-query
+    * [[ivfCosineTopK]], which is the point of the batch form); the
+    * probe explosion joins the corpus on cell EQUALITY (each query
+    * reads ~nprobe/nlist of the corpus — with the cell-partitioned
+    * parquet layout that is literal partition pruning); exact cosine
+    * re-ranks. Probe selection matches [[ivfCosineTopK]]'s: centroids
+    * ranked by cosine to the query, ties by cell id. */
+  def annJoinIvf(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                 roundTo: Int = 6,
+                 cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val v = col(vecCol).cast("array<double>")
+    val base = corpus.select(col(idCol).as("neighbor_id"), v.as("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+    val model = cacheKey match {
+      case Some(key) =>
+        ivfIndexCache.computeIfAbsent((key, nlist, seed), _ => fit())
+      case None => fit()
+    }
+    val assigned = model.transform(base)
+      .select(col("neighbor_id"), col("vec"), col("cell"))
+    val centroids = broadcast(
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), v.as("qvec"))
+      .crossJoin(centroids)  // bounded: |queries| × nlist, build side nlist rows
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-vector int8 symmetric-quantization statistics: the scale a
     * quantizer would store (127 / max|x|) and the worst-case
     * reconstruction error of round-to-nearest int8 at that scale —

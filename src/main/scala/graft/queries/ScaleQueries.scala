@@ -122,5 +122,60 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact)
+  /** Incremental dedup end-to-end ([[Dedup.writeFingerprintSidecar]] +
+    * [[Dedup.dedupAgainstSidecar]]): the sidecar is seeded from the
+    * even-doc_id half of the corpus, then the WHOLE corpus arrives as
+    * a "new shard" — every even doc is already fingerprinted, every
+    * odd doc whose text matches an even doc (or a smaller odd doc_id)
+    * drops, and the min-id survivor of each remaining text wins. The
+    * oracle replays the anti-join + min-id semantics directly on text
+    * equality (md5 is injective here and cross-engine identical). The
+    * sidecar dir is wiped per run — `dedupAgainstSidecar` APPENDS, so
+    * a stale sidecar from a previous run would change the result. */
+  val q123IncrementalDedup = QueryDef(
+    "q123_incremental_dedup",
+    """WITH seen AS (
+      |  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+      |), cand AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  LEFT JOIN seen s ON d.text = s.text
+      |  WHERE s.text IS NULL
+      |), surv AS (
+      |  SELECT min(doc_id) AS doc_id FROM cand GROUP BY text
+      |)
+      |SELECT s.doc_id, d.n_chars FROM surv s
+      |JOIN documents d ON d.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q123_sidecar_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val docs = Tables.documents(s, d)
+    Dedup.writeFingerprintSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    Dedup.dedupAgainstSidecar(docs, "text", "doc_id", dir)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Batch k-NN join through the IVF (KMeans-cell) index: per-query
+    * probe cells picked in-row against broadcast centroids — no
+    * per-query driver work. Rows-only (the KMeans fit is not
+    * SQL-expressible); SimilaritySpec pins recall vs the exact batch
+    * join and the nprobe probe bound. */
+  val q124AnnJoinIvf = QueryDef.rowsOnly("q124_knn_join_ivf") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.annJoinIvf(
+        queries = emb.filter(expr(QueryFilter)), corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5,
+        nlist = 16, nprobe = 4, cacheKey = Some(s"$d/embeddings"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
+    q124AnnJoinIvf)
 }

@@ -238,6 +238,33 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Streaming incremental corpus dedup — the continuous form of
+    * [[graft.ops.Dedup.dedupAgainstSidecar]]: every micro-batch of
+    * documents is anti-joined against the persisted fingerprint
+    * sidecar, survivors append to the corpus sink, and the survivors'
+    * fingerprints append to the sidecar so LATER batches (and later
+    * runs — the sidecar outlives the query) drop them. Cross-batch
+    * exactness that `dropDuplicates` state cannot give: streaming
+    * state dies with the checkpoint, the sidecar is the corpus's
+    * permanent memory. At-least-once foreachBatch replays are
+    * idempotent — a replayed batch's fingerprints are already in the
+    * sidecar, so it contributes zero survivors. */
+  def runDedupToParquet(docs: DataFrame, textCol: String, idCol: String,
+                        outDir: String, sidecarDir: String,
+                        checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.dedupAgainstSidecar(batch, textCol, idCol, sidecarDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until all available input is processed (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

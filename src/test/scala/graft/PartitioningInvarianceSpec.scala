@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, CurationQueries, ExtendedQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, CurationQueries, ExtendedQueries, ScaleQueries}
 import org.apache.spark.sql.SparkSession
 
 /** Results must be BYTE-IDENTICAL regardless of parallelism — the
@@ -27,7 +27,11 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ExtendedQueries.q60StatsMoments, // variance/corr from exact moments
     ExtendedQueries.q83MinMaxBy,     // argmax with deterministic tiebreak
     CurationQueries.q118MixtureWeights, // exact-long weight denominator
-    CurationQueries.q119CurationReport) // composed curation flags
+    CurationQueries.q119CurationReport, // composed curation flags
+    CurationQueries.q116VocabCoverage,  // distributed global rank + offsets
+    ScaleQueries.q120AnnJoinLsh,        // bucket join + rounded-cosine rank
+    ScaleQueries.q121DupSpans,          // chunk-hash dup spans
+    ScaleQueries.q122AnnJoinExact)      // broadcast batch + group-limit rank
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {

@@ -143,6 +143,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annJoinIvf: <= nprobe cells probed per query, decent recall vs the " +
+      "exact batch join, ranks dense per query") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val exact = Similarity.annJoinBruteForce(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annJoinIvf(queries, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 4)
+      .collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length))
+    }
+    // nprobe/nlist = half the corpus scanned → expect most exact
+    // neighbors recovered
+    val got = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("int8QuantStats: error bounded by half a quantization step") {
     val out = Similarity.int8QuantStats(
       Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")

@@ -218,6 +218,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(snap === Map(1L -> 99.0, 2L -> 20.0, 3L -> 30.0))
   }
 
+  test("streaming sidecar dedup: later batches drop overlap with earlier " +
+      "batches AND with the pre-seeded corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sdedup")
+    val out = root.resolve("corpus").toString
+    val sidecar = root.resolve("fp").toString
+    val ckpt = root.resolve("ckpt").toString
+    // pre-seed the sidecar from an existing corpus (the batch op)
+    graft.ops.Dedup.writeFingerprintSidecar(
+      Seq((100L, "preexisting doc")).toDF("doc_id", "text"), "text", sidecar)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "fresh one"), (2L, "preexisting doc"), (3L, "fresh one"))
+    runDedupToParquet(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", out, sidecar, ckpt)
+    mem.addData((10L, "fresh one"), (11L, "fresh two"))
+    runDedupToParquet(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", out, sidecar, ckpt)
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch 1: 1 survives ("fresh one", min id), 2 hits the seed, 3 is
+    // an in-batch dup; batch 2: 10 hits batch 1's sidecar entry, 11 new
+    assert(got === Set(1L, 11L))
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
