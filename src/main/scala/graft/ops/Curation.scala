@@ -139,7 +139,8 @@ object Curation {
     * (cnt DESC, w), ranked and mass-accumulated LOCALLY per partition,
     * and per-partition offsets (≤ shuffle-partitions rows — a bounded
     * driver-side computation, same class as the IVF centroid collect)
-    * lift local ranks to exact global ones. No unpartitioned window
+    * lift local ranks to exact global ones — the engine's reusable
+    * [[Relational.globalRankAndRunningSum]]. No unpartitioned window
     * appears anywhere in the plan (asserted by CurationSpec); results
     * are byte-identical to the single-window formulation
     * ([[vocabCoverageSingleWindow]]) because range boundaries only
@@ -147,38 +148,14 @@ object Curation {
     * stay in exact longs; the only double is the final one-division
     * share. */
   def vocabCoverage(docs: DataFrame, coverage: Double = 0.95): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val wc = docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // localCheckpoint pins ONE materialization of the range shuffle, so
-    // the partition ids seen by the offsets collect and by the final
-    // projection are the same assignment by construction (range
-    // boundary sampling re-runs per job otherwise)
-    val parted = wc.repartitionByRange(col("cnt").desc, col("w"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true)
-    val stats = parted.groupBy(col("pid"))
-      .agg(count(lit(1)).as("p_rows"), sum(col("cnt")).as("p_mass"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val total = stats.map(_._3).sum
-    var rowOff = 0L
-    var massOff = 0L
-    val offsets = stats.toSeq.map { case (pid, r, m) =>
-      val o = (pid, rowOff, massOff); rowOff += r; massOff += m; o
-    }.toDF("pid", "row_off", "mass_off")
-    val wLocal = Window.partitionBy(col("pid"))
-      .orderBy(col("cnt").desc, col("w"))
-    parted.join(broadcast(offsets), "pid")
-      .select(col("w"), col("cnt"),
-        (row_number().over(wLocal) + col("row_off")).cast("int").as("rank"),
-        (sum(col("cnt")).over(wLocal.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)) + col("mass_off")).as("cum"))
-      .select(col("w"), col("cnt"), col("rank"),
-        (col("cum").cast("double") / lit(total)).as("cum_share"),
-        (col("cum").cast("double") / lit(total) <= coverage).as("in_vocab"))
+    val (ranked, total) = Relational.globalRankAndRunningSum(
+      wc, Seq(col("cnt").desc, col("w")), col("cnt"), "rank", "cum")
+    ranked.select(col("w"), col("cnt"), col("rank"),
+      (col("cum").cast("double") / lit(total)).as("cum_share"),
+      (col("cum").cast("double") / lit(total) <= coverage).as("in_vocab"))
   }
 
   /** Single-window formulation of [[vocabCoverage]] — byte-identical

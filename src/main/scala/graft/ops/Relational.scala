@@ -220,6 +220,77 @@ object Relational {
       .limit(k)
   }
 
+  /** Exact global (rank, running sum) over a total order WITHOUT an
+    * unpartitioned window — the engine's distributed replacement for
+    * `ROW_NUMBER()/SUM() OVER (ORDER BY …)`: range-repartition on the
+    * order, rank and accumulate locally per partition, lift local
+    * values to global ones with per-partition offsets (a bounded
+    * driver-side computation — ≤ shuffle-partitions rows, the same
+    * class as the IVF centroid collect). The input is eagerly
+    * localCheckpoint-ed so the offsets job and the output job see the
+    * SAME partition assignment (range-boundary sampling re-runs per
+    * job otherwise). Results are byte-identical to the single-window
+    * formulation at any parallelism: range boundaries decide only
+    * WHERE a row sits, never its global position.
+    *
+    * `value` must be integral — running sums stay in exact longs (a
+    * double accumulation would be partition-order-dependent).
+    *
+    * Returns (input + rankCol(int) + cumCol(long), grand total). */
+  def globalRankAndRunningSum(df: DataFrame, order: Seq[Column],
+      value: Column, rankCol: String, cumCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val stats = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("r"), sum(col("__v")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = stats.map(_._3).sum
+    var rowOff = 0L
+    var massOff = 0L
+    val offsets = stats.toSeq.map { case (pid, r, m) =>
+      val o = (pid, rowOff, massOff); rowOff += r; massOff += m; o
+    }.toDF("__pid", "__row_off", "__mass_off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val out = parted.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol,
+        (row_number().over(w) + col("__row_off")).cast("int"))
+      .withColumn(cumCol,
+        sum(col("__v")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) + col("__mass_off"))
+      .drop("__pid", "__row_off", "__mass_off", "__v")
+    (out, total)
+  }
+
+  /** Sequence packing — the concat-and-cut step that turns a document
+    * stream into fixed-length training sequences: documents are
+    * concatenated in `order` and the token stream is cut every
+    * `seqTokens` tokens. Each document reports the sequence its first
+    * token lands in, its offset inside that sequence, and the last
+    * sequence it spans — everything a sharded tokenizer needs to
+    * materialize sequence files independently per range of sequences.
+    *
+    * The global token cumsum runs through
+    * [[globalRankAndRunningSum]] (no unpartitioned window — packs a
+    * 100 TB corpus at shuffle speed); all outputs are exact integer
+    * arithmetic on the cumsum, so the assignment is bit-identical at
+    * any parallelism and oracle-checkable. */
+  def packSequences(df: DataFrame, order: Seq[Column], nTokens: Column,
+                    seqTokens: Long): DataFrame = {
+    require(seqTokens > 0, s"seqTokens must be > 0, got $seqTokens")
+    val withN = df.withColumn("n_toks", nTokens.cast("long"))
+    val (cum, _) = globalRankAndRunningSum(withN, order,
+      col("n_toks"), "__rank", "cum_tokens")
+    cum.drop("__rank")
+      .withColumn("start_seq", expr(s"(cum_tokens - n_toks) DIV $seqTokens"))
+      .withColumn("start_offset", expr(s"(cum_tokens - n_toks) % $seqTokens"))
+      .withColumn("end_seq", expr(s"(cum_tokens - 1) DIV $seqTokens"))
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

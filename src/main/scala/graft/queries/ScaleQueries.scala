@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 scale-path queries: the set-valued batch k-NN join (every
@@ -175,7 +176,108 @@ object ScaleQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Sequence packing ([[Relational.packSequences]]): documents
+    * concatenated in doc_id order, the token stream cut every 512
+    * tokens; each doc reports its landing sequence, offset, and span.
+    * The global token cumsum is the DISTRIBUTED
+    * `globalRankAndRunningSum` (no unpartitioned window); the oracle
+    * replays it as a plain window cumsum — byte-identical by
+    * construction, pure integer arithmetic end-to-end (no doubles). */
+  val q125SeqPack = QueryDef(
+    "q125_seq_pack",
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, n_toks, cum_tokens,
+      |  CAST((cum_tokens - n_toks) // 512 AS BIGINT) AS start_seq,
+      |  CAST((cum_tokens - n_toks) % 512 AS BIGINT) AS start_offset,
+      |  CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Relational.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        order = Seq(col("doc_id")),
+        nTokens = TextAnalysis.tokenCount(col("text")),
+        seqTokens = 512L)
+      .select(col("doc_id"), col("n_toks"), col("cum_tokens"),
+        col("start_seq"), col("start_offset"), col("end_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture-budget application — the sampler that ENFORCES q118's
+    * temperature weights: docs rank inside their source by the
+    * deterministic md5 order (cross-engine identical), accumulate
+    * token counts through a PARTITIONED window (per-source — scalable
+    * at any source count), and survive while the running total fits
+    * the per-source budget. Output: per-source kept-doc/token counts
+    * vs budget. Budgets mirror q118's exact-long arithmetic. */
+  val q126MixtureApply = QueryDef(
+    "q126_mixture_apply",
+    """WITH src AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS iw
+      |  FROM src
+      |), b AS (
+      |  SELECT source,
+      |    CAST(floor(200000 * (CAST(iw AS DOUBLE)
+      |      / CAST(SUM(iw) OVER () AS DOUBLE))) AS BIGINT) AS token_budget
+      |  FROM w
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+      |    md5(CAST(d.doc_id AS VARCHAR)) AS rk
+      |  FROM documents d
+      |), cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY rk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_toks
+      |  FROM ranked
+      |)
+      |SELECT c.source, b.token_budget,
+      |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+      |  CAST(sum(c.n_toks) AS BIGINT) AS n_tokens_kept
+      |FROM cum c JOIN b ON c.source = b.source
+      |WHERE c.cum_toks <= b.token_budget
+      |GROUP BY c.source, b.token_budget
+      |ORDER BY c.source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = TextAnalysis.tokens(col("text"))
+    val budgets = docs
+      .groupBy(col("source"))
+      .agg(sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("iw", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("token_budget",
+        floor(lit(200000) * (col("iw").cast("double") /
+          sum(col("iw")).over(Window.partitionBy()).cast("double")))
+          .cast("long"))
+      .select(col("source"), col("token_budget"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_toks"))
+      .withColumn("cum_toks",
+        sum(col("n_toks")).over(wSrc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_toks") <= col("token_budget"))
+      .groupBy(col("source"), col("token_budget"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
-    q124AnnJoinIvf)
+    q124AnnJoinIvf, q125SeqPack, q126MixtureApply)
 }

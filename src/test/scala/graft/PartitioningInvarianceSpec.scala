@@ -31,7 +31,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CurationQueries.q116VocabCoverage,  // distributed global rank + offsets
     ScaleQueries.q120AnnJoinLsh,        // bucket join + rounded-cosine rank
     ScaleQueries.q121DupSpans,          // chunk-hash dup spans
-    ScaleQueries.q122AnnJoinExact)      // broadcast batch + group-limit rank
+    ScaleQueries.q122AnnJoinExact,      // broadcast batch + group-limit rank
+    ScaleQueries.q125SeqPack,           // distributed global token cumsum
+    ScaleQueries.q126MixtureApply)      // per-source budget window
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {

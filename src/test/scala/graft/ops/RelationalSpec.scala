@@ -150,6 +150,31 @@ class RelationalSpec extends SparkSpec {
     assert(s1 !== s3)
   }
 
+  test("globalRankAndRunningSum == single-window rank/cumsum, any order shape") {
+    val df = Seq(("c", 5L), ("a", 3L), ("b", 3L), ("d", 1L), ("e", 8L))
+      .toDF("k", "v")
+    val (got, total) = Relational.globalRankAndRunningSum(
+      df, Seq($"v".desc, $"k"), $"v", "rnk", "cum")
+    assert(total === 20L)
+    val rows = got.select($"k", $"rnk", $"cum")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // order: e(8) c(5) a(3) b(3) d(1)
+    assert(rows === Set(
+      ("e", 1, 8L), ("c", 2, 13L), ("a", 3, 16L), ("b", 4, 19L), ("d", 5, 20L)))
+  }
+
+  test("packSequences: boundary-straddling docs report correct seq spans") {
+    val docs = Seq((1L, 3L), (2L, 4L), (3L, 2L)).toDF("doc_id", "n")
+    val got = Relational.packSequences(docs, Seq($"doc_id"), $"n",
+        seqTokens = 4L)
+      .select($"doc_id", $"start_seq", $"start_offset", $"end_seq")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // cum: 3, 7, 9 → doc1 [0,0..]; doc2 starts seq0@3, spans into seq1;
+    // doc3 starts seq1@3, ends seq2
+    assert(got === Set((1L, 0L, 0L, 0L), (2L, 0L, 3L, 1L), (3L, 1L, 3L, 2L)))
+  }
+
   test("roundRobinShards: LPT round-robin balances shard loads") {
     // skewed sizes: a few huge docs + many small ones
     val df = ((1L to 5L).map(i => (i, 500L)) ++
