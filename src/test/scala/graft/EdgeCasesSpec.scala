@@ -43,6 +43,42 @@ class EdgeCasesSpec extends SparkSpec {
     assert(mf.count() === 2) // mean of nothing -> null fill, rows survive
   }
 
+  test("round-5 operators on empty/degenerate input stay empty-safe") {
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.annJoinLsh(emptyVecs, emptyVecs,
+      "vec_id", "embedding", k = 5).count() === 0)
+    assert(graft.ops.Similarity.annJoinBruteForce(emptyVecs, emptyVecs,
+      "vec_id", "embedding", k = 5).count() === 0)
+    assert(Dedup.duplicateSpans(emptyDocs, "text", "doc_id").count() === 0)
+    assert(Relational.packSequences(emptyDocs.select($"doc_id",
+      lit(1L).as("n")), Seq($"doc_id"), $"n", 16L).count() === 0)
+    val (ranked, total) = Relational.globalRankAndRunningSum(
+      emptyDocs.select($"doc_id", lit(1L).as("n")),
+      Seq($"doc_id"), $"n", "rnk", "cum")
+    assert(total === 0L)
+    assert(ranked.count() === 0)
+  }
+
+  test("annJoin with k larger than the corpus returns every neighbor once") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.Similarity.annJoinBruteForce(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 99)
+      .collect()
+    assert(got.length === 2)
+    assert(got.map(_.getLong(1)).toSet === Set(1L, 2L))
+  }
+
+  test("packSequences with seqTokens=1: every token is its own sequence") {
+    val docs = Seq((1L, 2L), (2L, 3L)).toDF("doc_id", "n")
+    val got = Relational.packSequences(docs, Seq($"doc_id"), $"n", 1L)
+      .select($"doc_id", $"start_seq", $"start_offset", $"end_seq")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 0L, 0L, 1L), (2L, 2L, 0L, 4L)))
+  }
+
   test("registerAll exposes the whole catalog to the SQL front end") {
     graft.sources.Tables.registerAll(spark, sf0001)
     val n = spark.sql(
