@@ -291,6 +291,25 @@ object Relational {
       .withColumn("end_seq", expr(s"(cum_tokens - 1) DIV $seqTokens"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its md5-derived
+    * uniform (same 60-bit construction as [[weightedSample]]) falls
+    * under its stratum's fraction. Unlike `df.stat.sampleBy` (whose
+    * rand() draw depends on partition layout), selection is a pure
+    * per-row predicate of (id, seed) — identical on any cluster size,
+    * replayable by an external engine, and stable across reruns (the
+    * property a training/eval split actually needs). Expected — not
+    * exact — stratum sizes, like sampleBy. Zero shuffles. */
+  def stratifiedSampleByHash(df: DataFrame, stratumCol: String, idCol: String,
+                             fractions: Map[String, Double],
+                             seed: Long = 42L): DataFrame = {
+    val u = (conv(substring(md5(concat_ws("|", col(idCol), lit(seed))), 1, 15),
+      16, 10).cast("double") + 1.0) / 1.152921504606847e18
+    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(u < frac)
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

@@ -277,7 +277,60 @@ object ScaleQueries {
       .orderBy(col("source"))
   }
 
+  /** Deterministic stratified sampling
+    * ([[Relational.stratifiedSampleByHash]]): per-language fractions
+    * applied through md5-derived uniforms — fully oracle-able, unlike
+    * the rand()-based `sampleBy` (q102, rows-only). The oracle builds
+    * the SAME uniform from the same md5 prefix. */
+  val q127StratifiedDet = QueryDef(
+    "q127_stratified_det",
+    """WITH u AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(CAST('0x' || substring(
+      |        md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15) AS BIGINT)
+      |      AS DOUBLE) + 1.0) / 1.152921504606847e18 AS uni
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang FROM u
+      |WHERE uni < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25
+      |                      WHEN 'de' THEN 0.1 ELSE 0.0 END
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Relational.stratifiedSampleByHash(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Map("en" -> 0.5, "es" -> 0.25, "de" -> 0.1))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Forward as-of join ([[graft.ops.AsOf.asOfJoinForward]]): each
+    * error event picks up the NEXT purchase of the same user at or
+    * after it — oracled against DuckDB's native ASOF with the
+    * inequality flipped (e.ts <= p.ts). Completes the as-of family
+    * next to the backward q42. */
+  val q128AsofForward = QueryDef(
+    "q128_asof_forward",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |     p AS (SELECT user_id, ts, event_id AS p_event, value AS p_value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT e.event_id, e.user_id, p.p_event AS asof_p_event,
+      |       p.p_value AS asof_p_value
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event"), col("value").as("p_value"))
+    graft.ops.AsOf.asOfJoinForward(errors, purchases, Seq("user_id"),
+        "ts", "ts", Seq("p_event", "p_value"), tiebreak = Some("p_event"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_p_event"), col("asof_p_value"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
-    q124AnnJoinIvf, q125SeqPack, q126MixtureApply)
+    q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
+    q128AsofForward)
 }

@@ -33,7 +33,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q121DupSpans,          // chunk-hash dup spans
     ScaleQueries.q122AnnJoinExact,      // broadcast batch + group-limit rank
     ScaleQueries.q125SeqPack,           // distributed global token cumsum
-    ScaleQueries.q126MixtureApply)      // per-source budget window
+    ScaleQueries.q126MixtureApply,      // per-source budget window
+    ScaleQueries.q128AsofForward)       // forward as-of union+window
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {

@@ -34,6 +34,41 @@ class AsOfSpec extends SparkSpec {
       ("e4", null, null)))  // no right rows for key
   }
 
+  test("asOfJoinForward picks the earliest right row at or after each left time") {
+    val got = AsOf.asOfJoinForward(left, right, Seq("k"), "ts", "ts",
+      Seq("pid", "pval"), tiebreak = Some("pid"))
+      .select("ev", "asof_pid", "asof_pval")
+      .collect().map(r => (r.getString(0), r.getString(1), r.get(2))).toSet
+    assert(got === Set(
+      ("e1", "p2", 200.0),  // tie at t10 visible (>=)
+      ("e2", null, null),   // no purchase after t30 for key 1
+      ("e3", "p4", 400.0),  // next purchase is in the future -> visible
+      ("e4", null, null)))  // no right rows for key
+  }
+
+  test("asOfJoinForward == brute-force nested-loop on random data") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(60)(i =>
+      (rnd.nextInt(4).toLong, t(rnd.nextInt(59)), s"e$i")).toDF("k", "ts", "ev")
+    val r = Seq.tabulate(40)(i =>
+      (rnd.nextInt(4).toLong, t(rnd.nextInt(59)), s"p$i", i.toDouble))
+      .toDF("k", "ts", "pid", "pval")
+    val got = AsOf.asOfJoinForward(l, r, Seq("k"), "ts", "ts",
+        Seq("pid", "pval"), tiebreak = Some("pid"))
+      .select("ev", "asof_pid")
+      .collect().map(x => (x.getString(0), x.getString(1))).toMap
+    val rightRows = r.collect()
+      .map(x => (x.getLong(0), x.getTimestamp(1), x.getString(2)))
+    val want = l.collect().map { x =>
+      val (k, ts, ev) = (x.getLong(0), x.getTimestamp(1), x.getString(2))
+      val cands = rightRows.filter(p => p._1 == k && !p._2.before(ts))
+      val best = if (cands.isEmpty) null
+        else cands.minBy(p => (p._2.getTime, p._3))._3
+      ev -> best
+    }.toMap
+    assert(got === want)
+  }
+
   test("asOfJoin keeps every left row exactly once (left-outer semantics)") {
     val out = AsOf.asOfJoin(left, right, Seq("k"), "ts", "ts", Seq("pid", "pval"))
     assert(out.count() === left.count())
