@@ -54,6 +54,11 @@ object GraftFunctions {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
+  /** Fused hyperplane-LSH bucket id (see [[HyperplaneBucket]]). */
+  def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec),
+      planes.map(_.toArray).toArray))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {

@@ -67,8 +67,18 @@ object Similarity {
     Seq.fill(bits, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
   }
 
-  /** Sign-of-projection LSH bucket id: bit i = (v · plane_i) >= 0. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+  /** Sign-of-projection LSH bucket id: bit i = (v · plane_i) >= 0.
+    * Runs as the fused codegen expression
+    * ([[graft.functions.HyperplaneBucket]]) — one loop per plane
+    * inside whole-stage codegen instead of interpreted zip_with/
+    * aggregate lambdas per plane per row; [[lshBucketHof]] is the
+    * property-test twin. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    graft.functions.GraftFunctions.hyperplane_bucket(vec, planes)
+
+  /** Interpreted-HOF bucket id (reference formulation, bit-identical
+    * to the fused expression). */
+  def lshBucketHof(vec: Column, planes: Seq[Seq[Double]]): Column = {
     val bitCols = planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))

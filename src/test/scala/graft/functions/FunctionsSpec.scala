@@ -159,6 +159,29 @@ class FunctionsSpec extends SparkSpec {
     assert(got.isNullAt(1))
   }
 
+  test("hyperplane_bucket: fused expression bit-identical to the HOF on real " +
+      "embeddings and degenerate vectors") {
+    val planes = Similarity.hyperplanes(bits = 8, dim = 64)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val rows = emb.select($"vec_id",
+        GraftFunctions.hyperplane_bucket($"v", planes).as("fused"),
+        Similarity.lshBucketHof($"v", planes).as("hof"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"vec ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // dimension-mismatch + zero vectors mirror HOF null/sign semantics
+    val p2 = Similarity.hyperplanes(bits = 3, dim = 2)
+    val edge = Seq(Seq(0.0, 0.0), Seq(1.0, 2.0, 3.0), Seq(7.5))
+      .toDF("v").select(
+        GraftFunctions.hyperplane_bucket($"v", p2).as("fused"),
+        Similarity.lshBucketHof($"v", p2).as("hof"))
+      .collect()
+    edge.foreach(r => assert(r.getLong(0) === r.getLong(1),
+      s"fused ${r.getLong(0)} != hof ${r.getLong(1)}"))
+  }
+
   test("sorted_intersect_count: nulls and empties") {
     val df = Seq(
       (Some(Seq(1L, 2L)), None),
