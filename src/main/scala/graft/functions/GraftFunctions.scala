@@ -59,6 +59,10 @@ object GraftFunctions {
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec),
       planes.map(_.toArray).toArray))
 
+  /** Fused one-scan rolling fingerprint (see [[RollingFingerprint]]). */
+  def rolling_fingerprint(text: Column): Column =
+    ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -89,7 +93,8 @@ object GraftFunctions {
       NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),
     "sorted_intersect_count" -> (exprs =>
       SortedIntersectCount(exprs(0), exprs(1))),
-    "simhash64" -> (exprs => SimHash64(exprs(0))))
+    "simhash64" -> (exprs => SimHash64(exprs(0))),
+    "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))))
 
   /** Evaluate a foldable array-of-strings argument of a SQL call. */
   private def stringArrayArg(fn: String, e: Expression): Seq[String] = {

@@ -158,8 +158,16 @@ object TextAnalysis {
     * accumulation of per-token hashes — a content-AND-order signature,
     * unlike the set-based dedup signatures in [[Dedup]]. Pure bit ops,
     * so no ANSI overflow (a polynomial acc*31+h would throw under
-    * Spark 4's default ANSI mode). */
+    * Spark 4's default ANSI mode). Runs as the fused one-scan codegen
+    * expression ([[graft.functions.RollingFingerprint]]); the HOF
+    * formulation is kept as [[fingerprintHof]] for the bit-identity
+    * property test. */
   def fingerprint(text: Column): Column =
+    graft.functions.GraftFunctions.rolling_fingerprint(text)
+
+  /** Interpreted-HOF fingerprint (reference formulation, bit-identical
+    * to the fused expression). */
+  def fingerprintHof(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) =>
       shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))

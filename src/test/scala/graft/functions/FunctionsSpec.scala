@@ -182,6 +182,22 @@ class FunctionsSpec extends SparkSpec {
       s"fused ${r.getLong(0)} != hof ${r.getLong(1)}"))
   }
 
+  test("rolling_fingerprint: fused expression bit-identical to the HOF on " +
+      "real documents and whitespace edge cases") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, " "), (9003L, "a  b"),
+        (9004L, "ünïcode €"), (9005L, "a b "))
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        GraftFunctions.rolling_fingerprint($"text").as("fused"),
+        graft.ops.TextAnalysis.fingerprintHof($"text").as("hof"))
+      .collect()
+    assert(rows.length === 505)
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
+  }
+
   test("sorted_intersect_count: nulls and empties") {
     val df = Seq(
       (Some(Seq(1L, 2L)), None),
