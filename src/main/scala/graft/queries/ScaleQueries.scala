@@ -329,8 +329,89 @@ object ScaleQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Quality-aware dedup survivors: production dedup keeps the BEST
+    * document of each near-dup cluster, not the lowest id. Clusters
+    * come from the connected-components operator (q103's machinery);
+    * the survivor is argmax(quality, then min doc_id) — expressed as
+    * max-quality-per-component + min-id-among-maximal, which needs no
+    * string-formatting argmax tricks: the quality doubles are the same
+    * IEEE products in both engines (q22's proven expression), so the
+    * equality filter selects the same rows. */
+  val q129QualityDedup = QueryDef(
+    "q129_quality_dedup",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts,
+      |         len(string_split(text, ' ')) AS n_toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND (a.n_toks // 10) = (b.n_toks // 10)
+      |       AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.ts, b.ts))) >= 0.7
+      |), sym AS (
+      |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+      |), qual AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |  FROM (
+      |    SELECT doc_id, length(text) AS n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |    FROM documents)
+      |), j AS (
+      |  SELECT c.component, c.doc_id, q.quality
+      |  FROM comp c JOIN qual q ON c.doc_id = q.doc_id
+      |), best AS (
+      |  SELECT component, max(quality) AS max_q,
+      |         CAST(count(*) AS BIGINT) AS cluster_size
+      |  FROM j GROUP BY component
+      |)
+      |SELECT b.component, b.cluster_size,
+      |  min(j.doc_id) AS survivor_id, b.max_q
+      |FROM best b JOIN j ON j.component = b.component AND j.quality = b.max_q
+      |GROUP BY b.component, b.cluster_size, b.max_q
+      |ORDER BY b.component""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val comp = graft.ops.Clustering.jaccardDedupClusters(docs,
+        threshold = 0.7, lenBlock = 10)
+      .select(col("doc_id"), col("component"))
+    val t = col("text")
+    val nTokens = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val stopRatio = TextAnalysis.stopwordCount(t).cast("double") / nTokens
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    val quality = least(nTokens / 20.0, lit(1.0)) *
+      when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3) *
+      when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    val j = comp.join(docs.select(col("doc_id"), quality.as("quality")),
+      "doc_id")
+    val best = j.groupBy(col("component"))
+      .agg(max(col("quality")).as("max_q"),
+        count(lit(1)).as("cluster_size"))
+    j.join(best, "component")
+      .filter(col("quality") === col("max_q"))
+      .groupBy(col("component"), col("cluster_size"), col("max_q"))
+      .agg(min(col("doc_id")).as("survivor_id"))
+      .select(col("component"), col("cluster_size"), col("survivor_id"),
+        col("max_q"))
+      .orderBy(col("component"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
-    q128AsofForward)
+    q128AsofForward, q129QualityDedup)
 }
