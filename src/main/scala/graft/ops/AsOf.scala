@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.{Column, DataFrame}
 
 /** As-of (point-in-time) join: for each left row, attach the payload
@@ -19,6 +20,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * Tie semantics: right rows at exactly `leftTime` ARE visible
   * (`>=`, DuckDB ASOF semantics); among equal right timestamps the
   * greatest `tiebreak` wins deterministically.
+  *
+  * All payload columns are carried as ONE struct and the window picks
+  * the struct, so every output payload field comes from the SAME right
+  * row — per-column ignore-nulls windows would stitch fields from
+  * different right rows whenever the matched row has a null field.
   */
 object AsOf {
 
@@ -26,41 +32,17 @@ object AsOf {
                leftTimeCol: String, rightTimeCol: String,
                payloadCols: Seq[String], tiebreak: Option[String] = None,
                outPrefix: String = "asof_"): DataFrame = {
-    val leftCols = left.columns.toSeq
-    require(!payloadCols.exists(leftCols.contains),
-      "payload column names must not collide with left columns")
-
-    def typedNull(df: DataFrame, c: String): Column =
-      lit(null).cast(df.schema(c).dataType)
-
-    val lTagged = left.select(
-      (leftCols.map(col) :+
-        col(leftTimeCol).as("__t") :+
-        lit(1).as("__side")) ++
-        payloadCols.map(c => typedNull(right, c).as(c)): _*)
-    val rTagged = right.select(
-      (leftCols.map(c =>
-        if (keys.contains(c)) col(c) else typedNull(left, c).as(c)) :+
-        col(rightTimeCol).as("__t") :+
-        lit(0).as("__side")) ++
-        payloadCols.map(col): _*)
-
-    // Tiebreak orders in the column's NATIVE type: a string cast would
-    // compare numeric tiebreaks lexicographically ('9' > '10'). Left
-    // rows carry null payloads → nulls first, so they never outrank a
-    // real right-side tiebreak at the same (__t, __side).
-    val order = Seq(col("__t"), col("__side")) ++
-      tiebreak.map(c => col(c).asc_nulls_first).toSeq
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val joined = lTagged.unionByName(rTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payloadCols.map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(s"$outPrefix$c")): _*)
-
-    joined.filter(col("__side") === 1).drop("__side")
+    // Left rows sort AFTER right rows at equal time (__side 1 vs 0) so
+    // a right row at exactly leftTime is visible; among equal right
+    // timestamps the GREATEST tiebreak is the last in frame → wins.
+    // Left rows carry null tiebreaks → nulls first, so they never
+    // outrank a real right-side tiebreak at the same (__t, __side).
+    unionAndPick(left, right, keys, leftTimeCol, rightTimeCol, payloadCols,
+      tiebreak, outPrefix,
+      leftSide = 1, rightSide = 0,
+      tbOrder = c => c.asc_nulls_first,
+      frame = w => w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+      pick = c => last(c, ignoreNulls = true))
   }
 
   /** Forward as-of join: for each left row, attach the payload of the
@@ -72,11 +54,32 @@ object AsOf {
     * so a right row at exactly `leftTime` IS visible (`>=`). Among
     * equal right timestamps the SMALLEST tiebreak wins (the earliest —
     * forward symmetry of the backward join's greatest-wins). Same
-    * single-shuffle-on-key cost. */
+    * single-shuffle-on-key cost, same whole-struct payload guarantee. */
   def asOfJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                       leftTimeCol: String, rightTimeCol: String,
                       payloadCols: Seq[String], tiebreak: Option[String] = None,
-                      outPrefix: String = "asof_"): DataFrame = {
+                      outPrefix: String = "asof_"): DataFrame =
+    // left tags 0 so it sorts before equal-time right rows (tag 1);
+    // nulls LAST so null left-row tiebreaks never outrank right rows
+    unionAndPick(left, right, keys, leftTimeCol, rightTimeCol, payloadCols,
+      tiebreak, outPrefix,
+      leftSide = 0, rightSide = 1,
+      tbOrder = c => c.asc_nulls_last,
+      frame = w => w.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+      pick = c => first(c, ignoreNulls = true))
+
+  /** Shared union-and-window body of the two as-of directions. The
+    * payload rides as a single struct (`__p`) — null on left rows —
+    * and `pick(ignoreNulls)` selects one WHOLE right row's struct,
+    * which is then unpacked into the prefixed output columns. */
+  private def unionAndPick(left: DataFrame, right: DataFrame,
+                           keys: Seq[String], leftTimeCol: String,
+                           rightTimeCol: String, payloadCols: Seq[String],
+                           tiebreak: Option[String], outPrefix: String,
+                           leftSide: Int, rightSide: Int,
+                           tbOrder: Column => Column,
+                           frame: WindowSpec => WindowSpec,
+                           pick: Column => Column): DataFrame = {
     val leftCols = left.columns.toSeq
     require(!payloadCols.exists(leftCols.contains),
       "payload column names must not collide with left columns")
@@ -84,33 +87,33 @@ object AsOf {
     def typedNull(df: DataFrame, c: String): Column =
       lit(null).cast(df.schema(c).dataType)
 
-    // left tags 0 so it sorts before equal-time right rows (tag 1):
-    // the forward window starting at the left row then includes them
+    val payloadType = StructType(payloadCols.map(right.schema(_)))
+    // the tiebreak column rides OUTSIDE the struct so the sort key
+    // orders in its native type without touching the picked payload
+    val tbCols = tiebreak.toSeq
     val lTagged = left.select(
       (leftCols.map(col) :+
         col(leftTimeCol).as("__t") :+
-        lit(0).as("__side")) ++
-        payloadCols.map(c => typedNull(right, c).as(c)): _*)
+        lit(leftSide).as("__side") :+
+        lit(null).cast(payloadType).as("__p")) ++
+        tbCols.map(c => typedNull(right, c).as(s"__tb_$c")): _*)
     val rTagged = right.select(
       (leftCols.map(c =>
         if (keys.contains(c)) col(c) else typedNull(left, c).as(c)) :+
         col(rightTimeCol).as("__t") :+
-        lit(1).as("__side")) ++
-        payloadCols.map(col): _*)
+        lit(rightSide).as("__side") :+
+        struct(payloadCols.map(col): _*).as("__p")) ++
+        tbCols.map(c => col(c).as(s"__tb_$c")): _*)
 
-    // nulls LAST here: left rows carry null payloads and must never
-    // outrank a real right-side tiebreak at the same (__t, __side)
     val order = Seq(col("__t"), col("__side")) ++
-      tiebreak.map(c => col(c).asc_nulls_last).toSeq
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      tbCols.map(c => tbOrder(col(s"__tb_$c")))
+    val w = frame(Window.partitionBy(keys.map(col): _*).orderBy(order: _*))
 
-    val joined = lTagged.unionByName(rTagged)
-      .select((leftCols.map(col) :+ col("__side")) ++
-        payloadCols.map(c =>
-          first(col(c), ignoreNulls = true).over(w).as(s"$outPrefix$c")): _*)
-
-    joined.filter(col("__side") === 0).drop("__side")
+    lTagged.unionByName(rTagged)
+      .select(leftCols.map(col) :+ col("__side") :+
+        pick(col("__p")).over(w).as("__pp"): _*)
+      .filter(col("__side") === leftSide)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__pp").getField(c).as(s"$outPrefix$c")): _*)
   }
 }

@@ -239,45 +239,95 @@ object Dedup {
       .sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(sidecarDir)
 
+  /** Shared survivor computation for the incremental-dedup family:
+    * anti-join the batch's md5 text fingerprints against the persisted
+    * sidecar, keep the min-id row per fingerprint within the batch,
+    * and eagerly localCheckpoint the result so callers' later actions
+    * re-read materialized survivors instead of re-running the
+    * anti-join against a sidecar that may meanwhile contain this
+    * batch's own fingerprints (which would drop everything).
+    *
+    * Null text: `md5(null)` is null, which would silently never match
+    * the sidecar (non-null-safe join) while the survivor window
+    * collapsed ALL null-text rows into one as if they were duplicates
+    * of each other. Such rows have no content to fingerprint, so they
+    * pass through as survivors untouched and are never written to the
+    * sidecar. Output keeps the internal `__fp` column (null for
+    * null-text rows). */
+  private[graft] def sidecarSurvivors(batch: DataFrame, textCol: String,
+                                      idCol: String,
+                                      sidecarDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    val fpRows = withFp.filter(col("__fp").isNotNull)
+    val unseen =
+      if (fs.exists(path))
+        fpRows.join(spark.read.parquet(sidecarDir).select(col("fp")),
+          col("__fp") === col("fp"), "left_anti")
+      else fpRows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    unseen
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(withFp.filter(col("__fp").isNull))
+      .localCheckpoint(true)
+  }
+
   /** Incremental corpus dedup — the production "new shard vs existing
     * corpus" shape that single-snapshot dedup ([[exactDedup]]) can't
     * express: drop every batch row whose text fingerprint is already
     * in the persisted sidecar, dedup the batch against itself (min id
     * survives), then append the survivors' fingerprints so the NEXT
-    * shard sees them.
+    * shard sees them. Null-text rows pass through as survivors
+    * untouched (see [[sidecarSurvivors]]).
     *
     * Scale shape: the membership check is a left-anti hash join on the
     * digest — both sides partition on fp, no driver involvement; for a
     * sidecar much smaller than the batch Spark broadcasts it, and the
     * AQE runtime bloom filter prunes the batch scan for the shuffled
-    * case. Survivors are eagerly localCheckpoint-ed BEFORE the sidecar
-    * append: the caller's later actions must re-read the materialized
-    * survivors, not re-run the anti-join against a sidecar that now
-    * contains this batch's own fingerprints (which would drop
-    * everything). Existence goes through the Hadoop FileSystem API, so
+    * case. Existence goes through the Hadoop FileSystem API, so
     * object-store sidecars work. Replaying the same batch is
-    * idempotent: every row is already in the sidecar, zero survivors. */
+    * idempotent: every row is already in the sidecar, zero survivors.
+    *
+    * SINGLE-WRITER CONTRACT: the sidecar has no commit protocol — two
+    * concurrent shard ingests could each pass the anti-join and then
+    * both append, admitting duplicate survivors. Serialize ingests per
+    * sidecar (the same restriction [[graft.streaming.EventStreams
+    * .runUpsertToParquet]] documents for its snapshot). For a pipeline
+    * that also SINKS the survivors, prefer [[dedupAgainstSidecarTo]],
+    * which orders the two writes crash-safely. */
   def dedupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
                           sidecarDir: String): DataFrame = {
-    val spark = batch.sparkSession
-    val path = new org.apache.hadoop.fs.Path(sidecarDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val withFp = batch.withColumn("__fp", md5(col(textCol)))
-    val unseen =
-      if (fs.exists(path))
-        withFp.join(spark.read.parquet(sidecarDir).select(col("fp")),
-          col("__fp") === col("fp"), "left_anti")
-      else withFp
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col(idCol))
-    val survivors = unseen
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-      .localCheckpoint(true)
-    survivors.select(col("__fp").as("fp")).distinct()
+    val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir)
+    survivors.filter(col("__fp").isNotNull)
+      .select(col("__fp").as("fp")).distinct()
       .sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(sidecarDir)
     survivors.drop("__fp")
+  }
+
+  /** Incremental dedup straight into a parquet sink, with the two
+    * writes ordered for crash safety: survivors are appended to
+    * `outDir` BEFORE their fingerprints reach the sidecar. A crash
+    * between the writes makes a replay re-emit the batch's survivors —
+    * duplicate output rows, which downstream dedup tolerates and a
+    * sink repair can remove — instead of the reverse order's silent
+    * data loss (a replay would find its own fingerprints already
+    * persisted, admit zero survivors, and the documents would never
+    * reach the corpus). A replay of a FULLY committed batch still
+    * contributes zero survivors. Same single-writer contract as
+    * [[dedupAgainstSidecar]]. */
+  def dedupAgainstSidecarTo(batch: DataFrame, textCol: String, idCol: String,
+                            sidecarDir: String, outDir: String): Unit = {
+    val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir)
+    survivors.drop("__fp").write.mode("append").parquet(outDir)
+    survivors.filter(col("__fp").isNotNull)
+      .select(col("__fp").as("fp")).distinct()
+      .sortWithinPartitions(col("fp"))
+      .write.mode("append").parquet(sidecarDir)
   }
 
   /** Substring-level exact dedup signal: per-document duplicated-SPAN

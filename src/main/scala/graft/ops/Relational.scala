@@ -234,7 +234,11 @@ object Relational {
     * WHERE a row sits, never its global position.
     *
     * `value` must be integral — running sums stay in exact longs (a
-    * double accumulation would be partition-order-dependent).
+    * double accumulation would be partition-order-dependent). Null
+    * values contribute nothing to the running sum (SQL sum-ignore-null
+    * semantics, matching the single-window formulation): per-partition
+    * masses coalesce null sums to 0, so an all-null partition shifts
+    * no offsets and never NPEs the driver.
     *
     * Returns (input + rankCol(int) + cumCol(long), grand total). */
   def globalRankAndRunningSum(df: DataFrame, order: Seq[Column],
@@ -246,7 +250,7 @@ object Relational {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     val stats = parted.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("r"), sum(col("__v")).as("m"))
+      .agg(count(lit(1)).as("r"), coalesce(sum(col("__v")), lit(0L)).as("m"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     val total = stats.map(_._3).sum

@@ -71,16 +71,25 @@ object AdvancedQueries {
   }
 
   /** As-of join: each error event picks up the latest prior purchase
-    * of the same user — oracle-checked against DuckDB's native
-    * ASOF LEFT JOIN. */
+    * of the same user. The oracle is an explicit row_number
+    * formulation ordered by (ts DESC, p_event DESC) — the SAME
+    * greatest-tiebreak-wins rule the Spark path applies — rather than
+    * DuckDB's native ASOF, which returns an ARBITRARY row when several
+    * purchases share the maximal qualifying timestamp. */
   val q42AsofJoin = QueryDef(
     "q42_asof_join",
     """WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
       |     p AS (SELECT user_id, ts, event_id AS p_event, value AS p_value
-      |           FROM events WHERE event_type = 'purchase')
-      |SELECT e.event_id, e.user_id, p.p_event AS asof_p_event,
-      |       p.p_value AS asof_p_value
-      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |     m AS (
+      |       SELECT e.event_id, p.p_event, p.p_value,
+      |         ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |           ORDER BY p.ts DESC, p.p_event DESC) AS rn
+      |       FROM e JOIN p ON e.user_id = p.user_id AND p.ts <= e.ts
+      |     )
+      |SELECT e.event_id, e.user_id, m.p_event AS asof_p_event,
+      |       m.p_value AS asof_p_value
+      |FROM e LEFT JOIN m ON m.event_id = e.event_id AND m.rn = 1
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
     val errors = ev.filter(col("event_type") === "error")

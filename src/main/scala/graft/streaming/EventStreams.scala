@@ -246,9 +246,18 @@ object EventStreams {
     * runs — the sidecar outlives the query) drop them. Cross-batch
     * exactness that `dropDuplicates` state cannot give: streaming
     * state dies with the checkpoint, the sidecar is the corpus's
-    * permanent memory. At-least-once foreachBatch replays are
-    * idempotent — a replayed batch's fingerprints are already in the
-    * sidecar, so it contributes zero survivors. */
+    * permanent memory.
+    *
+    * Crash safety under at-least-once foreachBatch: survivors reach
+    * `outDir` BEFORE their fingerprints reach the sidecar
+    * ([[graft.ops.Dedup.dedupAgainstSidecarTo]]). A replay of a fully
+    * committed batch finds its fingerprints persisted and contributes
+    * zero survivors (idempotent); a crash BETWEEN the two writes makes
+    * the replay re-emit that batch's survivors — duplicate output
+    * rows, recoverable downstream — never silent loss (the reverse
+    * order would admit zero survivors on replay and permanently drop
+    * the documents). Single-writer per sidecar: run ONE such query per
+    * sidecar dir — concurrent writers could double-admit survivors. */
   def runDedupToParquet(docs: DataFrame, textCol: String, idCol: String,
                         outDir: String, sidecarDir: String,
                         checkpointDir: String): Unit = {
@@ -256,9 +265,8 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Dedup.dedupAgainstSidecar(batch, textCol, idCol, sidecarDir)
-          .write.mode("append").parquet(outDir)
-        ()
+        graft.ops.Dedup.dedupAgainstSidecarTo(batch, textCol, idCol,
+          sidecarDir, outDir)
       }
       .start()
     q.processAllAvailable()

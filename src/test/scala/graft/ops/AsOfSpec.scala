@@ -76,6 +76,29 @@ class AsOfSpec extends SparkSpec {
       Seq("k", "ts", "ev", "asof_pid", "asof_pval"))
   }
 
+  test("payload fields all come from the SAME matched right row, even when " +
+    "that row has null payload fields") {
+    // The matched row (latest prior / earliest next) carries a NULL in
+    // one payload column. Independent per-column ignore-nulls windows
+    // would fill that column from a DIFFERENT right row; the struct
+    // formulation must keep the null.
+    val l = Seq((1L, t(30), "e1")).toDF("k", "ts", "ev")
+    val r = Seq(
+      (1L, t(10), "p_old", Some(100.0)),
+      (1L, t(20), null.asInstanceOf[String], Some(200.0)),  // backward match: pid null
+      (1L, t(40), "p_next", None: Option[Double]),          // forward match: pval null
+      (1L, t(50), "p_later", Some(400.0)))
+      .toDF("k", "ts", "pid", "pval")
+    val back = AsOf.asOfJoin(l, r, Seq("k"), "ts", "ts", Seq("pid", "pval"))
+      .select("asof_pid", "asof_pval").collect()(0)
+    assert(back.isNullAt(0), "backward: null pid must NOT be patched from an older row")
+    assert(back.getDouble(1) === 200.0)
+    val fwd = AsOf.asOfJoinForward(l, r, Seq("k"), "ts", "ts", Seq("pid", "pval"))
+      .select("asof_pid", "asof_pval").collect()(0)
+    assert(fwd.getString(0) === "p_next")
+    assert(fwd.isNullAt(1), "forward: null pval must NOT be patched from a later row")
+  }
+
   test("numeric tiebreaks compare numerically, not lexicographically") {
     // Two right rows at the SAME timestamp with Long ids 9 and 10:
     // a string-ordered tiebreak would pick 9 ('9' > '10'); the

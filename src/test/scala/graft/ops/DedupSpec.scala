@@ -134,6 +134,52 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(sidecar).distinct().count() === 3L)
   }
 
+  test("dedupAgainstSidecar: null-text rows pass through untouched, are " +
+      "never fingerprinted, and don't collapse into each other") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar-null").toString
+    val sidecar = s"$dir/fp"
+    val batch = Seq(
+      (1L, "real doc"),
+      (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]))   // must NOT be treated as a dup of 2
+      .toDF("doc_id", "text")
+    val s1 = Dedup.dedupAgainstSidecar(batch, "text", "doc_id", sidecar)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === Set(1L, 2L, 3L))
+    // sidecar holds only the real fingerprint — no null rows
+    val fps = spark.read.parquet(sidecar)
+    assert(fps.count() === 1L && fps.filter(col("fp").isNull).count() === 0L)
+    // replay: the real doc is now seen; null-text rows still pass through
+    val s2 = Dedup.dedupAgainstSidecar(batch, "text", "doc_id", sidecar)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 === Set(2L, 3L))
+  }
+
+  test("dedupAgainstSidecarTo: sink-first ordering makes a crash between " +
+      "the writes re-emit survivors instead of losing them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sidecar-to").toString
+    val (sidecar, out) = (s"$dir/fp", s"$dir/corpus")
+    val batch = Seq((1L, "doc a"), (2L, "doc b")).toDF("doc_id", "text")
+
+    // simulate the crash window: survivors reached the sink but the
+    // fingerprint append never happened (exactly what the sink-first
+    // ordering makes possible — and the reverse ordering cannot recover)
+    Dedup.sidecarSurvivors(batch, "text", "doc_id", sidecar)
+      .drop("__fp").write.mode("append").parquet(out)
+    assert(!new java.io.File(sidecar).exists)
+
+    // at-least-once replay: the batch re-runs in full
+    Dedup.dedupAgainstSidecarTo(batch, "text", "doc_id", sidecar, out)
+    val rows = spark.read.parquet(out).select("doc_id").as[Long].collect().toSeq
+    // duplicates — the recoverable outcome; nothing lost
+    assert(rows.sorted === Seq(1L, 1L, 2L, 2L))
+    assert(spark.read.parquet(sidecar).count() === 2L)
+
+    // a replay of the now fully-committed batch contributes nothing
+    Dedup.dedupAgainstSidecarTo(batch, "text", "doc_id", sidecar, out)
+    assert(spark.read.parquet(out).count() === 4L)
+  }
+
   test("writeFingerprintSidecar seeds the sidecar from an existing corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sidecar2").toString
     val sidecar = s"$dir/fp"
