@@ -321,22 +321,24 @@ object Relational {
     * size-then-id ordering). Used to write N similar-sized training
     * shards regardless of the document length distribution.
     *
-    * The global row_number is a single total sort of (size, id) pairs
-    * — two narrow columns, NOT the payload; at 100 TB the payload
-    * joins back on `idCol` afterwards (one shuffle), or the sort is
-    * replaced by a range-partitioned rank over the same key. */
+    * The global rank runs through [[globalRankAndRunningSum]] — range
+    * partitions + local windows, NO unpartitioned ranking window — so
+    * the assignment scales with the cluster; only (size, id) pairs
+    * ride the range shuffle, and the total size (hence the shard
+    * count) falls out of the same pass for free. At 100 TB the payload
+    * joins back on `idCol` afterwards (one shuffle). Integer ceil-div
+    * keeps the shard count exact in any engine (double division can
+    * land either side of an integer boundary). */
   def roundRobinShards(df: DataFrame, idCol: String, sizeCol: String,
                        budget: Long): DataFrame = {
-    // integer ceil-div keeps the shard count exact in any engine
-    // (double division can land either side of an integer boundary)
-    val total = df.agg(sum(col(sizeCol)).cast("long").as("t"))
-      .select(expr(s"(t + ${budget - 1}) DIV $budget").as("n_shards"))
-    val w = Window.orderBy(col(sizeCol).desc, col(idCol))
-    df.select(col(idCol), col(sizeCol))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .crossJoin(broadcast(total))
-      .select(col(idCol),
-        ((col("rn") - 1) % greatest(col("n_shards"), lit(1L))).as("shard"),
-        col(sizeCol))
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val (ranked, total) = globalRankAndRunningSum(
+      df.select(col(idCol), col(sizeCol)),
+      order = Seq(col(sizeCol).desc, col(idCol)),
+      value = col(sizeCol), rankCol = "__rn", cumCol = "__cum")
+    val nShards = math.max((total + budget - 1) / budget, 1L)
+    ranked.select(col(idCol),
+      ((col("__rn").cast("long") - 1) % nShards).as("shard"),
+      col(sizeCol))
   }
 }

@@ -175,6 +175,25 @@ class RelationalSpec extends SparkSpec {
     assert(got === Set((1L, 0L, 0L, 0L), (2L, 0L, 3L, 1L), (3L, 1L, 3L, 2L)))
   }
 
+  test("roundRobinShards: distributed rank path — no unpartitioned window, " +
+      "byte-identical to the single-window formulation") {
+    val df = ((1L to 5L).map(i => (i, 500L)) ++
+      (6L to 105L).map(i => (i, 7L))).toDF("id", "sz").repartition(7)
+    val out = roundRobinShards(df, "id", "sz", budget = 400L)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assertNoUnpartitionedWindow(out)
+    // single-window twin (the pre-distributed formulation)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"sz".desc, $"id")
+    val total = (5 * 500L) + (100 * 7L)
+    val nShards = (total + 399L) / 400L
+    val want = df.withColumn("rn", row_number().over(w).cast("long"))
+      .select($"id", (($"rn" - 1) % nShards).as("shard"), $"sz")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("roundRobinShards: LPT round-robin balances shard loads") {
     // skewed sizes: a few huge docs + many small ones
     val df = ((1L to 5L).map(i => (i, 500L)) ++
