@@ -304,15 +304,35 @@ object Similarity {
     * → bigger buckets → higher recall, more re-rank compute), which is
     * the standard ANN contract. The generalization of
     * [[embeddingDedupPairs]] from pairs-above-threshold to
-    * (query_id, neighbor_id, rank ≤ k). */
+    * (query_id, neighbor_id, rank ≤ k).
+    *
+    * Skew guard (real embedding corpora cluster): corpus buckets
+    * holding more than `bucketCap` vectors are dropped before the join
+    * — the [[embeddingDedupPairs]] mechanism. One hot bucket would
+    * otherwise make the re-rank quadratic in that bucket's share of
+    * the corpus AND serialize it on a single reducer (a bucket id is
+    * one join key). Recall impact: a query landing in a dropped bucket
+    * returns NO rows — an oversized bucket at a sane `bits` setting
+    * means heavy near-duplicate mass (a dedup problem, handled by the
+    * dedup operators), so for retrieval raise `bits` until buckets are
+    * informative rather than raising `bucketCap`. The default `bits` =
+    * 12 keeps join-key cardinality at 4096 — enough distinct keys that
+    * join parallelism scales with the cluster, not the signature. */
   def annJoinLsh(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int,
-                 bits: Int = 4, dim: Int = 64,
-                 roundTo: Int = 6): DataFrame = {
+                 bits: Int = 12, dim: Int = 64,
+                 roundTo: Int = 6, bucketCap: Int = 10000): DataFrame = {
     val planes = hyperplanes(bits, dim)
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    val c0 = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), planes))
+    // occupied-bucket counts: ≤ min(2^bits, |corpus|) rows after one
+    // map-side-combined aggregate over bucket ids only — broadcastable
+    val oversized = c0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > bucketCap)
+      .select(col("bucket"))
+    val c = c0.join(broadcast(oversized), Seq("bucket"), "left_anti")
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("bucket", lshBucket(col("qvec"), planes))

@@ -80,7 +80,10 @@ object ScaleQueries {
   /** Batch APPROXIMATE k-NN join — the 100 TB path: candidates come
     * from a bucket EQUALITY join (never a cross join; PlanQualitySpec
     * asserts no nested-loop in this plan), exact cosine re-ranks
-    * within buckets. */
+    * within buckets. bits=4 here so buckets are populated at test SF;
+    * the default bucketCap (10000) sits far above any test-SF bucket,
+    * so the skew guard is exercised structurally (the count+anti-join
+    * run) without dropping anything the oracle would keep. */
   val q120AnnJoinLsh = QueryDef("q120_knn_join_lsh", annJoinLshOracle) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     Similarity.annJoinLsh(

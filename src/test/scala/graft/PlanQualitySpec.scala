@@ -130,9 +130,11 @@ class PlanQualitySpec extends SparkSpec {
       "never a cross join") {
     import org.apache.spark.sql.functions.{col, expr}
     val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // bits=4 so buckets are populated at this tiny SF (the production
+    // default of 12 leaves every test vector in its own bucket)
     val q = graft.ops.Similarity.annJoinLsh(
       queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
-      idCol = "vec_id", vecCol = "embedding", k = 5)
+      idCol = "vec_id", vecCol = "embedding", k = 5, bits = 4)
     val plan = executed(q)
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))

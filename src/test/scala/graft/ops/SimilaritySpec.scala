@@ -130,7 +130,10 @@ class SimilaritySpec extends SparkSpec {
   test("annJoinLsh: subset of brute-force candidates, ranks consistent in-bucket") {
     val emb = Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" % 100 === 0)
-    val lsh = Similarity.annJoinLsh(queries, emb, "vec_id", "embedding", k = 5)
+    // bits=4: populated buckets at this tiny SF (default 12 would
+    // isolate every vector)
+    val lsh = Similarity.annJoinLsh(queries, emb, "vec_id", "embedding",
+        k = 5, bits = 4)
       .collect()
     assert(lsh.nonEmpty)
     lsh.groupBy(_.getLong(0)).foreach { case (_, rs) =>
@@ -141,6 +144,31 @@ class SimilaritySpec extends SparkSpec {
       assert(sorted.map(_.getDouble(2)).toSeq ===
         sorted.map(_.getDouble(2)).sortBy(-_).toSeq)
     }
+  }
+
+  test("annJoinLsh: bucketCap drops a planted degenerate bucket, leaves " +
+      "healthy buckets untouched") {
+    val dim = 64
+    val vecA = Array.tabulate(dim)(i => if (i % 2 == 0) 1.0f else 0.5f)
+    val vecB = vecA.map(-_)  // opposite projections → different bucket
+    val corpus = ((1L to 30L).map(i => (i, vecA.toSeq)) ++
+      (31L to 35L).map(i => (i, vecB.toSeq))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, vecA.toSeq), (31L, vecB.toSeq))
+      .toDF("vec_id", "embedding")
+    val capped = Similarity.annJoinLsh(queries, corpus, "vec_id", "embedding",
+        k = 5, bits = 12, dim = dim, bucketCap = 10)
+      .collect().groupBy(_.getLong(0))
+    // the 30-member bucket is degenerate (> cap) → its query finds nothing
+    assert(!capped.contains(1L),
+      s"degenerate bucket not dropped: ${capped.get(1L).map(_.toSeq)}")
+    // the 5-member bucket is under the cap → 4 neighbors (self excluded)
+    assert(capped(31L).length === 4)
+    // with the cap above both bucket sizes nothing is dropped
+    val uncapped = Similarity.annJoinLsh(queries, corpus, "vec_id", "embedding",
+        k = 5, bits = 12, dim = dim, bucketCap = 1000)
+      .collect().groupBy(_.getLong(0))
+    assert(uncapped(1L).length === 5)
+    assert(uncapped(31L).length === 4)
   }
 
   test("annJoinIvf: <= nprobe cells probed per query, decent recall vs the " +
