@@ -404,6 +404,56 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Batch k-NN join through the MATERIALIZED IVF index
+    * ([[buildIvfIndex]]) — the production retrieval shape: a query
+    * TABLE against a persisted, cell-partitioned index, no KMeans fit
+    * at query time. Centroids broadcast from `$indexDir/centroids`
+    * (nlist tiny rows); each query row picks its `nprobe` probe cells
+    * IN-ROW with the same selection rule as [[annJoinIvf]] (centroid
+    * cosine desc, ties by cell id); the probe explosion joins
+    * `$indexDir/vectors` on cell EQUALITY and exact cosine re-ranks.
+    *
+    * Partition pruning is GUARANTEED, not heuristic: the union of all
+    * probed cells (≤ nlist values — the same bounded-driver class as
+    * the centroid collect) becomes a literal `cell IN (...)` filter on
+    * the scan, so only the probed directories are read — statically,
+    * independent of the DPP cost heuristic; the per-query cell
+    * equality join then narrows each query to ITS nprobe cells. A
+    * query batch therefore reads ~|∪probes|/nlist of the stored bytes,
+    * which is how a stored ANN index must behave on an object store. */
+  def annJoinIvfStored(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .crossJoin(centroids)  // bounded: |queries| × nlist, build side nlist rows
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))  // ≤ nlist values
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(vectors.filter(
+        col("cell").isin(probedCells.map(Integer.valueOf): _*)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+
   /** Per-vector int8 symmetric-quantization statistics: the scale a
     * quantizer would store (127 / max|x|) and the worst-case
     * reconstruction error of round-to-nearest int8 at that scale —

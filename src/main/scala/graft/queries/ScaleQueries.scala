@@ -179,6 +179,32 @@ object ScaleQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Batch k-NN join through the STORED IVF index
+    * ([[Similarity.buildIvfIndex]] + [[Similarity.annJoinIvfStored]]):
+    * the index is materialized cell-partitioned to parquet, then the
+    * query batch runs against it with NO KMeans fit at query time —
+    * probe cells picked in-row vs the broadcast centroid table, the
+    * scan statically pruned to the probed cells. Rows-only (the KMeans
+    * fit is not SQL-expressible); SimilaritySpec pins parity with the
+    * in-memory [[Similarity.annJoinIvf]] and asserts the partition
+    * pruning. The index dir is wiped per run (buildIvfIndex overwrites
+    * but a stale layout from an older nlist would change cells). */
+  val q130AnnJoinIvfStored = QueryDef.rowsOnly("q130_knn_join_ivf_stored") { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q130_ivf_index_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val emb = Tables.embeddings(s, d)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16)
+    Similarity.annJoinIvfStored(s, dir,
+        queries = emb.filter(expr(QueryFilter)),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Sequence packing ([[Relational.packSequences]]): documents
     * concatenated in doc_id order, the token stream cut every 512
     * tokens; each doc reports its landing sequence, offset, and span.
@@ -426,5 +452,5 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
-    q128AsofForward, q129QualityDedup)
+    q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored)
 }

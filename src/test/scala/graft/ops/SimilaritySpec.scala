@@ -83,6 +83,28 @@ class SimilaritySpec extends SparkSpec {
       inMem.select("vec_id", "cos").collect().map(_.toString).toSeq)
   }
 
+  test("annJoinIvfStored: scan pruned to probed cells, parity with the " +
+      "in-memory batch IVF join") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index_batch").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 8)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val stored = Similarity.annJoinIvfStored(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    stored.collect()
+    // the probed-cell literal filter must prune index directories
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+    // same seed/nlist/data -> same KMeans cells -> identical output
+    val inMem = Similarity.annJoinIvf(queries, emb, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4)
+    assert(stored.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ===
+      inMem.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    assert(stored.count() > 0)
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
