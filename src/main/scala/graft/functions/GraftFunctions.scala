@@ -63,6 +63,11 @@ object GraftFunctions {
   def rolling_fingerprint(text: Column): Column =
     ColumnBridge.column(RollingFingerprint(ColumnBridge.expression(text)))
 
+  /** Cross-engine-replayable md5 rolling fingerprint
+    * (see [[RollingFingerprintMd5]]). */
+  def rolling_fingerprint_md5(text: Column): Column =
+    ColumnBridge.column(RollingFingerprintMd5(ColumnBridge.expression(text)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -94,7 +99,8 @@ object GraftFunctions {
     "sorted_intersect_count" -> (exprs =>
       SortedIntersectCount(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
-    "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))))
+    "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))),
+    "rolling_fingerprint_md5" -> (exprs => RollingFingerprintMd5(exprs(0))))
 
   /** Evaluate a foldable array-of-strings argument of a SQL call. */
   private def stringArrayArg(fn: String, e: Expression): Seq[String] = {

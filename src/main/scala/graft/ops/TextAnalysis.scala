@@ -172,6 +172,29 @@ object TextAnalysis {
       shiftleft(acc, 5).bitwiseXOR(shiftrightunsigned(acc, 59))
         .bitwiseXOR(xxhash64(t)))
 
+  /** Cross-engine-replayable rolling fingerprint: same rotl-XOR fold,
+    * but the token hash is the top 60 bits of the token's MD5 and the
+    * fold runs in a 60-bit domain — every quantity stays in [0, 2^60),
+    * so an external engine (DuckDB `list_reduce`, q28's oracle)
+    * replays it with plain signed-64-bit arithmetic. Runs as the fused
+    * one-scan codegen expression
+    * ([[graft.functions.RollingFingerprintMd5]]); [[fingerprintMd5Hof]]
+    * is the property-test twin. Use [[fingerprint]] (xxhash64, ~3×
+    * faster per token) when external replay isn't needed. */
+  def fingerprintMd5(text: Column): Column =
+    graft.functions.GraftFunctions.rolling_fingerprint_md5(text)
+
+  /** Interpreted-HOF md5 fingerprint (reference formulation,
+    * bit-identical to the fused expression): the token hash is
+    * q109's md5-prefix construction — `conv(substring(md5(t),1,15),
+    * 16, 10)` — and rotl60(acc,5) is `((acc & 2^55-1) << 5) |
+    * (acc >>> 55)`. */
+  def fingerprintMd5Hof(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) =>
+      shiftleft(acc.bitwiseAND(lit((1L << 55) - 1)), 5)
+        .bitwiseOR(shiftrightunsigned(acc, 55))
+        .bitwiseXOR(conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+
   /** Fixed-size token chunking with overlap — the standard step that
     * turns variable-length documents into training-window-sized pieces
     * (stride = chunkTokens - overlap). Implemented as an in-row

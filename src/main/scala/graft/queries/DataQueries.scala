@@ -181,10 +181,26 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Order-sensitive rolling-hash document fingerprints. */
-  val q28Fingerprint = QueryDef.rowsOnly("q28_fingerprint") { (s, d) =>
+  /** Order-sensitive rolling-hash document fingerprints, ORACLED: the
+    * token hash is md5-derived (top 60 bits — q109's construction) and
+    * the rotl5-XOR fold runs in a 60-bit domain, so DuckDB replays the
+    * exact fold with `list_reduce` over plain signed-64-bit ops. Still
+    * one fused codegen scan per document on the Spark side
+    * ([[graft.functions.RollingFingerprintMd5]]); the xxhash64 variant
+    * ([[TextAnalysis.fingerprint]]) stays property-tested for
+    * pipelines that don't need external replay. */
+  val q28Fingerprint = QueryDef(
+    "q28_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ' '),
+      |        t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT))),
+      |    (acc, h) -> xor(((acc & 36028797018963967) << 5) | (acc >> 55), h)
+      |  ) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
       .orderBy(col("doc_id"))
   }
 

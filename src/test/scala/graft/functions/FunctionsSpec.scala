@@ -198,6 +198,33 @@ class FunctionsSpec extends SparkSpec {
       s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}"))
   }
 
+  test("rolling_fingerprint_md5: fused expression bit-identical to the HOF " +
+      "on real documents and whitespace edge cases; stays in [0, 2^60)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq((9001L, ""), (9002L, " "), (9003L, "a  b"),
+        (9004L, "ünïcode €"), (9005L, "a b "))
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        GraftFunctions.rolling_fingerprint_md5($"text").as("fused"),
+        graft.ops.TextAnalysis.fingerprintMd5Hof($"text").as("hof"))
+      .collect()
+    assert(rows.length === 505)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}")
+      // the 60-bit domain is what makes the fold externally replayable
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} outside [0, 2^60)")
+    }
+    // known-answer pin (cross-checked against the DuckDB list_reduce
+    // replay and an independent reference implementation)
+    val known = Seq(("the quick brown fox", 1L)).toDF("text", "x")
+      .select(GraftFunctions.rolling_fingerprint_md5($"text"))
+      .collect()(0).getLong(0)
+    assert(known === 67514990521228468L)
+  }
+
   test("sorted_intersect_count: nulls and empties") {
     val df = Seq(
       (Some(Seq(1L, 2L)), None),
