@@ -376,6 +376,20 @@ object ScaleQueries {
     * string-formatting argmax tricks: the quality doubles are the same
     * IEEE products in both engines (q22's proven expression), so the
     * equality filter selects the same rows. */
+  /** The q22-proven composite quality expression (unrounded — both
+    * engines compute the identical IEEE product), shared by q129 and
+    * the composed q131 pipeline. */
+  private def docQuality(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val nTokens = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val stopRatio = TextAnalysis.stopwordCount(t).cast("double") / nTokens
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    least(nTokens / 20.0, lit(1.0)) *
+      when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3) *
+      when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+  }
+
   val q129QualityDedup = QueryDef(
     "q129_quality_dedup",
     """WITH RECURSIVE toks AS (
@@ -427,15 +441,8 @@ object ScaleQueries {
     val comp = graft.ops.Clustering.jaccardDedupClusters(docs,
         threshold = 0.7, lenBlock = 10)
       .select(col("doc_id"), col("component"))
-    val t = col("text")
-    val nTokens = TextAnalysis.tokenCount(t)
-    val nChars = length(t)
-    val stopRatio = TextAnalysis.stopwordCount(t).cast("double") / nTokens
-    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
-    val quality = least(nTokens / 20.0, lit(1.0)) *
-      when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3) *
-      when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
-    val j = comp.join(docs.select(col("doc_id"), quality.as("quality")),
+    val j = comp.join(
+      docs.select(col("doc_id"), docQuality(col("text")).as("quality")),
       "doc_id")
     val best = j.groupBy(col("component"))
       .agg(max(col("quality")).as("max_q"),
@@ -449,8 +456,205 @@ object ScaleQueries {
       .orderBy(col("component"))
   }
 
+  /** The composed post-sidecar curation plan — every round-5 operator
+    * chained in one lazy DataFrame: incremental sidecar dedup →
+    * substring dup-span filter → near-dup cluster quality survivors →
+    * per-source mixture budget → sequence packing. Split out so the
+    * plan-quality spec can assert its shuffle budget and window shapes
+    * directly. The only materialization points inside it are the ones
+    * the component operators own for crash safety / iteration
+    * (sidecar survivors, connected-components rounds, range-partition
+    * offsets) — each bounded and documented at its operator. */
+  private[graft] def curationPipeline(
+      docs: org.apache.spark.sql.DataFrame,
+      sidecarDir: String,
+      totalBudget: Long = 2000L,
+      seqTokens: Long = 256L): org.apache.spark.sql.DataFrame = {
+    // 1. incremental dedup vs the persisted fingerprint sidecar
+    val surv = Dedup.dedupAgainstSidecar(docs, "text", "doc_id", sidecarDir)
+    // 2. substring-level dup-span filter WITHIN the surviving corpus
+    val spans = Dedup.duplicateSpans(surv, "text", "doc_id", chunkTokens = 10)
+      .select(col("doc_id"), col("dup_span_frac"))
+    val fdocs = surv.join(spans, "doc_id")
+      .filter(col("dup_span_frac") < 0.5)
+      .drop("dup_span_frac")
+    // 3. quality-aware near-dup cluster survivors (q129 machinery)
+    val comp = graft.ops.Clustering.jaccardDedupClusters(fdocs,
+        threshold = 0.7, lenBlock = 10)
+      .select(col("doc_id"), col("component"))
+    val j = comp.join(
+      fdocs.select(col("doc_id"), docQuality(col("text")).as("quality")),
+      "doc_id")
+    val best = j.groupBy(col("component")).agg(max(col("quality")).as("max_q"))
+    val keep = j.join(best, "component")
+      .filter(col("quality") === col("max_q"))
+      .groupBy(col("component")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kdocs = fdocs.join(keep, "doc_id")
+    // 4. per-source mixture budget (q126 machinery): sqrt-temperature
+    //    weights over the CURATED corpus, md5-ranked admission
+    val toks = TextAnalysis.tokens(col("text"))
+    val budgets = kdocs
+      .groupBy(col("source"))
+      .agg(sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("iw", floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      .withColumn("token_budget",
+        floor(lit(totalBudget) * (col("iw").cast("double") /
+          sum(col("iw")).over(Window.partitionBy()).cast("double")))
+          .cast("long"))
+      .select(col("source"), col("token_budget"))
+    val wSrc = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val mdocs = kdocs
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_toks"))
+      .withColumn("cum_toks",
+        sum(col("n_toks")).over(wSrc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_toks") <= col("token_budget"))
+      .select(col("doc_id"), col("n_toks"))
+    // 5. sequence packing over the admitted stream (distributed cumsum)
+    Relational.packSequences(mdocs, order = Seq(col("doc_id")),
+        nTokens = col("n_toks"), seqTokens = seqTokens)
+      .select(col("doc_id"), col("n_toks"), col("cum_tokens"),
+        col("start_seq"), col("start_offset"), col("end_seq"))
+  }
+
+  /** The full round-5 curation pipeline in ONE composition — proves
+    * the new operators chain without engine-level materialization
+    * barriers: sidecar dedup (q123) → dup-span filter (q121) →
+    * quality cluster survivors (q129) → mixture budget (q126) →
+    * sequence packing (q125). The oracle replays every stage in
+    * DuckDB as one CTE chain; each stage's cross-engine parity was
+    * proven in isolation by its own query, so a mismatch here could
+    * only come from the COMPOSITION (the property this query pins).
+    * Budget 2000 binds at every test SF (sources carry 280-600
+    * curated tokens each), so the mixture stage genuinely drops
+    * documents rather than passing everything through. */
+  val q131CurationPipeline = QueryDef(
+    "q131_curation_pipeline",
+    """WITH RECURSIVE seen AS (
+      |  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+      |), cand AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  LEFT JOIN seen s ON d.text = s.text WHERE s.text IS NULL
+      |), surv AS (
+      |  SELECT min(doc_id) AS doc_id FROM cand GROUP BY text
+      |), sdocs AS (
+      |  SELECT d.* FROM surv s JOIN documents d USING (doc_id)
+      |), toksp AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM sdocs
+      |), chunks AS (
+      |  SELECT doc_id, array_to_string(ts[i : i + 9], ' ') AS chunk_text,
+      |         CAST(len(ts[i : i + 9]) AS BIGINT) AS chunk_tokens
+      |  FROM toksp, unnest(generate_series(1, greatest(len(ts), 1), 10)) AS g(i)
+      |), occ AS (
+      |  SELECT chunk_text, count(*) AS occ FROM chunks GROUP BY 1
+      |), spanagg AS (
+      |  SELECT c.doc_id, sum(c.chunk_tokens) AS n_tokens,
+      |    sum(CASE WHEN o.occ >= 2 THEN c.chunk_tokens ELSE 0 END) AS dup_tokens
+      |  FROM chunks c JOIN occ o USING (chunk_text) GROUP BY 1
+      |), fdocs AS (
+      |  SELECT s.* FROM sdocs s JOIN spanagg a USING (doc_id)
+      |  WHERE CAST(a.dup_tokens AS DOUBLE) / a.n_tokens < 0.5
+      |), toks AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts,
+      |         len(string_split(text, ' ')) AS n_toks
+      |  FROM fdocs
+      |), pairs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND (a.n_toks // 10) = (b.n_toks // 10)
+      |       AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.ts, b.ts))) >= 0.7
+      |), sym AS (
+      |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM fdocs
+      |  UNION
+      |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+      |), qual AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |  FROM (
+      |    SELECT doc_id, length(text) AS n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |    FROM fdocs)
+      |), jq AS (
+      |  SELECT c.component, c.doc_id, q.quality
+      |  FROM comp c JOIN qual q USING (doc_id)
+      |), best AS (
+      |  SELECT component, max(quality) AS max_q FROM jq GROUP BY component
+      |), keep AS (
+      |  SELECT min(jq.doc_id) AS doc_id
+      |  FROM best b JOIN jq ON jq.component = b.component AND jq.quality = b.max_q
+      |  GROUP BY b.component
+      |), kdocs AS (
+      |  SELECT d.* FROM keep k JOIN fdocs d USING (doc_id)
+      |), srctok AS (
+      |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM kdocs GROUP BY 1
+      |), iw AS (
+      |  SELECT source,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS iw
+      |  FROM srctok
+      |), bud AS (
+      |  SELECT source,
+      |    CAST(floor(2000 * (CAST(iw AS DOUBLE)
+      |      / CAST(SUM(iw) OVER () AS DOUBLE))) AS BIGINT) AS token_budget
+      |  FROM iw
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+      |    md5(CAST(d.doc_id AS VARCHAR)) AS rk
+      |  FROM kdocs d
+      |), cum AS (
+      |  SELECT source, doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY rk, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_toks
+      |  FROM ranked
+      |), mdocs AS (
+      |  SELECT c.doc_id, c.n_toks FROM cum c JOIN bud USING (source)
+      |  WHERE c.cum_toks <= bud.token_budget
+      |), packed AS (
+      |  SELECT doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM mdocs
+      |)
+      |SELECT doc_id, n_toks, cum_tokens,
+      |  CAST((cum_tokens - n_toks) // 256 AS BIGINT) AS start_seq,
+      |  CAST((cum_tokens - n_toks) % 256 AS BIGINT) AS start_offset,
+      |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS end_seq
+      |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q131_sidecar_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val docs = Tables.documents(s, d)
+    Dedup.writeFingerprintSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    curationPipeline(docs, dir).orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
-    q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored)
+    q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
+    q131CurationPipeline)
 }

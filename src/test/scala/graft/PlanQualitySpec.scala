@@ -145,6 +145,88 @@ class PlanQualitySpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("composed curation pipeline (q131): bounded shuffle budget, no " +
+      "cartesian products, the only unpartitioned window is the bounded " +
+      "per-source budget share") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-q131").toString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    graft.ops.Dedup.writeFingerprintSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    // the pipeline materializes in several jobs (checkpointed operator
+    // boundaries), so the shuffle budget must be counted across ALL of
+    // them, not just the final (checkpoint-truncated) plan. Under AQE
+    // every materialized query stage runs as its own job, so
+    // stage-minus-job arithmetic is useless — count the stages that
+    // actually WROTE shuffle data (each one is a full shuffle of its
+    // output at 100 TB). Skipped / reused stages never complete, so
+    // plan reuse correctly counts as zero.
+    @volatile var shuffleWritingStages = 0
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleWritingStages += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val out = graft.queries.ScaleQueries.curationPipeline(docs, dir)
+        out.collect()
+        // listener events are posted asynchronously; wait for the
+        // counters to stabilize (no public listenerBus.waitUntilEmpty)
+        var prev = -1
+        while (prev != shuffleWritingStages + jobs) {
+          prev = shuffleWritingStages + jobs
+          Thread.sleep(300)
+        }
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val next = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // every distributed ranking rides a partitioned window; the single
+    // allowed empty partitionSpec is the budget share computed over the
+    // per-SOURCE aggregate (rows = source count, bounded by design)
+    val unpartitioned = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.size <= 1,
+      s"unpartitioned windows:\n${unpartitioned.mkString("\n")}")
+    // shuffle budget across the whole pipeline: dedup anti-join +
+    // survivor window, span occurrence count + join-back + doc rollup,
+    // cluster pair-join + CC contraction/propagation rounds, quality
+    // argmax joins, budget agg + admission window, the pack range
+    // shuffle, and the small broadcast-prep aggs. A regression here
+    // means a stage stopped reusing a partitioning or an operator
+    // gained an extra pass — each extra shuffle-writing stage is a
+    // full-data shuffle at 100 TB. Measured 34 at this SF (CC
+    // converges in ≤2 propagation rounds here); 44 leaves slack for
+    // one extra CC round and AQE re-planning without letting a whole
+    // extra pipeline stage sneak in.
+    assert(shuffleWritingStages <= 44,
+      s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
+        s"stages across $jobs jobs")
+  }
+
   test("batch k-NN join (brute force): the only nested loop is the bounded " +
       "query-batch broadcast; ranking is group-limited before the shuffle") {
     import org.apache.spark.sql.functions.expr
