@@ -49,6 +49,20 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val ok = times.forall(_._2)
+      // neighborhood hygiene BETWEEN queries (never between a query's
+      // own runs): round-5 showed the q58-q68 block "regressing"
+      // 1.8-5x with zero code change purely because the new q12x
+      // queries — IVF index builds, connected-components rounds,
+      // sidecar writes, each leaving cached plans, localCheckpoint
+      // blocks, and broadcast variables behind — landed just before it
+      // in the pinned name sort; the same block re-run in isolation
+      // matched round 4 exactly. Clearing the SQL cache and prompting
+      // a driver GC (which lets the ContextCleaner reap checkpoint
+      // RDDs and broadcasts) stops each query's residue from being
+      // charged to whoever alphabetically follows it.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       (name, times.map(_._1).min, ok)
     }
     val qs = results.map { case (k, v, ok) =>
