@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.LongType
+
+/** Declared-scale bench: times the most expensive queries against a
+  * synthetic N× blow-up of the input scale factor to catch plans that
+  * only LOOK linear at bench size (a quadratic candidate generator or
+  * an accidentally-unpartitioned window is invisible at 600 k rows and
+  * fatal at 100 TB).
+  *
+  * Blow-up construction: each FACT table becomes the union of N
+  * re-keyed copies — every int64 `*key` / `*_id` column is shifted by
+  * `copy * 2^33` so copies never collide and FK relationships stay
+  * intact WITHIN a copy (lineitem copy 3 joins orders copy 3). The
+  * tiny int32-keyed dimensions (region, nation) are NOT replicated —
+  * scaling a corpus 10× grows customers-per-nation, not nations, so
+  * group-by-dimension cardinalities stay fixed while fact rows scale,
+  * exactly like a real scale-up. Non-key payloads (text, embeddings,
+  * timestamps) are copied verbatim, which makes the blown corpus a
+  * 10×-duplicated one — deliberately adversarial for the dedup /
+  * similarity family: every LSH bucket, minhash band, and chunk-hash
+  * group is 10× denser, so candidate generation that is secretly
+  * quadratic in duplication density shows up immediately.
+  *
+  * `events.ts` arrives as parquet TIMESTAMP(NANOS), which the blown
+  * copy stores as a plain int64 of the same nano value
+  * (`nanosAsLong`); [[graft.sources.Tables.events]] applies the same
+  * div-1000 conversion to either encoding, so query code is unchanged.
+  *
+  * Each selected query runs `SPARK_GRAFT_BENCH_RUNS`-min (default
+  * min-of-2) at the base SF and at the blow-up; the artifact reports
+  * seconds at both plus `ratio`, and names every query whose ratio
+  * exceeds `copies × 1.5` as super-linear (1.5 = slack for the extra
+  * shuffle waves 32 fixed partitions take at 10× the data).
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_SCALE_COPIES
+  * (default 10), SPARK_GRAFT_BENCH_RUNS (default 2),
+  * SPARK_GRAFT_SCALEBENCH_QUERIES (comma list; default = the pinned
+  * most-expensive set from the round-5/6 bench).
+  */
+object ScaleBench {
+
+  /** int64 `*key` / `*_id` columns — the shard-scale identifiers. The
+    * int32 keys (nationkey, regionkey, linenumber) are dimension /
+    * intra-row ids and keep their values in every copy. */
+  private def shiftCols(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == LongType &&
+        (f.name.endsWith("key") || f.name.endsWith("_id")) => f.name
+    }.toSeq
+
+  /** The replicated fact tables; region/nation stay single-copy. */
+  private val FactTables = Seq("customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def materialize(spark: SparkSession, sfDir: String, outDir: String,
+                  copies: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.sources.Tables.allTables.foreach { t =>
+      val base = spark.read.parquet(s"$sfDir/$t.parquet")
+      val n = if (FactTables.contains(t)) copies else 1
+      val stride = 1L << 33
+      val blown = (0 until n).map { i =>
+        shiftCols(base).foldLeft(base) { (df, c) =>
+          df.withColumn(c, col(c) + lit(i * stride))
+        }
+      }.reduce(_ unionByName _)
+      blown.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** Pinned default: the most expensive queries of the full bench,
+    * one per operator family it stresses (joins, window ranks, listagg
+    * shuffles, NOT IN anti-join, ORC IO, minhash LSH, batch k-NN in
+    * exact + LSH form, CC clustering, the composed curation
+    * pipeline). */
+  private val DefaultQueries = Seq(
+    "q72_salted_join", "q65_in_subquery", "q62_listagg",
+    "q25_minhash_pairs", "q59_topk_custom_op", "q04_large_join",
+    "q96_pipeline_e2e", "q122_knn_join_exact", "q120_knn_join_lsh",
+    "q103_dedup_clusters", "q131_curation_pipeline")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val names = sys.env.get("SPARK_GRAFT_SCALEBENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+    val outDir = s"target/tmp/scalebench_x$copies"
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    materialize(spark, sfDir, outDir, copies)
+
+    def time(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    val rows = names.filter(SparkEntry.queries.contains).map { name =>
+      val base = time(name, sfDir)
+      val blown = time(name, outDir)
+      // hygiene between queries (see Bench): one query's checkpoint /
+      // broadcast residue must not be charged to the next
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+      val ratio = if (base > 0) blown / base else -1.0
+      (name, base, blown, ratio)
+    }
+    val superlinear = rows.collect {
+      case (n, _, _, r) if r > copies * 1.5 => n
+    }
+    val qs = rows.map { case (n, b, x, r) =>
+      f"""\"$n\":{\"base_sec\":$b%.3f,\"x${copies}_sec\":$x%.3f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val sl = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scalebench","copies":$copies,"runs":$runs,""" +
+      s""""queries":$qs,"superlinear":$sl,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
