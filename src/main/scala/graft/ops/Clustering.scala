@@ -181,7 +181,12 @@ object Clustering {
     * token counts, so candidates stay within a block and pair
     * generation never goes quadratic in the corpus — it is quadratic
     * only within a block, the standard blocking trade-off (recall
-    * bounded by the block width).
+    * bounded by the block width). EXACT duplicates never even reach
+    * the pair stage: identical texts collapse to one min-id
+    * representative first (one partitioned window on md5(text)), so
+    * within-block cost is quadratic in distinct texts, not in
+    * duplication density — a 10×-duplicated corpus pays the same
+    * comparison bill as its deduplicated twin.
     *
     * Two interchangeable pair generators (identical edge sets):
     *
@@ -206,16 +211,53 @@ object Clustering {
     * Output: (doc_id, component, cluster_size); `component` is the min
     * doc_id of the cluster — the canonical survivor a dedup keeps.
     */
+  /** @param collapseExact when true (default), identical texts are
+    *   collapsed to one min-id representative BEFORE pair generation
+    *   (see the fingerprint note below) — candidate cost then depends
+    *   on distinct texts, not duplication density. Set false ONLY when
+    *   the input is already exact-deduplicated (e.g. downstream of
+    *   [[Dedup.dedupAgainstSidecar]] or [[Dedup.exactDedup]]), where
+    *   the collapse is provably a no-op and its two narrow shuffle
+    *   stages are pure overhead. Output is identical either way. */
   def jaccardDedupClusters(
       docs: DataFrame,
       threshold: Double = 0.7,
       lenBlock: Int = 10,
-      invertedIndex: Boolean = false): DataFrame = {
-    val base = docs.select(
+      invertedIndex: Boolean = false,
+      collapseExact: Boolean = true): DataFrame = {
+    val base0 = docs.select(
       col("doc_id").cast("long").as("doc_id"),
       col("lang"),
       expr(s"size(split(text, ' ')) DIV $lenBlock").as("blk"),
-      array_distinct(split(col("text"), " ")).as("ts"))
+      array_distinct(split(col("text"), " ")).as("ts"),
+      // exact-duplicate collapse key: identical texts ALWAYS satisfy
+      // Jaccard 1.0 >= threshold and share (lang, blk), so pair
+      // generation only ever needs ONE representative per distinct
+      // text — without this, a corpus with duplication density d pays
+      // d^2 on every within-block comparison (the 10x-duplicated
+      // ScaleBench corpus showed cluster pair listing growing fastest
+      // of all benched queries for exactly this reason). Null-text
+      // rows keep a per-row key so they stay singletons, matching the
+      // null-join semantics of the pair stage.
+      coalesce(md5(col("text")),
+        concat(lit("null-"), col("doc_id").cast("string"))).as("__fp"))
+    // min-id representative per distinct text, via ONE min_by
+    // aggregation on the fingerprint: it partial-aggregates map-side,
+    // so the shuffle moves at most one array row per DISTINCT text per
+    // partition — at duplication density d that is d× LESS array
+    // traffic than the pair join itself, not more. Members rejoin
+    // their representative's component through the fingerprint at the
+    // end (narrow rows only).
+    val reps =
+      if (collapseExact)
+        base0.groupBy(col("__fp"))
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("blk"), col("ts")),
+            col("doc_id")).as("__r"))
+          .select(col("__fp"), col("__r.doc_id").as("doc_id"),
+            col("__r.lang").as("lang"), col("__r.blk").as("blk"),
+            col("__r.ts").as("ts"))
+      else base0
+    val base = reps.drop("__fp")
     val pairs =
       if (invertedIndex) {
         val toks = base.withColumn("n_distinct", size(col("ts")))
@@ -251,9 +293,24 @@ object Clustering {
           .select("src", "dst")
       }
 
+    // components over REPRESENTATIVES only; members then adopt their
+    // representative's component. The component id is unchanged by the
+    // collapse: the cluster's global min doc_id is itself a
+    // representative (it is the min of its own text group), so the
+    // min-reachable-label CC over reps yields the same ids the
+    // all-docs CC did. cluster_size counts ALL member docs.
     val cc = connectedComponents(pairs, "src", "dst",
-      nodes = Some(docs.select(col("doc_id").cast("long").as("src"))))
-    cc.withColumnRenamed("node", "doc_id")
+      nodes = Some(base.select(col("doc_id").as("src"))))
+    val labeled =
+      if (collapseExact) {
+        val fpComp = reps.select(col("doc_id"), col("__fp"))
+          .join(cc.withColumnRenamed("node", "doc_id"), "doc_id")
+          .select(col("__fp"), col("component"))
+        base0.select(col("doc_id"), col("__fp"))
+          .join(fpComp, "__fp")
+          .select(col("doc_id"), col("component"))
+      } else cc.withColumnRenamed("node", "doc_id")
+    labeled
       .withColumn("cluster_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("component"))))

@@ -478,9 +478,12 @@ object ScaleQueries {
     val fdocs = surv.join(spans, "doc_id")
       .filter(col("dup_span_frac") < 0.5)
       .drop("dup_span_frac")
-    // 3. quality-aware near-dup cluster survivors (q129 machinery)
+    // 3. quality-aware near-dup cluster survivors (q129 machinery).
+    //    collapseExact=false: stage 1's sidecar dedup already
+    //    guarantees distinct texts, so the clusterer's own
+    //    exact-duplicate collapse would be a no-op paid in shuffles.
     val comp = graft.ops.Clustering.jaccardDedupClusters(fdocs,
-        threshold = 0.7, lenBlock = 10)
+        threshold = 0.7, lenBlock = 10, collapseExact = false)
       .select(col("doc_id"), col("component"))
     val j = comp.join(
       fdocs.select(col("doc_id"), docQuality(col("text")).as("quality")),

@@ -61,4 +61,27 @@ class ClusteringSpec extends SparkSpec {
     assert(out.count() === 100)
     assert(out.select("doc_id").distinct().count() === 100)
   }
+
+  test("jaccardDedupClusters: exact-duplicate collapse is semantics-free — " +
+      "a 5x-duplicated corpus clusters identically with and without it") {
+    import org.apache.spark.sql.functions.col
+    // 5 copies of each doc under fresh ids: every copy must land in
+    // its original's cluster (identical text = Jaccard 1.0), and the
+    // component ids/sizes must match the uncollapsed run exactly
+    val docs = Tables.documents(spark, sf0001).limit(40)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val blown = (0 until 5).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + (i * 1000000L)))
+      .reduce(_ unionByName _)
+    def canon(collapse: Boolean) =
+      Clustering.jaccardDedupClusters(blown, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val on = canon(collapse = true)
+    val off = canon(collapse = false)
+    assert(on === off)
+    // and the duplicates genuinely clustered: every copy of doc d has
+    // d's component, so no component is smaller than the copy count
+    assert(on.map(_._3).min >= 5L)
+  }
 }
