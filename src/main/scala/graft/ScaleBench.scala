@@ -87,8 +87,13 @@ object ScaleBench {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val names = sys.env.get("SPARK_GRAFT_SCALEBENCH_QUERIES")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+    // ALL = full-registry linearity map; otherwise a comma list or the
+    // pinned most-expensive default
+    val names = sys.env.get("SPARK_GRAFT_SCALEBENCH_QUERIES") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(",").map(_.trim).toSeq
+      case None => DefaultQueries
+    }
     val outDir = s"target/tmp/scalebench_x$copies"
 
     val spark = SparkSession.builder()
@@ -102,13 +107,19 @@ object ScaleBench {
 
     materialize(spark, sfDir, outDir, copies)
 
+    // a failed run reports -1 rather than aborting the sweep (a
+    // full-registry map must survive one bad query)
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
-      (1 to runs).map { _ =>
+      val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name @ $dir FAILED: ${e.getMessage}")
+          -1.0
+        }
+      }
+      if (ts.exists(_ < 0)) -1.0 else ts.min
     }
 
     val rows = names.filter(SparkEntry.queries.contains).map { name =>
@@ -119,18 +130,20 @@ object ScaleBench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      val ratio = if (base > 0) blown / base else -1.0
+      val ratio = if (base > 0 && blown >= 0) blown / base else -1.0
       (name, base, blown, ratio)
     }
     val superlinear = rows.collect {
       case (n, _, _, r) if r > copies * 1.5 => n
     }
+    val errors = rows.collect { case (n, b, x, _) if b < 0 || x < 0 => n }
     val qs = rows.map { case (n, b, x, r) =>
       f"""\"$n\":{\"base_sec\":$b%.3f,\"x${copies}_sec\":$x%.3f,\"ratio\":$r%.2f}"""
     }.mkString("{", ",", "}")
     val sl = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val er = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scalebench","copies":$copies,"runs":$runs,""" +
-      s""""queries":$qs,"superlinear":$sl,"sf":"$sfDir"}""")
+      s""""queries":$qs,"superlinear":$sl,"errors":$er,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
