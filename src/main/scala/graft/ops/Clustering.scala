@@ -52,6 +52,16 @@ object Clustering {
     *                appear as singleton components. Defaults to the
     *                ids present in `edges`.
     * @param maxIter hard cap on propagation rounds (diameter bound)
+    * @param localFinishEdges when the CONTRACTED forest has at most
+    *   this many edges, finish it with one union-find on the driver
+    *   instead of the distributed propagation loop: the collect is
+    *   bounded by the gate itself (16 bytes/edge — the 4M default is
+    *   ~64 MB), labels broadcast-join back to the universe, and the
+    *   result is identical (union-by-min-root = min-reachable label).
+    *   Map-side contraction typically collapses dup-cluster graphs
+    *   (dense near-cliques) by orders of magnitude, so even 100 TB
+    *   corpora often land under the gate; pass 0 to force the fully
+    *   distributed path.
     * @return (node, component) — component = min node id reachable
     */
   def connectedComponents(
@@ -59,7 +69,8 @@ object Clustering {
       srcCol: String,
       dstCol: String,
       nodes: Option[DataFrame] = None,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      localFinishEdges: Long = 1L << 22): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // materialize the (possibly expensive) edge derivation ONCE —
@@ -122,6 +133,38 @@ object Clustering {
       pass += 1
       if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
         println(s"[cc] contraction pass $pass edges=$m2")
+    }
+
+    // small-remainder finish: the contracted forest is usually orders
+    // of magnitude smaller than the input pair list (dup clusters are
+    // near-cliques — exactly what local union-find collapses best).
+    // When it fits under the gate, ~10 propagation-loop jobs (symmetric
+    // closure, label init, per-round joins and fixpoint aggregates)
+    // collapse into one bounded collect + one broadcast join. The gate
+    // makes the driver memory bound explicit; union-by-min-root yields
+    // the same min-reachable labels the propagation loop converges to.
+    if (m <= localFinishEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) {
+          val n = parent(c); parent(c) = r; c = n
+        }
+        r
+      }
+      es.select("src", "dst").as[(Long, Long)].collect().foreach {
+        case (s, d) =>
+          val rs = find(s); val rd = find(d)
+          if (rs < rd) parent(rd) = rs
+          else if (rd < rs) parent(rs) = rd
+      }
+      val labelPairs = parent.keys.toArray.map(n => (n, find(n)))
+        .filter { case (n, r) => n != r }
+      val labelDf = labelPairs.toSeq.toDF("node", "__c")
+      return universe.join(broadcast(labelDf), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__c"), col("node")).as("component"))
     }
 
     // phase 2: propagation needs the symmetric closure, pre-partitioned

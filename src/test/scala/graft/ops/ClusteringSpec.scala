@@ -36,6 +36,26 @@ class ClusteringSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 8L))
   }
 
+  test("connectedComponents: distributed propagation and the gated local " +
+      "finish produce identical labels") {
+    // chain (multi-round propagation) + clique (contraction) + isolates
+    val edges = (1L to 49L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (101L, 102L),
+        (101L, 103L), (102L, 103L)) ++
+      Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val nodes = ((1L to 50L) ++ (100L to 103L) ++ (200L to 202L) ++
+      Seq(300L, 301L)).toSeq
+    def run(gate: Long) = Clustering.connectedComponents(
+        edges.toDF("src", "dst"), "src", "dst",
+        Some(nodes.toDF("src")), localFinishEdges = gate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val local = run(Long.MaxValue)
+    val distributed = run(0L)
+    assert(local === distributed)
+    assert(local.toMap.apply(50L) === 1L)   // 49-hop chain reached
+    assert(local.toMap.apply(300L) === 300L)
+  }
+
   test("jaccardDedupClusters: transitive closure groups A~B~C together") {
     // b is within 0.7 Jaccard of both a and c, but a~c alone is below
     // the threshold — the transitive closure must still cluster all 3
