@@ -172,6 +172,44 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
 
+  /** Append new vectors to a materialized IVF index WITHOUT refitting
+    * — the incremental-ingest half of index maintenance (a nightly
+    * embedding batch must not re-cluster the whole corpus): each new
+    * vector is assigned to its nearest STORED centroid — exact
+    * squared-euclidean argmin, ties to the lowest cell id, the same
+    * rule `KMeans.transform` applies — and appended to the
+    * cell-partitioned layout, where [[annJoinIvfStored]] /
+    * [[ivfCosineTopKStored]] see it on their next scan with no other
+    * change.
+    *
+    * Shape at scale: candidates come from a broadcast nested loop
+    * against the nlist-row centroid table (bounded build side), and
+    * the argmin is a map-side-combining `min_by` — one narrow shuffle
+    * row per vector. Centroids drift as the corpus grows; rebuild with
+    * [[buildIvfIndex]] when cell-size skew warrants, and serve reads
+    * from the appended index meanwhile. Same single-writer contract as
+    * the dedup sidecar ([[graft.ops.Dedup.dedupAgainstSidecar]]):
+    * concurrent appends to one index dir need external serialization. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, df: DataFrame,
+                       idCol: String, vecCol: String): Unit = {
+    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as("vec_id"), v.as("vec"))
+      .crossJoin(centroids) // bounded: build side is nlist rows
+      .select(col("vec_id"), col("vec"), col("cell"),
+        aggregate(zip_with(col("vec"), col("centroid"),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+          .as("dist2"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cell"), col("vec")),
+        struct(col("dist2"), col("cell"))).as("__r"))
+      .select(col("vec_id"), col("__r.vec").as("vec"),
+        col("__r.cell").as("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexDir/vectors")
+  }
+
   /** Query the stored index: centroid ranking is a driver-side loop
     * over nlist tiny vectors; the data scan reads ONLY the nprobe
     * pruned partitions (PartitionFilters — asserted in the spec). */

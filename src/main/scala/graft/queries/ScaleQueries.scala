@@ -456,6 +456,31 @@ object ScaleQueries {
       .orderBy(col("component"))
   }
 
+  /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
+    * the index is built from the even-vec_id half, the odd half is
+    * APPENDED (nearest-stored-centroid assignment, no refit), and the
+    * full query batch runs through the appended index — the nightly
+    * embedding-ingest shape. Rows-only (KMeans fit); SimilaritySpec
+    * pins the assignment rule and stored-path visibility. */
+  val q132IvfAppend = QueryDef.rowsOnly("q132_ivf_append") { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q132_ivf_index_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val emb = Tables.embeddings(s, d)
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, nlist = 16)
+    Similarity.appendToIvfIndex(s, dir, emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding")
+    Similarity.annJoinIvfStored(s, dir,
+        queries = emb.filter(expr(QueryFilter)),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** The composed post-sidecar curation plan — every round-5 operator
     * chained in one lazy DataFrame: incremental sidecar dedup →
     * substring dup-span filter → near-dup cluster quality survivors →
@@ -659,5 +684,5 @@ object ScaleQueries {
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
-    q131CurationPipeline)
+    q131CurationPipeline, q132IvfAppend)
 }

@@ -105,6 +105,46 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.count() > 0)
   }
 
+  test("appendToIvfIndex: appended vectors land in their nearest stored " +
+      "cell and are served by the stored-index queries") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val seedHalf = emb.filter($"vec_id" % 2 === 0)
+    val newHalf = emb.filter($"vec_id" % 2 === 1)
+    Similarity.buildIvfIndex(seedHalf, "vec_id", "embedding", dir, nlist = 8)
+    Similarity.appendToIvfIndex(spark, dir, newHalf, "vec_id", "embedding")
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.count() === emb.count())
+    assert(stored.select("vec_id").distinct().count() === emb.count())
+    // independent driver-side check: every appended row's cell is the
+    // exact squared-euclidean argmin over the stored centroids (ties
+    // to the lowest cell id — the KMeans.transform rule)
+    val cents = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def sqdist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val appended = stored
+      .join(newHalf.select($"vec_id"), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getInt(2)))
+    assert(appended.nonEmpty)
+    appended.foreach { case (id, vec, cell) =>
+      val want = cents.minBy { case (c, cv) => (sqdist(vec, cv), c) }._1
+      assert(cell === want, s"vec $id in cell $cell, nearest centroid $want")
+    }
+    // the appended rows are immediately visible to the stored query
+    // path: an appended vector queried against the index must at least
+    // find itself excluded and its duplicate-distance neighbors ranked
+    val res = Similarity.annJoinIvfStored(spark, dir,
+      newHalf.filter($"vec_id" < 20), "vec_id", "embedding", k = 5)
+    val neighbors = res.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(res.count() > 0)
+    assert(neighbors.exists(_ % 2 === 1), "no appended vector ever ranked")
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
