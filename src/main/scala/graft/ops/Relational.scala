@@ -90,17 +90,21 @@ object Relational {
     df.randomSplit(weights, seed)
 
   /** Exact-count seeded split (sklearn `train_test_split` parity, L4):
-    * deterministic hash order + row_number partitioning gives exact
-    * split sizes. Costs one global sort — use only when exact counts
-    * matter (the reference UI prints them, `app.py:80-81`). */
+    * deterministic hash order + global row ranking gives exact split
+    * sizes. The rank runs through [[globalRankAndRunningSum]] — range
+    * partitions + local windows, NO unpartitioned ranking window — and
+    * the row count falls out of the same pass as the running mass of
+    * `lit(1)`, so the split costs one range shuffle, not a global sort
+    * plus a separate count job. */
   def exactFractionSplit(df: DataFrame, testFraction: Double, key: Column)
       : (DataFrame, DataFrame) = {
-    val w = Window.orderBy(md5(key.cast("string")))
-    val ranked = df.withColumn("__rn", row_number().over(w))
-    val n = df.count()
+    val (ranked, n) = globalRankAndRunningSum(df,
+      order = Seq(md5(key.cast("string"))),
+      value = lit(1L), rankCol = "__rn", cumCol = "__cum")
     val nTest = math.round(n * testFraction)
-    val test = ranked.filter(col("__rn") <= nTest).drop("__rn")
-    val train = ranked.filter(col("__rn") > nTest).drop("__rn")
+    val r = ranked.drop("__cum")
+    val test = r.filter(col("__rn") <= nTest).drop("__rn")
+    val train = r.filter(col("__rn") > nTest).drop("__rn")
     (train, test)
   }
 
