@@ -218,11 +218,12 @@ class PlanQualitySpec extends SparkSpec {
     // shuffle, and the small broadcast-prep aggs. A regression here
     // means a stage stopped reusing a partitioning or an operator
     // gained an extra pass — each extra shuffle-writing stage is a
-    // full-data shuffle at 100 TB. Measured 34 at this SF (CC
-    // converges in ≤2 propagation rounds here); 44 leaves slack for
-    // one extra CC round and AQE re-planning without letting a whole
-    // extra pipeline stage sneak in.
-    assert(shuffleWritingStages <= 44,
+    // full-data shuffle at 100 TB. Measured 20 at this SF (the gated
+    // CC local finish replaced the propagation loop's per-round
+    // shuffles; was 34 with the distributed loop); 28 leaves slack for
+    // AQE re-planning and a forced-distributed CC without letting a
+    // whole extra pipeline stage sneak in.
+    assert(shuffleWritingStages <= 28,
       s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
         s"stages across $jobs jobs")
   }
