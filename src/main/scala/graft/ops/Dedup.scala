@@ -309,6 +309,18 @@ object Dedup {
     survivors.drop("__fp")
   }
 
+  /** Compact the fingerprint sidecar: every ingest appends one file
+    * set, and the membership anti-join reads ALL of them every batch —
+    * the small-files tax grows with ingest count, not corpus size.
+    * Rewrites to `coalesceTo` fp-sorted files (row-group min/max stats
+    * prune later merge reads) via [[graft.sources.Sinks
+    * .compactParquetDir]]'s backup-swap; run between ingests under the
+    * same single-writer contract as [[dedupAgainstSidecar]]. */
+  def compactSidecar(spark: org.apache.spark.sql.SparkSession,
+                     sidecarDir: String, coalesceTo: Int = 1): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      coalesceTo = coalesceTo, sortCol = Some("fp"))
+
   /** Incremental dedup straight into a parquet sink, with the two
     * writes ordered for crash safety: survivors are appended to
     * `outDir` BEFORE their fingerprints reach the sidecar. A crash

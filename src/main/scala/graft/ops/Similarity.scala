@@ -210,6 +210,19 @@ object Similarity {
       .parquet(s"$indexDir/vectors")
   }
 
+  /** Compact the stored index's vectors layout after a run of
+    * [[appendToIvfIndex]] batches: each append adds a file set per
+    * touched cell directory, and probe-time scan cost is
+    * files-per-probed-cell, not bytes. Rewrites each cell directory to
+    * a single file (repartition on the partition column — one task
+    * writes each dir) via [[graft.sources.Sinks.compactParquetDir]]'s
+    * backup-swap. Same single-writer contract as the appender; the
+    * centroid table is untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/vectors",
+      partitionCols = Seq("cell"))
+
   /** Query the stored index: centroid ranking is a driver-side loop
     * over nlist tiny vectors; the data scan reads ONLY the nprobe
     * pruned partitions (PartitionFilters — asserted in the spec). */

@@ -85,4 +85,46 @@ object Sinks {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Compact an append-accumulated parquet directory. Append-based
+    * operators (the dedup fingerprint sidecar, IVF index appends) add
+    * one file set per ingest; at 100 TB the small-files tax — one
+    * object-store request per file on EVERY read — eventually
+    * outweighs the reads the layout serves, and compaction is the
+    * standard periodic fix.
+    *
+    * Rewrite: partitioned dirs are repartitioned ON the partition
+    * columns, so each output directory is written by exactly one task
+    * (one file per directory); unpartitioned dirs coalesce to
+    * `coalesceTo` files, optionally sorted within partitions (row-group
+    * min/max stats for later pruning). The swap is
+    * write-tmp → rename-away → rename-in → drop-backup, so a crash at
+    * any point leaves either the original or a complete backup
+    * (`<dir>__compact_bak`) on disk to restore by hand — never a
+    * half-written live dir. Same single-writer contract as the
+    * appenders; readers must not hold the dir open across the swap. */
+  def compactParquetDir(spark: SparkSession, dir: String,
+                        partitionCols: Seq[String] = Nil,
+                        coalesceTo: Int = 1,
+                        sortCol: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "__compact_bak")
+    fs.delete(tmp, true); fs.delete(bak, true)
+    val df = spark.read.parquet(dir)
+    val shaped =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else sortCol.foldLeft(df.coalesce(coalesceTo))(
+        (d, c) => d.sortWithinPartitions(col(c)))
+    val writer = shaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(tmp.toString)
+    require(fs.rename(path, bak), s"could not stage backup for $dir")
+    require(fs.rename(tmp, path), s"could not swap compacted dir into $dir " +
+      s"(original preserved at $bak)")
+    fs.delete(bak, true)
+    ()
+  }
 }

@@ -214,4 +214,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
     assert(pairs.forall(_.getDouble(2) >= 0.2))
   }
+
+  test("compactSidecar: file count drops to one, fingerprint set and " +
+      "membership semantics unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("sidecar_compact")
+      .toString + "/sc"
+    val docs = Tables.documents(spark, sf0001)
+    // three ingests = three appended file sets
+    (0 until 3).foreach { i =>
+      Dedup.writeFingerprintSidecar(
+        docs.filter(col("doc_id") % 3 === i && col("doc_id") % 2 === 0),
+        "text", dir)
+    }
+    def files() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    def fps() = spark.read.parquet(dir).select("fp")
+      .collect().map(_.getString(0)).sorted.toSeq
+    val before = fps()
+    assert(files() >= 3)
+    Dedup.compactSidecar(spark, dir)
+    assert(files() === 1)
+    assert(fps() === before)
+    // membership against the compacted sidecar still drops seen texts
+    val surv = Dedup.dedupAgainstSidecar(docs, "text", "doc_id", dir)
+    assert(surv.filter(col("doc_id") % 2 === 0).count() === 0)
+    assert(surv.count() > 0)
+  }
 }

@@ -145,6 +145,31 @@ class SimilaritySpec extends SparkSpec {
     assert(neighbors.exists(_ % 2 === 1), "no appended vector ever ranked")
   }
 
+  test("compactIvfIndex: one file per cell directory, stored-query results " +
+      "identical before and after") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", dir, nlist = 8)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    def run() = Similarity.annJoinIvfStored(spark, dir, queries,
+        "vec_id", "embedding", k = 5)
+      .orderBy($"query_id", $"rnk").collect().map(_.toString).toSeq
+    val before = run()
+    Similarity.compactIvfIndex(spark, dir)
+    // every cell directory holds exactly one data file after the rewrite
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${d.getName} has $n files after compaction")
+    }
+    assert(run() === before)
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
