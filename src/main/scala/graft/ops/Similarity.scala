@@ -189,7 +189,10 @@ object Similarity {
     * [[buildIvfIndex]] when cell-size skew warrants, and serve reads
     * from the appended index meanwhile. Same single-writer contract as
     * the dedup sidecar ([[graft.ops.Dedup.dedupAgainstSidecar]]):
-    * concurrent appends to one index dir need external serialization. */
+    * concurrent appends to one index dir need external serialization.
+    * Appends are NOT idempotent — replaying a batch appends duplicate
+    * (vec_id, vec) rows; dedup replays upstream (the sidecar pattern)
+    * or drop duplicates by vec_id when rebuilding/compacting. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, df: DataFrame,
                        idCol: String, vecCol: String): Unit = {
