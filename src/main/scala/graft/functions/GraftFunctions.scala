@@ -68,6 +68,13 @@ object GraftFunctions {
   def rolling_fingerprint_md5(text: Column): Column =
     ColumnBridge.column(RollingFingerprintMd5(ColumnBridge.expression(text)))
 
+  /** Bloom membership probe (see [[BloomMightContain]]); `bloom` rides
+    * the expression as serialized bytes. */
+  def bloom_might_contain(c: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c),
+      BloomMightContain.serialize(bloom)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {

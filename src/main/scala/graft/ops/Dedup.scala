@@ -255,18 +255,37 @@ object Dedup {
     * sidecar. Output keeps the internal `__fp` column (null for
     * null-text rows). */
   private[graft] def sidecarSurvivors(batch: DataFrame, textCol: String,
-                                      idCol: String,
-                                      sidecarDir: String): DataFrame = {
+                                      idCol: String, sidecarDir: String,
+                                      bloomPrefilter: Boolean = false)
+      : DataFrame = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withFp = batch.withColumn("__fp", md5(col(textCol)))
     val fpRows = withFp.filter(col("__fp").isNotNull)
+    val bloom =
+      if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir) else None
     val unseen =
-      if (fs.exists(path))
-        fpRows.join(spark.read.parquet(sidecarDir).select(col("fp")),
-          col("__fp") === col("fp"), "left_anti")
-      else fpRows
+      if (!fs.exists(path)) fpRows
+      else bloom match {
+        case Some(bf) =>
+          // bloom routing: rows whose fingerprint the filter has never
+          // seen CANNOT be in the sidecar (as of the bloom's build) and
+          // bypass the anti-join; only the might-contain fraction —
+          // true duplicates + fpp — pays the join against the full
+          // sidecar. The outcome is identical to the plain anti-join
+          // as long as the bloom covers every sidecar fingerprint (the
+          // single-writer refresh contract).
+          val might = graft.functions.GraftFunctions
+            .bloom_might_contain(col("__fp"), bf)
+          fpRows.filter(!might).unionByName(
+            fpRows.filter(might)
+              .join(spark.read.parquet(sidecarDir).select(col("fp")),
+                col("__fp") === col("fp"), "left_anti"))
+        case None =>
+          fpRows.join(spark.read.parquet(sidecarDir).select(col("fp")),
+            col("__fp") === col("fp"), "left_anti")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
     unseen
@@ -298,15 +317,90 @@ object Dedup {
     * sidecar (the same restriction [[graft.streaming.EventStreams
     * .runUpsertToParquet]] documents for its snapshot). For a pipeline
     * that also SINKS the survivors, prefer [[dedupAgainstSidecarTo]],
-    * which orders the two writes crash-safely. */
+    * which orders the two writes crash-safely.
+    *
+    * `bloomPrefilter = true` routes membership through the sidecar's
+    * Bloom companion ([[writeSidecarBloom]]) when present: definitely-
+    * new rows skip the exact anti-join, and the batch's new
+    * fingerprints are folded into the companion after the sidecar
+    * append. Crash between those two writes leaves the bloom missing
+    * that batch's fingerprints, so a replay (or later batches) can
+    * re-admit exactly those documents as duplicate survivors — the
+    * same recoverable duplicates-not-loss direction as
+    * [[dedupAgainstSidecarTo]]'s crash window; the next
+    * [[writeSidecarBloom]] rebuild reconverges. */
   def dedupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
-                          sidecarDir: String): DataFrame = {
-    val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir)
-    survivors.filter(col("__fp").isNotNull)
+                          sidecarDir: String,
+                          bloomPrefilter: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    val survivors =
+      sidecarSurvivors(batch, textCol, idCol, sidecarDir, bloomPrefilter)
+    val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-      .sortWithinPartitions(col("fp"))
+    newFps.sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(sidecarDir)
+    if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
+      // zero = the loaded bloom: partitions OR their items into copies
+      // of it and copies merge idempotently (bitmap union), so the
+      // result is loaded ∪ batch fingerprints
+      val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
+        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      saveSidecarBloom(spark, sidecarDir, updated)
+    }
     survivors.drop("__fp")
+  }
+
+  /** Path of a sidecar's Bloom companion file. */
+  private def bloomPath(sidecarDir: String) =
+    new org.apache.hadoop.fs.Path(sidecarDir + ".bloom")
+
+  private[graft] def loadSidecarBloom(spark: org.apache.spark.sql.SparkSession,
+                                      sidecarDir: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomPath(sidecarDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    }
+  }
+
+  private def saveSidecarBloom(spark: org.apache.spark.sql.SparkSession,
+      sidecarDir: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    val p = bloomPath(sidecarDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Build (or rebuild) the Bloom companion of a fingerprint sidecar
+    * from its CURRENT contents. The filter is KB–MB sized where the
+    * sidecar is GB sized at corpus scale, so
+    * [[dedupAgainstSidecar]]'s bloom prefilter can broadcast it and
+    * route definitely-new rows around the exact anti-join entirely —
+    * the join then only processes the might-contain fraction
+    * (true-duplicate rate + `fpp`). Exactness is unaffected: `false`
+    * is only possible for fingerprints the sidecar never stored, and
+    * might-contain rows still go through the exact join.
+    *
+    * Built with a treeAggregate over the fingerprints — the classic
+    * bounded-sketch reduction (result size is fixed by (expected, fpp),
+    * never by data volume). Same single-writer contract as the
+    * sidecar itself. */
+  def writeSidecarBloom(spark: org.apache.spark.sql.SparkSession,
+                        sidecarDir: String, fpp: Double = 0.01): Unit = {
+    val fps = spark.read.parquet(sidecarDir).select(col("fp"))
+    val n = math.max(fps.count(), 1L)
+    val zero = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+    val bloom = fps.rdd.map(_.getString(0))
+      .treeAggregate(zero)(
+        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+    saveSidecarBloom(spark, sidecarDir, bloom)
   }
 
   /** Compact the fingerprint sidecar: every ingest appends one file

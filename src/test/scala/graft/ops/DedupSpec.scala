@@ -215,6 +215,50 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.2))
   }
 
+  test("bloom_might_contain: zero false negatives, false positives near fpp") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    (0 until 500).foreach(i =>
+      graft.functions.BloomMightContain.put(bloom, s"key$i"))
+    val got = spark.range(1000)
+      .select(concat(lit("key"), col("id")).as("k"), col("id"))
+      .select(col("id"),
+        graft.functions.GraftFunctions.bloom_might_contain(col("k"), bloom)
+          .as("m"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    // inserted keys can NEVER probe false
+    assert(got.filter(_._1 < 500).forall(_._2))
+    // absent keys probe true only at ~fpp
+    val fp = got.filter(_._1 >= 500).count(_._2)
+    assert(fp <= 25, s"$fp false positives of 500 at fpp=0.01")
+  }
+
+  test("sidecar bloom prefilter: survivors identical to the plain anti-join, " +
+      "companion stays in sync across the ingest") {
+    val base = java.nio.file.Files.createTempDirectory("sidecar_bloom").toString
+    val dirBloom = s"$base/with"; val dirPlain = s"$base/without"
+    val docs = Tables.documents(spark, sf0001)
+    val seed = docs.filter(col("doc_id") % 2 === 0)
+    Dedup.writeFingerprintSidecar(seed, "text", dirBloom)
+    Dedup.writeFingerprintSidecar(seed, "text", dirPlain)
+    Dedup.writeSidecarBloom(spark, dirBloom)
+    val withBloom = Dedup.dedupAgainstSidecar(docs, "text", "doc_id",
+        dirBloom, bloomPrefilter = true)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val plain = Dedup.dedupAgainstSidecar(docs, "text", "doc_id", dirPlain)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(withBloom === plain)
+    assert(withBloom.nonEmpty)
+    // after the ingest the companion must cover EVERY corpus
+    // fingerprint (seeded + newly appended) — no false negatives left
+    val bloom = Dedup.loadSidecarBloom(spark, dirBloom).get
+    val missed = docs
+      .select(md5(col("text")).as("fp"))
+      .select(graft.functions.GraftFunctions
+        .bloom_might_contain(col("fp"), bloom).as("m"))
+      .filter(!col("m")).count()
+    assert(missed === 0L)
+  }
+
   test("compactSidecar: file count drops to one, fingerprint set and " +
       "membership semantics unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("sidecar_compact")
