@@ -456,6 +456,44 @@ object ScaleQueries {
       .orderBy(col("component"))
   }
 
+  /** Bloom-prefiltered incremental dedup: q123's exact pipeline with
+    * membership routed through the sidecar's Bloom companion —
+    * definitely-new rows bypass the anti-join, might-contain rows
+    * still confirm exactly, so the SAME oracle must hash-match. The
+    * query that proves the 100 TB prefilter is pure routing, under
+    * the driver's gate rather than a spec assertion. */
+  val q133IncrementalDedupBloom = QueryDef(
+    "q133_incremental_dedup_bloom",
+    """WITH seen AS (
+      |  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+      |), cand AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  LEFT JOIN seen s ON d.text = s.text
+      |  WHERE s.text IS NULL
+      |), surv AS (
+      |  SELECT min(doc_id) AS doc_id FROM cand GROUP BY text
+      |)
+      |SELECT s.doc_id, d.n_chars FROM surv s
+      |JOIN documents d ON d.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q133_sidecar_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir.bloom"), false)
+    val docs = Tables.documents(s, d)
+    Dedup.writeFingerprintSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    Dedup.writeSidecarBloom(s, dir)
+    Dedup.dedupAgainstSidecar(docs, "text", "doc_id", dir,
+        bloomPrefilter = true)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -684,5 +722,5 @@ object ScaleQueries {
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
-    q131CurationPipeline, q132IvfAppend)
+    q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom)
 }
