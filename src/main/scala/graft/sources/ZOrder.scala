@@ -64,12 +64,17 @@ object ZOrder {
     val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
     val maxBucket = (1L << bits) - 1
     val buckets = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(2 * i)
-      val mx = stats.getDouble(2 * i + 1)
+      // null min/max (empty input or all-null column) degenerates to
+      // bucket 0 like min == max — never an NPE at the driver
+      val mn = if (stats.isNullAt(2 * i)) 0.0 else stats.getDouble(2 * i)
+      val mx = if (stats.isNullAt(2 * i + 1)) 0.0
+               else stats.getDouble(2 * i + 1)
       if (mx <= mn) lit(0L)
-      else least(greatest(
+      // null VALUES bucket to 0 (coalesce) — a single null dimension
+      // must not null the whole interleaved z-value for the row
+      else coalesce(least(greatest(
         floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * maxBucket)
-          .cast("long"), lit(0L)), lit(maxBucket))
+          .cast("long"), lit(0L)), lit(maxBucket)), lit(0L))
     }
     val withZ = df.withColumn("__z", interleave(buckets, bits))
     val parted = numFiles match {

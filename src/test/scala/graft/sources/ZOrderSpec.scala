@@ -19,6 +19,23 @@ class ZOrderSpec extends SparkSpec {
     assert(got2 === 14L)
   }
 
+  test("degenerate inputs: empty frame, all-null column, null values " +
+      "write without error and keep every row") {
+    val dir = java.nio.file.Files.createTempDirectory("zdeg").toString
+    // empty input: stats row is all null -> bucket 0, no NPE
+    ZOrder.writeZOrdered(
+      spark.range(0).select(col("id").as("x"), col("id").as("y")),
+      s"$dir/empty", Seq("x", "y"), bits = 4, numFiles = Some(1))
+    assert(spark.read.parquet(s"$dir/empty").count() === 0)
+    // all-null z column + scattered null values: rows must survive
+    // with z-buckets coalesced to 0, not be dropped or crash
+    val df = Seq((Some(1L), Option.empty[Long]), (None, None),
+      (Some(5L), None), (Some(9L), None)).toDF("x", "y")
+    ZOrder.writeZOrdered(df, s"$dir/nulls", Seq("x", "y"), bits = 4,
+      numFiles = Some(1))
+    assert(spark.read.parquet(s"$dir/nulls").count() === 4)
+  }
+
   /** (min, max) per row group for `column`, from the parquet footers. */
   private def groupRanges(dir: String, column: String): Seq[(Double, Double)] = {
     val conf = spark.sparkContext.hadoopConfiguration
