@@ -289,6 +289,61 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic duplicate clusters (Abbas et al. 2023,
+    * arXiv:2303.09540 — "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): partition the
+    * embedding space, generate candidate pairs only WITHIN a
+    * partition, connect pairs whose exact cosine clears `threshold`,
+    * and label each connected group. Returns (idCol, component) for
+    * EVERY input row — singletons label themselves — so callers can
+    * either drop duplicates ([[semanticDedup]]) or weight/inspect the
+    * groups.
+    *
+    * Two deliberate deviations from the paper, both scale-motivated:
+    * the space partition is the engine's deterministic hyperplane-LSH
+    * bucketing rather than a fitted KMeans clustering (same candidate
+    * -bounding role, but reproducible across runs/engines — a fitted
+    * partition makes results solver-dependent; the KMeans form exists
+    * at [[annJoinIvf]] for callers who want it), and within a
+    * duplicate group the kept representative is chosen by the CALLER
+    * (min id here; the quality-argmax selection the paper's
+    * "farthest from centroid" heuristic approximates is exactly the
+    * q129 composition over these components).
+    *
+    * Scale shape: pairs come from [[embeddingDedupPairs]] (bucket
+    * EQUALITY join, `bucketCap` drops degenerate buckets, fused
+    * codegen bucketing/cosine); components from
+    * [[Clustering.connectedComponents]] (map-side union-find
+    * contraction + bounded local finish). Nothing in the chain holds
+    * unbounded driver state. */
+  def semanticDedupClusters(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, bits: Int = 8,
+                            dim: Int = 64, bucketCap: Int = 1000)
+      : DataFrame = {
+    val pairs = embeddingDedupPairs(df, idCol, vecCol, threshold, bits,
+      dim, bucketCap).select(col("id_a"), col("id_b"))
+    Clustering.connectedComponents(pairs, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol).cast("long").as("id_a"))))
+      .select(col("node").as(idCol), col("component"))
+  }
+
+  /** Semantic dedup, corpus-in corpus-out: keep ONE row per semantic
+    * group of [[semanticDedupClusters]] — the min-id representative —
+    * with the input schema unchanged (the [[graft.ops.Dedup
+    * .exactDedup]] contract, lifted from byte equality to embedding
+    * similarity). For quality-aware survivor selection, compose the
+    * clusters with an argmax the way q129 does. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95, bits: Int = 8,
+                    dim: Int = 64, bucketCap: Int = 1000): DataFrame = {
+    val comp = semanticDedupClusters(df, idCol, vecCol, threshold, bits,
+      dim, bucketCap)
+    val survivors = comp.groupBy(col("component"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** LSH-bucketed approximate top-k: hash all vectors (projection),
     * keep only the query's bucket (an equality filter the optimizer
     * can push/partition on), exact-cosine re-rank inside the bucket.

@@ -494,6 +494,107 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The q41/q54 hyperplane-literal replay for the semantic-dedup
+    * oracle: identical bucket membership, pair generation, cosine
+    * threshold, then a recursive-CTE component closure (the q129
+    * pattern) and min-id survivor per component. */
+  private val semanticDedupOracle: String = {
+    val planes = Similarity.hyperplanes(bits = 4, dim = 64)
+    def pl(p: Seq[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${pl(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), corpus AS (
+       |  SELECT vec_id, v FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + 100000, list_transform(v, x -> x * 2.0) FROM e0
+       |  UNION ALL
+       |  SELECT vec_id + 200000, list_transform(v, x -> x * 0.5) FROM e0
+       |  WHERE vec_id % 2 = 0
+       |), h AS (
+       |  SELECT vec_id, v, CAST($bits AS BIGINT) AS bucket FROM corpus
+       |), ok AS (
+       |  SELECT bucket FROM h GROUP BY bucket
+       |  HAVING COUNT(*) BETWEEN 2 AND 1000
+       |), pairs AS (
+       |  SELECT x.vec_id AS src, y.vec_id AS dst
+       |  FROM h x JOIN h y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  WHERE x.bucket IN (SELECT bucket FROM ok)
+       |    AND list_cosine_similarity(x.v, y.v) >= 0.9
+       |), sym AS (
+       |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+       |), walk(node, label) AS (
+       |  SELECT vec_id, vec_id FROM corpus
+       |  UNION
+       |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM walk GROUP BY node
+       |)
+       |SELECT component, CAST(count(*) AS BIGINT) AS group_size,
+       |  min(node) AS survivor_id
+       |FROM comp GROUP BY component ORDER BY component""".stripMargin
+  }
+
+  /** SemDeDup ([[Similarity.semanticDedupClusters]]): semantic
+    * duplicate groups over embeddings, min-id survivor per group. The
+    * synthetic embeddings are near-orthogonal (no natural semantic
+    * dups), so the corpus plants them deterministically: every vector
+    * gains a ×2.0-scaled copy and every even-id vector a ×0.5-scaled
+    * copy (power-of-two scaling is EXACT in IEEE doubles — same
+    * direction, cosine ≈ 1, same LSH bucket as the original in both
+    * engines, since sign(p·2v) = sign(p·v) term-by-term exactly).
+    * Expected groups: {v, 2v} for odd ids, {v, 2v, v/2} for even —
+    * original ids always survive. Threshold 0.9 sits far above every
+    * natural pair (max natural cosine < 0.7 at test SF) and far below
+    * the planted ≈1.0, so the decision margin swamps any cross-engine
+    * cosine ULP. */
+  val q134SemanticDedup = QueryDef(
+    "q134_semantic_dedup", semanticDedupOracle) { (s, d) =>
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val x2 = base.select(
+      (col("vec_id") + lit(100000L)).as("vec_id"),
+      transform(col("v"), x => x * lit(2.0)).as("v"))
+    val x05 = base.filter(col("vec_id") % 2 === 0).select(
+      (col("vec_id") + lit(200000L)).as("vec_id"),
+      transform(col("v"), x => x * lit(0.5)).as("v"))
+    val corpus = base.unionByName(x2).unionByName(x05)
+    Similarity.semanticDedupClusters(corpus, "vec_id", "v",
+        threshold = 0.9, bits = 4, dim = 64, bucketCap = 1000)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("group_size"),
+        min(col("vec_id")).as("survivor_id"))
+      .select(col("component"), col("group_size"), col("survivor_id"))
+      .orderBy(col("component"))
+  }
+
+  /** Mergeable sketch sidecar end-to-end ([[graft.ops.Sketches]]): two
+    * shard ingests append per-source HLL sketch rows, the merge
+    * answers per-source distinct-text counts from the sidecar alone
+    * (no corpus rescan). Estimates are deterministic (hash-based,
+    * order/partitioning-independent) but engine-specific — DuckDB's
+    * HLL is a different implementation — so rows-only. Exact n_rows
+    * rides along; the lossless-union equality (incremental ==
+    * from-scratch) is asserted in SketchesSpec. */
+  val q135SketchSidecar = QueryDef.rowsOnly("q135_sketch_sidecar") { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q135_sketches_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val docs = Tables.documents(s, d)
+    graft.ops.Sketches.writeSketchSidecar(
+      docs.filter(col("doc_id") % 2 === 0), Seq("source"), "text", dir)
+    graft.ops.Sketches.writeSketchSidecar(
+      docs.filter(col("doc_id") % 2 === 1), Seq("source"), "text", dir)
+    graft.ops.Sketches.mergedDistinct(s, dir, Seq("source"))
+      .orderBy(col("source"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -722,5 +823,6 @@ object ScaleQueries {
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
-    q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom)
+    q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
+    q134SemanticDedup)
 }

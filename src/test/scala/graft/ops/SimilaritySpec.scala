@@ -280,6 +280,31 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("semanticDedup: planted scaled copies collapse to the original; " +
+      "unrelated vectors survive untouched") {
+    // same-direction copies (×2, ×0.5 — exact IEEE scalings) are
+    // semantic dups of their original; orthogonal vectors are not
+    val base = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 10).as("vec_id"),
+        transform($"embedding".cast("array<double>"), x => x * lit(2.0))
+          .cast("array<float>").as("embedding")))
+    val comp = Similarity.semanticDedupClusters(corpus, "vec_id",
+      "embedding", threshold = 0.9, bits = 2, dim = 4)
+    val byComp = comp.collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    assert(byComp(0L) === Set(0L, 10L))
+    assert(byComp(1L) === Set(1L, 11L))
+    assert(byComp(2L) === Set(2L, 12L))
+    val surv = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      threshold = 0.9, bits = 2, dim = 4)
+    assert(surv.columns.toSeq === corpus.columns.toSeq) // schema contract
+    assert(surv.select("vec_id").as[Long].collect().toSet === Set(0L, 1L, 2L))
+  }
+
   test("int8QuantStats: error bounded by half a quantization step") {
     val out = Similarity.int8QuantStats(
       Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")
