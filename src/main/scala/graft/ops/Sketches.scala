@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch sidecars: bounded-size summaries written per shard
+  * at ingest time and combined WITHOUT rescanning the data to answer
+  * corpus-wide questions later.
+  *
+  * At 100 TB, "how many distinct values per group" is a full scan plus
+  * a two-pass distinct aggregate every time someone asks. With a
+  * KB-sized HLL sketch per (group) persisted at write time, the same
+  * answer is an aggregate over sidecar rows — IO proportional to the
+  * number of shards ingested, not to corpus bytes — and stays current
+  * by appending each new shard's sketch rows (the same
+  * append-accumulate lifecycle as the dedup fingerprint sidecar, with
+  * [[graft.sources.Sinks.compactParquetDir]] as the periodic fix).
+  *
+  * The key algebraic property (Flajolet et al., HyperLogLog; the
+  * Apache DataSketches HLL implementation Spark ships): union is
+  * LOSSLESS at equal precision — merging per-shard sketches yields
+  * byte-equivalent state to sketching the concatenated data — so
+  * incrementally-maintained estimates are IDENTICAL to a from-scratch
+  * rebuild, not merely close (SketchesSpec asserts equality, not
+  * tolerance). Estimates are deterministic functions of the value SET:
+  * order- and partitioning-independent, duplicate-insensitive.
+  *
+  * Everything runs through Spark's native `hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate` (codegen'd DataSketches
+  * aggregates) — no UDFs, map-side partial aggregation applies, and a
+  * sketch row is ~2^lgConfigK bytes (4 KB at the default 12, ~1.6%
+  * relative standard error).
+  */
+object Sketches {
+
+  /** One row per group: the group columns, exact row count, and the
+    * HLL sketch of `valueCol` (binary, mergeable). Empty `groupCols`
+    * produces the single global row. */
+  def distinctSketches(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, lgConfigK: Int = 12): DataFrame = {
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+    if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Append one shard's sketch rows to the sidecar. Same single-writer
+    * contract as the other appenders ([[Dedup.dedupAgainstSidecar]]). */
+  def writeSketchSidecar(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, sidecarDir: String,
+                         lgConfigK: Int = 12): Unit =
+    distinctSketches(df, groupCols, valueCol, lgConfigK)
+      .write.mode("append").parquet(sidecarDir)
+
+  /** Merge ALL accumulated sidecar rows (one per shard × group) into
+    * per-group totals: exact row counts sum, sketches union, and the
+    * estimate is read off the merged sketch. The only data touched is
+    * the sidecar itself. */
+  def mergedDistinct(spark: SparkSession, sidecarDir: String,
+                     groupCols: Seq[String]): DataFrame = {
+    val side = spark.read.parquet(sidecarDir)
+    val aggs = Seq(
+      sum(col("n_rows")).as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("approx_distinct"))
+    if (groupCols.isEmpty) side.agg(aggs.head, aggs.tail: _*)
+    else side.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incremental sidecar == from-scratch: shard-wise sketch union " +
+      "gives IDENTICAL estimates to one global sketch") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("sketch").toString + "/s"
+    // two shard ingests (even/odd doc_id halves), appended separately
+    Sketches.writeSketchSidecar(
+      docs.filter($"doc_id" % 2 === 0), Seq("source"), "text", dir)
+    Sketches.writeSketchSidecar(
+      docs.filter($"doc_id" % 2 === 1), Seq("source"), "text", dir)
+    val merged = Sketches.mergedDistinct(spark, dir, Seq("source"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // from-scratch single sketch over the whole corpus
+    val global = Sketches.distinctSketches(docs, Seq("source"), "text")
+      .select($"source", $"n_rows",
+        hll_sketch_estimate($"sketch").as("approx_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(merged === global) // lossless union: equality, not tolerance
+  }
+
+  test("estimates track exact distinct counts within HLL error") {
+    val docs = Tables.documents(spark, sf0001)
+    val approx = Sketches.distinctSketches(docs, Seq("source"), "text")
+      .select($"source",
+        hll_sketch_estimate($"sketch").as("approx_distinct"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val exact = docs.groupBy($"source")
+      .agg(countDistinct($"text").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (src, d) =>
+      val a = approx(src).toDouble
+      // lgK=12 → ~1.6% RSE; 5% absolute bound is generous and stable
+      assert(math.abs(a - d) <= math.max(1.0, 0.05 * d),
+        s"$src: approx $a vs exact $d")
+    }
+  }
+
+  test("global (no-group) sketch row works and row counts are exact") {
+    val docs = Tables.documents(spark, sf0001)
+    val row = Sketches.distinctSketches(docs, Nil, "text")
+      .select($"n_rows", hll_sketch_estimate($"sketch").as("a"))
+      .head()
+    assert(row.getLong(0) === docs.count())
+    val d = docs.agg(countDistinct($"text")).head().getLong(0)
+    assert(math.abs(row.getLong(1).toDouble - d) <= math.max(1.0, 0.05 * d))
+  }
+}
