@@ -436,6 +436,126 @@ object Dedup {
       .write.mode("append").parquet(sidecarDir)
   }
 
+  /** Minhash-signature sidecar: the NEAR-dup twin of the exact
+    * fingerprint sidecar — persist each corpus document's minhash
+    * signature and LSH band keys once at ingest, so a NEW shard can be
+    * near-dup-checked against a 100 TB corpus without recomputing (or
+    * even reading) the corpus text. Layout:
+    *
+    *  - `$dir/bands`: (id, band, bucket) — candidate generation by
+    *    (band, bucket) equality join, the discriminative index;
+    *  - `$dir/sigs`:  (id, sig array<long>) — estimated-Jaccard
+    *    verification (fraction of agreeing signature components, the
+    *    standard MinHash estimator — no shingle sets needed).
+    *
+    * Docs with an empty shingle set (shorter than `shingleK` tokens)
+    * carry no signature and are not written — they cannot be
+    * near-duplicates of anything by content. Same single-writer
+    * contract as [[writeFingerprintSidecar]]. */
+  def writeMinhashSidecar(df: DataFrame, textCol: String, idCol: String,
+                          sidecarDir: String, shingleK: Int = 2,
+                          numHashes: Int = 64, bands: Int = 8): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+        graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(true)
+    sigs.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .write.mode("append").parquet(s"$sidecarDir/bands")
+    sigs.write.mode("append").parquet(s"$sidecarDir/sigs")
+  }
+
+  /** Incremental NEAR-dup dedup — the fuzzy twin of
+    * [[dedupAgainstSidecar]]: drop every batch row whose estimated
+    * Jaccard similarity to ANY sidecar document reaches `threshold`,
+    * then (by default) append the survivors' signatures so the next
+    * shard sees them. Candidates come from a (band, bucket) equality
+    * join of the batch's band keys against `$dir/bands`; estimated
+    * Jaccard — the fraction of agreeing components between the two
+    * 64-long signatures, read from `$dir/sigs` — verifies each
+    * candidate pair. The corpus TEXT is never read, so the check costs
+    * IO proportional to the sidecar (signatures, ~0.5 KB/doc), not the
+    * corpus.
+    *
+    * Contract notes, matching the exact sidecar:
+    *  - batch rows with an empty shingle set pass through as survivors
+    *    untouched and are never appended (no content to compare);
+    *  - INTRA-batch near-dups are NOT collapsed here (both survive if
+    *    neither matches the corpus) — compose [[minhashDedupPairs]] /
+    *    [[graft.ops.Clustering.jaccardDedupClusters]] on the batch
+    *    first when that matters;
+    *  - corpus-side (band, bucket) groups larger than `bucketCap` are
+    *    dropped from candidate generation (the [[minhashDedupPairs]]
+    *    discipline — an oversized bucket carries no signal and would
+    *    go quadratic on shared-vocabulary corpora);
+    *  - replaying a fully committed batch is idempotent (its own
+    *    signatures are in the sidecar, estimator = 1, zero
+    *    survivors); survivors are localCheckpointed BEFORE the append
+    *    so the returned frame cannot observe its own fingerprints. A
+    *    crash between checkpoint and append re-admits the batch on
+    *    replay (duplicates, recoverable) — never loss. Single writer
+    *    per sidecar.
+    *
+    * Estimator accuracy: stderr ≈ 1/√numHashes (~0.125 at 64) — pick
+    * `threshold` with that margin in mind, or raise `numHashes`. */
+  def nearDupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
+                            sidecarDir: String, shingleK: Int = 2,
+                            numHashes: Int = 64, bands: Int = 8,
+                            threshold: Double = 0.7, bucketCap: Int = 200,
+                            appendSurvivors: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val rows = numHashes / bands
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$sidecarDir/bands")
+    val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val withSig = batch.withColumn("__sig",
+      when(size(graft.functions.GraftFunctions
+          .hashed_shingles(col(textCol), shingleK)) > 0,
+        minhashSignature(graft.functions.GraftFunctions
+          .hashed_shingles(col(textCol), shingleK), numHashes)))
+    val survivors = (if (!fs.exists(bandsPath)) withSig
+    else {
+      val corpusBands = spark.read.parquet(s"$sidecarDir/bands")
+      // drop degenerate corpus buckets BEFORE the candidate join
+      val okBuckets = corpusBands.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= bucketCap)
+        .select(col("band"), col("bucket"))
+      val batchBands = withSig
+        .filter(col("__sig").isNotNull)
+        .select(col(idCol).cast("long").as("__bid"),
+          explode(bandKeys(col("__sig"), bands, rows)).as("bk"))
+        .select(col("__bid"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
+      val candidates = batchBands
+        .join(okBuckets, Seq("band", "bucket"), "left_semi")
+        .join(corpusBands.withColumnRenamed("id", "__cid"),
+          Seq("band", "bucket"))
+        .select(col("__bid"), col("__cid")).distinct()
+      val est = candidates
+        .join(withSig.select(col(idCol).cast("long").as("__bid"),
+          col("__sig").as("__sa")), "__bid")
+        .join(spark.read.parquet(s"$sidecarDir/sigs")
+          .select(col("id").as("__cid"), col("sig").as("__sb")), "__cid")
+        .select(col("__bid"),
+          (aggregate(zip_with(col("__sa"), col("__sb"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).cast("double") / numHashes)
+            .as("__est"))
+      val dupIds = est.filter(col("__est") >= threshold)
+        .select(col("__bid").as(idCol)).distinct()
+      withSig.join(dupIds, Seq(idCol), "left_anti")
+    }).localCheckpoint(true)
+    if (appendSurvivors)
+      writeMinhashSidecar(survivors.filter(col("__sig").isNotNull),
+        textCol, idCol, sidecarDir, shingleK, numHashes, bands)
+    survivors.drop("__sig")
+  }
+
   /** Substring-level exact dedup signal: per-document duplicated-SPAN
     * fraction — how much of each document consists of token windows
     * that appear verbatim elsewhere in the corpus (or again in the

@@ -595,6 +595,32 @@ object ScaleQueries {
       .orderBy(col("source"))
   }
 
+  /** Incremental NEAR-dup dedup end-to-end ([[Dedup
+    * .writeMinhashSidecar]] + [[Dedup.nearDupAgainstSidecar]]): the
+    * even-doc_id half of the corpus is signature-indexed, the odd half
+    * arrives as a new shard, and every odd doc whose estimated Jaccard
+    * to an indexed doc reaches the threshold drops — without the
+    * corpus text ever being re-read. Deterministic (xxhash64-derived
+    * signatures) but unreplayable in DuckDB (q25's reason) →
+    * rows-only; the semantics are spec-proven in DedupSpec. */
+  val q136NearDupSidecar = QueryDef.rowsOnly("q136_neardup_sidecar") { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q136_mh_sidecar_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val docs = Tables.documents(s, d)
+    Dedup.writeMinhashSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir)
+    Dedup.nearDupAgainstSidecar(
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", dir,
+        threshold = 0.8)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -824,5 +850,5 @@ object ScaleQueries {
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
-    q134SemanticDedup)
+    q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar)
 }

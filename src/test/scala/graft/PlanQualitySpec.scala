@@ -145,6 +145,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(q.count() > 0)
   }
 
+  test("semantic dedup (q134): pair generation is bucket-bounded — no " +
+      "cartesian product or nested loop anywhere in the pair plan") {
+    import org.apache.spark.sql.functions.expr
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    // the pair stage is the scale-critical plan (components run as a
+    // checkpointed loop downstream); assert its joins are all equality
+    val pairs = graft.ops.Similarity.embeddingDedupPairs(
+      emb, "vec_id", "embedding", threshold = 0.9, bits = 4)
+    val plan = executed(pairs)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    // end-to-end: the composed operator runs and labels every row
+    val n = emb.count()
+    assert(graft.ops.Similarity.semanticDedupClusters(
+      emb, "vec_id", "embedding", threshold = 0.9, bits = 4).count() === n)
+  }
+
   test("composed curation pipeline (q131): bounded shuffle budget, no " +
       "cartesian products, the only unpartitioned window is the bounded " +
       "per-source budget share") {

@@ -180,6 +180,47 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 4L)
   }
 
+  test("nearDupAgainstSidecar: exact and near dups of the corpus drop, " +
+      "novel and too-short docs survive; appends make replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mh").toString
+    val sidecar = s"$dir/mh"
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"other$i").mkString(" ")
+    Dedup.writeMinhashSidecar(
+      Seq((1L, long1), (2L, long2)).toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    val nearDup1 = ((1 to 39).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val novel = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val batch = Seq(
+      (10L, long1),     // exact dup of corpus 1 → estimator 1.0 → drop
+      (11L, nearDup1),  // 1 of 40 tokens changed → high est → drop
+      (12L, novel),     // disjoint vocabulary → survive
+      (13L, "tiny"))    // < shingleK tokens: no signature → survive
+      .toDF("doc_id", "text")
+    val s1 = Dedup.nearDupAgainstSidecar(batch, "text", "doc_id", sidecar,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 === Set(12L, 13L))
+    // survivor 12's signature was appended: a near-dup of NOVEL in the
+    // next shard now drops too
+    val nearNovel = ((1 to 39).map(i => s"fresh$i") :+ "x").mkString(" ")
+    val s2 = Dedup.nearDupAgainstSidecar(
+        Seq((20L, nearNovel)).toDF("doc_id", "text"),
+        "text", "doc_id", sidecar, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s2 === Set.empty[Long])
+    // replaying the first batch: signatures persisted → only the
+    // no-signature row passes (the documented short-doc pass-through)
+    val s3 = Dedup.nearDupAgainstSidecar(batch, "text", "doc_id", sidecar,
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s3 === Set(13L))
+    // schema contract: output columns == input columns
+    assert(Dedup.nearDupAgainstSidecar(batch, "text", "doc_id", sidecar,
+      threshold = 0.5, appendSurvivors = false).columns.toSeq
+      === batch.columns.toSeq)
+  }
+
   test("writeFingerprintSidecar seeds the sidecar from an existing corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sidecar2").toString
     val sidecar = s"$dir/fp"
