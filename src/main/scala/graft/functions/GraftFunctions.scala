@@ -50,6 +50,12 @@ object GraftFunctions {
       SortedIntersectCount(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
+  /** Fused positional signature agreement (see [[SignatureAgreement]]). */
+  def signature_agreement(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SignatureAgreement(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
   /** Fused one-scan 64-bit SimHash (see [[SimHash64]]). */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
@@ -105,6 +111,8 @@ object GraftFunctions {
       NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),
     "sorted_intersect_count" -> (exprs =>
       SortedIntersectCount(exprs(0), exprs(1))),
+    "signature_agreement" -> (exprs =>
+      SignatureAgreement(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
     "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))),
     "rolling_fingerprint_md5" -> (exprs => RollingFingerprintMd5(exprs(0))))

@@ -542,10 +542,9 @@ object Dedup {
         .join(spark.read.parquet(s"$sidecarDir/sigs")
           .select(col("id").as("__cid"), col("sig").as("__sb")), "__cid")
         .select(col("__bid"),
-          (aggregate(zip_with(col("__sa"), col("__sb"),
-            (x, y) => when(x === y, 1L).otherwise(0L)),
-            lit(0L), (acc, x) => acc + x).cast("double") / numHashes)
-            .as("__est"))
+          (graft.functions.GraftFunctions
+            .signature_agreement(col("__sa"), col("__sb"))
+            .cast("double") / numHashes).as("__est"))
       val dupIds = est.filter(col("__est") >= threshold)
         .select(col("__bid").as(idCol)).distinct()
       withSig.join(dupIds, Seq(idCol), "left_anti")

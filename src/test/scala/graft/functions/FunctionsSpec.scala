@@ -225,6 +225,41 @@ class FunctionsSpec extends SparkSpec {
     assert(known === 67514990521228468L)
   }
 
+  test("signature_agreement equals the zip_with HOF on random signatures; " +
+      "nulls, empties, length mismatch") {
+    import org.apache.spark.sql.functions.{aggregate, lit, when, zip_with}
+    val rnd = new scala.util.Random(11)
+    val cases = (1 to 100).map { _ =>
+      // small value range plants plenty of positional agreements
+      val n = rnd.nextInt(65)
+      (Seq.fill(n)(rnd.nextInt(4).toLong), Seq.fill(n)(rnd.nextInt(4).toLong))
+    }
+    cases.foreach { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val hof = df.select(aggregate(zip_with($"a", $"b",
+        (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _))
+        .as[Int].collect()(0)
+      val got = df.select(GraftFunctions.signature_agreement($"a", $"b"))
+        .as[Int].collect()(0)
+      assert(got === hof, s"a=$a b=$b")
+    }
+    val edge = Seq(
+      (Some(Seq(1L, 2L)), None),                  // null → null
+      (Some(Seq.empty[Long]), Some(Seq(1L))),     // empty → 0
+      (Some(Seq(1L, 2L, 3L)), Some(Seq(1L))))     // shorter bounds the scan
+      .toDF("a", "b")
+    val got = edge.select(GraftFunctions.signature_agreement($"a", $"b"))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(got.toSeq === Seq(-1, 0, 1))
+  }
+
+  test("signature_agreement resolves in SQL after register()") {
+    GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT signature_agreement(array(1L,3L,5L), array(1L,4L,5L))")
+      .collect()(0).getInt(0) === 2)
+  }
+
   test("sorted_intersect_count: nulls and empties") {
     val df = Seq(
       (Some(Seq(1L, 2L)), None),
