@@ -555,6 +555,28 @@ object Dedup {
     survivors.drop("__sig")
   }
 
+  /** Near-dup dedup straight into a parquet sink, writes ordered for
+    * crash safety exactly like [[dedupAgainstSidecarTo]]: survivors
+    * reach `outDir` BEFORE their signatures reach the sidecar, so a
+    * crash between the writes re-admits the batch on replay
+    * (duplicate output rows, recoverable) — never silent loss. A
+    * replay of a fully committed batch contributes zero survivors
+    * (its signatures estimate 1.0 against themselves). Same
+    * single-writer contract. */
+  def nearDupAgainstSidecarTo(batch: DataFrame, textCol: String,
+                              idCol: String, sidecarDir: String,
+                              outDir: String, shingleK: Int = 2,
+                              numHashes: Int = 64, bands: Int = 8,
+                              threshold: Double = 0.7,
+                              bucketCap: Int = 200): Unit = {
+    val survivors = nearDupAgainstSidecar(batch, textCol, idCol, sidecarDir,
+      shingleK, numHashes, bands, threshold, bucketCap,
+      appendSurvivors = false)
+    survivors.write.mode("append").parquet(outDir)
+    writeMinhashSidecar(survivors, textCol, idCol, sidecarDir,
+      shingleK, numHashes, bands)
+  }
+
   /** Substring-level exact dedup signal: per-document duplicated-SPAN
     * fraction — how much of each document consists of token windows
     * that appear verbatim elsewhere in the corpus (or again in the

@@ -273,6 +273,34 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming incremental NEAR-dup dedup — the fuzzy twin of
+    * [[runDedupToParquet]], continuous form of [[graft.ops.Dedup
+    * .nearDupAgainstSidecar]]: each micro-batch near-dup-checks
+    * against the persisted minhash-signature sidecar (band-key
+    * equality join + signature-agreement estimator — corpus text
+    * never re-read), survivors append to the corpus sink, and the
+    * survivors' signatures append to the sidecar so later batches AND
+    * later runs drop their near-dups. Same crash direction as the
+    * exact twin (sink-first writes: replays re-admit, never lose) and
+    * the same single-writer-per-sidecar restriction. Intra-batch
+    * near-dups are not collapsed (the documented
+    * [[graft.ops.Dedup.nearDupAgainstSidecar]] contract). */
+  def runNearDupToParquet(docs: DataFrame, textCol: String, idCol: String,
+                          outDir: String, sidecarDir: String,
+                          checkpointDir: String,
+                          threshold: Double = 0.7): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Dedup.nearDupAgainstSidecarTo(batch, textCol, idCol,
+          sidecarDir, outDir, threshold = threshold)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until all available input is processed (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

@@ -244,6 +244,38 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set(1L, 11L))
   }
 
+  test("streaming near-dup dedup: later batches drop near-dups of earlier " +
+      "batches and of the pre-seeded corpus; novel docs survive") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snear")
+    val out = root.resolve("corpus").toString
+    val sidecar = root.resolve("mh").toString
+    val ckpt = root.resolve("ckpt").toString
+    val long1 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    // pre-seed the signature sidecar from an existing corpus (batch op)
+    graft.ops.Dedup.writeMinhashSidecar(
+      Seq((100L, long1)).toDF("doc_id", "text"), "text", "doc_id", sidecar)
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(
+      (1L, ((1 to 39).map(i => s"tok$i") :+ "x").mkString(" ")), // near seed
+      (2L, novel))                                               // novel
+    runNearDupToParquet(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", out, sidecar, ckpt, threshold = 0.5)
+    mem.addData(
+      (10L, ((1 to 39).map(i => s"fresh$i") :+ "y").mkString(" ")), // near 2
+      (11L, (1 to 40).map(i => s"new$i").mkString(" ")))            // novel
+    runNearDupToParquet(mem.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", out, sidecar, ckpt, threshold = 0.5)
+
+    val got = spark.read.parquet(out)
+      .select($"doc_id").as[Long].collect().toSet
+    // batch 1: 1 near-dups the seed → drop, 2 survives; batch 2: 10
+    // near-dups batch 1's survivor → drop, 11 survives
+    assert(got === Set(2L, 11L))
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
