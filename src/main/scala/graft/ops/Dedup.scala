@@ -463,10 +463,17 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .localCheckpoint(true)
+    // sigs FIRST, bands second: membership checks key off the bands
+    // table (candidate generation joins it, existence checks probe
+    // it), so a crash between the two writes must leave bands ⊆ sigs —
+    // every band row can resolve its signature, and the not-yet-banded
+    // docs are simply re-admittable (the recoverable direction). The
+    // reverse order could emit candidates whose verification rows
+    // don't exist yet.
+    sigs.write.mode("append").parquet(s"$sidecarDir/sigs")
     sigs.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .write.mode("append").parquet(s"$sidecarDir/bands")
-    sigs.write.mode("append").parquet(s"$sidecarDir/sigs")
   }
 
   /** Incremental NEAR-dup dedup — the fuzzy twin of

@@ -318,6 +318,36 @@ object Relational {
     df.filter(u < frac)
   }
 
+  /** Weighted replication — mixture UP-sampling, the other half of the
+    * temperature-mixing story (the budget sampler q126 and
+    * [[stratifiedSampleByHash]] can only keep ≤ 1 copy): a row with
+    * weight `w` appears `floor(w)` times plus one more when the
+    * deterministic md5 uniform falls below `frac(w)`, so a source
+    * weighted 2.3 is seen ~2.3 epochs in expectation and EXACTLY
+    * reproducibly per row. The replication is a per-row
+    * `explode(sequence(...))` projection — no shuffle, no driver
+    * state, linear in output size — and the copy index rides along
+    * (`copyCol`) so downstream shuffling/packing stays deterministic
+    * per copy. Same uniform construction as [[weightedSample]] /
+    * [[stratifiedSampleByHash]] (md5-derived — partitioning-invariant,
+    * cross-engine replayable), same seed semantics.
+    *
+    * `weight` must be non-negative and finite; `w < 1` downsamples
+    * (keep one copy with probability w), `w = 0` drops. Note
+    * `sequence(1, 0)` in Spark is DESCENDING — the zero-copy case must
+    * short-circuit to an empty array, not a sequence call. */
+  def replicateByWeight(df: DataFrame, idCol: String, weight: Column,
+                        seed: Long = 42L,
+                        copyCol: String = "copy"): DataFrame = {
+    val u = (conv(substring(md5(concat_ws("|", col(idCol), lit(seed))), 1, 15),
+      16, 10).cast("double") + 1.0) / 1.152921504606847e18
+    val nCopies = floor(weight).cast("long") +
+      when(u < weight - floor(weight), 1L).otherwise(0L)
+    df.withColumn(copyCol,
+      explode(when(nCopies >= 1, sequence(lit(1L), nCopies))
+        .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

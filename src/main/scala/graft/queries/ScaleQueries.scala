@@ -331,6 +331,41 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixture UP-sampling ([[Relational.replicateByWeight]]): per-source
+    * epoch weights > 1 replicate rows, fractional parts resolve by the
+    * q127 md5 uniform — the oracle replays floor+frac+generate_series
+    * exactly. Completes the mixture story: q118 derives weights, q126
+    * enforces a downsampling budget, this up-samples the
+    * low-resource sources. */
+  val q137MixtureUpsample = QueryDef(
+    "q137_mixture_upsample",
+    """WITH w AS (
+      |  SELECT doc_id, source,
+      |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+      |                WHEN 'src2' THEN 0.4 ELSE 1.2 END AS w,
+      |    (CAST(CAST('0x' || substring(
+      |        md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15) AS BIGINT)
+      |      AS DOUBLE) + 1.0) / 1.152921504606847e18 AS uni
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, source,
+      |    CAST(floor(w) AS BIGINT) +
+      |      (CASE WHEN uni < w - floor(w) THEN 1 ELSE 0 END) AS n_copies
+      |  FROM w
+      |)
+      |SELECT doc_id, source, g.copy
+      |FROM n, unnest(generate_series(1, n_copies)) AS g(copy)
+      |WHERE n_copies >= 1
+      |ORDER BY doc_id, copy""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val w = when(col("source") === "src0", 2.5)
+      .when(col("source") === "src1", 1.0)
+      .when(col("source") === "src2", 0.4)
+      .otherwise(1.2)
+    Relational.replicateByWeight(docs, "doc_id", w)
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   /** Forward as-of join ([[graft.ops.AsOf.asOfJoinForward]]): each
     * error event picks up the NEXT purchase of the same user at or
     * after it. The oracle is an explicit row_number formulation
@@ -850,5 +885,6 @@ object ScaleQueries {
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
-    q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar)
+    q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
+    q137MixtureUpsample)
 }
