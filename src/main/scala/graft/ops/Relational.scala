@@ -348,6 +348,23 @@ object Relational {
         .otherwise(array().cast("array<bigint>"))))
   }
 
+  /** Deterministic global shuffle — the training-data reorder: every
+    * row gets a stable pseudo-random global position (`posCol`) by
+    * ranking on md5(id, seed). Unlike `orderBy(rand())`, the order is
+    * a pure function of (id, seed): reproducible across runs, cluster
+    * sizes, and engines (the q109/q127 uniform family), so a training
+    * job can resume mid-epoch and a re-run reads batches in the same
+    * order. The rank runs through [[globalRankAndRunningSum]] — range
+    * partitions + local windows, no unpartitioned window — and
+    * changing `seed` is a fresh epoch permutation. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+                           posCol: String = "pos"): DataFrame = {
+    val (ranked, _) = globalRankAndRunningSum(df,
+      order = Seq(md5(concat_ws("|", col(idCol), lit(seed)))),
+      value = lit(1L), rankCol = posCol, cumCol = "__cum")
+    ranked.drop("__cum")
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

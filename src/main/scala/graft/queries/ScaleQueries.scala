@@ -366,6 +366,26 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** Deterministic global shuffle ([[Relational.deterministicShuffle]]):
+    * the training-data reorder as a pure function of (id, seed). The
+    * oracle replays ROW_NUMBER over the same md5 sort key — hex md5
+    * strings compare identically under both engines' binary collation.
+    * Seed changes permute; the distributed rank is already proven
+    * byte-identical to the single window (RelationalSpec). */
+  val q138DetShuffle = QueryDef(
+    "q138_det_shuffle",
+    """SELECT doc_id, source,
+      |  CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42')) AS INT) AS pos
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Relational.deterministicShuffle(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("doc_id"), col("source"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Forward as-of join ([[graft.ops.AsOf.asOfJoinForward]]): each
     * error event picks up the NEXT purchase of the same user at or
     * after it. The oracle is an explicit row_number formulation
@@ -886,5 +906,5 @@ object ScaleQueries {
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
-    q137MixtureUpsample)
+    q137MixtureUpsample, q138DetShuffle)
 }
