@@ -333,9 +333,12 @@ object Relational {
     * cross-engine replayable), same seed semantics.
     *
     * `weight` must be non-negative and finite; `w < 1` downsamples
-    * (keep one copy with probability w), `w = 0` drops. Note
-    * `sequence(1, 0)` in Spark is DESCENDING — the zero-copy case must
-    * short-circuit to an empty array, not a sequence call. */
+    * (keep one copy with probability w), `w = 0` drops — and so does a
+    * NULL weight (null propagates to an empty replication, the same
+    * "no budget for this row" semantics; coalesce upstream if null
+    * should mean weight 1). Note `sequence(1, 0)` in Spark is
+    * DESCENDING — the zero-copy case must short-circuit to an empty
+    * array, not a sequence call. */
   def replicateByWeight(df: DataFrame, idCol: String, weight: Column,
                         seed: Long = 42L,
                         copyCol: String = "copy"): DataFrame = {
@@ -356,7 +359,13 @@ object Relational {
     * job can resume mid-epoch and a re-run reads batches in the same
     * order. The rank runs through [[globalRankAndRunningSum]] — range
     * partitions + local windows, no unpartitioned window — and
-    * changing `seed` is a fresh epoch permutation. */
+    * changing `seed` is a fresh epoch permutation.
+    *
+    * `idCol` must be UNIQUE: duplicate ids share an md5 sort key, and
+    * rows with equal keys receive their relative positions in
+    * partition-layout order — the position assignment then stops being
+    * partitioning-invariant (every other guarantee of this family
+    * assumes distinct ids the same way). */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
                            posCol: String = "pos"): DataFrame = {
     val (ranked, _) = globalRankAndRunningSum(df,
