@@ -562,6 +562,21 @@ object Dedup {
     survivors.drop("__sig")
   }
 
+  /** Compact the minhash sidecar's two tables — every ingest appends
+    * one file set to each, and every membership check reads ALL of
+    * them (the [[compactSidecar]] story, twice). Bands sort by bucket
+    * (row-group min/max stats prune the candidate join's scan), sigs
+    * by id (the verification join's key). Same single-writer,
+    * between-ingests contract; backup-swap crash behavior per
+    * [[graft.sources.Sinks.compactParquetDir]]. */
+  def compactMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
+                            sidecarDir: String, coalesceTo: Int = 1): Unit = {
+    graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/sigs",
+      coalesceTo = coalesceTo, sortCol = Some("id"))
+    graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/bands",
+      coalesceTo = coalesceTo, sortCol = Some("bucket"))
+  }
+
   /** Near-dup dedup straight into a parquet sink, writes ordered for
     * crash safety exactly like [[dedupAgainstSidecarTo]]: survivors
     * reach `outDir` BEFORE their signatures reach the sidecar, so a

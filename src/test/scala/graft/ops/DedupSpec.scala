@@ -221,6 +221,33 @@ class DedupSpec extends SparkSpec {
       === batch.columns.toSeq)
   }
 
+  test("compactMinhashSidecar: one file per table, membership decisions " +
+      "unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhc").toString
+    val sidecar = s"$dir/mh"
+    val long1 = (1 to 40).map(i => s"aa$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"bb$i").mkString(" ")
+    // two appends → two file sets per table
+    Dedup.writeMinhashSidecar(Seq((1L, long1)).toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    Dedup.writeMinhashSidecar(Seq((2L, long2)).toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    val batch = Seq(
+      (10L, ((1 to 39).map(i => s"aa$i") :+ "x").mkString(" ")), // near 1
+      (11L, (1 to 40).map(i => s"cc$i").mkString(" ")))          // novel
+      .toDF("doc_id", "text")
+    def survivors() = Dedup.nearDupAgainstSidecar(batch, "text", "doc_id",
+      sidecar, threshold = 0.5, appendSurvivors = false)
+      .select("doc_id").as[Long].collect().toSet
+    val before = survivors()
+    Dedup.compactMinhashSidecar(spark, sidecar)
+    def files(sub: String) = new java.io.File(s"$sidecar/$sub")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("sigs") === 1 && files("bands") === 1)
+    assert(survivors() === before)
+    assert(before === Set(11L))
+  }
+
   test("writeFingerprintSidecar seeds the sidecar from an existing corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sidecar2").toString
     val sidecar = s"$dir/fp"
