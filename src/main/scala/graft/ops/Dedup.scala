@@ -508,7 +508,15 @@ object Dedup {
     *    per sidecar.
     *
     * Estimator accuracy: stderr ≈ 1/√numHashes (~0.125 at 64) — pick
-    * `threshold` with that margin in mind, or raise `numHashes`. */
+    * `threshold` with that margin in mind, or raise `numHashes`.
+    *
+    * Cost note: the bands table is scanned twice per batch (bucket
+    * stats + candidate join) — same asymptotic class as the candidate
+    * join itself; a write-side-maintained bucket-stats table would
+    * halve the IO when batches are much smaller than the corpus, at
+    * the cost of keeping one more append in the single-writer
+    * protocol. [[compactMinhashSidecar]] bounds the per-scan file
+    * count between ingests. */
   def nearDupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
                             sidecarDir: String, shingleK: Int = 2,
                             numHashes: Int = 64, bands: Int = 8,
