@@ -53,6 +53,46 @@ object Sketches {
     distinctSketches(df, groupCols, valueCol, lgConfigK)
       .write.mode("append").parquet(sidecarDir)
 
+  /** Pairwise overlap matrix between groups, straight from sketch
+    * rows — the decontamination screening question ("how much do
+    * sources share?") answered WITHOUT rescanning any text: by
+    * inclusion–exclusion, |A∩B| ≈ est(A) + est(B) − est(A∪B), and the
+    * union sketch is the lossless `hll_union` of the two group
+    * sketches. Input is one MERGED sketch row per group (the
+    * [[distinctSketches]] output, or [[mergedSketches]] over a
+    * sidecar); the pair join is a self-join on group < group —
+    * |groups|² sketch pairs, each a KB-sized union, trivially
+    * parallel and independent of corpus size.
+    *
+    * Estimates subtract, so small true overlaps can surface as small
+    * negatives within HLL error — clamped to 0 (`greatest`).
+    * `groupCol` must be the single group column of the sketch rows. */
+  def overlapMatrix(sketches: DataFrame, groupCol: String): DataFrame = {
+    val a = sketches.select(col(groupCol).as("group_a"),
+      col("sketch").as("__sa"))
+    val b = sketches.select(col(groupCol).as("group_b"),
+      col("sketch").as("__sb"))
+    a.join(b, col("group_a") < col("group_b"))
+      .select(col("group_a"), col("group_b"),
+        hll_sketch_estimate(col("__sa")).as("approx_a"),
+        hll_sketch_estimate(col("__sb")).as("approx_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
+          .as("approx_union"))
+      .withColumn("approx_overlap",
+        greatest(col("approx_a") + col("approx_b") - col("approx_union"),
+          lit(0L)))
+  }
+
+  /** Re-merge an append-accumulated sidecar into ONE sketch row per
+    * group (counts summed, sketches unioned) WITHOUT estimating —
+    * the input shape [[overlapMatrix]] wants. */
+  def mergedSketches(spark: SparkSession, sidecarDir: String,
+                     groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(sidecarDir)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("sketch")).as("sketch"))
+
   /** Merge ALL accumulated sidecar rows (one per shard × group) into
     * per-group totals: exact row counts sum, sketches union, and the
     * estimate is read off the merged sketch. The only data touched is

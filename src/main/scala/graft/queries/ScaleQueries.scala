@@ -676,6 +676,21 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source overlap matrix from the sketch sidecar
+    * ([[graft.ops.Sketches.overlapMatrix]]): HLL inclusion–exclusion
+    * estimates |A∩B| per source pair from KB-sized sketches — the
+    * decontamination screening question answered without rescanning
+    * any text. Deterministic but engine-specific (q135's reason) →
+    * rows-only; accuracy and the lossless shard-merge equality are
+    * spec-proven. */
+  val q139OverlapMatrix = QueryDef.rowsOnly("q139_overlap_matrix") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    graft.ops.Sketches.overlapMatrix(
+        graft.ops.Sketches.distinctSketches(docs, Seq("source"), "text"),
+        "source")
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -906,5 +921,5 @@ object ScaleQueries {
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
-    q137MixtureUpsample, q138DetShuffle)
+    q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix)
 }

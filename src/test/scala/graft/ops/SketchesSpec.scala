@@ -46,6 +46,44 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("overlapMatrix: planted shared values surface, disjoint pairs " +
+      "stay near zero") {
+    // three sources: A and B share 200 of 600 values, C is disjoint
+    val rows =
+      (0 until 600).map(i => ("A", s"v$i")) ++
+      (400 until 1000).map(i => ("B", s"v$i")) ++          // 400..599 shared
+      (0 until 600).map(i => ("C", s"w$i"))
+    val df = rows.toDF("source", "value")
+    val m = Sketches.overlapMatrix(
+        Sketches.distinctSketches(df, Seq("source"), "value"), "source")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        r.getAs[Long]("approx_overlap"))).toMap
+    // lgK=12 → ~1.6% RSE per estimate; subtraction compounds to a few %
+    assert(math.abs(m(("A", "B")) - 200L) <= 30, s"A∩B ${m(("A", "B"))}")
+    assert(m(("A", "C")) <= 30, s"A∩C ${m(("A", "C"))}")
+    assert(m(("B", "C")) <= 30, s"B∩C ${m(("B", "C"))}")
+  }
+
+  test("overlapMatrix over a two-shard sidecar equals the single-shot " +
+      "matrix exactly (lossless union)") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("ovl").toString + "/s"
+    Sketches.writeSketchSidecar(
+      docs.filter($"doc_id" % 2 === 0), Seq("source"), "text", dir)
+    Sketches.writeSketchSidecar(
+      docs.filter($"doc_id" % 2 === 1), Seq("source"), "text", dir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"group_a", $"group_b", $"approx_overlap")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val fromSidecar = canon(Sketches.overlapMatrix(
+      Sketches.mergedSketches(spark, dir, Seq("source")), "source"))
+    val singleShot = canon(Sketches.overlapMatrix(
+      Sketches.distinctSketches(docs, Seq("source"), "text"), "source"))
+    assert(fromSidecar === singleShot)
+  }
+
   test("global (no-group) sketch row works and row counts are exact") {
     val docs = Tables.documents(spark, sf0001)
     val row = Sketches.distinctSketches(docs, Nil, "text")
