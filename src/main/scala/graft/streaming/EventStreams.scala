@@ -301,6 +301,33 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming sketch-sidecar maintenance: each micro-batch appends
+    * its per-group HLL sketch rows ([[graft.ops.Sketches
+    * .writeSketchSidecar]]) — the continuous form of per-shard sketch
+    * stats. Because HLL union is lossless at equal precision, the
+    * merged estimates equal a from-scratch batch build over everything
+    * ingested, regardless of how the stream happened to micro-batch.
+    * An at-least-once replay double-counts nothing distinct-wise
+    * (sketches are duplicate-insensitive) but double-counts `n_rows` —
+    * treat the exact counts as at-least-once under replays, or key
+    * batches externally when exactness matters. Single writer per
+    * sidecar, like every appender. */
+  def runSketchToSidecar(df: DataFrame, groupCols: Seq[String],
+                         valueCol: String, sidecarDir: String,
+                         checkpointDir: String,
+                         lgConfigK: Int = 12): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches.writeSketchSidecar(batch, groupCols, valueCol,
+          sidecarDir, lgConfigK)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming DataFrame to a named in-memory table and block
     * until all available input is processed (local smoke path). */
   def runToMemory(df: DataFrame, name: String,

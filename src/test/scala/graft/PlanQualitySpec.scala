@@ -162,6 +162,43 @@ class PlanQualitySpec extends SparkSpec {
       emb, "vec_id", "embedding", threshold = 0.9, bits = 4).count() === n)
   }
 
+  test("near-dup sidecar membership (q136): every executed plan in the " +
+      "operator uses equality joins only — no cartesian, no nested loop") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhplan").toString
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    graft.ops.Dedup.writeMinhashSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", s"$dir/mh")
+    // the operator checkpoints internally (truncating the returned
+    // plan), so capture EVERY plan it executes via a listener instead
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = { plans.add(qe.executedPlan.toString); () }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val survivors = graft.ops.Dedup.nearDupAgainstSidecar(
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id", s"$dir/mh",
+        appendSurvivors = false)
+      assert(survivors.count() > 0)
+      assert(survivors.columns.toSeq === docs.columns.toSeq)
+      // listener delivery is async; poll briefly for the plans to land
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val all = plans.toArray(Array.empty[String])
+      assert(all.nonEmpty)
+      all.foreach { p =>
+        assert(!p.contains("CartesianProduct"), p.take(600))
+        assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("composed curation pipeline (q131): bounded shuffle budget, no " +
       "cartesian products, the only unpartitioned window is the bounded " +
       "per-source budget share") {

@@ -276,6 +276,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set(2L, 11L))
   }
 
+  test("streaming sketch sidecar: merged estimates equal a from-scratch " +
+      "batch build over everything ingested (lossless union)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("ssketch")
+    val sidecar = root.resolve("s").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = (0 until 300).map(i => (s"src${i % 3}", s"v$i"))
+    val b2 = (200 until 500).map(i => (s"src${i % 3}", s"v$i")) // overlap
+    val mem = MemoryStream[(String, String)]
+    mem.addData(b1: _*)
+    runSketchToSidecar(mem.toDF().toDF("source", "value"),
+      Seq("source"), "value", sidecar, ckpt)
+    mem.addData(b2: _*)
+    runSketchToSidecar(mem.toDF().toDF("source", "value"),
+      Seq("source"), "value", sidecar, ckpt)
+
+    def canonEst(df: org.apache.spark.sql.DataFrame) = df
+      .select($"source", $"approx_distinct")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val streamed = canonEst(
+      graft.ops.Sketches.mergedDistinct(spark, sidecar, Seq("source")))
+    val batch = canonEst(
+      graft.ops.Sketches.distinctSketches(
+          (b1 ++ b2).toDF("source", "value"), Seq("source"), "value")
+        .select($"source", org.apache.spark.sql.functions
+          .hll_sketch_estimate($"sketch").as("approx_distinct")))
+    assert(streamed === batch)
+  }
+
   test("file-source stream over events.parquet matches batch q14 counts") {
     // stage the parquet file into an ingestion directory (file streams
     // watch directories, not single files)
