@@ -169,7 +169,7 @@ object Curation {
       .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"),
-        row_number().over(ord).as("rank"),
+        row_number().over(ord).cast("long").as("rank"),
         sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)).as("cum"),
         sum(col("cnt")).over(Window.partitionBy()).as("total"))

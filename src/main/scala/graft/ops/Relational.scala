@@ -244,7 +244,7 @@ object Relational {
     * masses coalesce null sums to 0, so an all-null partition shifts
     * no offsets and never NPEs the driver.
     *
-    * Returns (input + rankCol(int) + cumCol(long), grand total). */
+    * Returns (input + rankCol(long) + cumCol(long), grand total). */
   def globalRankAndRunningSum(df: DataFrame, order: Seq[Column],
       value: Column, rankCol: String, cumCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
@@ -264,9 +264,12 @@ object Relational {
       val o = (pid, rowOff, massOff); rowOff += r; massOff += m; o
     }.toDF("__pid", "__row_off", "__mass_off")
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    // rank stays LONG: the whole point of this primitive is >2^31-row
+    // inputs, where an int rank would silently wrap (the local
+    // row_number is int, but the offset lifts it past any partition)
     val out = parted.join(broadcast(offsets), "__pid")
       .withColumn(rankCol,
-        (row_number().over(w) + col("__row_off")).cast("int"))
+        row_number().over(w).cast("long") + col("__row_off"))
       .withColumn(cumCol,
         sum(col("__v")).over(w.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)) + col("__mass_off"))

@@ -141,7 +141,7 @@ object CurationQueries {
       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1
       |), r AS (
       |  SELECT w, cnt,
-      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS INT) AS rnk,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rnk,
       |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
       |    CAST(SUM(cnt) OVER () AS BIGINT) AS total

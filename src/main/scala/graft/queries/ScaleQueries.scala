@@ -376,7 +376,7 @@ object ScaleQueries {
     "q138_det_shuffle",
     """SELECT doc_id, source,
       |  CAST(ROW_NUMBER() OVER (
-      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42')) AS INT) AS pos
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42')) AS BIGINT) AS pos
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     Relational.deterministicShuffle(

@@ -59,11 +59,11 @@ class CurationSpec extends SparkSpec {
     val got = Curation.vocabCoverage(docs, coverage = 0.85)
       .orderBy($"rank")
       .select($"w", $"cnt", $"rank", $"cum_share", $"in_vocab")
-      .as[(String, Long, Int, Double, Boolean)].collect().toSeq
+      .as[(String, Long, Long, Double, Boolean)].collect().toSeq
     assert(got === Seq(
-      ("b", 3L, 1, 0.5, true),
-      ("a", 2L, 2, 5.0 / 6, true),
-      ("c", 1L, 3, 1.0, false)))
+      ("b", 3L, 1L, 0.5, true),
+      ("a", 2L, 2L, 5.0 / 6, true),
+      ("c", 1L, 3L, 1.0, false)))
   }
 
   test("vocabCoverage (distributed) is byte-identical to the single-window " +
@@ -72,7 +72,7 @@ class CurationSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy($"rank")
         .select($"w", $"cnt", $"rank", $"cum_share", $"in_vocab")
-        .as[(String, Long, Int, Double, Boolean)].collect().toSeq
+        .as[(String, Long, Long, Double, Boolean)].collect().toSeq
     val dist = canon(Curation.vocabCoverage(docs))
     val single = canon(Curation.vocabCoverageSingleWindow(docs))
     assert(dist.nonEmpty)

@@ -157,10 +157,11 @@ class RelationalSpec extends SparkSpec {
       df, Seq($"v".desc, $"k"), $"v", "rnk", "cum")
     assert(total === 20L)
     val rows = got.select($"k", $"rnk", $"cum")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // order: e(8) c(5) a(3) b(3) d(1)
     assert(rows === Set(
-      ("e", 1, 8L), ("c", 2, 13L), ("a", 3, 16L), ("b", 4, 19L), ("d", 5, 20L)))
+      ("e", 1L, 8L), ("c", 2L, 13L), ("a", 3L, 16L), ("b", 4L, 19L),
+      ("d", 5L, 20L)))
   }
 
   test("packSequences: boundary-straddling docs report correct seq spans") {
