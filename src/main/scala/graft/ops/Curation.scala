@@ -158,6 +158,27 @@ object Curation {
       (col("cum").cast("double") / lit(total) <= coverage).as("in_vocab"))
   }
 
+  /** Quality-budget cut: keep the HIGHEST-quality documents whose
+    * cumulative token count fits a global budget — "give me the best
+    * N tokens of this corpus", the final selection step after scoring
+    * (q22), dedup, and mixing. Documents are ranked by
+    * (quality desc, id) and survive while the running token total
+    * stays within `budget`; the straddling document is dropped (strict
+    * fit). The ranking runs through
+    * [[Relational.globalRankAndRunningSum]] — range partitions +
+    * local windows, no unpartitioned window — so the cut is one range
+    * shuffle at any corpus size, and the exact-integer cumsum makes
+    * the survivor set bit-deterministic at any parallelism.
+    * Output = input columns + `cum_tokens` (the audit trail: the
+    * last survivor's value is the spent budget). */
+  def qualityBudgetCut(df: DataFrame, quality: Column, idCol: String,
+                       nTokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val (ranked, _) = Relational.globalRankAndRunningSum(df,
+      Seq(quality.desc, col(idCol)), nTokens, "__rank", "cum_tokens")
+    ranked.drop("__rank").filter(col("cum_tokens") <= budget)
+  }
+
   /** Single-window formulation of [[vocabCoverage]] — byte-identical
     * output, simpler plan; safe only when the vocabulary is known to
     * be bounded (one reducer ranks the whole vocab). Kept as the

@@ -691,6 +691,44 @@ object ScaleQueries {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** Quality-budget cut ([[graft.ops.Curation.qualityBudgetCut]]):
+    * the best 10k tokens of the corpus by the q22-proven quality
+    * expression, exact-integer running total, strict fit. The oracle
+    * replays the quality product (IEEE-identical, q129's CTE) and the
+    * SUM OVER (ORDER BY quality DESC, doc_id) cumsum. */
+  val q140QualityBudget = QueryDef(
+    "q140_quality_budget",
+    """WITH qual AS (
+      |  SELECT doc_id, n_tokens,
+      |    (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |  FROM (
+      |    SELECT doc_id, length(text) AS n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |    FROM documents)
+      |), c AS (
+      |  SELECT doc_id, quality,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM qual
+      |)
+      |SELECT doc_id, quality, cum_tokens FROM c
+      |WHERE cum_tokens <= 10000
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .withColumn("__q", docQuality(col("text")))
+    graft.ops.Curation.qualityBudgetCut(docs, col("__q"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 10000L)
+      .select(col("doc_id"), col("__q").as("quality"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -921,5 +959,6 @@ object ScaleQueries {
     q128AsofForward, q129QualityDedup, q130AnnJoinIvfStored,
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
-    q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix)
+    q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
+    q140QualityBudget)
 }
