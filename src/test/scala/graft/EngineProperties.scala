@@ -320,6 +320,68 @@ object EngineProperties extends Properties("graft") {
       1 -> Gen.oneOf('é', 'ü', '€', '語')))
       .map(_.mkString)
 
+  private val weights: Gen[List[Double]] =
+    Gen.listOfN(20, Gen.oneOf(Gen.const(0.0), Gen.choose(0.0, 4.0)))
+
+  property("replicateByWeight: copy count per row is floor(w) or floor(w)+1, " +
+      "copy indices are exactly 1..n, deterministic") =
+    forAll(weights) { ws =>
+      import spark.implicits._
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      def run() = Relational.replicateByWeight(df, "id", col("w"))
+        .select($"id", $"copy").as[(Long, Long)].collect().toSeq
+      val out = run()
+      val byId = out.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val perRowOk = ws.zipWithIndex.forall { case (w, i) =>
+        val copies = byId.getOrElse(i.toLong, Seq.empty)
+        val n = copies.size
+        (n == math.floor(w).toLong || n == math.floor(w).toLong + 1) &&
+          copies == (1L to n).toSeq
+      }
+      Prop.all(perRowOk, out.toSet == run().toSet)
+    }
+
+  property("deterministicShuffle: positions are a permutation of 1..n; " +
+      "same seed reproduces, different seed permutes differently") =
+    forAll(Gen.choose(5, 40)) { n =>
+      import spark.implicits._
+      val df = (0 until n).map(_.toLong).toDF("id")
+      def pos(seed: Long) = Relational.deterministicShuffle(df, "id", seed)
+        .select($"id", $"pos").as[(Long, Long)].collect().toMap
+      val p1 = pos(42L)
+      val p2 = pos(42L)
+      val p3 = pos(43L)
+      Prop.all(
+        p1.values.toSeq.sorted == (1L to n).toSeq,
+        p1 == p2,
+        // n>=5 → 1/n! collision chance is negligible and deterministic
+        p1 != p3)
+    }
+
+  property("qualityBudgetCut: survivors fit the budget and are exactly the " +
+      "maximal quality-ordered prefix") =
+    forAll(Gen.listOfN(15, Gen.zip(Gen.choose(0.0, 1.0), Gen.choose(1L, 40L)))) {
+      qs =>
+        import spark.implicits._
+        val df = qs.zipWithIndex.map { case ((q, t), i) => (i.toLong, q, t) }
+          .toDF("id", "q", "toks")
+        val budget = 100L
+        val got = graft.ops.Curation.qualityBudgetCut(
+            df, col("q"), "id", col("toks"), budget)
+          .select($"id").as[Long].collect().toSet
+        // reference: walk the (q desc, id) order accumulating tokens
+        val want = qs.zipWithIndex
+          .map { case ((q, t), i) => (i.toLong, q, t) }
+          .sortBy { case (i, q, _) => (-q, i) }
+          .scanLeft(((-1L, 0.0, 0L), 0L)) { case ((_, acc), row) =>
+            (row, acc + row._3)
+          }.tail
+          .takeWhile(_._2 <= budget)
+          .map(_._1._1).toSet
+        Prop(got == want) :| s"got $got want $want"
+    }
+
   property("SimHash64 fused expression == interpreted HOF on arbitrary text") =
     forAll(Gen.listOfN(8, spaceyText)) { texts =>
       import spark.implicits._
