@@ -53,6 +53,37 @@ object Sketches {
     distinctSketches(df, groupCols, valueCol, lgConfigK)
       .write.mode("append").parquet(sidecarDir)
 
+  /** Per-period sketch table: one row per (`periodCol` value) with the
+    * exact row count and the HLL sketch of `valueCol` — the
+    * pre-aggregation that turns "distinct over ANY date range" from a
+    * full rescan into a sketch union. The classic OLAP problem
+    * distinct counts don't pre-aggregate (they're not additive); HLL
+    * sketches ARE (lossless union), so a day-grain sketch table
+    * answers week/month/arbitrary-range distincts exactly as if
+    * computed from raw data. */
+  def periodSketches(df: DataFrame, period: org.apache.spark.sql.Column,
+                     valueCol: String, lgConfigK: Int = 12): DataFrame =
+    df.groupBy(period.as("period"))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(valueCol), lit(lgConfigK)).as("sketch"))
+
+  /** Trailing-window distinct estimates over a period-sketch table:
+    * for each period, the distinct count of the last `periods` rows
+    * (current included) by unioning their sketches in a window frame —
+    * `hll_union_agg` runs as a window aggregate, so the rollup is one
+    * pass over PERIOD-cardinality rows (days, not events). The window
+    * orders by period with no partition: bounded by construction
+    * (#periods rows — the same bounded-window class as q126's
+    * per-source budget share). */
+  def rollingDistinct(periodSketches: DataFrame, periods: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("period")).rowsBetween(-(periods - 1), 0)
+    periodSketches.select(col("period"), col("n_rows"),
+      hll_sketch_estimate(col("sketch")).as("approx_distinct"),
+      hll_sketch_estimate(hll_union_agg(col("sketch")).over(w))
+        .as(s"approx_distinct_${periods}p"))
+  }
+
   /** Pairwise overlap matrix between groups, straight from sketch
     * rows — the decontamination screening question ("how much do
     * sources share?") answered WITHOUT rescanning any text: by

@@ -729,6 +729,23 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Time-rolled distinct rollup ([[graft.ops.Sketches
+    * .periodSketches]] + [[rollingDistinct]]): daily distinct users
+    * plus the trailing-7-period distinct from one pass over
+    * day-grain sketch rows — the pre-aggregated answer to "distinct
+    * over any date range" that plain distinct counts (non-additive)
+    * can't give. Deterministic but HLL-engine-specific → rows-only;
+    * exact equality with direct computation is spec-proven. */
+  val q141RollingDistinct = QueryDef.rowsOnly("q141_rolling_distinct") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val daily = graft.ops.Sketches.periodSketches(ev, col("day"), "user_id")
+    graft.ops.Sketches.rollingDistinct(daily, periods = 7)
+      .select(date_format(col("period"), "yyyy-MM-dd").as("day"),
+        col("n_rows"), col("approx_distinct"), col("approx_distinct_7p"))
+      .orderBy(col("day"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -960,5 +977,5 @@ object ScaleQueries {
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
-    q140QualityBudget)
+    q140QualityBudget, q141RollingDistinct)
 }

@@ -84,6 +84,29 @@ class SketchesSpec extends SparkSpec {
     assert(fromSidecar === singleShot)
   }
 
+  test("rollingDistinct: trailing-window estimates equal direct " +
+      "computation over the same raw rows (sketches pre-aggregate " +
+      "distinct exactly)") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val daily = Sketches.periodSketches(ev, $"day", "user_id")
+    val rolled = Sketches.rollingDistinct(daily, periods = 3)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(3))).toMap
+    val days = daily.select($"period").collect()
+      .map(_.getDate(0)).sortBy(_.toString)
+    assert(days.length >= 3)
+    // for each day, recompute the trailing-3-day distinct directly
+    // from raw events through a fresh sketch — must match EXACTLY
+    days.zipWithIndex.foreach { case (d, i) =>
+      val from = days(math.max(0, i - 2))
+      val direct = ev.filter($"day" >= from && $"day" <= d)
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id")))
+        .head().getLong(0)
+      assert(rolled(d.toString) === direct, s"day $d")
+    }
+  }
+
   test("global (no-group) sketch row works and row counts are exact") {
     val docs = Tables.documents(spark, sf0001)
     val row = Sketches.distinctSketches(docs, Nil, "text")
