@@ -427,13 +427,26 @@ object Dedup {
     * contributes zero survivors. Same single-writer contract as
     * [[dedupAgainstSidecar]]. */
   def dedupAgainstSidecarTo(batch: DataFrame, textCol: String, idCol: String,
-                            sidecarDir: String, outDir: String): Unit = {
-    val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir)
+                            sidecarDir: String, outDir: String,
+                            bloomPrefilter: Boolean = false): Unit = {
+    val spark = batch.sparkSession
+    val survivors =
+      sidecarSurvivors(batch, textCol, idCol, sidecarDir, bloomPrefilter)
     survivors.drop("__fp").write.mode("append").parquet(outDir)
-    survivors.filter(col("__fp").isNotNull)
+    val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-      .sortWithinPartitions(col("fp"))
+    newFps.sortWithinPartitions(col("fp"))
       .write.mode("append").parquet(sidecarDir)
+    // fold the batch's fingerprints into the Bloom companion (the
+    // dedupAgainstSidecar parity); a crash before this point leaves
+    // the bloom stale, which only re-admits — never loses — and the
+    // next writeSidecarBloom rebuild reconverges
+    if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
+      val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
+        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      saveSidecarBloom(spark, sidecarDir, updated)
+    }
   }
 
   /** Minhash-signature sidecar: the NEAR-dup twin of the exact

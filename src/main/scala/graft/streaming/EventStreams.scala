@@ -257,16 +257,22 @@ object EventStreams {
     * rows, recoverable downstream — never silent loss (the reverse
     * order would admit zero survivors on replay and permanently drop
     * the documents). Single-writer per sidecar: run ONE such query per
-    * sidecar dir — concurrent writers could double-admit survivors. */
+    * sidecar dir — concurrent writers could double-admit survivors.
+    * `bloomPrefilter = true` routes membership through the sidecar's
+    * Bloom companion when present (build it once with
+    * [[graft.ops.Dedup.writeSidecarBloom]]; each batch folds its new
+    * fingerprints forward) — the 100 TB path where most of every
+    * micro-batch is genuinely new and skips the exact anti-join. */
   def runDedupToParquet(docs: DataFrame, textCol: String, idCol: String,
                         outDir: String, sidecarDir: String,
-                        checkpointDir: String): Unit = {
+                        checkpointDir: String,
+                        bloomPrefilter: Boolean = false): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Dedup.dedupAgainstSidecarTo(batch, textCol, idCol,
-          sidecarDir, outDir)
+          sidecarDir, outDir, bloomPrefilter)
       }
       .start()
     q.processAllAvailable()

@@ -248,6 +248,37 @@ class DedupSpec extends SparkSpec {
     assert(before === Set(11L))
   }
 
+  test("dedupAgainstSidecarTo with bloom prefilter: same sink contents as " +
+      "the plain path, bloom folds the batch's fingerprints forward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scbTo").toString
+    val plainSc = s"$dir/plain"; val plainOut = s"$dir/plain_out"
+    val bloomSc = s"$dir/bloom"; val bloomOut = s"$dir/bloom_out"
+    val seed = Seq((1L, "seeded doc")).toDF("doc_id", "text")
+    val batch = Seq((10L, "seeded doc"), (11L, "fresh doc"))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintSidecar(seed, "text", plainSc)
+    Dedup.writeFingerprintSidecar(seed, "text", bloomSc)
+    Dedup.writeSidecarBloom(spark, bloomSc)
+    Dedup.dedupAgainstSidecarTo(batch, "text", "doc_id", plainSc, plainOut)
+    Dedup.dedupAgainstSidecarTo(batch, "text", "doc_id", bloomSc, bloomOut,
+      bloomPrefilter = true)
+    def out(p: String) = spark.read.parquet(p)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out(plainOut) === Set(11L))
+    assert(out(bloomOut) === out(plainOut))
+    // fold-forward: the batch's new fingerprint is now in the bloom,
+    // so a replay's prefilter routes it to the exact join (might=true)
+    val bloom = Dedup.loadSidecarBloom(spark, bloomSc).get
+    val fp = batch.filter($"doc_id" === 11L)
+      .select(md5($"text")).as[String].head()
+    assert(graft.functions.BloomMightContain.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(fp), bloom))
+    // and the replay itself yields zero new survivors
+    Dedup.dedupAgainstSidecarTo(batch, "text", "doc_id", bloomSc, bloomOut,
+      bloomPrefilter = true)
+    assert(out(bloomOut) === Set(11L))
+  }
+
   test("writeFingerprintSidecar seeds the sidecar from an existing corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sidecar2").toString
     val sidecar = s"$dir/fp"
