@@ -377,6 +377,35 @@ object Relational {
     ranked.drop("__cum")
   }
 
+  /** Exact class balancing — the imbalanced-label fix for classifier
+    * training: every class is downsampled to EXACTLY the minority
+    * class's count, keeping each class's md5-ordered prefix (the
+    * [[deterministicShuffle]] order), so the result is reproducible
+    * at any cluster size and across engines — unlike
+    * `sampleBy`-style probabilistic balancing, which only balances in
+    * expectation. Each class ranks through
+    * [[globalRankAndRunningSum]] (no unpartitioned window, no
+    * single-reducer-per-class sort); the per-class passes partition
+    * the input, so the total cost is one range-shuffle pass over the
+    * data plus one bounded count aggregate (#classes rows to the
+    * driver). `labelCol` cardinality should be bounded (classes, not
+    * ids); the input is scanned once per class — cache it when class
+    * count is more than a few. Null labels form their own class. */
+  def balanceClasses(df: DataFrame, labelCol: String, idCol: String,
+                     seed: Long = 42L): DataFrame = {
+    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "balanceClasses: empty input")
+    val minCount = counts.map(_._2).min
+    counts.map { case (label, _) =>
+      val cls = df.filter(col(labelCol) <=> lit(label))
+      val (ranked, _) = globalRankAndRunningSum(cls,
+        Seq(md5(concat_ws("|", col(idCol), lit(seed)))),
+        lit(1L), "__rn", "__cum")
+      ranked.filter(col("__rn") <= minCount).drop("__rn", "__cum")
+    }.reduce(_ unionByName _)
+  }
+
   /** Balanced shard assignment for training output: shard count =
     * ceil(total_size / budget), items dealt round-robin in descending
     * size order (longest-processing-time heuristic — the classic

@@ -746,6 +746,28 @@ object ScaleQueries {
       .orderBy(col("day"))
   }
 
+  /** Exact class balancing ([[Relational.balanceClasses]]): every
+    * language downsampled to exactly the rarest language's count,
+    * keeping each class's md5-ordered prefix. The oracle replays the
+    * per-class ROW_NUMBER over the same md5 key against the global
+    * min count. */
+  val q142BalanceClasses = QueryDef(
+    "q142_balance_classes",
+    """WITH n AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+      |m AS (SELECT min(cnt) AS mn FROM n),
+      |r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42')) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r, m WHERE rn <= mn
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Relational.balanceClasses(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Incremental IVF index maintenance ([[Similarity.appendToIvfIndex]]):
     * the index is built from the even-vec_id half, the odd half is
     * APPENDED (nearest-stored-centroid assignment, no refit), and the
@@ -977,5 +999,5 @@ object ScaleQueries {
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
-    q140QualityBudget, q141RollingDistinct)
+    q140QualityBudget, q141RollingDistinct, q142BalanceClasses)
 }

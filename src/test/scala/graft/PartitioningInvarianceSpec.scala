@@ -39,7 +39,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q134SemanticDedup,     // LSH buckets + CC closure
     ScaleQueries.q137MixtureUpsample,   // md5-uniform replication
     ScaleQueries.q138DetShuffle,        // md5-ranked global shuffle
-    ScaleQueries.q140QualityBudget)     // quality-ordered token cumsum cut
+    ScaleQueries.q140QualityBudget,     // quality-ordered token cumsum cut
+    ScaleQueries.q142BalanceClasses)    // per-class md5-prefix balancing
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {
