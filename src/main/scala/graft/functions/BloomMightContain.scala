@@ -27,6 +27,19 @@ import org.apache.spark.util.sketch.BloomFilter
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression {
 
+  // Array[Byte] equals/hashCode are reference-based, which would make
+  // two semantically identical probes (or a deserialized copy) compare
+  // unequal — defeating plan canonicalization and subexpression
+  // elimination. Compare the bytes structurally.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMightContain(c, b) =>
+      c == child && java.util.Arrays.equals(b, bloomBytes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess

@@ -22,6 +22,12 @@ object GraftFunctions {
       CosineSimilarity(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
+  /** Codegen'd squared euclidean distance (see [[SqEuclideanDistance]]). */
+  def sq_euclidean(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqEuclideanDistance(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
   /** Codegen'd minhash signature (see [[MinHashSignature]]). */
   def minhash_signature(hashedShingles: Column, numHashes: Int): Column =
     ColumnBridge.column(
@@ -97,6 +103,7 @@ object GraftFunctions {
     * from, so the SQL surface can't drift from the Column API. */
   private[functions] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "sq_euclidean" -> (exprs => SqEuclideanDistance(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs =>
       MinHashSignature(exprs(0), intArg("minhash_signature", exprs(1)))),
     "hashed_shingles" -> (exprs =>

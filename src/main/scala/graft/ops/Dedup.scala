@@ -235,9 +235,12 @@ object Dedup {
     * the corpus already contains. */
   def writeFingerprintSidecar(df: DataFrame, textCol: String,
                               sidecarDir: String): Unit =
-    df.select(md5(col(textCol)).as("fp")).distinct()
-      .sortWithinPartitions(col("fp"))
-      .write.mode("append").parquet(sidecarDir)
+    graft.sources.Sinks.withDirLock(
+      df.sparkSession, sidecarDir, "writeFingerprintSidecar") {
+      df.select(md5(col(textCol)).as("fp")).distinct()
+        .sortWithinPartitions(col("fp"))
+        .write.mode("append").parquet(sidecarDir)
+    }
 
   /** Shared survivor computation for the incremental-dedup family:
     * anti-join the batch's md5 text fingerprints against the persisted
@@ -337,16 +340,19 @@ object Dedup {
       sidecarSurvivors(batch, textCol, idCol, sidecarDir, bloomPrefilter)
     val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-    newFps.sortWithinPartitions(col("fp"))
-      .write.mode("append").parquet(sidecarDir)
-    if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
-      // zero = the loaded bloom: partitions OR their items into copies
-      // of it and copies merge idempotently (bitmap union), so the
-      // result is loaded ∪ batch fingerprints
-      val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
-        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-      saveSidecarBloom(spark, sidecarDir, updated)
+    graft.sources.Sinks.withDirLock(
+      spark, sidecarDir, "dedupAgainstSidecar") {
+      newFps.sortWithinPartitions(col("fp"))
+        .write.mode("append").parquet(sidecarDir)
+      if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
+        // zero = the loaded bloom: partitions OR their items into copies
+        // of it and copies merge idempotently (bitmap union), so the
+        // result is loaded ∪ batch fingerprints
+        val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
+          (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+        saveSidecarBloom(spark, sidecarDir, updated)
+      }
     }
     survivors.drop("__fp")
   }
@@ -392,16 +398,17 @@ object Dedup {
     * never by data volume). Same single-writer contract as the
     * sidecar itself. */
   def writeSidecarBloom(spark: org.apache.spark.sql.SparkSession,
-                        sidecarDir: String, fpp: Double = 0.01): Unit = {
-    val fps = spark.read.parquet(sidecarDir).select(col("fp"))
-    val n = math.max(fps.count(), 1L)
-    val zero = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
-    val bloom = fps.rdd.map(_.getString(0))
-      .treeAggregate(zero)(
-        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-    saveSidecarBloom(spark, sidecarDir, bloom)
-  }
+                        sidecarDir: String, fpp: Double = 0.01): Unit =
+    graft.sources.Sinks.withDirLock(spark, sidecarDir, "writeSidecarBloom") {
+      val fps = spark.read.parquet(sidecarDir).select(col("fp"))
+      val n = math.max(fps.count(), 1L)
+      val zero = org.apache.spark.util.sketch.BloomFilter.create(n, fpp)
+      val bloom = fps.rdd.map(_.getString(0))
+        .treeAggregate(zero)(
+          (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+      saveSidecarBloom(spark, sidecarDir, bloom)
+    }
 
   /** Compact the fingerprint sidecar: every ingest appends one file
     * set, and the membership anti-join reads ALL of them every batch —
@@ -435,18 +442,38 @@ object Dedup {
     survivors.drop("__fp").write.mode("append").parquet(outDir)
     val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-    newFps.sortWithinPartitions(col("fp"))
-      .write.mode("append").parquet(sidecarDir)
-    // fold the batch's fingerprints into the Bloom companion (the
-    // dedupAgainstSidecar parity); a crash before this point leaves
-    // the bloom stale, which only re-admits — never loses — and the
-    // next writeSidecarBloom rebuild reconverges
-    if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
-      val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
-        (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-      saveSidecarBloom(spark, sidecarDir, updated)
+    graft.sources.Sinks.withDirLock(
+      spark, sidecarDir, "dedupAgainstSidecarTo") {
+      newFps.sortWithinPartitions(col("fp"))
+        .write.mode("append").parquet(sidecarDir)
+      // fold the batch's fingerprints into the Bloom companion (the
+      // dedupAgainstSidecar parity); a crash before this point leaves
+      // the bloom stale, which only re-admits — never loses — and the
+      // next writeSidecarBloom rebuild reconverges
+      if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
+        val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
+          (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+          (a, b) => { a.mergeInPlace(b); a })
+        saveSidecarBloom(spark, sidecarDir, updated)
+      }
     }
+  }
+
+  /** Guarded id→long cast for the minhash-sidecar family, whose
+    * stored layout keys documents by BIGINT id: a silently nulled cast
+    * (non-numeric string ids under non-ANSI sessions) would fill the
+    * sidecar with null-id signature rows and make every candidate join
+    * no-op with no error. `try_cast` + `raise_error` fails loud and
+    * deterministically in BOTH ANSI modes when a non-null id doesn't
+    * cast. */
+  private def idAsLong(idCol: String): Column = {
+    val casted = expr(s"try_cast(`$idCol` AS BIGINT)")
+    when(col(idCol).isNotNull && casted.isNull,
+      raise_error(concat(
+        lit(s"minhash sidecar: id column `$idCol` must be castable to " +
+          "BIGINT (long-keyed sidecar layout); got value "),
+        col(idCol).cast("string"))))
+      .otherwise(casted)
   }
 
   /** Minhash-signature sidecar: the NEAR-dup twin of the exact
@@ -459,34 +486,58 @@ object Dedup {
     *    (band, bucket) equality join, the discriminative index;
     *  - `$dir/sigs`:  (id, sig array<long>) — estimated-Jaccard
     *    verification (fraction of agreeing signature components, the
-    *    standard MinHash estimator — no shingle sets needed).
+    *    standard MinHash estimator — no shingle sets needed);
+    *  - `$dir/stats`: (band, bucket, n) COUNT INCREMENTS, one row set
+    *    per ingest — the write-side-maintained bucket statistics.
+    *    Reading `sum(n)` per (band, bucket) over this table replaces
+    *    the read side's full re-aggregation of `bands`, so a batch
+    *    membership check scans the bands table ONCE (candidate join)
+    *    instead of twice; the stats table is ~distinct-buckets-sized,
+    *    orders of magnitude smaller than bands at corpus scale.
     *
     * Docs with an empty shingle set (shorter than `shingleK` tokens)
     * carry no signature and are not written — they cannot be
     * near-duplicates of anything by content. Same single-writer
-    * contract as [[writeFingerprintSidecar]]. */
+    * contract as [[writeFingerprintSidecar]] (enforced by the
+    * `.lock` marker — see [[graft.sources.Sinks.withDirLock]]).
+    *
+    * Id contract: `idCol` must be castable to BIGINT — the stored
+    * layout is long-keyed. A non-castable non-null id fails loud (in
+    * both ANSI modes) instead of silently writing null-id rows that
+    * would make every later candidate join a no-op. */
   def writeMinhashSidecar(df: DataFrame, textCol: String, idCol: String,
                           sidecarDir: String, shingleK: Int = 2,
                           numHashes: Int = 64, bands: Int = 8): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = df.select(col(idCol).cast("long").as("id"),
+    val sigs = df.select(idAsLong(idCol).as("id"),
         graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
           .as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .localCheckpoint(true)
-    // sigs FIRST, bands second: membership checks key off the bands
-    // table (candidate generation joins it, existence checks probe
-    // it), so a crash between the two writes must leave bands ⊆ sigs —
-    // every band row can resolve its signature, and the not-yet-banded
-    // docs are simply re-admittable (the recoverable direction). The
-    // reverse order could emit candidates whose verification rows
-    // don't exist yet.
-    sigs.write.mode("append").parquet(s"$sidecarDir/sigs")
-    sigs.select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .write.mode("append").parquet(s"$sidecarDir/bands")
+    graft.sources.Sinks.withDirLock(
+      df.sparkSession, sidecarDir, "writeMinhashSidecar") {
+      // sigs FIRST, bands second, stats LAST: membership checks key off
+      // the bands table (candidate generation joins it, existence
+      // checks probe it), so a crash between the writes must leave
+      // stats ⊆ bands ⊆ sigs — every band row can resolve its
+      // signature, and an UNDER-counted bucket is only dropped later
+      // than it should be (more candidates verified — correctness
+      // unaffected; the estimator still decides). The reverse order
+      // could emit candidates whose verification rows don't exist yet,
+      // or drop buckets early and silently miss near-dups.
+      sigs.write.mode("append").parquet(s"$sidecarDir/sigs")
+      val bandRows = sigs
+        .select(col("id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.bucket").as("bucket"))
+        .localCheckpoint(true)
+      bandRows.write.mode("append").parquet(s"$sidecarDir/bands")
+      bandRows.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .write.mode("append").parquet(s"$sidecarDir/stats")
+    }
   }
 
   /** Incremental NEAR-dup dedup — the fuzzy twin of
@@ -502,6 +553,10 @@ object Dedup {
     * corpus.
     *
     * Contract notes, matching the exact sidecar:
+    *  - `shingleK`/`numHashes`/`bands` must MATCH the sidecar's build
+    *    parameters ([[writeMinhashSidecar]]): band keys are a function
+    *    of all three, so a mismatch silently yields no candidates and
+    *    a wrong-length signature skews the estimator;
     *  - batch rows with an empty shingle set pass through as survivors
     *    untouched and are never appended (no content to compare);
     *  - INTRA-batch near-dups are NOT collapsed here (both survive if
@@ -523,39 +578,69 @@ object Dedup {
     * Estimator accuracy: stderr ≈ 1/√numHashes (~0.125 at 64) — pick
     * `threshold` with that margin in mind, or raise `numHashes`.
     *
-    * Cost note: the bands table is scanned twice per batch (bucket
-    * stats + candidate join) — same asymptotic class as the candidate
-    * join itself; a write-side-maintained bucket-stats table would
-    * halve the IO when batches are much smaller than the corpus, at
-    * the cost of keeping one more append in the single-writer
-    * protocol. [[compactMinhashSidecar]] bounds the per-scan file
-    * count between ingests. */
+    * Cost shape: bucket statistics come from the write-side-maintained
+    * `$dir/stats` table (`sum(n)` per (band, bucket) — a table sized
+    * by DISTINCT buckets), so the per-batch IO is ONE scan of the
+    * bands table (the candidate join) plus the tiny stats scan — the
+    * bands table is never re-aggregated at read time. Sidecars written
+    * before the stats table existed fall back to aggregating bands
+    * (one extra scan, same results); one compaction or any new append
+    * establishes stats. [[compactMinhashSidecar]] bounds the per-scan
+    * file count between ingests.
+    *
+    * Id contract: `idCol` must be castable to BIGINT (see
+    * [[writeMinhashSidecar]]) — enforced loud, both ANSI modes. */
   def nearDupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
                             sidecarDir: String, shingleK: Int = 2,
                             numHashes: Int = 64, bands: Int = 8,
                             threshold: Double = 0.7, bucketCap: Int = 200,
                             appendSurvivors: Boolean = true): DataFrame = {
+    val survivors = nearDupSurvivorsPlan(batch, textCol, idCol, sidecarDir,
+      shingleK, numHashes, bands, threshold, bucketCap).localCheckpoint(true)
+    if (appendSurvivors)
+      writeMinhashSidecar(survivors.filter(col("__sig").isNotNull),
+        textCol, idCol, sidecarDir, shingleK, numHashes, bands)
+    survivors.drop("__sig")
+  }
+
+  /** The LAZY survivor plan of [[nearDupAgainstSidecar]] (before the
+    * checkpoint barrier) — exposed so plan-quality specs can assert
+    * the single-bands-scan property on the exact plan the operator
+    * runs. Carries the internal `__sig` column. */
+  private[graft] def nearDupSurvivorsPlan(
+      batch: DataFrame, textCol: String, idCol: String, sidecarDir: String,
+      shingleK: Int, numHashes: Int, bands: Int,
+      threshold: Double, bucketCap: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     val rows = numHashes / bands
     val bandsPath = new org.apache.hadoop.fs.Path(s"$sidecarDir/bands")
+    val statsPath = new org.apache.hadoop.fs.Path(s"$sidecarDir/stats")
     val fs = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val withSig = batch.withColumn("__sig",
       when(size(graft.functions.GraftFunctions
           .hashed_shingles(col(textCol), shingleK)) > 0,
         minhashSignature(graft.functions.GraftFunctions
           .hashed_shingles(col(textCol), shingleK), numHashes)))
-    val survivors = (if (!fs.exists(bandsPath)) withSig
+    if (!fs.exists(bandsPath)) withSig
     else {
       val corpusBands = spark.read.parquet(s"$sidecarDir/bands")
-      // drop degenerate corpus buckets BEFORE the candidate join
-      val okBuckets = corpusBands.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__n"))
+      // drop degenerate corpus buckets BEFORE the candidate join —
+      // counts from the write-side stats table when present (sidecars
+      // predating it fall back to aggregating bands once)
+      val bucketCounts =
+        if (fs.exists(statsPath))
+          spark.read.parquet(s"$sidecarDir/stats")
+            .groupBy(col("band"), col("bucket"))
+            .agg(sum(col("n")).as("__n"))
+        else corpusBands.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+      val okBuckets = bucketCounts
         .filter(col("__n") <= bucketCap)
         .select(col("band"), col("bucket"))
       val batchBands = withSig
         .filter(col("__sig").isNotNull)
-        .select(col(idCol).cast("long").as("__bid"),
+        .select(idAsLong(idCol).as("__bid"),
           explode(bandKeys(col("__sig"), bands, rows)).as("bk"))
         .select(col("__bid"), col("bk.band").as("band"),
           col("bk.bucket").as("bucket"))
@@ -565,7 +650,7 @@ object Dedup {
           Seq("band", "bucket"))
         .select(col("__bid"), col("__cid")).distinct()
       val est = candidates
-        .join(withSig.select(col(idCol).cast("long").as("__bid"),
+        .join(withSig.select(idAsLong(idCol).as("__bid"),
           col("__sig").as("__sa")), "__bid")
         .join(spark.read.parquet(s"$sidecarDir/sigs")
           .select(col("id").as("__cid"), col("sig").as("__sb")), "__cid")
@@ -576,26 +661,39 @@ object Dedup {
       val dupIds = est.filter(col("__est") >= threshold)
         .select(col("__bid").as(idCol)).distinct()
       withSig.join(dupIds, Seq(idCol), "left_anti")
-    }).localCheckpoint(true)
-    if (appendSurvivors)
-      writeMinhashSidecar(survivors.filter(col("__sig").isNotNull),
-        textCol, idCol, sidecarDir, shingleK, numHashes, bands)
-    survivors.drop("__sig")
+    }
   }
 
-  /** Compact the minhash sidecar's two tables — every ingest appends
+  /** Compact the minhash sidecar's three tables — every ingest appends
     * one file set to each, and every membership check reads ALL of
-    * them (the [[compactSidecar]] story, twice). Bands sort by bucket
-    * (row-group min/max stats prune the candidate join's scan), sigs
-    * by id (the verification join's key). Same single-writer,
-    * between-ingests contract; backup-swap crash behavior per
-    * [[graft.sources.Sinks.compactParquetDir]]. */
+    * them (the [[compactSidecar]] story, three times over). Bands sort
+    * by bucket (row-group min/max stats prune the candidate join's
+    * scan), sigs by id (the verification join's key); the stats table
+    * additionally RE-AGGREGATES its per-ingest increments to one row
+    * per (band, bucket) — counts are unchanged (sum of increments),
+    * rows shrink to the distinct-bucket count. A sidecar written
+    * before the stats table existed gains one here (rebuilt from
+    * bands), upgrading its reads to the single-bands-scan path. Same
+    * single-writer, between-ingests contract; backup-swap crash
+    * behavior per [[graft.sources.Sinks.compactParquetDir]]. */
   def compactMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
                             sidecarDir: String, coalesceTo: Int = 1): Unit = {
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/sigs",
       coalesceTo = coalesceTo, sortCol = Some("id"))
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/bands",
       coalesceTo = coalesceTo, sortCol = Some("bucket"))
+    val statsPath = new org.apache.hadoop.fs.Path(s"$sidecarDir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(statsPath))
+      graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/stats",
+        coalesceTo = coalesceTo, sortCol = Some("bucket"),
+        transform = Some(df => df.groupBy(col("band"), col("bucket"))
+          .agg(sum(col("n")).as("n"))))
+    else
+      spark.read.parquet(s"$sidecarDir/bands")
+        .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
+        .coalesce(coalesceTo).sortWithinPartitions(col("bucket"))
+        .write.mode("append").parquet(s"$sidecarDir/stats")
   }
 
   /** Near-dup dedup straight into a parquet sink, writes ordered for

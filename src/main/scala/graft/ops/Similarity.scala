@@ -42,6 +42,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosine_sim(a, b)
 
+  /** Squared euclidean distance via the engine's native codegen'd
+    * expression ([[graft.functions.SqEuclideanDistance]]) — the IVF
+    * cell-assignment metric, fused. Bit-identical to [[sqEuclideanHof]]
+    * (same left-fold order), so the argmin tie rule is unchanged. */
+  def sqEuclidean(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.sq_euclidean(a, b)
+
+  /** HOF squared euclidean (reference formulation; interpreted
+    * lambdas) — kept as the property-test twin of [[sqEuclidean]]. */
+  def sqEuclideanHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** Brute-force exact top-k by cosine against the vector with id
     * `queryId` (taken from the same table and broadcast). Scores are
     * rounded to `roundTo` decimals before ranking so the ranking is
@@ -156,20 +169,22 @@ object Similarity {
                     seed: Long = 42L): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = col(vecCol).cast("array<double>")
-    val base = df.select(col(idCol).as("vec_id"), v.as("vec"))
-      .withColumn("fv", array_to_vector(col("vec")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
-    model.transform(base)
-      .select(col("vec_id"), col("vec"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/vectors")
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfIndex") {
+      val v = col(vecCol).cast("array<double>")
+      val base = df.select(col(idCol).as("vec_id"), v.as("vec"))
+        .withColumn("fv", array_to_vector(col("vec")))
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+      model.transform(base)
+        .select(col("vec_id"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
   }
 
   /** Append new vectors to a materialized IVF index WITHOUT refitting
@@ -183,35 +198,145 @@ object Similarity {
     * change.
     *
     * Shape at scale: candidates come from a broadcast nested loop
-    * against the nlist-row centroid table (bounded build side), and
-    * the argmin is a map-side-combining `min_by` — one narrow shuffle
-    * row per vector. Centroids drift as the corpus grows; rebuild with
-    * [[buildIvfIndex]] when cell-size skew warrants, and serve reads
+    * against the nlist-row centroid table (bounded build side), the
+    * per-vector × per-centroid distance is the FUSED codegen
+    * [[sqEuclidean]] expression (no interpreted HOF lambdas in the
+    * ingest hot path), and the argmin is a map-side-combining `min_by`
+    * — one narrow shuffle row per vector. Centroids drift as the
+    * corpus grows; audit with [[auditIvfIndex]] and rebuild with
+    * [[rebalanceIvfIndex]] when cell-size skew warrants, serving reads
     * from the appended index meanwhile. Same single-writer contract as
-    * the dedup sidecar ([[graft.ops.Dedup.dedupAgainstSidecar]]):
-    * concurrent appends to one index dir need external serialization.
+    * the dedup sidecar ([[graft.ops.Dedup.dedupAgainstSidecar]]),
+    * ENFORCED by the `.lock` marker ([[graft.sources.Sinks
+    * .withDirLock]]) — a concurrent second appender fails loud.
     * Appends are NOT idempotent — replaying a batch appends duplicate
     * (vec_id, vec) rows; dedup replays upstream (the sidecar pattern)
     * or drop duplicates by vec_id when rebuilding/compacting. */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, df: DataFrame,
-                       idCol: String, vecCol: String): Unit = {
-    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
-    val v = col(vecCol).cast("array<double>")
-    df.select(col(idCol).as("vec_id"), v.as("vec"))
-      .crossJoin(centroids) // bounded: build side is nlist rows
-      .select(col("vec_id"), col("vec"), col("cell"),
-        aggregate(zip_with(col("vec"), col("centroid"),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
-          .as("dist2"))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("cell"), col("vec")),
-        struct(col("dist2"), col("cell"))).as("__r"))
-      .select(col("vec_id"), col("__r.vec").as("vec"),
-        col("__r.cell").as("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/vectors")
+                       idCol: String, vecCol: String): Unit =
+    graft.sources.Sinks.withDirLock(spark, indexDir, "appendToIvfIndex") {
+      val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+      val v = col(vecCol).cast("array<double>")
+      df.select(col(idCol).as("vec_id"), v.as("vec"))
+        .crossJoin(centroids) // bounded: build side is nlist rows
+        .select(col("vec_id"), col("vec"), col("cell"),
+          sqEuclidean(col("vec"), col("centroid")).as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell"), col("vec")),
+          struct(col("dist2"), col("cell"))).as("__r"))
+        .select(col("vec_id"), col("__r.vec").as("vec"),
+          col("__r.cell").as("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+    }
+
+  /** Per-cell health report of a stored IVF index — the audit run
+    * before deciding a [[rebalanceIvfIndex]]: one row per centroid
+    * cell with its stored vector count (empty cells report 0 — drift
+    * starves cells as often as it floods them) and its share of the
+    * corpus. One map-side-combined aggregate over the vectors layout
+    * plus the nlist-row centroid table; the share window is
+    * unpartitioned but bounded by nlist rows (the same bounded class
+    * as the centroid collect). Probe cost degrades with skew: a query
+    * probing a cell holding 30% of the corpus re-ranks 30% of it, so
+    * `max(share) · nlist ≫ 1` is the rebalance signal. */
+  def auditIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexDir: String): DataFrame = {
+    val counts = spark.read.parquet(s"$indexDir/vectors")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+    spark.read.parquet(s"$indexDir/centroids").select(col("cell"))
+      .join(counts, Seq("cell"), "left_outer")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
+      .withColumn("share", col("n_vectors").cast("double") /
+        sum(col("n_vectors")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
   }
+
+  /** Rebalance a stored IVF index whose cells have gone skewed after a
+    * run of [[appendToIvfIndex]] batches against frozen centroids:
+    * refit KMeans on (a deterministic hash-sample of) the CURRENT
+    * stored vectors, reassign every vector to the new cells, and
+    * rewrite BOTH tables via a tmp → backup → swap (the
+    * [[graft.sources.Sinks.compactParquetDir]] discipline). Serving
+    * reads continue off the old layout until the swap; a crash
+    * mid-swap leaves `__rebal_bak` dirs holding the complete old
+    * layout to restore by hand — never a half-written live dir mixing
+    * old centroids with new cell assignments.
+    *
+    * `sampleFraction` bounds the KMeans fit cost at corpus scale (the
+    * fit is the expensive half; assignment is one broadcast pass with
+    * the fused [[sqEuclidean]]); the sample is md5-hash-deterministic
+    * per vec_id, so reruns train on the same rows.
+    * `dropDuplicateIds = true` additionally collapses duplicate vec_id
+    * rows left by replayed appends — one row per id, the array-min
+    * vector deterministically winning ties (replays store identical
+    * vectors, so this is a pure duplicate collapse). Single-writer
+    * enforced via the indexDir `.lock`. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, nlist: Int = 16,
+                        seed: Long = 42L, sampleFraction: Double = 1.0,
+                        dropDuplicateIds: Boolean = false): Unit =
+    graft.sources.Sinks.withDirLock(spark, indexDir, "rebalanceIvfIndex") {
+      import spark.implicits._
+      require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+        s"sampleFraction must be in (0, 1], got $sampleFraction")
+      val stored = spark.read.parquet(s"$indexDir/vectors")
+        .select(col("vec_id"), col("vec"))
+      val deduped =
+        if (!dropDuplicateIds) stored
+        else stored.groupBy(col("vec_id"))
+          .agg(min(col("vec")).as("vec"))
+      // sever lineage from the files about to be replaced: every later
+      // job (fit, assignment, the write) reads the checkpoint, not the
+      // live dir mid-swap
+      val base = deduped.withColumn("fv", array_to_vector(col("vec")))
+        .localCheckpoint(true)
+      val train =
+        if (sampleFraction >= 1.0) base
+        else {
+          // md5-derived uniform (the engine's deterministic-sampling
+          // construction): reproducible across runs and cluster sizes
+          val u = (conv(substring(md5(concat_ws("|", col("vec_id"),
+            lit(seed))), 1, 15), 16, 10).cast("double") + 1.0) /
+            1.152921504606847e18
+          base.filter(u < sampleFraction)
+        }
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(train)
+      val assigned = model.transform(base)
+        .select(col("vec_id"), col("vec"), col("cell"))
+      val centroids = model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // write both replacements fully before touching the live layout
+      fs.delete(p(s"$indexDir/vectors__rebal_tmp"), true)
+      fs.delete(p(s"$indexDir/centroids__rebal_tmp"), true)
+      assigned.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors__rebal_tmp")
+      centroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids__rebal_tmp")
+      fs.delete(p(s"$indexDir/vectors__rebal_bak"), true)
+      fs.delete(p(s"$indexDir/centroids__rebal_bak"), true)
+      require(fs.rename(p(s"$indexDir/vectors"),
+        p(s"$indexDir/vectors__rebal_bak")) &&
+        fs.rename(p(s"$indexDir/centroids"),
+          p(s"$indexDir/centroids__rebal_bak")),
+        s"rebalanceIvfIndex: could not stage backups under $indexDir")
+      require(fs.rename(p(s"$indexDir/vectors__rebal_tmp"),
+        p(s"$indexDir/vectors")) &&
+        fs.rename(p(s"$indexDir/centroids__rebal_tmp"),
+          p(s"$indexDir/centroids")),
+        s"rebalanceIvfIndex: could not swap new layout into $indexDir " +
+          "(old layout preserved at __rebal_bak)")
+      fs.delete(p(s"$indexDir/vectors__rebal_bak"), true)
+      fs.delete(p(s"$indexDir/centroids__rebal_bak"), true)
+      ()
+    }
 
   /** Compact the stored index's vectors layout after a run of
     * [[appendToIvfIndex]] batches: each append adds a file set per

@@ -46,12 +46,17 @@ object Sketches {
   }
 
   /** Append one shard's sketch rows to the sidecar. Same single-writer
-    * contract as the other appenders ([[Dedup.dedupAgainstSidecar]]). */
+    * contract as the other appenders ([[Dedup.dedupAgainstSidecar]]),
+    * enforced by the `.lock` marker ([[graft.sources.Sinks
+    * .withDirLock]]) — a concurrent second writer fails loud. */
   def writeSketchSidecar(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, sidecarDir: String,
                          lgConfigK: Int = 12): Unit =
-    distinctSketches(df, groupCols, valueCol, lgConfigK)
-      .write.mode("append").parquet(sidecarDir)
+    graft.sources.Sinks.withDirLock(
+      df.sparkSession, sidecarDir, "writeSketchSidecar") {
+      distinctSketches(df, groupCols, valueCol, lgConfigK)
+        .write.mode("append").parquet(sidecarDir)
+    }
 
   /** Per-period sketch table: one row per (`periodCol` value) with the
     * exact row count and the HLL sketch of `valueCol` — the

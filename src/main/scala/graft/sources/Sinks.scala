@@ -86,6 +86,63 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Single-writer ENFORCEMENT for append-maintained directories (the
+    * dedup fingerprint/minhash sidecars, sketch sidecars, IVF index,
+    * compaction): every appender documents a single-writer contract;
+    * this turns it from documentation into a deterministic failure.
+    *
+    * Protocol: atomically create `<dir>.lock` (Hadoop
+    * `create(overwrite = false)` — atomic on HDFS and object stores
+    * with conditional puts) holding the writer's identity; run the
+    * body; remove the marker. A SECOND writer — concurrent, or
+    * retrying after a crash that left a stale marker — fails loud with
+    * the holder's identity instead of silently double-admitting (the
+    * failure mode of an unprotected sidecar: two concurrent ingests
+    * both pass the anti-join, both append). The body's OWN failure
+    * releases the lock (replays are already idempotent per each
+    * appender's contract); only a hard crash leaves the marker, which
+    * is exactly the torn-append case a human should inspect before
+    * clearing with [[breakDirLock]]. */
+  def withDirLock[T](spark: SparkSession, dir: String, op: String)
+      (body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(dir + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lock.getParent != null) fs.mkdirs(lock.getParent)
+    val out =
+      try fs.create(lock, false)
+      catch {
+        case e: java.io.IOException =>
+          val holder =
+            try {
+              val in = fs.open(lock)
+              try scala.io.Source.fromInputStream(in).mkString
+              finally in.close()
+            } catch { case _: java.io.IOException => "<unreadable>" }
+          throw new IllegalStateException(
+            s"$op: $dir is locked by another writer [$holder]. " +
+              "Append-maintained dirs are single-writer; if the holder " +
+              "crashed mid-append, inspect the dir for a torn append, " +
+              "then clear the marker with Sinks.breakDirLock.", e)
+      }
+    try {
+      out.write((s"$op@${java.net.InetAddress.getLocalHost.getHostName}" +
+        s":pid${ProcessHandle.current().pid()}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    try body
+    finally { fs.delete(lock, false); () }
+  }
+
+  /** Clear a stale writer marker left by a crashed appender — call
+    * only after verifying the directory's last append isn't torn (each
+    * appender's scaladoc states its crash ordering and the recoverable
+    * direction). */
+  def breakDirLock(spark: SparkSession, dir: String): Boolean = {
+    val lock = new org.apache.hadoop.fs.Path(dir + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(lock, false)
+  }
+
   /** Compact an append-accumulated parquet directory. Append-based
     * operators (the dedup fingerprint sidecar, IVF index appends) add
     * one file set per ingest; at 100 TB the small-files tax — one
@@ -106,14 +163,28 @@ object Sinks {
   def compactParquetDir(spark: SparkSession, dir: String,
                         partitionCols: Seq[String] = Nil,
                         coalesceTo: Int = 1,
-                        sortCol: Option[String] = None): Unit = {
+                        sortCol: Option[String] = None,
+                        transform: Option[DataFrame => DataFrame] = None)
+      : Unit = withDirLock(spark, dir, "compactParquetDir") {
     import org.apache.spark.sql.functions.col
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compact_tmp")
     val bak = new org.apache.hadoop.fs.Path(dir + "__compact_bak")
+    // crash recovery BEFORE the cleanup deletes: a prior run that died
+    // between rename(path → bak) and rename(tmp → path) leaves the live
+    // dir missing while bak/tmp hold the only copies — deleting them
+    // here would be permanent data loss on the natural retry. Restore
+    // the backup first; only then is clearing leftovers safe.
+    if (!fs.exists(path)) {
+      require(fs.exists(bak),
+        s"compactParquetDir: $dir does not exist and no backup at $bak — " +
+          "refusing to compact a missing directory")
+      require(fs.rename(bak, path),
+        s"compactParquetDir: could not restore backup $bak to $dir")
+    }
     fs.delete(tmp, true); fs.delete(bak, true)
-    val df = spark.read.parquet(dir)
+    val df = transform.foldLeft(spark.read.parquet(dir))((d, f) => f(d))
     val shaped =
       if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
       else sortCol.foldLeft(df.coalesce(coalesceTo))(

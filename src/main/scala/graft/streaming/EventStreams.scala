@@ -290,17 +290,27 @@ object EventStreams {
     * exact twin (sink-first writes: replays re-admit, never lose) and
     * the same single-writer-per-sidecar restriction. Intra-batch
     * near-dups are not collapsed (the documented
-    * [[graft.ops.Dedup.nearDupAgainstSidecar]] contract). */
+    * [[graft.ops.Dedup.nearDupAgainstSidecar]] contract).
+    *
+    * `shingleK`/`numHashes`/`bands` MUST match the parameters the
+    * sidecar was built with ([[graft.ops.Dedup.writeMinhashSidecar]]):
+    * band keys are a function of all three, so a mismatch silently
+    * generates no candidates (and a signature-length mismatch skews
+    * the agreement estimator) — the same contract every
+    * reader/appender of the sidecar shares. */
   def runNearDupToParquet(docs: DataFrame, textCol: String, idCol: String,
                           outDir: String, sidecarDir: String,
                           checkpointDir: String,
+                          shingleK: Int = 2, numHashes: Int = 64,
+                          bands: Int = 8,
                           threshold: Double = 0.7): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.Dedup.nearDupAgainstSidecarTo(batch, textCol, idCol,
-          sidecarDir, outDir, threshold = threshold)
+          sidecarDir, outDir, shingleK = shingleK, numHashes = numHashes,
+          bands = bands, threshold = threshold)
       }
       .start()
     q.processAllAvailable()

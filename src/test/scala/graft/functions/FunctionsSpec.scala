@@ -277,6 +277,53 @@ class FunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0) === 2)
   }
 
+  test("sq_euclidean: fused expression bit-identical to the HOF on real " +
+      "embeddings (argmin tie rule depends on it)") {
+    val df = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = df.filter($"vec_id" === 3).select($"v".as("q"))
+    val rows = df.crossJoin(broadcast(q))
+      .select($"vec_id",
+        GraftFunctions.sq_euclidean($"v", $"q").as("fused"),
+        Similarity.sqEuclideanHof($"v", $"q").as("hof"))
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2),
+        s"vec ${r.getLong(0)}: fused ${r.getDouble(1)} != hof ${r.getDouble(2)}")
+    }
+  }
+
+  test("sq_euclidean: geometry, nulls, SQL registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT sq_euclidean(array(1.0d, 2.0d), array(4.0d, 6.0d)) AS d, " +
+        "sq_euclidean(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS n")
+      .collect()(0)
+    assert(got.getDouble(0) === 25.0)
+    assert(got.isNullAt(1))
+  }
+
+  test("BloomMightContain: structural equality on identical filters " +
+      "(plan canonicalization contract)") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    BloomMightContain.put(bf, "hello")
+    val bytes1 = BloomMightContain.serialize(bf)
+    val bytes2 = BloomMightContain.serialize(bf) // distinct array, same content
+    assert(!(bytes1 eq bytes2))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal
+      .create("hello", org.apache.spark.sql.types.StringType)
+    val e1 = BloomMightContain(child, bytes1)
+    val e2 = BloomMightContain(child, bytes2)
+    assert(e1 === e2, "semantically identical probes must compare equal")
+    assert(e1.hashCode === e2.hashCode)
+    assert(e1.semanticEquals(e2))
+    // different filters still differ
+    val bf2 = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    BloomMightContain.put(bf2, "world")
+    assert(e1 !== BloomMightContain(child, BloomMightContain.serialize(bf2)))
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -243,9 +243,115 @@ class DedupSpec extends SparkSpec {
     Dedup.compactMinhashSidecar(spark, sidecar)
     def files(sub: String) = new java.io.File(s"$sidecar/$sub")
       .listFiles().count(_.getName.endsWith(".parquet"))
-    assert(files("sigs") === 1 && files("bands") === 1)
+    assert(files("sigs") === 1 && files("bands") === 1 && files("stats") === 1)
     assert(survivors() === before)
     assert(before === Set(11L))
+    // compaction re-aggregated stats: one row per (band, bucket), counts
+    // equal to a from-scratch aggregation of the bands table
+    val stats = spark.read.parquet(s"$sidecar/stats")
+    assert(stats.groupBy("band", "bucket").count().filter($"count" > 1)
+      .count() === 0L)
+    val fromBands = spark.read.parquet(s"$sidecar/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    assert(stats.except(fromBands).count() === 0L &&
+      fromBands.except(stats).count() === 0L)
+  }
+
+  test("minhash sidecar stats table: write-side counts equal a from-scratch " +
+      "bands aggregation; legacy sidecars (no stats) fall back with " +
+      "identical survivors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhstats").toString
+    val sidecar = s"$dir/mh"
+    val mk = (p: String, n: Int) =>
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    Dedup.writeMinhashSidecar(
+      Seq((1L, mk("aa", 40)), (2L, mk("bb", 40))).toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    Dedup.writeMinhashSidecar(
+      Seq((3L, mk("cc", 40))).toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    // increments sum to the true bucket counts
+    val summed = spark.read.parquet(s"$sidecar/stats")
+      .groupBy("band", "bucket").agg(sum("n").as("n"))
+    val truth = spark.read.parquet(s"$sidecar/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    assert(summed.except(truth).count() === 0L &&
+      truth.except(summed).count() === 0L)
+    // fallback parity: delete stats → same survivors through the
+    // legacy re-aggregation path
+    val batch = Seq(
+      (10L, (((1 to 39).map(i => s"aa$i")) :+ "x").mkString(" ")),
+      (11L, mk("dd", 40))).toDF("doc_id", "text")
+    def survivors() = Dedup.nearDupAgainstSidecar(batch, "text", "doc_id",
+      sidecar, threshold = 0.5, appendSurvivors = false)
+      .select("doc_id").as[Long].collect().toSet
+    val withStats = survivors()
+    val fs = new org.apache.hadoop.fs.Path(s"$sidecar/stats")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sidecar/stats"), true)
+    assert(survivors() === withStats)
+    assert(withStats === Set(11L))
+    // compacting a legacy sidecar REBUILDS stats from bands
+    Dedup.compactMinhashSidecar(spark, sidecar)
+    // (re-read bands: compaction replaced the files behind the lazy plan)
+    val truthAfter = spark.read.parquet(s"$sidecar/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val rebuilt = spark.read.parquet(s"$sidecar/stats")
+      .groupBy("band", "bucket").agg(sum("n").as("n"))
+    assert(rebuilt.except(truthAfter).count() === 0L &&
+      truthAfter.except(rebuilt).count() === 0L)
+  }
+
+  test("nearDupAgainstSidecar scans the bands table ONCE per batch " +
+      "(bucket stats come from the write-side stats table)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhscan").toString
+    val sidecar = s"$dir/mh"
+    Dedup.writeMinhashSidecar(
+      Seq((1L, (1 to 40).map(i => s"aa$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    val batch = Seq((10L, (1 to 40).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val plan = Dedup.nearDupSurvivorsPlan(batch, "text", "doc_id", sidecar,
+      shingleK = 2, numHashes = 64, bands = 8, threshold = 0.7,
+      bucketCap = 200)
+    def scansOf(sub: String): Int =
+      plan.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if (l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.rootPaths.exists(_.toString.contains(s"/$sub"))
+              case _ => false
+            }) => l
+      }.size
+    assert(scansOf("bands") === 1,
+      s"bands table must be scanned once, got ${scansOf("bands")}")
+    assert(scansOf("stats") === 1)
+    assert(scansOf("sigs") === 1)
+  }
+
+  test("minhash sidecar id contract: non-castable ids fail loud instead of " +
+      "silently writing null-id rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhid").toString
+    val sidecar = s"$dir/mh"
+    // numeric STRING ids are fine (cast succeeds)
+    Dedup.writeMinhashSidecar(
+      Seq(("7", (1 to 40).map(i => s"aa$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    assert(spark.read.parquet(s"$sidecar/sigs")
+      .select("id").as[Long].collect().toSeq === Seq(7L))
+    // non-numeric ids raise with the contract message
+    val e = intercept[Exception] {
+      Dedup.writeMinhashSidecar(
+        Seq(("doc-abc", (1 to 40).map(i => s"bb$i").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "text", "doc_id", sidecar)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("must be castable to BIGINT")),
+      s"unexpected error: $e")
   }
 
   test("dedupAgainstSidecarTo with bloom prefilter: same sink contents as " +

@@ -170,6 +170,64 @@ class SimilaritySpec extends SparkSpec {
     assert(run() === before)
   }
 
+  test("auditIvfIndex + rebalanceIvfIndex: skewed appends detected, " +
+      "rebalance restores bounded cells, full-probe results stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebal").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    // build on a quarter of the corpus, then append the rest — frozen
+    // centroids fit to the seed distribution go skewed
+    Similarity.buildIvfIndex(emb.filter($"vec_id" % 4 === 0),
+      "vec_id", "embedding", dir, nlist = 8)
+    Similarity.appendToIvfIndex(spark, dir,
+      emb.filter($"vec_id" % 4 =!= 0), "vec_id", "embedding")
+    val before = Similarity.auditIvfIndex(spark, dir).collect()
+    assert(before.length === 8)                       // one row per cell
+    assert(before.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    assert(math.abs(before.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+
+    Similarity.rebalanceIvfIndex(spark, dir, nlist = 8)
+    val after = Similarity.auditIvfIndex(spark, dir).collect()
+    assert(after.length === 8)
+    assert(after.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    // refit centroids on the FULL stored set bound the worst cell at
+    // least as tightly as the frozen seed-fit ones
+    assert(after.map(_.getAs[Long]("n_vectors")).max <=
+      before.map(_.getAs[Long]("n_vectors")).max)
+
+    // correctness is centroid-independent at full probe: nprobe = nlist
+    // probes every cell, so the rebalanced stored index must reproduce
+    // the brute-force join EXACTLY
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val stored = Similarity.annJoinIvfStored(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    val brute = Similarity.annJoinBruteForce(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    assert(stored === brute)
+  }
+
+  test("rebalanceIvfIndex: dropDuplicateIds collapses replayed appends; " +
+      "sampleFraction trains on a deterministic subset") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebal_dup").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 4)
+    // a replayed append: the same batch lands twice
+    val batch = emb.filter($"vec_id" < 50)
+    Similarity.appendToIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, dir, batch, "vec_id", "embedding")
+    assert(spark.read.parquet(s"$dir/vectors").count() === emb.count() + 100)
+    Similarity.rebalanceIvfIndex(spark, dir, nlist = 4,
+      sampleFraction = 0.5, dropDuplicateIds = true)
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.count() === emb.count())
+    assert(vecs.select("vec_id").distinct().count() === emb.count())
+    // layout still serves queries
+    assert(Similarity.annJoinIvfStored(spark, dir,
+      emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 3).count() === 3)
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f

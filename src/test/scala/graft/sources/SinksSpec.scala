@@ -90,6 +90,63 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(s"$land/batch*").count() === 5 + 25)
   }
 
+  test("compactParquetDir auto-recovers a crash-stranded backup instead of deleting it") {
+    val dir = Files.createTempDirectory("compact_rec").toString + "/side"
+    val df = Tables.region(spark, sf0001)
+    df.write.parquet(dir)
+    val expected = spark.read.parquet(dir).count()
+    // simulate a crash between rename(path -> bak) and rename(tmp -> path):
+    // the live dir is gone, bak holds the only copy
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__compact_bak")))
+    // the natural retry must restore the backup and compact it -- the
+    // pre-fix behavior deleted bak first (permanent data loss)
+    Sinks.compactParquetDir(spark, dir)
+    assert(spark.read.parquet(dir).count() === expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "__compact_bak")))
+  }
+
+  test("compactParquetDir refuses to run when neither dir nor backup exists") {
+    val dir = Files.createTempDirectory("compact_none").toString + "/missing"
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compactParquetDir(spark, dir)
+    }
+    assert(e.getMessage.contains("refusing"))
+  }
+
+  test("withDirLock: a second concurrent writer fails loud with the holder's identity") {
+    val dir = Files.createTempDirectory("lock").toString + "/side"
+    Sinks.withDirLock(spark, dir, "outer") {
+      val e = intercept[IllegalStateException] {
+        Sinks.withDirLock(spark, dir, "inner") { fail("must not run") }
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+      assert(e.getMessage.contains("outer@"))
+    }
+    // released on completion: a later writer proceeds
+    assert(Sinks.withDirLock(spark, dir, "later") { 42 } === 42)
+  }
+
+  test("withDirLock: released when the body throws; stale markers clear via breakDirLock") {
+    val dir = Files.createTempDirectory("lock2").toString + "/side"
+    intercept[RuntimeException] {
+      Sinks.withDirLock(spark, dir, "failing") { throw new RuntimeException("boom") }
+    }
+    // body failure released the lock (replays are idempotent per appender)
+    Sinks.withDirLock(spark, dir, "retry") { () }
+    // a hard-crash marker (simulated by creating the file) blocks until broken
+    val lock = new org.apache.hadoop.fs.Path(dir + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(lock, false).close()
+    intercept[IllegalStateException] {
+      Sinks.withDirLock(spark, dir, "blocked") { () }
+    }
+    assert(Sinks.breakDirLock(spark, dir))
+    Sinks.withDirLock(spark, dir, "after-break") { () }
+  }
+
   test("bucketed tables co-locate and drop the join exchange") {
     val o = Tables.orders(spark, sf0001)
     Sinks.writeBucketed(o, "orders_bucketed", "o_custkey", buckets = 4)
