@@ -66,6 +66,10 @@ object GraftFunctions {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
+  /** Cross-engine-replayable 60-bit SimHash (see [[SimHash64Md5]]). */
+  def simhash64_md5(text: Column): Column =
+    ColumnBridge.column(SimHash64Md5(ColumnBridge.expression(text)))
+
   /** Fused hyperplane-LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec),
@@ -121,6 +125,7 @@ object GraftFunctions {
     "signature_agreement" -> (exprs =>
       SignatureAgreement(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
+    "simhash64_md5" -> (exprs => SimHash64Md5(exprs(0))),
     "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))),
     "rolling_fingerprint_md5" -> (exprs => RollingFingerprintMd5(exprs(0))))
 

@@ -166,6 +166,40 @@ object Dedup {
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 
+  /** Cross-engine-replayable SimHash: the same sign-aggregation as
+    * [[simhash64]], with the token hash routed through the top 60 bits
+    * of MD5 and a 60-bit fingerprint domain, so an external engine
+    * (DuckDB — q26's oracle) replays the aggregation exactly with
+    * plain signed-64-bit arithmetic. One fused codegen scan per
+    * document ([[graft.functions.SimHash64Md5]]); [[simhash64Md5Hof]]
+    * is the bit-identity property-test twin. Use [[simhash64]]
+    * (xxhash64 tokens, full 64 bits) when external replay isn't
+    * needed. */
+  def simhash64Md5(text: Column): Column =
+    graft.functions.GraftFunctions.simhash64_md5(text)
+
+  /** Interpreted-HOF md5 SimHash (reference formulation, bit-identical
+    * to the fused expression): token hash is the md5-prefix
+    * construction `conv(substring(md5(t),1,15), 16, 10)`, votes and
+    * sign-fold over bits 0..59. */
+  def simhash64Md5Hof(text: Column): Column = {
+    val toks = split(text, " ")
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+        zip_with(acc, sequence(lit(0), lit(59)),
+          (a, b) => a + when(
+            call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L)))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
   /** SimHash band keys: the 64-bit fingerprint cut into 16-bit chunks.
     * Docs within hamming distance 3 share at least one intact chunk
     * (pigeonhole), so joining on chunks finds all such pairs. */

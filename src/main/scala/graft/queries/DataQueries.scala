@@ -138,10 +138,30 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Per-doc 64-bit SimHash fingerprints. */
-  val q26Simhash = QueryDef.rowsOnly("q26_simhash") { (s, d) =>
+  /** Per-doc SimHash fingerprints, ORACLED (the q28 playbook): the
+    * token hash is md5-derived (top 60 bits) and the vote/fingerprint
+    * domain is 60 bits, so DuckDB replays the sign-aggregation
+    * directly — per bit b, set iff strictly more token hashes have bit
+    * b set than clear. Still one fused codegen scan per document on
+    * the Spark side ([[graft.functions.SimHash64Md5]]); the xxhash64
+    * variant ([[Dedup.simhash64]]) stays property-tested for the
+    * banded near-dup pipelines that don't need external replay. */
+  private val simhashMd5Oracle: String = {
+    val terms = (0 until 60).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> ((h >> $b) & 1) = 1)) " +
+        s"> len(hs) THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n      + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '),
+       |      t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS hs
+       |  FROM documents)
+       |SELECT doc_id,
+       |  $terms AS simhash
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+  val q26Simhash = QueryDef("q26_simhash", simhashMd5Oracle) { (s, d) =>
     Tables.documents(s, d)
-      .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
+      .select(col("doc_id"), Dedup.simhash64Md5(col("text")).as("simhash"))
       .orderBy(col("doc_id"))
   }
 

@@ -150,6 +150,28 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("simhash64_md5: fused expression bit-identical to the HOF on the " +
+      "real documents table and whitespace edge cases; stays in [0, 2^60)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (9001L, ""), (9002L, " "), (9003L, "a  b"),
+        (9004L, "a b "), (9005L, " leading"),
+        (9006L, "único töken ünïcode €"))
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        GraftFunctions.simhash64_md5($"text").as("fused"),
+        graft.ops.Dedup.simhash64Md5Hof($"text").as("hof"))
+      .collect()
+    assert(rows.length === 506)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: fused ${r.getLong(1)} != hof ${r.getLong(2)}")
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 60),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} outside [0, 2^60)")
+    }
+  }
+
   test("simhash64 resolves in SQL after register() and nulls propagate") {
     GraftFunctions.register(spark)
     val got = spark.sql(
