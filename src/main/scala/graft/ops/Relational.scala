@@ -383,27 +383,46 @@ object Relational {
     * [[deterministicShuffle]] order), so the result is reproducible
     * at any cluster size and across engines — unlike
     * `sampleBy`-style probabilistic balancing, which only balances in
-    * expectation. Each class ranks through
-    * [[globalRankAndRunningSum]] (no unpartitioned window, no
-    * single-reducer-per-class sort); the per-class passes partition
-    * the input, so the total cost is one range-shuffle pass over the
-    * data plus one bounded count aggregate (#classes rows to the
-    * driver). `labelCol` cardinality should be bounded (classes, not
-    * ids); the input is scanned once per class — cache it when class
-    * count is more than a few. Null labels form their own class. */
+    * expectation.
+    *
+    * SINGLE PASS over the data, any class count: range-repartition on
+    * (label, md5key) — every class's rows arrive ordered and
+    * contiguous — then lift per-partition local ranks to global
+    * per-class ranks with (partition, label) offsets, exactly the
+    * [[globalRankAndRunningSum]] construction grouped by label. The
+    * offset/min-count side plan aggregates to ≤ shuffle-partitions ×
+    * classes rows (bounded — the windows over it are over that tiny
+    * relation, and it broadcasts back). No per-class rescans, no
+    * single-reducer-per-class window, no driver-side class loop; null
+    * labels form their own class (null-safe join). */
   def balanceClasses(df: DataFrame, labelCol: String, idCol: String,
                      seed: Long = 42L): DataFrame = {
-    val counts = df.groupBy(col(labelCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
-    require(counts.nonEmpty, "balanceClasses: empty input")
-    val minCount = counts.map(_._2).min
-    counts.map { case (label, _) =>
-      val cls = df.filter(col(labelCol) <=> lit(label))
-      val (ranked, _) = globalRankAndRunningSum(cls,
-        Seq(md5(concat_ws("|", col(idCol), lit(seed)))),
-        lit(1L), "__rn", "__cum")
-      ranked.filter(col("__rn") <= minCount).drop("__rn", "__cum")
-    }.reduce(_ unionByName _)
+    val key = md5(concat_ws("|", col(idCol), lit(seed)))
+    val parted = df.withColumn("__k", key)
+      .repartitionByRange(col(labelCol), col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    require(!parted.isEmpty, "balanceClasses: empty input")
+    // per-(partition, label) row counts: the bounded side relation all
+    // ranking metadata derives from
+    val stats = parted.groupBy(col("__pid"), col(labelCol))
+      .agg(count(lit(1)).as("__r"))
+    val wOff = Window.partitionBy(col(labelCol)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCls = Window.partitionBy(col(labelCol))
+    val side = stats
+      .withColumn("__off", coalesce(sum(col("__r")).over(wOff), lit(0L)))
+      .withColumn("__cls_n", sum(col("__r")).over(wCls))
+      .withColumn("__min_n", min(col("__cls_n")).over(Window.partitionBy()))
+      .select(col("__pid").as("__spid"), col(labelCol).as("__slbl"),
+        col("__off"), col("__min_n"))
+    val w = Window.partitionBy(col("__pid"), col(labelCol))
+      .orderBy(col("__k"))
+    parted.join(broadcast(side),
+        col("__pid") === col("__spid") && col(labelCol) <=> col("__slbl"))
+      .withColumn("__rn", row_number().over(w).cast("long") + col("__off"))
+      .filter(col("__rn") <= col("__min_n"))
+      .drop("__k", "__pid", "__spid", "__slbl", "__off", "__min_n", "__rn")
   }
 
   /** Balanced shard assignment for training output: shard count =

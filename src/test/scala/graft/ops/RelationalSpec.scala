@@ -195,6 +195,39 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("balanceClasses: single pass equals the per-class-loop reference, " +
+      "exact minority-count classes, null labels are a class") {
+    val df = (
+      (1L to 100L).map(i => (i, Some("big"))) ++
+      (101L to 130L).map(i => (i, Some("mid"))) ++
+      (131L to 140L).map(i => (i, Some("small"))) ++
+      (141L to 155L).map(i => (i, None: Option[String]))
+    ).toDF("id", "label")
+    val got = balanceClasses(df, "label", "id")
+    val byClass = got.collect()
+      .groupBy(r => if (r.isNullAt(1)) null else r.getString(1))
+      .view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // minority class has 10 rows -> EVERY class trimmed to exactly 10
+    assert(byClass.keySet === Set("big", "mid", "small", null))
+    byClass.values.foreach(ids => assert(ids.size === 10))
+    // reference formulation: one scan per class, rank by the same md5
+    // order, keep the prefix (the pre-rewrite implementation)
+    val wanted = Seq(Some("big"), Some("mid"), Some("small"),
+      None: Option[String]).map { lbl =>
+      val cls = df.filter($"label" <=> lit(lbl.orNull))
+      val (ranked, _) = globalRankAndRunningSum(cls,
+        Seq(md5(concat_ws("|", $"id", lit(42L)))), lit(1L), "__rn", "__cum")
+      ranked.filter($"__rn" <= 10).select("id")
+        .as[Long].collect().toSet -> lbl.orNull
+    }.map(_.swap).toMap
+    byClass.foreach { case (lbl, ids) =>
+      assert(ids === wanted(lbl), s"class $lbl differs from reference")
+    }
+    // deterministic across calls
+    assert(balanceClasses(df, "label", "id").collect().map(_.toString).sorted
+      .toSeq === got.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("roundRobinShards: LPT round-robin balances shard loads") {
     // skewed sizes: a few huge docs + many small ones
     val df = ((1L to 5L).map(i => (i, 500L)) ++
