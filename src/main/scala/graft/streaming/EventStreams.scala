@@ -317,6 +317,154 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming twin of the composed curation pipeline (the batch form
+    * is q131's `curationPipeline`): every micro-batch runs
+    *
+    *   near-dup sidecar dedup → per-row quality gate → per-source
+    *   rolling token budget → packed-sequence append
+    *
+    * incrementally, with all cross-batch state in three tiny persisted
+    * tables under `pipelineDir` (never in streaming state — the
+    * pipeline's memory outlives the query and any checkpoint):
+    *
+    *  - `minhash/` — the near-dup signature sidecar
+    *    ([[graft.ops.Dedup.writeMinhashSidecar]] layout);
+    *  - `budget_state/` — (source, seen_tokens): the running
+    *    quality-kept token count per source. Admission is
+    *    prefix-by-arrival: a row is admitted while the source's seen
+    *    total (including earlier REJECTED rows' tokens — the same
+    *    running-cum-≤-budget rule as the batch mixture stage, which is
+    *    what makes incremental == one-shot) stays ≤ `tokensPerSource`;
+    *  - `pack_state/` — the global token offset the next batch's
+    *    packing continues from.
+    *
+    * Determinism contract: with batches arriving in `idCol` order
+    * (a sorted landing zone — the same assumption the exact sidecar's
+    * min-id survivor rule makes), processing N batches yields
+    * BYTE-identical packed output and state to processing their union
+    * as one batch (EventStreamsSpec proves two-batch == one-shot).
+    * Near-dups are dropped against the SIDECAR (corpus + earlier
+    * batches); intra-batch near-dups are not collapsed (the documented
+    * [[graft.ops.Dedup.nearDupAgainstSidecar]] contract) — compose a
+    * batch-level clusterer upstream when that matters.
+    *
+    * Crash ordering (at-least-once foreachBatch), sink-first like every
+    * incremental op here: packed rows append BEFORE the sidecar and
+    * state writes. A crash before the sidecar append re-emits the
+    * batch on replay (duplicate packed rows — recoverable); a crash
+    * between the sidecar append and the state writes makes the replay
+    * contribute zero survivors and leaves the states un-advanced, so
+    * the NEXT batch's sequence positions overlap the crashed batch's
+    * tail — duplicates/overlap, never silent loss; rebuild the packed
+    * output from the corpus when exact positions matter. Single writer
+    * per pipelineDir (the sidecar appends enforce it via the
+    * `.lock` marker). */
+  def runCurationToParquet(docs: DataFrame, textCol: String, idCol: String,
+                           sourceCol: String, pipelineDir: String,
+                           checkpointDir: String,
+                           shingleK: Int = 2, numHashes: Int = 64,
+                           bands: Int = 8, nearDupThreshold: Double = 0.7,
+                           minQuality: Double = 0.5,
+                           tokensPerSource: Long = 1000L,
+                           seqTokens: Long = 256L): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, textCol, idCol, sourceCol, pipelineDir,
+          shingleK, numHashes, bands, nearDupThreshold, minQuality,
+          tokensPerSource, seqTokens)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** One micro-batch of [[runCurationToParquet]] — exposed so the
+    * one-shot batch replay (the equality spec's reference) runs the
+    * same body. */
+  private[graft] def curateBatch(batch: DataFrame, textCol: String,
+      idCol: String, sourceCol: String, pipelineDir: String,
+      shingleK: Int, numHashes: Int, bands: Int, nearDupThreshold: Double,
+      minQuality: Double, tokensPerSource: Long, seqTokens: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(pipelineDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+
+    // stage 1: near-dup dedup against the persisted sidecar (survivors
+    // are checkpointed inside; signatures append LATER — sink-first)
+    val surv = graft.ops.Dedup.nearDupAgainstSidecar(batch, textCol, idCol,
+      s"$pipelineDir/minhash", shingleK, numHashes, bands,
+      nearDupThreshold, appendSurvivors = false)
+
+    // stage 2: per-row quality gate (pure projection — no state)
+    val kept = surv
+      .filter(graft.ops.TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+      .withColumn("__n_toks",
+        graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+
+    // stage 3: per-source rolling budget. Prior = quality-kept tokens
+    // SEEN so far (admitted or not — the batch mixture stage's
+    // running-cum rule); within the batch the cum orders by id.
+    val budgetDir = s"$pipelineDir/budget_state"
+    val prior =
+      if (exists(budgetDir)) spark.read.parquet(budgetDir)
+      else kept.select(col(sourceCol)).limit(0)
+        .withColumn("seen_tokens", lit(0L))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val withCum = kept.withColumn("__cum",
+      sum(col("__n_toks")).over(wSrc.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val admitted = withCum
+      .join(broadcast(prior.withColumnRenamed(sourceCol, "__psrc")
+        .withColumnRenamed("seen_tokens", "__prior")),
+        col(sourceCol) === col("__psrc"), "left_outer")
+      .withColumn("__prior", coalesce(col("__prior"), lit(0L)))
+      .filter(col("__prior") + col("__cum") <= tokensPerSource)
+      .drop("__psrc", "__cum")
+
+    // stage 4: sequence packing continuing from the persisted offset
+    val packDir = s"$pipelineDir/pack_state"
+    val offset =
+      if (exists(packDir))
+        spark.read.parquet(packDir).head().getLong(0)
+      else 0L
+    val packed = graft.ops.Relational.packSequences(
+        admitted.select(col(idCol), col(sourceCol), col("__n_toks")),
+        order = Seq(col(idCol)), nTokens = col("__n_toks"),
+        seqTokens = seqTokens)
+      .withColumn("cum_tokens", col("cum_tokens") + lit(offset))
+      .withColumn("start_seq", expr(s"(cum_tokens - n_toks) DIV $seqTokens"))
+      .withColumn("start_offset", expr(s"(cum_tokens - n_toks) % $seqTokens"))
+      .withColumn("end_seq", expr(s"(cum_tokens - 1) DIV $seqTokens"))
+      .select(col(idCol), col(sourceCol), col("n_toks"), col("cum_tokens"),
+        col("start_seq"), col("start_offset"), col("end_seq"))
+      .localCheckpoint(true)
+    val batchSeen = kept.groupBy(col(sourceCol))
+      .agg(sum(col("__n_toks")).as("__batch_seen"))
+    val newState = prior
+      .join(batchSeen, Seq(sourceCol), "full_outer")
+      .select(col(sourceCol),
+        (coalesce(col("seen_tokens"), lit(0L)) +
+          coalesce(col("__batch_seen"), lit(0L))).as("seen_tokens"))
+      .localCheckpoint(true)
+    val admittedTokens = packed.agg(coalesce(sum(col("n_toks")), lit(0L)))
+      .head().getLong(0)
+
+    // writes, sink-first (see crash ordering above)
+    packed.write.mode("append").parquet(s"$pipelineDir/packed")
+    graft.ops.Dedup.writeMinhashSidecar(surv, textCol, idCol,
+      s"$pipelineDir/minhash", shingleK, numHashes, bands)
+    newState.coalesce(1).write.mode("overwrite").parquet(budgetDir)
+    import spark.implicits._
+    Seq(offset + admittedTokens).toDF("next_offset")
+      .coalesce(1).write.mode("overwrite").parquet(packDir)
+    ()
+  }
+
   /** Streaming sketch-sidecar maintenance: each micro-batch appends
     * its per-group HLL sketch rows ([[graft.ops.Sketches
     * .writeSketchSidecar]]) — the continuous form of per-shard sketch

@@ -276,6 +276,77 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set(2L, 11L))
   }
 
+  test("streaming curation pipeline: two micro-batches == one-shot batch " +
+      "replay on survivors, packed output, and state (near-dup sidecar → " +
+      "quality gate → rolling budget → packing)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scuration")
+    val twoDir = root.resolve("two").toString
+    val oneDir = root.resolve("one").toString
+    val ckpt = root.resolve("ckpt").toString
+    def mk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val corpusDoc = mk("corp", 40)
+    // pre-seed BOTH pipelines' sidecars from the same existing corpus
+    Seq(twoDir, oneDir).foreach { d =>
+      graft.ops.Dedup.writeMinhashSidecar(
+        Seq((900L, corpusDoc)).toDF("doc_id", "text"),
+        "text", "doc_id", s"$d/minhash")
+    }
+    // 40-token synthetic docs score exactly 0.5 (len ok, tok-len ok, no
+    // stopwords → 0.5 factor); minQuality 0.5 admits them; short docs
+    // score below and drop at the quality gate
+    val b1 = Seq(
+      (1L, "web", mk("aa", 40)),     // good → packed
+      (2L, "web", mk("bb", 40)),     // good → packed (web cum 80)
+      (3L, "books", mk("cc", 40)),   // good → packed
+      (4L, "web", ((1 to 39).map(i => s"corp$i") :+ "x").mkString(" ")),
+      //            ^ near-dup of the seeded corpus → dropped at stage 1
+      (5L, "web", mk("zz", 5)))      // low quality → dropped at stage 2
+    val b2 = Seq(
+      (11L, "web", mk("dd", 40)),    // web prior 80 + 40 > 100 → budget cut
+      (12L, "books", mk("ee", 40)),  // books prior 40 + 40 ≤ 100 → packed
+      (13L, "web", ((1 to 39).map(i => s"corp$i") :+ "z").mkString(" ")))
+      //            ^ near-dup of the SEEDED corpus → dropped at stage 1 in
+      //              both runs (a near-dup of a batch-1 survivor would be
+      //              the documented intra-batch asymmetry: the one-shot
+      //              replay doesn't collapse within a batch)
+    val params = (2, 64, 8, 0.5, 0.5, 100L, 64L)
+
+    // two micro-batches through the streaming query
+    val mem = MemoryStream[(Long, String, String)]
+    def run() = runCurationToParquet(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", twoDir, ckpt,
+      shingleK = params._1, numHashes = params._2, bands = params._3,
+      nearDupThreshold = params._4, minQuality = params._5,
+      tokensPerSource = params._6, seqTokens = params._7)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+
+    // one-shot: the union as ONE batch through the same body
+    curateBatch((b1 ++ b2).toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", oneDir,
+      params._1, params._2, params._3, params._4, params._5,
+      params._6, params._7)
+
+    def packed(d: String) = spark.read.parquet(s"$d/packed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(packed(twoDir) === packed(oneDir))
+    assert(spark.read.parquet(s"$twoDir/packed")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 12L))
+    // cross-batch continuity: positions are one global token stream
+    val cums = spark.read.parquet(s"$twoDir/packed")
+      .orderBy($"doc_id").select($"cum_tokens").as[Long].collect().toSeq
+    assert(cums === Seq(40L, 80L, 120L, 160L))
+    // states converged identically
+    def state(d: String, t: String) = spark.read.parquet(s"$d/$t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(state(twoDir, "budget_state") === state(oneDir, "budget_state"))
+    assert(state(twoDir, "pack_state") === state(oneDir, "pack_state"))
+    assert(spark.read.parquet(s"$twoDir/pack_state")
+      .head().getLong(0) === 160L)
+  }
+
   test("streaming sketch sidecar: merged estimates equal a from-scratch " +
       "batch build over everything ingested (lossless union)") {
     implicit val sqlCtx = spark.sqlContext
