@@ -82,7 +82,8 @@ object ScaleBench {
     "q96_pipeline_e2e", "q122_knn_join_exact", "q120_knn_join_lsh",
     "q103_dedup_clusters", "q131_curation_pipeline",
     "q130_knn_join_ivf_stored", "q132_ivf_append",
-    "q134_semantic_dedup", "q136_neardup_sidecar", "q142_balance_classes")
+    "q134_semantic_dedup", "q136_neardup_sidecar", "q142_balance_classes",
+    "q143_streaming_curation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

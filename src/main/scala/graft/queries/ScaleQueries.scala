@@ -992,6 +992,69 @@ object ScaleQueries {
     curationPipeline(docs, dir).orderBy(col("doc_id"))
   }
 
+  /** The STREAMING curation pipeline's per-batch body
+    * ([[graft.streaming.EventStreams.curateBatch]]), oracled: one
+    * micro-batch over a fresh pipeline dir runs near-dup signature
+    * computation + sidecar append (a no-drop stage against the empty
+    * sidecar — the cross-batch drop semantics are spec-proven by
+    * EventStreamsSpec's two-batch == one-shot equality), the per-row
+    * quality gate, the per-source rolling token budget (the
+    * running-cum-≤-budget rule — rejected rows still count), and
+    * packing from the persisted zero offset. DuckDB replays the
+    * quality product (q22's proven expression — the 4-decimal rounding
+    * can't flip a ≥ 0.5 decision at this product granularity, so the
+    * oracle compares unrounded), the per-source cumsum admission, and
+    * the packing arithmetic. Budget 300/source binds at sf ≥ 0.01. */
+  val q143StreamingCuration = QueryDef(
+    "q143_streaming_curation",
+    """WITH base AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |  FROM documents
+      |), kept AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_toks
+      |  FROM base
+      |  WHERE (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) >= 0.5
+      |), adm AS (
+      |  SELECT doc_id, source, n_toks FROM (
+      |    SELECT doc_id, source, n_toks,
+      |      CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum_src
+      |    FROM kept)
+      |  WHERE cum_src <= 300
+      |), packed AS (
+      |  SELECT doc_id, source, n_toks,
+      |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM adm
+      |)
+      |SELECT doc_id, source, n_toks, cum_tokens,
+      |  CAST((cum_tokens - n_toks) // 256 AS BIGINT) AS start_seq,
+      |  CAST((cum_tokens - n_toks) % 256 AS BIGINT) AS start_offset,
+      |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS end_seq
+      |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q143_pipeline_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    graft.streaming.EventStreams.curateBatch(
+      Tables.documents(s, d), "text", "doc_id", "source", dir,
+      shingleK = 2, numHashes = 64, bands = 8, nearDupThreshold = 0.7,
+      minQuality = 0.5, tokensPerSource = 300L, seqTokens = 256L)
+    s.read.parquet(s"$dir/packed").orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -999,5 +1062,6 @@ object ScaleQueries {
     q131CurationPipeline, q132IvfAppend, q133IncrementalDedupBloom,
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
-    q140QualityBudget, q141RollingDistinct, q142BalanceClasses)
+    q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
+    q143StreamingCuration)
 }
