@@ -711,7 +711,12 @@ object Dedup {
     * single-writer, between-ingests contract; backup-swap crash
     * behavior per [[graft.sources.Sinks.compactParquetDir]]. */
   def compactMinhashSidecar(spark: org.apache.spark.sql.SparkSession,
-                            sidecarDir: String, coalesceTo: Int = 1): Unit = {
+                            sidecarDir: String, coalesceTo: Int = 1): Unit =
+    // the OUTER sidecarDir lock is the one writeMinhashSidecar takes —
+    // the per-table locks compactParquetDir adds inside would not
+    // exclude a concurrent ingest appending across all three tables
+    graft.sources.Sinks.withDirLock(
+        spark, sidecarDir, "compactMinhashSidecar") {
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/sigs",
       coalesceTo = coalesceTo, sortCol = Some("id"))
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/bands",
@@ -728,7 +733,7 @@ object Dedup {
         .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("n"))
         .coalesce(coalesceTo).sortWithinPartitions(col("bucket"))
         .write.mode("append").parquet(s"$sidecarDir/stats")
-  }
+    }
 
   /** Near-dup dedup straight into a parquet sink, writes ordered for
     * crash safety exactly like [[dedupAgainstSidecarTo]]: survivors

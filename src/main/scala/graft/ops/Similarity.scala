@@ -344,36 +344,36 @@ object Similarity {
     * files-per-probed-cell, not bytes. Rewrites each cell directory to
     * a single file (repartition on the partition column — one task
     * writes each dir) via [[graft.sources.Sinks.compactParquetDir]]'s
-    * backup-swap. Same single-writer contract as the appender; the
-    * centroid table is untouched. */
+    * backup-swap. Takes the SAME indexDir lock as the appenders (the
+    * inner vectors-dir lock alone would not exclude a concurrent
+    * [[appendToIvfIndex]], whose freshly appended files the swap would
+    * silently drop); the centroid table is untouched. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String): Unit =
-    graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/vectors",
-      partitionCols = Seq("cell"))
+    graft.sources.Sinks.withDirLock(spark, indexDir, "compactIvfIndex") {
+      graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/vectors",
+        partitionCols = Seq("cell"))
+    }
 
-  /** Query the stored index: centroid ranking is a driver-side loop
-    * over nlist tiny vectors; the data scan reads ONLY the nprobe
+  /** Query the stored index: probe cells are ranked IN-ROW against the
+    * broadcast centroid table with the same fused [[cosine]] and the
+    * same tie rule as [[annJoinIvfStored]] (one tiny 1 × nlist plan —
+    * the single-query form of the batch join, not a separate
+    * driver-side loop); the collected probe set is ≤ nprobe values
+    * (the bounded-driver class), and the data scan reads ONLY those
     * pruned partitions (PartitionFilters — asserted in the spec). */
   def ivfCosineTopKStored(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String, queryId: Long, k: Int,
                           nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
     val vectors = spark.read.parquet(s"$indexDir/vectors")
-    val qVec = vectors.filter(col("vec_id") === queryId)
-      .select(col("vec")).head().getSeq[Double](0).toArray
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeCells = spark.read.parquet(s"$indexDir/centroids")
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      .sortBy { case (_, c) => -cos(c, qVec) }
-      .take(nprobe).map(_._1)
     val q = vectors.filter(col("vec_id") === queryId)
       .select(col("vec").as("qvec"))
+    val probeCells = q
+      .crossJoin(broadcast(spark.read.parquet(s"$indexDir/centroids")))
+      .select(col("cell"), cosine(col("qvec"), col("centroid")).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell"))
+      .limit(nprobe)
+      .select(col("cell")).collect().map(_.getInt(0))
     vectors
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .filter(col("vec_id") =!= queryId)

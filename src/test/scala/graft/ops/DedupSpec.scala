@@ -330,6 +330,32 @@ class DedupSpec extends SparkSpec {
     assert(scansOf("sigs") === 1)
   }
 
+  test("compactMinhashSidecar shares the ingest lock: a concurrent writer " +
+      "excludes it (per-table locks alone would not)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhlock").toString
+    val sidecar = s"$dir/mh"
+    Dedup.writeMinhashSidecar(
+      Seq((1L, (1 to 40).map(i => s"aa$i").mkString(" ")))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", sidecar)
+    graft.sources.Sinks.withDirLock(spark, sidecar, "ingest") {
+      val e = intercept[IllegalStateException] {
+        Dedup.compactMinhashSidecar(spark, sidecar)
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    }
+    // and the reverse: an ingest arriving mid-compaction fails loud too
+    graft.sources.Sinks.withDirLock(spark, sidecar, "compacting") {
+      intercept[IllegalStateException] {
+        Dedup.writeMinhashSidecar(
+          Seq((2L, (1 to 40).map(i => s"bb$i").mkString(" ")))
+            .toDF("doc_id", "text"),
+          "text", "doc_id", sidecar)
+      }
+    }
+    Dedup.compactMinhashSidecar(spark, sidecar) // lock released → proceeds
+  }
+
   test("minhash sidecar id contract: non-castable ids fail loud instead of " +
       "silently writing null-id rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mhid").toString

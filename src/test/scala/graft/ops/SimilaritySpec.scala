@@ -228,6 +228,25 @@ class SimilaritySpec extends SparkSpec {
       emb.filter($"vec_id" === 0), "vec_id", "embedding", k = 3).count() === 3)
   }
 
+  test("compactIvfIndex shares the appenders' indexDir lock: a concurrent " +
+      "append excludes it and vice versa") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lock").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb.filter($"vec_id" < 100),
+      "vec_id", "embedding", dir, nlist = 4)
+    graft.sources.Sinks.withDirLock(spark, dir, "appending") {
+      val e = intercept[IllegalStateException] {
+        Similarity.compactIvfIndex(spark, dir)
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+      intercept[IllegalStateException] {
+        Similarity.appendToIvfIndex(spark, dir,
+          emb.filter($"vec_id" === 200), "vec_id", "embedding")
+      }
+    }
+    Similarity.compactIvfIndex(spark, dir) // released → proceeds
+  }
+
   test("embeddingDedupPairs finds planted near-identical vectors, skips distant ones") {
     val base = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
     val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
