@@ -469,6 +469,42 @@ object Similarity {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Diversity-preserving subset selection — coverage-first sampling
+    * over the embedding space: pick `k` rows such that every occupied
+    * hyperplane-LSH bucket contributes its first (deterministic) pick
+    * before any bucket contributes a second, then round-robin. A
+    * uniform sample of a 90 %-near-duplicate corpus is 90 % near-dups;
+    * this spreads the budget across semantic regions instead of
+    * following density — the KEEP-side complement of [[semanticDedup]]
+    * (which drops duplicates; this allocates a budget).
+    *
+    * Deterministic end-to-end: buckets are sign-of-projection on the
+    * fixed seeded planes ([[lshBucket]] — fused codegen), within-bucket
+    * order is md5(id, seed) (the engine's deterministic-uniform
+    * construction — partitioning-invariant and externally replayable,
+    * q144's oracle), and the global order (rank-in-bucket, bucket) is a
+    * total order, so the same k rows come back at any parallelism.
+    *
+    * Scale shape: one projection + ONE window partitioned by bucket
+    * (2^bits partition keys — raise `bits` so reducer parallelism
+    * scales, the [[annJoinLsh]] guidance) + an ascending
+    * LIMIT k that plans as TakeOrderedAndProject (per-partition k-heaps
+    * + one k-row merge — no global sort, no driver state). Output =
+    * input columns + (bucket, rank_in_bucket). */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      bits: Int = 8, dim: Int = 64,
+                      seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val v = col(vecCol).cast("array<double>")
+    val key = md5(concat_ws("|", col(idCol), lit(seed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(key, col(idCol))
+    df.withColumn("bucket", lshBucket(v, planes))
+      .withColumn("rank_in_bucket", row_number().over(w))
+      .orderBy(col("rank_in_bucket"), col("bucket"))
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: hash all vectors (projection),
     * keep only the query's bucket (an equality filter the optimizer
     * can push/partition on), exact-cosine re-rank inside the bucket.

@@ -1055,6 +1055,42 @@ object ScaleQueries {
     s.read.parquet(s"$dir/packed").orderBy(col("doc_id"))
   }
 
+  /** Diversity-preserving subset selection
+    * ([[Similarity.diversitySample]]): 100 vectors picked
+    * coverage-first — every occupied hyperplane bucket contributes its
+    * md5-ranked first pick before any bucket repeats. The oracle
+    * replays the SAME deterministic planes (the q120/q134 literal
+    * builder), the same md5(id|seed) within-bucket order, and the same
+    * (rank, bucket) global order. bits=4 so buckets are populated at
+    * test SF. */
+  private val diversityOracle: String = {
+    val planes = Similarity.hyperplanes(bits = 4, dim = 64)
+    def plit(p: Seq[Double]) = p.mkString("[", ",", "]::DOUBLE[]")
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_inner_product(v, ${plit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (
+       |  SELECT vec_id, CAST($bits AS BIGINT) AS bucket
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings)
+       |), r AS (
+       |  SELECT vec_id, bucket,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR) || '|' || '42'), vec_id)
+       |      AS INT) AS rank_in_bucket
+       |  FROM h
+       |)
+       |SELECT vec_id, bucket, rank_in_bucket FROM r
+       |ORDER BY rank_in_bucket, bucket LIMIT 100""".stripMargin
+  }
+  val q144DiversitySample = QueryDef(
+    "q144_diversity_sample", diversityOracle) { (s, d) =>
+    Similarity.diversitySample(Tables.embeddings(s, d), "vec_id",
+        "embedding", k = 100, bits = 4, dim = 64)
+      .select(col("vec_id"), col("bucket"), col("rank_in_bucket"))
+      .orderBy(col("rank_in_bucket"), col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1063,5 +1099,5 @@ object ScaleQueries {
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
-    q143StreamingCuration)
+    q143StreamingCuration, q144DiversitySample)
 }

@@ -382,6 +382,63 @@ class SimilaritySpec extends SparkSpec {
     assert(surv.select("vec_id").as[Long].collect().toSet === Set(0L, 1L, 2L))
   }
 
+  test("diversitySample: coverage-first — a dense near-duplicate blob cannot " +
+      "crowd out sparse regions; deterministic across calls") {
+    // 90 near-copies of one direction + 10 spread directions: a uniform
+    // top-k would be ~90% blob; coverage-first picks every occupied
+    // bucket once before the blob contributes a second row
+    val dim = 16
+    val blobBase = Array.tabulate(dim)(i => math.sin(i + 1.0))
+    val blob = (1L to 90L).map { i =>
+      (i, blobBase.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == (i % dim).toInt) 1e-4 * i else 0.0)).toFloat }.toSeq)
+    }
+    val spread = (101L to 110L).map { i =>
+      (i, Array.tabulate(dim)(j =>
+        math.cos((i - 100) * (j + 1) * 0.7).toFloat).toSeq)
+    }
+    val df = (blob ++ spread).toDF("vec_id", "embedding")
+    val got = Similarity.diversitySample(df, "vec_id", "embedding",
+      k = 12, bits = 6, dim = dim)
+    val rows = got.select("vec_id", "bucket", "rank_in_bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length === 12)
+    val occupied = df.select(
+      Similarity.lshBucket($"embedding".cast("array<double>"),
+        Similarity.hyperplanes(6, dim)).as("b"))
+      .distinct().count()
+    // every occupied bucket is represented before ANY bucket repeats
+    val firstRound = rows.filter(_._3 == 1)
+    assert(firstRound.length === math.min(occupied, 12L).toInt,
+      s"${firstRound.length} rank-1 picks for $occupied occupied buckets")
+    // independent driver-side reference: bucket via the HOF twin, rank
+    // by the same md5(id|seed) order, take the k smallest (rank, bucket)
+    val planes = Similarity.hyperplanes(6, dim)
+    val ref = df.select($"vec_id",
+        Similarity.lshBucketHof($"embedding".cast("array<double>"), planes)
+          .as("b"),
+        md5(concat_ws("|", $"vec_id", lit(42L))).as("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._2).toSeq
+      .flatMap { case (b, members) =>
+        members.sortBy(m => (m._3, m._1)).zipWithIndex
+          .map { case (m, i) => (i + 1, b, m._1) } // (rank, bucket, id)
+      }
+      .sorted.take(12).map(_._3)
+    assert(rows.map(_._1).toSeq === ref.toSeq,
+      "sample differs from the independent round-robin reference")
+    // deterministic
+    val again = Similarity.diversitySample(df, "vec_id", "embedding",
+        k = 12, bits = 6, dim = dim)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(again === rows.map(_._1).toSeq)
+    // a different seed reshuffles within buckets but keeps coverage
+    val otherSeed = Similarity.diversitySample(df, "vec_id", "embedding",
+      k = 12, bits = 6, dim = dim, seed = 7L)
+    assert(otherSeed.filter($"rank_in_bucket" === 1).count() ===
+      math.min(occupied, 12L))
+  }
+
   test("int8QuantStats: error bounded by half a quantization step") {
     val out = Similarity.int8QuantStats(
       Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")
