@@ -41,10 +41,12 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q138DetShuffle,        // md5-ranked global shuffle
     ScaleQueries.q140QualityBudget,     // quality-ordered token cumsum cut
     ScaleQueries.q142BalanceClasses,    // per-class md5-prefix balancing
+    ScaleQueries.q144DiversitySample,   // bucket round-robin TakeOrdered
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
-    ScaleQueries.q136NearDupSidecar)    // band join + signature estimator
+    ScaleQueries.q136NearDupSidecar,    // band join + signature estimator
+    ScaleQueries.q143StreamingCuration) // curation body + state plumbing
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {
