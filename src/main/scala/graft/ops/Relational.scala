@@ -224,6 +224,35 @@ object Relational {
       .limit(k)
   }
 
+  /** Leakage-safe train/eval split — assignment by GROUP, not by row:
+    * every row whose `group` expression agrees lands on the same side,
+    * so duplicated (or near-duplicated, when `group` is a dedup
+    * cluster/fingerprint) content never straddles the split — the
+    * classic eval-contamination bug of uniform ROW splits on web-scale
+    * corpora, where the eval set silently contains near-copies of
+    * training documents. Pass `md5(text)` for exact-dup safety, a
+    * connected-component id ([[Clustering.jaccardDedupClusters]]) for
+    * near-dup safety, or a source/site key for domain holdout.
+    *
+    * The side is a pure per-row function of (group, seed) — the
+    * engine's md5-uniform construction ([[weightedSample]]'s) — so the
+    * split is reproducible across runs, cluster sizes, and engines
+    * (externally replayable, q145's oracle), and rows of one group
+    * never need to meet: ZERO shuffles, no state. Expected — not
+    * exact — fractions, weighted by group SIZE (a group is atomic by
+    * design). Null groups: the uniform of the empty digest — all null-
+    * group rows land together on one deterministic side (they are one
+    * "unknown" group; pre-assign ids upstream if that's not wanted). */
+  def groupAwareSplit(df: DataFrame, group: Column, testFraction: Double,
+                      seed: Long = 42L,
+                      flagCol: String = "is_test"): DataFrame = {
+    require(testFraction >= 0.0 && testFraction <= 1.0,
+      s"testFraction must be in [0, 1], got $testFraction")
+    val u = (conv(substring(md5(concat_ws("|", group, lit(seed))), 1, 15),
+      16, 10).cast("double") + 1.0) / 1.152921504606847e18
+    df.withColumn(flagCol, u < testFraction)
+  }
+
   /** Exact global (rank, running sum) over a total order WITHOUT an
     * unpartitioned window — the engine's distributed replacement for
     * `ROW_NUMBER()/SUM() OVER (ORDER BY …)`: range-repartition on the

@@ -1091,6 +1091,24 @@ object ScaleQueries {
       .orderBy(col("rank_in_bucket"), col("bucket"))
   }
 
+  /** Leakage-safe group-aware split ([[Relational.groupAwareSplit]]):
+    * the side is a pure function of (md5(text), seed), so exact
+    * duplicates NEVER straddle train/eval — the oracle replays the
+    * md5-uniform construction (q109's) on the group digest and the
+    * same double comparison. */
+  val q145GroupSplit = QueryDef(
+    "q145_group_split",
+    """SELECT doc_id,
+      |  (CAST('0x' || substring(md5(md5(text) || '|' || '42'), 1, 15)
+      |     AS BIGINT) + 1.0) / 1.152921504606847e18 < 0.3 AS is_test
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Relational.groupAwareSplit(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        group = md5(col("text")), testFraction = 0.3)
+      .select(col("doc_id"), col("is_test"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1099,5 +1117,5 @@ object ScaleQueries {
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
-    q143StreamingCuration, q144DiversitySample)
+    q143StreamingCuration, q144DiversitySample, q145GroupSplit)
 }

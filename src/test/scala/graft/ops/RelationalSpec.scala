@@ -228,6 +228,32 @@ class RelationalSpec extends SparkSpec {
       .toSeq === got.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("groupAwareSplit: groups are atomic (no group straddles the split), " +
+      "deterministic, fraction roughly honored by group mass") {
+    // 200 groups of 5 rows each; a uniform ROW split would place ~99.9%
+    // of groups on both sides — group-aware places each wholly
+    val df = (0L until 1000L).map(i => (i, s"g${i % 200}")).toDF("id", "g")
+    val got = groupAwareSplit(df, col("g"), 0.3)
+    val sides = got.groupBy("g")
+      .agg(countDistinct(col("is_test")).as("n_sides"))
+      .agg(max(col("n_sides"))).as[Long].head()
+    assert(sides === 1L, "a group straddled the split")
+    val frac = got.filter(col("is_test")).count().toDouble / 1000
+    assert(frac > 0.15 && frac < 0.45, s"test fraction $frac")
+    // deterministic + seed-sensitive
+    assert(groupAwareSplit(df, col("g"), 0.3).collect().map(_.toString).toSeq
+      === got.collect().map(_.toString).toSeq)
+    val other = groupAwareSplit(df, col("g"), 0.3, seed = 7L)
+    assert(other.filter(col("is_test")).select("g").distinct().collect().toSet
+      !== got.filter(col("is_test")).select("g").distinct().collect().toSet)
+    // duplicated CONTENT as the group: exact copies can't leak across
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("id", "text")
+    val split = groupAwareSplit(docs, md5(col("text")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(split(1L) === split(2L), "exact duplicates split apart")
+  }
+
   test("roundRobinShards: LPT round-robin balances shard loads") {
     // skewed sizes: a few huge docs + many small ones
     val df = ((1L to 5L).map(i => (i, 500L)) ++
