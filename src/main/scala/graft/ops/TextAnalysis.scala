@@ -230,6 +230,54 @@ object TextAnalysis {
           .as("chunk_text")): _*)
   }
 
+  /** Content-defined chunking (CDC), token level: a token OPENS a new
+    * chunk when its md5-derived hash ≡ 0 (mod `targetTokens`), so
+    * boundaries are a function of CONTENT, not position. The property
+    * fixed-stride [[chunk]]ing lacks: inserting or deleting one token
+    * perturbs ONLY the chunk containing it — every other chunk's text
+    * (hence its hash, hence its dup-span match) is unchanged — whereas
+    * a stride shift rewrites every later chunk and destroys all
+    * downstream chunk-hash matches. The standard CDC trick
+    * (rolling-hash cut points from dedup storage systems) lifted to
+    * token granularity; expected chunk length = `targetTokens` tokens
+    * (geometric — for a DIVERSE vocabulary, since a repeated token
+    * repeats its boundary decision: on tiny vocabularies pick a
+    * modulus small enough that some tokens are boundaries at all),
+    * position 1 always starts a chunk, full token coverage, no
+    * overlap.
+    *
+    * The boundary hash is the md5-prefix construction (q109's) rather
+    * than xxhash64, so an external engine replays the exact boundary
+    * set — q146's oracle does. Per-row projection + posexplode, no
+    * shuffle: a 100 TB corpus chunks at scan speed.
+    *
+    * Output per chunk: (…idCols, chunk_idx, chunk_tokens, chunk_text). */
+  def cdcChunk(df: org.apache.spark.sql.DataFrame, textCol: String,
+               targetTokens: Int,
+               idCols: String*): org.apache.spark.sql.DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be > 0, got $targetTokens")
+    val toks = tokens(col(textCol))
+    val starts = filter(sequence(lit(1), size(toks)), i =>
+      i === 1 ||
+        conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10)
+          .cast("long") % targetTokens === 0)
+    df.select(idCols.map(col) :+ toks.as("__toks") :+ starts.as("__starts"): _*)
+      .select(idCols.map(col) :+ posexplode(col("__starts")) :+
+        col("__toks") :+ col("__starts"): _*)
+      .select(idCols.map(col) ++ {
+        val start = col("col")
+        // try_element_at: past-the-end is null (ANSI element_at throws)
+        val end = coalesce(
+          try_element_at(col("__starts"), col("pos") + 2) - 1,
+          size(col("__toks")))
+        Seq(
+          col("pos").cast("long").as("chunk_idx"),
+          (end - start + 1).cast("long").as("chunk_tokens"),
+          concat_ws(" ", slice(col("__toks"), start, end - start + 1))
+            .as("chunk_text"))
+      }: _*)
+  }
+
   /** Per-(lang, term) corpus statistics with a TF-IDF-style weight.
     * The weight is `tf * (n_docs / df)` — the inverse-document-
     * frequency ratio WITHOUT the usual log so the number is exactly

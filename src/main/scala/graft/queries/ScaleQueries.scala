@@ -1109,6 +1109,37 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-defined chunking ([[TextAnalysis.cdcChunk]], target 5
+    * tokens — the synthetic corpus has a 31-token vocabulary, so a
+    * larger modulus leaves too few boundary tokens to split anything):
+    * boundaries are a pure function of token content (md5 hash ≡ 0 mod
+    * target), so the oracle replays the exact boundary set, the end
+    * positions, and the joined chunk text. */
+  val q146CdcChunks = QueryDef(
+    "q146_cdc_chunks",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), s AS (
+      |  SELECT doc_id, ts,
+      |    list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+      |      CAST('0x' || substring(md5(ts[i]), 1, 15) AS BIGINT) % 5 = 0)
+      |      AS starts
+      |  FROM t
+      |), c AS (
+      |  SELECT doc_id, ts, starts,
+      |    CAST(o - 1 AS BIGINT) AS chunk_idx,
+      |    starts[CAST(o AS INT)] AS start_pos,
+      |    coalesce(starts[CAST(o AS INT) + 1] - 1, len(ts)) AS end_pos
+      |  FROM s, unnest(generate_series(1, len(starts))) AS g(o)
+      |)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(end_pos - start_pos + 1 AS BIGINT) AS chunk_tokens,
+      |  array_to_string(ts[start_pos : end_pos], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    TextAnalysis.cdcChunk(Tables.documents(s, d), "text", 5, "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1117,5 +1148,6 @@ object ScaleQueries {
     q134SemanticDedup, q135SketchSidecar, q136NearDupSidecar,
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
-    q143StreamingCuration, q144DiversitySample, q145GroupSplit)
+    q143StreamingCuration, q144DiversitySample, q145GroupSplit,
+    q146CdcChunks)
 }

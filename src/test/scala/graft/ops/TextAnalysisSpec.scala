@@ -1,4 +1,5 @@
 package graft.ops
+// (cdcChunk robustness tests appended at the bottom of the suite)
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -82,6 +83,65 @@ class TextAnalysisSpec extends SparkSpec {
       .select(explode(split($"chunk_text", " ")))
       .as[String].collect().toSet
     assert(toks === (1 to 7).map("w" + _).toSet)
+  }
+
+  test("cdcChunk: full coverage, content-determined boundaries, expected " +
+      "chunk length near the target") {
+    // target 5: the synthetic corpus has a 31-token vocabulary, of
+    // which 5 are boundary tokens at mod 5 (larger moduli can leave
+    // zero boundary tokens in so small a vocabulary)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val got = TextAnalysis.cdcChunk(docs, "text", 5, "doc_id")
+    // full token coverage: chunk_tokens sums to the doc's token count
+    val sums = got.groupBy("doc_id").agg(sum($"chunk_tokens").as("s"))
+      .join(docs.select($"doc_id",
+        size(split($"text", " ")).cast("long").as("n")), "doc_id")
+    assert(sums.filter($"s" =!= $"n").count() === 0)
+    // chunks reassemble the document exactly (explicit chunk_idx sort —
+    // collect_list has no order guarantee)
+    val rejoined = got
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+        s => s.getField("chunk_text"))).as("re"))
+      .join(docs.select($"doc_id", $"text"), "doc_id")
+    assert(rejoined.filter($"re" =!= $"text").count() === 0)
+    // chunk length is vocabulary-dependent (a repeated token repeats
+    // its boundary decision, and the synthetic docs reuse tokens
+    // heavily) — assert multi-chunk splitting happens and lengths stay
+    // bounded rather than a tight mean
+    val mean = got.agg(avg($"chunk_tokens")).as[Double].head()
+    assert(mean > 5 && mean < 200, s"mean chunk length $mean")
+    assert(got.groupBy("doc_id").count().filter($"count" > 1).count() > 0,
+      "no document ever split")
+  }
+
+  test("cdcChunk: one inserted token perturbs ONLY its own chunk; " +
+      "fixed-stride chunking rewrites every later chunk") {
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val mutated = ((1 to 100).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (101 to 200).map(i => s"tok$i")).mkString(" ")
+    val df = Seq((1L, base), (2L, mutated)).toDF("doc_id", "text")
+
+    def chunkSet(chunks: org.apache.spark.sql.DataFrame, id: Long) =
+      chunks.filter($"doc_id" === id).select("chunk_text")
+        .as[String].collect().toSeq.groupBy(identity).view.mapValues(_.size)
+        .toMap
+
+    val cdc = TextAnalysis.cdcChunk(df, "text", 10, "doc_id")
+    val (c1, c2) = (chunkSet(cdc, 1L), chunkSet(cdc, 2L))
+    def diff(a: Map[String, Int], b: Map[String, Int]) =
+      (a.keySet ++ b.keySet).count(k => a.getOrElse(k, 0) != b.getOrElse(k, 0))
+    // CDC: at most the chunk containing the insertion differs (it may
+    // split in two if INSERTED is itself a cut point) — ≤ 3 chunk texts
+    assert(diff(c1, c2) <= 3, s"CDC perturbed ${diff(c1, c2)} chunk texts")
+
+    val fixed = TextAnalysis.chunk(df, "text", 10, 0, "doc_id")
+    val (f1, f2) = (chunkSet(fixed, 1L), chunkSet(fixed, 2L))
+    // fixed stride: the insertion shifts every later boundary — half
+    // the corpus's chunks change
+    assert(diff(f1, f2) > 10,
+      s"fixed-stride only perturbed ${diff(f1, f2)} chunk texts")
   }
 
   test("termStats: tf/df/weight on a hand-checked corpus") {
