@@ -777,10 +777,29 @@ object Dedup {
     * dup_span_frac = dup_tokens / n_tokens (exact longs, one final
     * IEEE division — cross-engine bit parity). */
   def duplicateSpans(df: DataFrame, textCol: String, idCol: String,
-                     chunkTokens: Int = 50): DataFrame = {
-    val chunks = TextAnalysis.chunk(df, textCol, chunkTokens, 0, idCol)
-      .select(col(idCol), col("chunk_tokens"),
-        xxhash64(col("chunk_text")).as("ch"))
+                     chunkTokens: Int = 50): DataFrame =
+    spanRollup(TextAnalysis.chunk(df, textCol, chunkTokens, 0, idCol), idCol)
+
+  /** Insertion-robust duplicated-span fraction: [[duplicateSpans]]
+    * with CONTENT-DEFINED chunks ([[TextAnalysis.cdcChunk]]) instead
+    * of fixed stride. An edited near-copy (a token inserted or
+    * deleted) still shares every chunk except the edited one — its
+    * dup_span_frac stays near 1 — whereas fixed-stride boundaries all
+    * shift after the edit and the shared-span signal collapses to the
+    * prefix before it (DedupSpec demonstrates both behaviors on the
+    * same planted pair). Same scale shape: chunking is a shuffle-free
+    * projection, occurrence counting one hash aggregation on 8-byte
+    * chunk hashes. */
+  def duplicateSpansCdc(df: DataFrame, textCol: String, idCol: String,
+                        targetTokens: Int = 20): DataFrame =
+    spanRollup(TextAnalysis.cdcChunk(df, textCol, targetTokens, idCol), idCol)
+
+  /** Shared per-doc rollup of the duplicated-span family: count chunk
+    * occurrences corpus-wide by hash, flag chunks occurring ≥ 2, roll
+    * up exact longs per document (one final IEEE division). */
+  private def spanRollup(chunked: DataFrame, idCol: String): DataFrame = {
+    val chunks = chunked.select(col(idCol), col("chunk_tokens"),
+      xxhash64(col("chunk_text")).as("ch"))
     val occ = chunks.groupBy(col("ch")).agg(count(lit(1)).as("occ"))
     chunks.join(occ, "ch")
       .groupBy(col(idCol))

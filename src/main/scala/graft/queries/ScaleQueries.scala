@@ -1140,6 +1140,51 @@ object ScaleQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Insertion-robust dup-span signal ([[Dedup.duplicateSpansCdc]]):
+    * q121's per-doc duplicated-span fraction over CONTENT-DEFINED
+    * chunks. The oracle replays the CDC boundary set (q146's builder)
+    * and groups occurrences by chunk TEXT (Spark groups by xxhash64 —
+    * identical up to 64-bit collisions, which only over-count). */
+  val q147CdcDupSpans = QueryDef(
+    "q147_cdc_dup_spans",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), s AS (
+      |  SELECT doc_id, ts,
+      |    list_filter(generate_series(1, len(ts)), i -> i = 1 OR
+      |      CAST('0x' || substring(md5(ts[i]), 1, 15) AS BIGINT) % 5 = 0)
+      |      AS starts
+      |  FROM t
+      |), chunks AS (
+      |  SELECT doc_id,
+      |    array_to_string(
+      |      ts[starts[CAST(o AS INT)] :
+      |         coalesce(starts[CAST(o AS INT) + 1] - 1, len(ts))], ' ')
+      |      AS chunk_text,
+      |    CAST(coalesce(starts[CAST(o AS INT) + 1] - 1, len(ts))
+      |      - starts[CAST(o AS INT)] + 1 AS BIGINT) AS chunk_tokens
+      |  FROM s, unnest(generate_series(1, len(starts))) AS g(o)
+      |), occ AS (
+      |  SELECT chunk_text, count(*) AS occ FROM chunks GROUP BY 1
+      |), agg AS (
+      |  SELECT c.doc_id,
+      |    CAST(count(*) AS BIGINT) AS n_chunks,
+      |    CAST(sum(CASE WHEN o.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_dup_chunks,
+      |    CAST(sum(c.chunk_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(CASE WHEN o.occ >= 2 THEN c.chunk_tokens ELSE 0 END)
+      |      AS BIGINT) AS dup_tokens
+      |  FROM chunks c JOIN occ o ON c.chunk_text = o.chunk_text
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT doc_id, n_chunks, n_dup_chunks, n_tokens, dup_tokens,
+      |  CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_span_frac
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.duplicateSpansCdc(Tables.documents(s, d), "text", "doc_id",
+        targetTokens = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1149,5 +1194,5 @@ object ScaleQueries {
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
     q143StreamingCuration, q144DiversitySample, q145GroupSplit,
-    q146CdcChunks)
+    q146CdcChunks, q147CdcDupSpans)
 }

@@ -282,6 +282,31 @@ class PlanQualitySpec extends SparkSpec {
         s"stages across $jobs jobs")
   }
 
+  test("cdcChunk and groupAwareSplit are pure projections: zero exchanges " +
+      "in the executed plan") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val p1 = executed(
+      graft.ops.TextAnalysis.cdcChunk(docs, "text", 5, "doc_id"))
+    assert(!p1.contains("Exchange"), p1.take(600))
+    val p2 = executed(
+      graft.ops.Relational.groupAwareSplit(docs, md5(col("text")), 0.3))
+    assert(!p2.contains("Exchange"), p2.take(600))
+  }
+
+  test("diversitySample: bucket-partitioned window + TakeOrdered, no global " +
+      "sort") {
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val q = graft.ops.Similarity.diversitySample(emb, "vec_id", "embedding",
+      k = 100, bits = 4, dim = 64)
+    q.collect()
+    val flat = flattenPlan(q.queryExecution.executedPlan)
+    assert(flat.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "limit did not plan as TakeOrderedAndProject")
+    assertNoUnpartitionedWindow(q)
+  }
+
   test("batch k-NN join (brute force): the only nested loop is the bounded " +
       "query-batch broadcast; ranking is group-limited before the shuffle") {
     import org.apache.spark.sql.functions.expr

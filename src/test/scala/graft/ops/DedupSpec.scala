@@ -94,6 +94,27 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((2L, 2L, 1.0)))
   }
 
+  test("duplicateSpansCdc: an edited near-copy keeps a high dup fraction " +
+      "where fixed-stride collapses to the pre-edit prefix") {
+    // 200-token doc and a copy with ONE token inserted mid-way
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val edited = ((1 to 100).map(i => s"tok$i") ++ Seq("INSERTED") ++
+      (101 to 200).map(i => s"tok$i")).mkString(" ")
+    val df = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    def frac(got: org.apache.spark.sql.DataFrame) = got.collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val cdc = frac(Dedup.duplicateSpansCdc(df, "text", "doc_id",
+      targetTokens = 10))
+    // CDC: every chunk except the edited one still matches
+    assert(cdc(1L) > 0.7, s"CDC base frac ${cdc(1L)}")
+    assert(cdc(2L) > 0.7, s"CDC edited frac ${cdc(2L)}")
+    val fixed = frac(Dedup.duplicateSpans(df, "text", "doc_id",
+      chunkTokens = 10))
+    // fixed stride: only the chunks before the insertion can match
+    assert(fixed(2L) < cdc(2L) - 0.3,
+      s"fixed ${fixed(2L)} not far below CDC ${cdc(2L)}")
+  }
+
   test("duplicateSpans: partial tail chunk counted, full token coverage") {
     val d = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     val got = Dedup.duplicateSpans(d, "text", "doc_id", chunkTokens = 4)
