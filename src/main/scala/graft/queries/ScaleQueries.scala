@@ -1185,6 +1185,47 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** NEAR-dup-safe train/eval split: [[Relational.groupAwareSplit]]
+    * with the near-dup CLUSTER component (q103's machinery) as the
+    * group — near-copies of a training document can never land in
+    * eval, the contamination the exact-group split (q145) can't catch.
+    * The oracle replays the recursive-CTE closure (q103's) and the
+    * md5-uniform side decision on the component id. */
+  val q148ClusterSplit = QueryDef(
+    "q148_cluster_split",
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ts,
+      |         len(string_split(text, ' ')) AS n_toks
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM toks a JOIN toks b
+      |    ON a.lang = b.lang AND (a.n_toks // 10) = (b.n_toks // 10)
+      |       AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(a.ts, b.ts))) >= 0.7
+      |), sym AS (
+      |  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+      |), walk(node, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.node
+      |), comp AS (
+      |  SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+      |)
+      |SELECT doc_id, component,
+      |  (CAST('0x' || substring(md5(CAST(component AS VARCHAR) || '|' || '42'),
+      |     1, 15) AS BIGINT) + 1.0) / 1.152921504606847e18 < 0.3 AS is_test
+      |FROM comp ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val comp = graft.ops.Clustering.jaccardDedupClusters(docs,
+        threshold = 0.7, lenBlock = 10)
+      .select(col("doc_id"), col("component"))
+    Relational.groupAwareSplit(comp, col("component"), 0.3)
+      .select(col("doc_id"), col("component"), col("is_test"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1194,5 +1235,5 @@ object ScaleQueries {
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
     q143StreamingCuration, q144DiversitySample, q145GroupSplit,
-    q146CdcChunks, q147CdcDupSpans)
+    q146CdcChunks, q147CdcDupSpans, q148ClusterSplit)
 }
