@@ -70,6 +70,11 @@ object GraftFunctions {
   def simhash64_md5(text: Column): Column =
     ColumnBridge.column(SimHash64Md5(ColumnBridge.expression(text)))
 
+  /** Fused CDC boundary scan (see [[CdcChunkStarts]]). */
+  def cdc_chunk_starts(text: Column, targetTokens: Int): Column =
+    ColumnBridge.column(
+      CdcChunkStarts(ColumnBridge.expression(text), targetTokens))
+
   /** Fused hyperplane-LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec),
@@ -126,6 +131,8 @@ object GraftFunctions {
       SignatureAgreement(exprs(0), exprs(1))),
     "simhash64" -> (exprs => SimHash64(exprs(0))),
     "simhash64_md5" -> (exprs => SimHash64Md5(exprs(0))),
+    "cdc_chunk_starts" -> (exprs =>
+      CdcChunkStarts(exprs(0), intArg("cdc_chunk_starts", exprs(1)))),
     "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))),
     "rolling_fingerprint_md5" -> (exprs => RollingFingerprintMd5(exprs(0))))
 

@@ -249,7 +249,11 @@ object TextAnalysis {
     * The boundary hash is the md5-prefix construction (q109's) rather
     * than xxhash64, so an external engine replays the exact boundary
     * set — q146's oracle does. Per-row projection + posexplode, no
-    * shuffle: a 100 TB corpus chunks at scan speed.
+    * shuffle: a 100 TB corpus chunks at scan speed. The boundary scan
+    * is the FUSED [[graft.functions.CdcChunkStarts]] expression (one
+    * zero-copy byte pass; the interpreted md5-per-token HOF
+    * formulation is kept as [[cdcStartsHof]] for the bit-identity
+    * property test).
     *
     * Output per chunk: (…idCols, chunk_idx, chunk_tokens, chunk_text). */
   def cdcChunk(df: org.apache.spark.sql.DataFrame, textCol: String,
@@ -257,10 +261,8 @@ object TextAnalysis {
                idCols: String*): org.apache.spark.sql.DataFrame = {
     require(targetTokens > 0, s"targetTokens must be > 0, got $targetTokens")
     val toks = tokens(col(textCol))
-    val starts = filter(sequence(lit(1), size(toks)), i =>
-      i === 1 ||
-        conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10)
-          .cast("long") % targetTokens === 0)
+    val starts = graft.functions.GraftFunctions
+      .cdc_chunk_starts(col(textCol), targetTokens)
     df.select(idCols.map(col) :+ toks.as("__toks") :+ starts.as("__starts"): _*)
       .select(idCols.map(col) :+ posexplode(col("__starts")) :+
         col("__toks") :+ col("__starts"): _*)
@@ -276,6 +278,17 @@ object TextAnalysis {
           concat_ws(" ", slice(col("__toks"), start, end - start + 1))
             .as("chunk_text"))
       }: _*)
+  }
+
+  /** Interpreted-HOF CDC boundary positions (reference formulation,
+    * bit-identical to [[graft.functions.CdcChunkStarts]] up to the
+    * int/long element type): kept as the property-test twin. */
+  def cdcStartsHof(text: Column, targetTokens: Int): Column = {
+    val toks = tokens(text)
+    filter(sequence(lit(1), size(toks)), i =>
+      i === 1 ||
+        conv(substring(md5(element_at(toks, i)), 1, 15), 16, 10)
+          .cast("long") % targetTokens === 0)
   }
 
   /** Per-(lang, term) corpus statistics with a TF-IDF-style weight.

@@ -346,6 +346,33 @@ class FunctionsSpec extends SparkSpec {
     assert(e1 !== BloomMightContain(child, BloomMightContain.serialize(bf2)))
   }
 
+  test("cdc_chunk_starts: fused expression identical to the HOF on real " +
+      "documents and whitespace edge cases") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (9001L, ""), (9002L, " "), (9003L, "a  b"),
+        (9004L, "a b "), (9005L, " leading"),
+        (9006L, "único töken ünïcode €"))
+        .toDF("doc_id", "text"))
+    Seq(1, 5, 20).foreach { target =>
+      val rows = docs.select($"doc_id",
+          GraftFunctions.cdc_chunk_starts($"text", target).as("fused"),
+          graft.ops.TextAnalysis.cdcStartsHof($"text", target).as("hof"))
+        .collect()
+      assert(rows.length === 506)
+      rows.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"doc ${r.getLong(0)} target $target: " +
+            s"fused ${r.getSeq[Int](1)} != hof ${r.getSeq[Int](2)}")
+      }
+    }
+    // nulls propagate
+    val n = spark.sql("SELECT CAST(NULL AS STRING) AS t")
+      .select(GraftFunctions.cdc_chunk_starts($"t", 5)).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
