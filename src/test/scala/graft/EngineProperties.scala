@@ -394,4 +394,64 @@ object EngineProperties extends Properties("graft") {
         Prop(r.getLong(0) == r.getLong(1)) :|
           s"fused ${r.getLong(0)} != hof ${r.getLong(1)}"): _*)
     }
+
+  property("SimHash64Md5 fused expression == interpreted HOF on arbitrary text") =
+    forAll(Gen.listOfN(6, spaceyText)) { texts =>
+      import spark.implicits._
+      val rows = texts.toDF("text")
+        .select(
+          graft.functions.GraftFunctions.simhash64_md5(col("text")).as("fused"),
+          graft.ops.Dedup.simhash64Md5Hof(col("text")).as("hof"))
+        .collect()
+      Prop.all(rows.map(r =>
+        Prop(r.getLong(0) == r.getLong(1) &&
+            r.getLong(0) >= 0 && r.getLong(0) < (1L << 60)) :|
+          s"fused ${r.getLong(0)} != hof ${r.getLong(1)}"): _*)
+    }
+
+  property("CdcChunkStarts fused expression == interpreted HOF on arbitrary " +
+      "text and modulus") =
+    forAll(Gen.listOfN(5, spaceyText), Gen.oneOf(1, 3, 7, 20)) {
+      (texts, target) =>
+        import spark.implicits._
+        val rows = texts.toDF("text")
+          .select(
+            graft.functions.GraftFunctions
+              .cdc_chunk_starts(col("text"), target).as("fused"),
+            graft.ops.TextAnalysis.cdcStartsHof(col("text"), target).as("hof"))
+          .collect()
+        Prop.all(rows.map(r =>
+          Prop(r.getSeq[Int](0) == r.getSeq[Int](1)) :|
+            s"fused ${r.getSeq[Int](0)} != hof ${r.getSeq[Int](1)}"): _*)
+    }
+
+  property("SqEuclideanDistance fused expression == interpreted HOF, " +
+      "bit-identical fold order") =
+    forAll(Gen.choose(1, 32).flatMap(n =>
+      Gen.zip(Gen.listOfN(n, Gen.choose(-1e3, 1e3)),
+        Gen.listOfN(n, Gen.choose(-1e3, 1e3))))) { case (a, b) =>
+      import spark.implicits._
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          graft.functions.GraftFunctions.sq_euclidean(col("a"), col("b"))
+            .as("fused"),
+          graft.ops.Similarity.sqEuclideanHof(col("a"), col("b")).as("hof"))
+        .collect()(0)
+      Prop(row.getDouble(0) == row.getDouble(1)) :|
+        s"fused ${row.getDouble(0)} != hof ${row.getDouble(1)}"
+    }
+
+  property("groupAwareSplit: every group lands wholly on one side for any " +
+      "seed and fraction") =
+    forAll(Gen.choose(0L, 999L), Gen.choose(0.0, 1.0),
+      Gen.listOfN(30, Gen.choose(0, 5))) { (seed, frac, groups) =>
+      import spark.implicits._
+      val df = groups.zipWithIndex.map { case (g, i) => (i.toLong, s"g$g") }
+        .toDF("id", "g")
+      val out = Relational.groupAwareSplit(df, col("g"), frac, seed)
+        .select($"g", $"is_test").collect()
+        .map(r => (r.getString(0), r.getBoolean(1)))
+      val sidesPerGroup = out.groupBy(_._1).values.map(_.map(_._2).toSet.size)
+      Prop(sidesPerGroup.forall(_ == 1)) :| s"straddling group at seed $seed"
+    }
 }
