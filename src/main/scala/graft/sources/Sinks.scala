@@ -124,13 +124,16 @@ object Sinks {
               "crashed mid-append, inspect the dir for a torn append, " +
               "then clear the marker with Sinks.breakDirLock.", e)
       }
+    // once the marker exists, EVERY exit path below must release it —
+    // including a failure writing the holder identity itself
     try {
-      out.write((s"$op@${java.net.InetAddress.getLocalHost.getHostName}" +
-        s":pid${ProcessHandle.current().pid()}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } finally out.close()
-    try body
-    finally { fs.delete(lock, false); () }
+      try {
+        out.write((s"$op@${java.net.InetAddress.getLocalHost.getHostName}" +
+          s":pid${ProcessHandle.current().pid()}")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      body
+    } finally { fs.delete(lock, false); () }
   }
 
   /** Clear a stale writer marker left by a crashed appender — call
