@@ -338,6 +338,29 @@ object Similarity {
       ()
     }
 
+  /** Audit-gated rebalance: run [[rebalanceIvfIndex]] only when the
+    * stored index's worst cell holds more than `maxShare` of the
+    * corpus (the probe-cost degradation signal [[auditIvfIndex]]
+    * documents — a query probing a 30 %-of-corpus cell re-ranks 30 %
+    * of it). The periodic-maintenance entry point: cheap when healthy
+    * (one aggregate), full refit only when drift warrants. Returns
+    * whether a rebalance ran. */
+  def rebalanceIvfIndexIfSkewed(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String, maxShare: Double = 0.5,
+                                nlist: Int = 16, seed: Long = 42L,
+                                sampleFraction: Double = 1.0,
+                                dropDuplicateIds: Boolean = false): Boolean = {
+    require(maxShare > 0.0 && maxShare <= 1.0,
+      s"maxShare must be in (0, 1], got $maxShare")
+    val worst = auditIvfIndex(spark, indexDir)
+      .agg(max(col("share"))).head().getDouble(0)
+    val skewed = worst > maxShare
+    if (skewed)
+      rebalanceIvfIndex(spark, indexDir, nlist, seed, sampleFraction,
+        dropDuplicateIds)
+    skewed
+  }
+
   /** Compact the stored index's vectors layout after a run of
     * [[appendToIvfIndex]] batches: each append adds a file set per
     * touched cell directory, and probe-time scan cost is

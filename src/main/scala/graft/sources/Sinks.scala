@@ -86,6 +86,36 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Layout audit of a parquet directory — the operational pre-check
+    * that decides a [[compactParquetDir]] run: recursive data-file
+    * count and byte sizes (min/avg/max). At scale the small-files tax
+    * is one object-store request per file on EVERY read, so the ratio
+    * file_count / (total_bytes / target_file_bytes) is the compaction
+    * signal. One driver-side listing (bounded by file count — the same
+    * class as the appenders' own commit listings); returns a 1-row
+    * DataFrame. */
+  def auditParquetDir(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(path, true)
+    var n = 0L; var bytes = 0L
+    var min = Long.MaxValue; var max = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        n += 1; bytes += f.getLen
+        if (f.getLen < min) min = f.getLen
+        if (f.getLen > max) max = f.getLen
+      }
+    }
+    Seq((n, bytes, if (n == 0) 0L else min, max,
+      if (n == 0) 0.0 else bytes.toDouble / n))
+      .toDF("file_count", "total_bytes", "min_file_bytes", "max_file_bytes",
+        "avg_file_bytes")
+  }
+
   /** Single-writer ENFORCEMENT for append-maintained directories (the
     * dedup fingerprint/minhash sidecars, sketch sidecars, IVF index,
     * compaction): every appender documents a single-writer contract;

@@ -208,6 +208,30 @@ class SimilaritySpec extends SparkSpec {
     assert(stored === brute)
   }
 
+  test("rebalanceIvfIndexIfSkewed: no-op on a healthy index, rebalances a " +
+      "planted hot cell") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 8)
+    // a fresh full-fit index is balanced: the gate must not rebuild it
+    assert(!Similarity.rebalanceIvfIndexIfSkewed(spark, dir,
+      maxShare = 0.9, nlist = 8))
+    // plant a hot cell: append many near-copies of one vector — frozen
+    // centroids funnel them into a single cell
+    val hot = emb.filter($"vec_id" === 0)
+      .crossJoin(spark.range(1, 1500).toDF("i"))
+      .select(($"vec_id" + $"i" * 1000 + 10000).as("vec_id"), $"embedding")
+    Similarity.appendToIvfIndex(spark, dir, hot, "vec_id", "embedding")
+    val worst = Similarity.auditIvfIndex(spark, dir)
+      .agg(max($"share")).head().getDouble(0)
+    assert(worst > 0.5, s"planted skew too mild: $worst")
+    assert(Similarity.rebalanceIvfIndexIfSkewed(spark, dir,
+      maxShare = 0.5, nlist = 8))
+    // the hot mass now spreads: the refit gives the near-dup blob its
+    // own cells instead of sharing one frozen cell with the seed data
+    assert(spark.read.parquet(s"$dir/vectors").count() === emb.count() + 1499)
+  }
+
   test("rebalanceIvfIndex: dropDuplicateIds collapses replayed appends; " +
       "sampleFraction trains on a deterministic subset") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_rebal_dup").toString

@@ -116,6 +116,22 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing"))
   }
 
+  test("auditParquetDir: counts data files and bytes; compaction drives the " +
+      "file count to one") {
+    val dir = Files.createTempDirectory("audit").toString + "/side"
+    (0 until 3).foreach { i =>
+      Tables.region(spark, sf0001).write.mode("append").parquet(dir)
+    }
+    val before = Sinks.auditParquetDir(spark, dir).collect()(0)
+    assert(before.getAs[Long]("file_count") >= 3)
+    assert(before.getAs[Long]("total_bytes") > 0)
+    assert(before.getAs[Long]("min_file_bytes") <=
+      before.getAs[Long]("max_file_bytes"))
+    Sinks.compactParquetDir(spark, dir)
+    val after = Sinks.auditParquetDir(spark, dir).collect()(0)
+    assert(after.getAs[Long]("file_count") === 1L)
+  }
+
   test("withDirLock: a second concurrent writer fails loud with the holder's identity") {
     val dir = Files.createTempDirectory("lock").toString + "/side"
     Sinks.withDirLock(spark, dir, "outer") {
