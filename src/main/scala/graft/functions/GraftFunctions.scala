@@ -75,6 +75,13 @@ object GraftFunctions {
     ColumnBridge.column(
       CdcChunkStarts(ColumnBridge.expression(text), targetTokens))
 
+  /** Cross-engine-replayable md5 minhash signature from text
+    * (see [[MinHashMd5Signature]]). */
+  def minhash_md5_signature(text: Column, shingleK: Int,
+                            numHashes: Int): Column =
+    ColumnBridge.column(
+      MinHashMd5Signature(ColumnBridge.expression(text), shingleK, numHashes))
+
   /** Fused hyperplane-LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplane_bucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBucket(ColumnBridge.expression(vec),
@@ -133,6 +140,9 @@ object GraftFunctions {
     "simhash64_md5" -> (exprs => SimHash64Md5(exprs(0))),
     "cdc_chunk_starts" -> (exprs =>
       CdcChunkStarts(exprs(0), intArg("cdc_chunk_starts", exprs(1)))),
+    "minhash_md5_signature" -> (exprs =>
+      MinHashMd5Signature(exprs(0), intArg("minhash_md5_signature", exprs(1)),
+        intArg("minhash_md5_signature", exprs(2)))),
     "rolling_fingerprint" -> (exprs => RollingFingerprint(exprs(0))),
     "rolling_fingerprint_md5" -> (exprs => RollingFingerprintMd5(exprs(0))))
 

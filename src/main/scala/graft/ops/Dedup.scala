@@ -235,6 +235,76 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Interpreted-HOF md5 minhash signature (reference formulation,
+    * bit-identical to [[graft.functions.MinHashMd5Signature]]): for
+    * each seed, the minimum md5-top-60-bit hash of
+    * `shingle + "|" + seed` over the k-token shingle strings. Kept as
+    * the property-test twin. */
+  def minhashMd5SignatureHof(text: Column, shingleK: Int,
+                             numHashes: Int): Column = {
+    val sh = shingles(text, shingleK)
+    when(size(sh) > 0,
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        seed => array_min(transform(sh, s =>
+          conv(substring(md5(concat(s, lit("|"), seed.cast("string"))),
+            1, 15), 16, 10).cast("long")))))
+  }
+
+  /** Banded MinHash-LSH near-dup pairs, CROSS-ENGINE-REPLAYABLE end to
+    * end — the verification twin of [[minhashDedupPairs]]: signatures
+    * come from the fused md5 expression
+    * ([[graft.functions.MinHashMd5Signature]] — every hash value
+    * reproducible by any engine with md5), and band bucket keys are
+    * the RAW signature-chunk strings (band index + comma-joined chunk
+    * values) rather than an engine-specific xxhash64 of the chunk, so
+    * candidate generation, bucket capping, and the exact-Jaccard
+    * verification all replay value-for-value in SQL (q149's DuckDB
+    * oracle proves the whole pipeline).
+    *
+    * Production trade-off, documented: md5 costs ~numHashes digests
+    * per shingle where the xxhash64 path derives all hash functions
+    * from ONE shingle hash, and string bucket keys are wider shuffle
+    * keys than 8-byte hashes — run THIS form on verification corpora
+    * and [[minhashDedupPairs]] at scale. Same candidate discipline
+    * (bucket equality join, `bucketCap` drops degenerate buckets,
+    * pairs verified by exact Jaccard on fused hashed shingles). */
+  def minhashDedupPairsMd5(df: DataFrame, textCol: String, idCol: String,
+                           shingleK: Int = 2, numHashes: Int = 16,
+                           bands: Int = 4, threshold: Double = 0.5,
+                           bucketCap: Int = 200): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val base = df.select(
+      col(idCol).as("id"),
+      graft.functions.GraftFunctions.hashed_shingles(col(textCol), shingleK)
+        .as("sh"),
+      graft.functions.GraftFunctions
+        .minhash_md5_signature(col(textCol), shingleK, numHashes).as("sig"))
+    val sig = base
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            array_join(transform(
+              slice(col("sig"), b * rows + 1, lit(rows)),
+              v => v.cast("string")), ",").as("bucket"))))
+          .as("bk"))
+    val buckets = sig.groupBy(col("bk"))
+      .agg(collect_list(col("id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n").between(2, bucketCap))
+    val pairs = buckets
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(shA, "id_a").join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MLlib-API variant of MinHash near-dup detection: shingles →
     * HashingTF(binary) sparse vectors → MinHashLSH →
     * approxSimilarityJoin. Kept alongside the expression-level

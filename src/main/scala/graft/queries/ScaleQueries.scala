@@ -1226,6 +1226,54 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Banded MinHash-LSH near-dup pairs, ORACLED END TO END
+    * ([[Dedup.minhashDedupPairsMd5]]): md5-derived signatures (16
+    * hashes), raw-chunk band keys (4 bands × 4 rows), bucket cap,
+    * candidate pairs, exact Jaccard ≥ 0.5 — DuckDB replays EVERY stage
+    * value-for-value, closing the one family (banded LSH) whose
+    * production form (q25, xxhash64) is rows-only by construction. */
+  val q149MinhashPairsMd5 = QueryDef(
+    "q149_minhash_pairs_md5",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 15), h ->
+      |      list_min(list_transform(s, x ->
+      |        CAST('0x' || substring(md5(x || '|' || CAST(h AS VARCHAR)),
+      |          1, 15) AS BIGINT)))) AS sig
+      |  FROM sh WHERE len(s) > 0
+      |), bnd AS (
+      |  SELECT doc_id, b, array_to_string(
+      |      list_transform(sig[b*4+1 : b*4+4], v -> CAST(v AS VARCHAR)), ',')
+      |      AS chunk
+      |  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+      |), grp AS (
+      |  SELECT b, chunk FROM bnd GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND 200
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bnd x JOIN bnd y ON x.b = y.b AND x.chunk = y.chunk
+      |    AND x.doc_id < y.doc_id
+      |  JOIN grp g ON g.b = x.b AND g.chunk = x.chunk
+      |)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |FROM pairs p
+      |JOIN sh a ON a.doc_id = p.id_a
+      |JOIN sh b ON b.doc_id = p.id_b
+      |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.minhashDedupPairsMd5(Tables.documents(s, d), "text", "doc_id",
+        shingleK = 2, numHashes = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1235,5 +1283,6 @@ object ScaleQueries {
     q137MixtureUpsample, q138DetShuffle, q139OverlapMatrix,
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
     q143StreamingCuration, q144DiversitySample, q145GroupSplit,
-    q146CdcChunks, q147CdcDupSpans, q148ClusterSplit)
+    q146CdcChunks, q147CdcDupSpans, q148ClusterSplit,
+    q149MinhashPairsMd5)
 }

@@ -373,6 +373,35 @@ class FunctionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("minhash_md5_signature: fused expression bit-identical to the HOF " +
+      "on real documents and whitespace edge cases; null under k tokens") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+      .union(Seq(
+        (9001L, ""), (9002L, " "), (9003L, "a  b"),
+        (9004L, "a b "), (9005L, "solo"),
+        (9006L, "único töken ünïcode €"))
+        .toDF("doc_id", "text"))
+    val rows = docs.select($"doc_id",
+        GraftFunctions.minhash_md5_signature($"text", 2, 16).as("fused"),
+        graft.ops.Dedup.minhashMd5SignatureHof($"text", 2, 16).as("hof"))
+      .collect()
+    assert(rows.length === 506)
+    rows.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2),
+        s"doc ${r.getLong(0)}: null disagreement")
+      if (!r.isNullAt(1)) {
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"doc ${r.getLong(0)}: fused != hof")
+        assert(r.getSeq[Long](1).length === 16)
+        assert(r.getSeq[Long](1).forall(v => v >= 0 && v < (1L << 60)))
+      }
+    }
+    // "solo" has < 2 tokens → null in both paths
+    val solo = rows.find(_.getLong(0) == 9005L).get
+    assert(solo.isNullAt(1) && solo.isNullAt(2))
+  }
+
   test("GraftExtensions injects cosine_sim at session build time") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

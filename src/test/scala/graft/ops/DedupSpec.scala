@@ -61,6 +61,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
   }
 
+  test("minhashDedupPairsMd5 finds exact and near dups like the xxhash64 " +
+      "form, not unrelated docs") {
+    val pairs = Dedup.minhashDedupPairsMd5(docs, "text", "doc_id",
+      shingleK = 2, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+  }
+
   test("simhash: identical texts equal; near-dups within small hamming") {
     val sims = docs.select(Dedup.simhash64($"text").as("s")).as[Long].collect()
     assert(sims(0) === sims(3))
