@@ -454,14 +454,20 @@ object EventStreams {
     val admittedTokens = packed.agg(coalesce(sum(col("n_toks")), lit(0L)))
       .head().getLong(0)
 
-    // writes, sink-first (see crash ordering above)
-    packed.write.mode("append").parquet(s"$pipelineDir/packed")
-    graft.ops.Dedup.writeMinhashSidecar(surv, textCol, idCol,
-      s"$pipelineDir/minhash", shingleK, numHashes, bands)
-    newState.coalesce(1).write.mode("overwrite").parquet(budgetDir)
-    import spark.implicits._
-    Seq(offset + admittedTokens).toDF("next_offset")
-      .coalesce(1).write.mode("overwrite").parquet(packDir)
+    // writes, sink-first (see crash ordering above), under the
+    // pipeline-dir lock: the sidecar append's own lock covers only the
+    // minhash tables — the budget/pack state files need the same
+    // single-writer enforcement (a second concurrent pipeline would
+    // silently double-admit budgets and overlap sequence positions)
+    graft.sources.Sinks.withDirLock(spark, pipelineDir, "curateBatch") {
+      packed.write.mode("append").parquet(s"$pipelineDir/packed")
+      graft.ops.Dedup.writeMinhashSidecar(surv, textCol, idCol,
+        s"$pipelineDir/minhash", shingleK, numHashes, bands)
+      newState.coalesce(1).write.mode("overwrite").parquet(budgetDir)
+      import spark.implicits._
+      Seq(offset + admittedTokens).toDF("next_offset")
+        .coalesce(1).write.mode("overwrite").parquet(packDir)
+    }
     ()
   }
 
