@@ -42,6 +42,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q140QualityBudget,     // quality-ordered token cumsum cut
     ScaleQueries.q142BalanceClasses,    // per-class md5-prefix balancing
     ScaleQueries.q144DiversitySample,   // bucket round-robin TakeOrdered
+    ScaleQueries.q145GroupSplit,        // md5-uniform group side decision
+    ScaleQueries.q147CdcDupSpans,       // CDC chunk-hash dup spans
+    ScaleQueries.q149MinhashPairsMd5,   // md5 banded-LSH pair pipeline
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
