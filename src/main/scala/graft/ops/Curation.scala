@@ -199,6 +199,82 @@ object Curation {
         (col("cum").cast("double") / col("total") <= coverage).as("in_vocab"))
   }
 
+  /** Per-source document cap — "no domain dominates": keep at most
+    * `cap` documents from each source, chosen as a DETERMINISTIC
+    * uniform sample (md5(id|seed) order, id tiebreak) so the kept set
+    * is a pure function of (id, seed) — reproducible across runs,
+    * cluster sizes and engines, unlike rand()-ordered ranks. The
+    * standard web-crawl curation step that stops one boilerplate-heavy
+    * site from claiming a corpus-scale share of the training budget.
+    *
+    * Shape at scale: ONE shuffle on the source key. The rank ≤ cap
+    * filter sits directly above the window, so Spark's
+    * InferWindowGroupLimit inserts a PARTIAL group limit below the
+    * exchange (asserted by CurationSpec): each map task forwards at
+    * most `cap` rows per source it sees, so shuffle volume for a
+    * hot source is cap × maps, not the source's row count — the
+    * map-side-combine of ranking. Output keeps the input columns plus
+    * `src_rank` (the audit trail: kept rows rank 1..cap within their
+    * source).
+    *
+    * @param seed sampling seed; a new seed draws an independent cap
+    *             sample (epoch rotation without touching the data) */
+  def capPerSource(docs: DataFrame, sourceCol: String, idCol: String,
+                   cap: Int, seed: Long = 42L,
+                   rankCol: String = "src_rank"): DataFrame = {
+    require(cap > 0, s"cap must be > 0, got $cap")
+    val uk = md5(concat_ws("|", col(idCol).cast("string"),
+      lit(seed.toString)))
+    val w = Window.partitionBy(col(sourceCol)).orderBy(uk, col(idCol))
+    docs.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= cap)
+  }
+
+  /** Per-document token-rarity signals — the exact-arithmetic proxy
+    * for the CCNet-style LM-perplexity quality filter: score every
+    * document by how common its tokens are in THIS corpus. Degenerate
+    * boilerplate scores high (`mean_cnt` — all high-frequency filler),
+    * OCR noise / gibberish scores low (`min_cnt` = 1 means the doc
+    * carries a hapax legomenon; a low mean means it is mostly rare
+    * strings). Callers threshold both tails; unlike a perplexity
+    * model there is no fitted state and every number is replayable
+    * (exact longs; the one double is a single division, so the score
+    * hash-matches cross-engine where log-prob scores cannot).
+    *
+    * Shape at scale: token occurrences NEVER ride a shuffle — the
+    * first aggregation compresses them to (doc, token, count) rows
+    * (map-side partials; output bounded by per-doc distinct tokens),
+    * and everything downstream works on counts. That frame is
+    * repartitioned ONCE on the token key and consumed twice — the
+    * corpus-frequency rollup and the frequency join both read the
+    * same exchange (ReusedExchange, asserted by CurationSpec under a
+    * shuffle join; at broadcast-sized vocabularies AQE broadcasts the
+    * frequency side instead, which is strictly cheaper), so the token
+    * key is shuffled exactly once. A hot token ("the") lands at most
+    * one row PER DOCUMENT on its reducer, not one per occurrence.
+    * The per-doc rollup is the final |corpus|-keyed shuffle. The
+    * vocabulary table is never collected — web-scale vocabularies
+    * (URLs, typos, code) run to billions of distinct tokens.
+    *
+    * Output: id, `n_toks`, `sum_cnt` (Σ corpus count of each token
+    * occurrence), `min_cnt` (count of the doc's rarest token),
+    * `mean_cnt` = round(sum_cnt / n_toks, 6). */
+  def tokenRarity(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+      .repartition(col("w"))
+    val tf = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+    perDoc.join(tf, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .withColumn("mean_cnt",
+        round(col("sum_cnt").cast("double") / col("n_toks"), 6))
+  }
+
   /** PII redaction patterns (RE2-subset — no lookarounds — so an
     * external oracle can replicate them byte-for-byte). */
   val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"

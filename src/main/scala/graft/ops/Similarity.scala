@@ -587,6 +587,48 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Semantic decontamination — the embedding-space twin of
+    * [[graft.ops.Curation.decontaminate]]: flag every training item
+    * whose embedding is cosine-close to ANY held-out eval item.
+    * Exact n-gram overlap misses paraphrased benchmark leakage
+    * (reworded questions embed next to their originals but share no
+    * 8-gram); this closes that hole. Per training item the output
+    * carries its nearest eval neighbor (`nearest_eval_id`, cosine
+    * tiebreak by eval id), the rounded `max_cos`, and the
+    * `contaminated` flag (`max_cos` ≥ threshold — compared on the
+    * ROUNDED value, so the decision replays exactly cross-engine).
+    *
+    * Shape at scale: the eval side is a benchmark suite — thousands
+    * of vectors, not billions — so it BROADCASTS; the training corpus
+    * streams once through a broadcast nested-loop join (|eval|
+    * fused-codegen cosines per row, in-row), then ONE aggregation
+    * shuffle on the training id whose map-side max/max_by partials
+    * reduce each task's output to one row per training row. Nothing
+    * about the big side is collected, re-partitioned beyond that agg,
+    * or joined on a skewable key. The argmax rides an exact struct
+    * ordering (cos desc, eval id asc via negated id), not a
+    * nondeterministic max_by tie. */
+  def semanticDecontaminate(train: DataFrame, evalVecs: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            roundTo: Int = 6): DataFrame = {
+    val ev = broadcast(evalVecs.select(
+      col(idCol).cast("long").as("__eval_id"),
+      col(vecCol).cast("array<double>").as("__evec")))
+    train.select(col(idCol), col(vecCol).cast("array<double>").as("__vec"))
+      .crossJoin(ev)
+      .select(col(idCol),
+        round(cosine(col("__vec"), col("__evec")), roundTo).as("__cos"),
+        col("__eval_id"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__cos"), (-col("__eval_id")).as("__negid")))
+        .as("__best"))
+      .select(col(idCol),
+        col("__best.__negid").unary_-.as("nearest_eval_id"),
+        col("__best.__cos").as("max_cos"),
+        (col("__best.__cos") >= threshold).as("contaminated"))
+  }
+
   /** Batch approximate k-NN join — the 100 TB path: both sides get the
     * same deterministic hyperplane-LSH bucket signature; candidates
     * come from an EQUALITY join on the bucket id (hash-partitioned,

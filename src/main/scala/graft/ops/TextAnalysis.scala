@@ -41,6 +41,20 @@ object TextAnalysis {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Canonical text normalization for formatting-robust dedup:
+    * lowercase, non-alphanumerics → space, runs of spaces collapsed,
+    * ends trimmed. Exact dedup on raw bytes misses trivially
+    * reformatted copies (case changes, punctuation, whitespace
+    * layout) — the most common duplicate class in web crawls;
+    * normalizing first catches them while staying EXACT (no
+    * similarity threshold to tune, no false positives beyond the
+    * normalization's own equivalence class). Patterns are
+    * RE2/Java-compatible so an external oracle replays the bytes.
+    * Pure per-row projection — codegen'd regexes, no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** English-ish stopword set used by the quality heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 

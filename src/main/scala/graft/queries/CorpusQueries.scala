@@ -1,0 +1,209 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Bpe, Curation, Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus-operations queries: the curation steps between
+  * "scored corpus" and "training shards" that §8.3 still lacked —
+  * per-source caps (no domain dominates), token-rarity quality
+  * signals (the exact-arithmetic LM-perplexity proxy), semantic
+  * decontamination (embedding-space eval leakage), normalization-
+  * robust exact dedup, and corpus snapshot diffing (the incremental
+  * pipeline's work-list audit). All five carry DuckDB oracles.
+  */
+object CorpusQueries {
+
+  /** Per-source cap ([[Curation.capPerSource]], cap 15 on ~25 docs per
+    * source at sf0.01 so some sources are cut and some kept whole):
+    * deterministic md5(id|seed) order, so the oracle replays the exact
+    * kept set and ranks. ONE shuffle; the rank ≤ cap filter rides
+    * Spark's map-side window group limit (plan-asserted in
+    * CurationSpec). */
+  val q150SourceCap = QueryDef(
+    "q150_source_cap",
+    """WITH u AS (
+      |  SELECT doc_id, source,
+      |         md5(CAST(doc_id AS VARCHAR) || '|' || '42') AS uk
+      |  FROM documents
+      |), r AS (
+      |  SELECT doc_id, source,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY uk, doc_id)
+      |      AS BIGINT) AS src_rank
+      |  FROM u
+      |)
+      |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 15
+      |ORDER BY source, src_rank""".stripMargin) { (s, d) =>
+    Curation.capPerSource(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        sourceCol = "source", idCol = "doc_id", cap = 15)
+      .orderBy(col("source"), col("src_rank"))
+  }
+
+  /** Token-rarity quality signals ([[Curation.tokenRarity]]): corpus
+    * term frequencies joined back per token, rolled up per doc. Exact
+    * longs + one rounded division, so the whole signal replays in
+    * DuckDB — unlike a log-prob perplexity score. */
+  val q151TokenRarity = QueryDef(
+    "q151_token_rarity",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), tf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+      |), j AS (
+      |  SELECT t.doc_id, f.cnt FROM toks t JOIN tf f ON t.w = f.w
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |       min(cnt) AS min_cnt,
+      |       round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_cnt
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.tokenRarity(Tables.documents(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** Semantic decontamination ([[Similarity.semanticDecontaminate]]):
+    * vectors with `vec_id % 97 = 0` stand in for the eval set; every
+    * other vector reports its nearest eval neighbor and a rounded-
+    * cosine threshold flag. The q40/q122 oracle pattern
+    * (list_cosine_similarity + round 6) replays scores, argmax and
+    * decision exactly. */
+  val q152SemanticDecontam = QueryDef(
+    "q152_semantic_decontam",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), ev AS (
+      |  SELECT vec_id AS eval_id, v AS evec FROM e WHERE vec_id % 97 = 0
+      |), tr AS (
+      |  SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0
+      |), p AS (
+      |  SELECT tr.vec_id, ev.eval_id,
+      |         round(list_cosine_similarity(tr.v, ev.evec), 6) AS cos
+      |  FROM tr, ev
+      |), r AS (
+      |  SELECT vec_id, eval_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id)
+      |      AS rn
+      |  FROM p
+      |)
+      |SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
+      |       cos >= 0.25 AS contaminated
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    Similarity.semanticDecontaminate(
+        train = emb.filter(col("vec_id") % 97 =!= 0),
+        evalVecs = emb.filter(col("vec_id") % 97 === 0),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.25)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Normalization-robust exact dedup ([[TextAnalysis.normalizeText]]
+    * + [[Dedup.exactDedup]]): every `doc_id % 7 = 0` document gets a
+    * re-posted copy under a fresh id, then deterministic formatting
+    * noise lands per doc (uppercase / comma-joined / padded-punctuated
+    * by doc_id mod 3 — the +1000000 id offset guarantees each copy is
+    * formatted DIFFERENTLY from its original), and dedup runs on the
+    * NORMALIZED text: the copy collapses onto its original
+    * (n_copies = 2, keep_id = the original), which raw exact dedup
+    * (q20's semantics) provably cannot do — the raw bytes differ. */
+  val q153NormalizedDedup = QueryDef(
+    "q153_normalized_dedup",
+    """WITH snap AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |), messy AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(text)
+      |         WHEN doc_id % 3 = 1 THEN replace(text, ' ', ', ')
+      |         ELSE '  ' || text || '!  ' END AS text
+      |  FROM snap
+      |), norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+      |  FROM messy
+      |)
+      |SELECT md5(ntext) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+      |       CAST(count(*) AS BIGINT) AS n_copies
+      |FROM norm GROUP BY md5(ntext)
+      |ORDER BY keep_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val snap = docs.unionAll(docs.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val messy = snap.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, upper(col("text")))
+        .when(col("doc_id") % 3 === 1,
+          regexp_replace(col("text"), " ", ", "))
+        .otherwise(concat(lit("  "), col("text"), lit("!  "))).as("text"))
+    Dedup.exactDedup(
+        messy.withColumn("text", TextAnalysis.normalizeText(col("text"))),
+        "text", "doc_id")
+      .orderBy(col("keep_id"))
+  }
+
+  /** BPE tokenizer training ([[Bpe.train]], 20 merges over the
+    * documents corpus): the merge table a subword tokenizer ships.
+    * Rows-only: the fit is iterative with a data-dependent argmax per
+    * round — the same non-SQL class as the KMeans fits (q124/q130) —
+    * but it is fully DETERMINISTIC (exact counts, lexicographic
+    * tiebreak), so the rows-only check still pins byte-stable output,
+    * and BpeSpec hand-verifies the algorithm. */
+  val q154BpeMerges = QueryDef.rowsOnly("q154_bpe_merges") { (s, d) =>
+    Bpe.mergesDf(s,
+        Bpe.train(Tables.documents(s, d), "text", numMerges = 20))
+      .orderBy(col("rank"))
+  }
+
+  /** Per-doc token counts under the q154 merge table
+    * ([[Bpe.tokenCounts]]): every distinct word is encoded ONCE; doc
+    * counts come from the occurrence-compressed (doc, word, count)
+    * join — the corpus never runs through the imperative encoder. */
+  val q155BpeTokenCounts = QueryDef.rowsOnly("q155_bpe_token_counts") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Bpe.tokenCounts(docs, "doc_id", "text",
+        Bpe.train(docs, "text", numMerges = 20))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus snapshot diff ([[Dedup.corpusDiff]]): the new snapshot
+    * drops `doc_id % 31 = 5`, edits `doc_id % 17 = 3`, and lands
+    * fresh ids for `doc_id % 29 = 7` — so all four statuses appear.
+    * Digests (not text) ride the full outer join in both engines. */
+  val q156CorpusDiff = QueryDef(
+    "q156_corpus_diff",
+    """WITH old AS (
+      |  SELECT doc_id, text FROM documents
+      |), new AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 17 = 3 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 31 <> 5
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id % 29 = 7
+      |)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |       md5(o.text) AS old_digest, md5(n.text) AS new_digest,
+      |       CASE WHEN o.doc_id IS NULL THEN 'added'
+      |            WHEN n.doc_id IS NULL THEN 'removed'
+      |            WHEN md5(o.text) <> md5(n.text) THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val newSnap = docs.filter(col("doc_id") % 31 =!= 5)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(docs.filter(col("doc_id") % 29 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    Dedup.corpusDiff(docs, newSnap, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q150SourceCap, q151TokenRarity, q152SemanticDecontam,
+    q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
+    q156CorpusDiff)
+}

@@ -160,4 +160,84 @@ class CurationSpec extends SparkSpec {
     assert(row.getAs[Long]("n_phone") === 0L)
     assert(row.getAs[String]("redacted") === "no pii here at all")
   }
+
+  test("capPerSource keeps at most cap docs per source, small sources whole") {
+    val docs = ((1L to 20L).map(i => (i, "big")) ++
+      Seq((21L, "small"), (22L, "small"))).toDF("doc_id", "source")
+    val kept = Curation.capPerSource(docs, "source", "doc_id", cap = 5)
+      .select($"source", $"doc_id", $"src_rank")
+      .as[(String, Long, Long)].collect().toSeq
+    val bySource = kept.groupBy(_._1)
+    assert(bySource("big").size === 5)
+    assert(bySource("small").map(_._2).sorted === Seq(21L, 22L))
+    // ranks are 1..n within every source
+    bySource.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size).toSeq)
+    }
+  }
+
+  test("capPerSource is deterministic in (id, seed) and seed-sensitive") {
+    val docs = (1L to 50L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+    def keptIds(seed: Long) =
+      Curation.capPerSource(docs, "source", "doc_id", cap = 10, seed = seed)
+        .select($"doc_id").as[Long].collect().toSet
+    assert(keptIds(42L) === keptIds(42L))       // pure function of (id, seed)
+    assert(keptIds(42L) !== keptIds(43L))       // a new seed redraws the sample
+    assert(keptIds(43L).size === 20)            // cap still honored per source
+  }
+
+  test("capPerSource plans a map-side window group limit (partial)") {
+    // the 100 TB contract: a hot source's shuffle volume must be
+    // cap × map-tasks, not its row count — InferWindowGroupLimit must
+    // fire on the rank ≤ cap filter
+    val docs = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val q = Curation.capPerSource(docs, "source", "doc_id", cap = 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(plan.contains("Partial"), plan.take(1200))
+  }
+
+  test("tokenRarity scores match a hand-checked corpus") {
+    // corpus counts: a→2, b→2, c→1, z→1
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "z")).toDF("doc_id", "text")
+    val got = Curation.tokenRarity(docs).orderBy($"doc_id")
+      .select($"doc_id", $"n_toks", $"sum_cnt", $"min_cnt", $"mean_cnt")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 6L, 2L, 2.0),              // a+b+a = 2+2+2
+      (2L, 2L, 3L, 1L, 1.5),              // b+c = 2+1
+      (3L, 1L, 1L, 1L, 1.0)))             // the hapax doc: min_cnt = 1
+  }
+
+  test("tokenRarity reuses the exploded-scan exchange when the vocab " +
+      "outgrows broadcast") {
+    // the 100 TB shape: with a shuffle join on the token key, the
+    // frequency branch's pre-agg exchange and the join's streaming-side
+    // exchange hash-partition the SAME exploded projection — Catalyst
+    // must reuse it, not scan/explode the corpus twice. (At broadcast
+    // sizes the tf side broadcasts instead, which is also fine.)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = scala.util.Try(
+        conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold"))
+      .toOption.flatMap(Option(_))   // unset reads back as null
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val q = Curation.tokenRarity(docs)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), plan.take(1500))
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      prevAqe match {
+        case Some(v) =>
+          conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None =>
+          conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }

@@ -546,4 +546,33 @@ class DedupSpec extends SparkSpec {
     assert(surv.filter(col("doc_id") % 2 === 0).count() === 0)
     assert(surv.count() > 0)
   }
+
+  test("corpusDiff labels added/removed/changed/unchanged exactly") {
+    val old_ = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val new_ = Seq((1L, "alpha"), (2L, "beta v2"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old_, new_, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"doc_id", $"status").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+    // digests present exactly on the sides where the row exists
+    val digests = Dedup.corpusDiff(old_, new_, "doc_id", "text")
+      .orderBy($"doc_id")
+      .select($"old_digest".isNotNull, $"new_digest".isNotNull)
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(digests === Seq((true, true), (true, true),
+      (true, false), (false, true)))
+  }
+
+  test("corpusDiff treats null text on both sides as unchanged") {
+    val old_ = Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+      .toDF("doc_id", "text")
+    val new_ = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Dedup.corpusDiff(old_, new_, "doc_id", "text")
+      .orderBy($"doc_id").select($"status").as[String].collect().toSeq
+    assert(got === Seq("unchanged", "changed"))
+  }
 }

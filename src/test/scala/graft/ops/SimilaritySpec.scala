@@ -463,6 +463,39 @@ class SimilaritySpec extends SparkSpec {
       math.min(occupied, 12L))
   }
 
+  test("semanticDecontaminate flags a planted eval copy, not the rest") {
+    // train 10 is an exact copy of eval 100 (cos 1.0 after rounding);
+    // train 11 is orthogonal to both eval vectors
+    val train = Seq(
+      (10L, Array(1.0f, 2.0f, 3.0f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 0.0f, 5.0f))).toDF("vec_id", "embedding")
+    val eval_ = Seq(
+      (100L, Array(1.0f, 2.0f, 3.0f, 0.0f)),
+      (101L, Array(-3.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(
+        train, eval_, "vec_id", "embedding", threshold = 0.9)
+      .orderBy($"vec_id")
+      .select($"vec_id", $"nearest_eval_id", $"max_cos", $"contaminated")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got(0) === ((10L, 100L, 1.0, true)))
+    assert(got(1)._1 === 11L)
+    assert(got(1)._3 === 0.0)              // orthogonal to both
+    assert(!got(1)._4)
+    // tie on cos (both eval vecs orthogonal to 11) → smaller eval id
+    assert(got(1)._2 === 100L)
+  }
+
+  test("semanticDecontaminate plans a broadcast of the eval side only") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val q = Similarity.semanticDecontaminate(
+      emb.filter($"vec_id" % 97 =!= 0), emb.filter($"vec_id" % 97 === 0),
+      "vec_id", "embedding", threshold = 0.25)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+  }
+
   test("int8QuantStats: error bounded by half a quantization step") {
     val out = Similarity.int8QuantStats(
       Tables.embeddings(spark, sf0001).limit(100), "vec_id", "embedding")

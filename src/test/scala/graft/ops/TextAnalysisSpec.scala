@@ -144,6 +144,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"fixed-stride only perturbed ${diff(f1, f2)} chunk texts")
   }
 
+  test("normalizeText collapses case/punctuation/whitespace variants") {
+    val variants = Seq(
+      "The quick brown fox",
+      "THE QUICK BROWN FOX",
+      "the, quick... brown! fox?",
+      "  the   quick brown fox  ",
+      "the-quick-brown-fox").toDF("text")
+    val normed = variants.select(TextAnalysis.normalizeText($"text").as("n"))
+      .as[String].collect().toSeq
+    assert(normed.distinct === Seq("the quick brown fox"))
+    // digits survive; genuinely different text stays different
+    val other = Seq("the quick brown fox 2").toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].collect()(0)
+    assert(other === "the quick brown fox 2")
+  }
+
   test("termStats: tf/df/weight on a hand-checked corpus") {
     val df = Seq((1L, "a a b", "en"), (2L, "a c", "en"), (3L, "x", "fr"))
       .toDF("doc_id", "text", "lang")
