@@ -114,6 +114,23 @@ object Bpe {
     merges.toSeq
   }
 
+  private val trainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Merge]]()
+
+  /** Memoized [[train]] — one fit per JVM per (corpus key, params),
+    * the [[graft.ml.LoanPipeline.trainCached]] precedent (SURVEY §2.1
+    * S7): a merge table is a training ARTIFACT consumed by many
+    * downstream queries (q154 publishes it, q155 counts tokens under
+    * it), and refitting per consumer would re-run the whole iterative
+    * loop for a byte-identical result ([[train]] is deterministic).
+    * `corpusKey` must identify the corpus (the sf dir path here);
+    * params are folded into the key. */
+  def trainCached(docs: DataFrame, corpusKey: String, textCol: String,
+                  numMerges: Int, minPairCount: Long = 2L): Seq[Merge] =
+    trainCache.computeIfAbsent(
+      s"$corpusKey|$textCol|$numMerges|$minPairCount",
+      _ => train(docs, textCol, numMerges, minPairCount))
+
   /** The merge table as a DataFrame (rank, left, right, pair_count) —
     * the artifact a tokenizer build persists. */
   def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {

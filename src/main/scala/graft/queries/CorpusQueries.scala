@@ -151,7 +151,7 @@ object CorpusQueries {
     * and BpeSpec hand-verifies the algorithm. */
   val q154BpeMerges = QueryDef.rowsOnly("q154_bpe_merges") { (s, d) =>
     Bpe.mergesDf(s,
-        Bpe.train(Tables.documents(s, d), "text", numMerges = 20))
+        Bpe.trainCached(Tables.documents(s, d), d, "text", numMerges = 20))
       .orderBy(col("rank"))
   }
 
@@ -162,7 +162,7 @@ object CorpusQueries {
   val q155BpeTokenCounts = QueryDef.rowsOnly("q155_bpe_token_counts") { (s, d) =>
     val docs = Tables.documents(s, d)
     Bpe.tokenCounts(docs, "doc_id", "text",
-        Bpe.train(docs, "text", numMerges = 20))
+        Bpe.trainCached(docs, d, "text", numMerges = 20))
       .orderBy(col("doc_id"))
   }
 

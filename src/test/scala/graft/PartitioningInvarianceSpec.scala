@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, CurationQueries, ExtendedQueries, ScaleQueries}
+import graft.queries.{AdvancedQueries, CoreQueries, CorpusQueries, CurationQueries, ExtendedQueries, ScaleQueries}
 import org.apache.spark.sql.SparkSession
 
 /** Results must be BYTE-IDENTICAL regardless of parallelism — the
@@ -45,6 +45,10 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q145GroupSplit,        // md5-uniform group side decision
     ScaleQueries.q147CdcDupSpans,       // CDC chunk-hash dup spans
     ScaleQueries.q149MinhashPairsMd5,   // md5 banded-LSH pair pipeline
+    CorpusQueries.q150SourceCap,        // md5-ordered per-source ranks
+    CorpusQueries.q151TokenRarity,      // occurrence-compressed tf join
+    CorpusQueries.q153NormalizedDedup,  // normalized digest agg
+    CorpusQueries.q156CorpusDiff,       // digest full-outer diff
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
@@ -57,5 +61,16 @@ class PartitioningInvarianceSpec extends SparkSpec {
       val hi = q.fn(withParallelism(24), sf0001).collect().map(_.toString).toSeq
       assert(lo == hi)
     }
+  }
+
+  test("Bpe.train: identical merge table at shuffle parallelism 1 vs 24") {
+    // q154 itself memoizes (trainCached), which would make the second
+    // run a cache hit — exercise the UNcached fit in both sessions
+    def merges(n: Int) = {
+      val s = withParallelism(n)
+      graft.ops.Bpe.train(
+        s.read.parquet(s"$sf0001/documents.parquet"), "text", numMerges = 8)
+    }
+    assert(merges(1) === merges(24))
   }
 }
