@@ -910,6 +910,59 @@ object Dedup {
         col("dup_tokens").cast("double") / col("n_tokens"))
   }
 
+  /** Duplicated-span REMOVAL — the rewrite step the span family was
+    * missing: [[duplicateSpans]] measures how much of a document is
+    * duplicated text, this op produces the CLEANED corpus. Documents
+    * are cut into non-overlapping `chunkTokens`-token chunks
+    * ([[TextAnalysis.chunk]], overlap 0, full coverage), every chunk
+    * whose text already occurred earlier in the corpus — in ANOTHER
+    * document or earlier in the same one — is dropped, and each
+    * document's surviving chunks are reassembled in order. "Earlier"
+    * is the deterministic global order (id, chunk_idx), so exactly ONE
+    * copy of every distinct chunk survives corpus-wide (keep-FIRST),
+    * the C4/RefinedWeb boilerplate-removal discipline, reproducible at
+    * any cluster size.
+    *
+    * Shape at scale: chunking is a per-row projection (no shuffle);
+    * the keep decision is one row_number window over the chunk-text
+    * hash; reassembly is one aggregation on the document id. Two
+    * shuffles total, both carrying ~corpus bytes — inherent to a
+    * REWRITE op (the cleaned text has to be produced somewhere); the
+    * decision itself keys on hashes, never pairs documents, and a
+    * per-document chunk list is bounded by document length, so no
+    * reducer sees more than one document's text in the final
+    * aggregation. Hash collisions (`replayableKeys = false`,
+    * xxhash64) can only OVER-delete — the safe direction for a dedup
+    * rewrite; `replayableKeys = true` keys on the full md5 hex string
+    * instead so an external engine replays the decision exactly
+    * (the q157 oracle does — 128-bit collisions are not a thing).
+    *
+    * Output per doc: clean_text (may be empty when every chunk was
+    * seen before), n_chunks, kept_chunks, n_tokens, removed_tokens. */
+  def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
+                           chunkTokens: Int = 50,
+                           replayableKeys: Boolean = false): DataFrame = {
+    val chunked = TextAnalysis.chunk(df, textCol, chunkTokens, 0, idCol)
+    val key = if (replayableKeys) md5(col("chunk_text"))
+              else xxhash64(col("chunk_text")).cast("string")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col(idCol), col("chunk_idx"))
+    chunked
+      .withColumn("__k", key)
+      .withColumn("__keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(
+            when(col("__keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(when(!col("__keep"), col("chunk_tokens")).otherwise(0L))
+          .as("removed_tokens"))
+  }
+
   /** n-gram Jaccard pairs via a capped inverted index: explode
     * shingles, drop shingles appearing in more than `dfCap` docs (the
     * stop-shingles that would otherwise make candidate generation

@@ -202,8 +202,46 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span REMOVAL ([[Dedup.removeDuplicateSpans]]): the
+    * rewrite twin of q121/q147 — 10-token chunks, corpus-wide
+    * keep-first on the chunk md5, documents reassembled from their
+    * surviving chunks. The keep decision and the reassembled text
+    * replay exactly in DuckDB (`replayableKeys = true` keys the window
+    * on the md5 hex both engines compute identically). */
+  val q157RemoveDupSpans = QueryDef(
+    "q157_remove_dup_spans",
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), toks AS (
+      |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+      |  FROM t
+      |), chunks AS (
+      |  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk_idx,
+      |         CAST(count(*) AS BIGINT) AS chunk_tokens,
+      |         string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      |  FROM toks GROUP BY doc_id, (i - 1) // 10
+      |), flagged AS (
+      |  SELECT doc_id, chunk_idx, chunk_tokens, chunk_text,
+      |    (ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+      |       ORDER BY doc_id, chunk_idx) = 1) AS keep
+      |  FROM chunks
+      |)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+      |    ORDER BY chunk_idx), '') AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN NOT keep THEN chunk_tokens ELSE 0 END) AS BIGINT)
+      |    AS removed_tokens
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), "text", "doc_id",
+        chunkTokens = 10, replayableKeys = true)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
-    q156CorpusDiff)
+    q156CorpusDiff, q157RemoveDupSpans)
 }

@@ -135,6 +135,39 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === ((2L, 5L, 4L)))
   }
 
+  test("removeDuplicateSpans: keep-first corpus-wide, docs reassembled " +
+      "in chunk order, fully-duplicated doc becomes empty") {
+    // chunks of 2 tokens: doc 1 = [a b][c d], doc 2 = [c d][e f] (its
+    // first chunk repeats doc 1's second), doc 3 = [a b][c d] (every
+    // chunk seen before -> empty), doc 4 unique with a partial tail
+    val d = Seq(
+      (1L, "a b c d"),
+      (2L, "c d e f"),
+      (3L, "a b c d"),
+      (4L, "g h i")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, "text", "doc_id",
+        chunkTokens = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got === Array(
+      (1L, "a b c d", 2L, 2L, 4L, 0L),
+      (2L, "e f", 2L, 1L, 4L, 2L),
+      (3L, "", 2L, 0L, 4L, 4L),
+      (4L, "g h i", 2L, 2L, 3L, 0L)))
+  }
+
+  test("removeDuplicateSpans: replayable md5 keys make the same decisions " +
+      "as the xxhash64 production keys on the documents table") {
+    val d = Tables.documents(spark, sf0001).limit(120)
+    def run(replayable: Boolean) =
+      Dedup.removeDuplicateSpans(d, "text", "doc_id", chunkTokens = 10,
+          replayableKeys = replayable)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(false) === run(true))
+  }
+
   test("dedupAgainstSidecar: second batch drops exactly the overlap; " +
       "replay is idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sidecar").toString
