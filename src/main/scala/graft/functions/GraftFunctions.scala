@@ -103,6 +103,24 @@ object GraftFunctions {
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c),
       BloomMightContain.serialize(bloom)))
 
+  /** Fused PQ code assignment (see [[PqEncode]]); the codebook rides
+    * the expression as a literal reference object. */
+  def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]],
+                normalize: Boolean = false): Column =
+    ColumnBridge.column(
+      PqEncode(ColumnBridge.expression(vec), codebooks, normalize))
+
+  /** Per-query PQ ADC lookup table (see [[PqLut]]). */
+  def pq_lut(vec: Column, codebooks: Array[Array[Array[Double]]],
+             normalize: Boolean = false): Column =
+    ColumnBridge.column(
+      PqLut(ColumnBridge.expression(vec), codebooks, normalize))
+
+  /** Asymmetric PQ distance from codes + LUT (see [[PqAdcDistance]]). */
+  def pq_adc(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdcDistance(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), ksub))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {

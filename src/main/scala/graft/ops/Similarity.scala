@@ -815,4 +815,155 @@ object Similarity {
             lit(-127L)).cast("double") / col("scale")))))
       .drop("__v")
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — lossy vector compression for ANN.
+  // ------------------------------------------------------------------
+
+  private val pqCodebookCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long),
+      Array[Array[Array[Double]]]]()
+
+  /** Train PQ codebooks: split every vector into `m` equal subvectors
+    * and fit an independent `ksub`-center KMeans per subspace. The
+    * returned m × ksub × dsub array is the whole "index structure" —
+    * m·ksub·dsub doubles (KBs), broadcast with the plan, never a
+    * shuffle participant.
+    *
+    * Shape at scale: the fit reads the (optionally sampled) corpus
+    * ONCE into a cached projection, then runs m KMeans fits over
+    * in-memory slices; PQ codebooks are trained on a sample in
+    * practice (quantizer quality needs thousands of points per
+    * centroid, not the full corpus — set `sampleFraction` accordingly
+    * at real scale). `cacheKey` memoizes the fit per JVM (the stored
+    * [[ivfCosineTopK]] pattern): codebooks are a training ARTIFACT
+    * every downstream encode/query reuses byte-identically.
+    *
+    * Cosine metric (`normalize = true`, the default — every consumer
+    * in this engine ranks by cosine): vectors are L2-normalized
+    * before slicing, putting the quantizer on the unit sphere where
+    * euclidean rank equals cosine rank; the query-time expressions
+    * apply the same normalization inside their fused loops. Subspace
+    * seeds are `seed + j` so subspaces draw distinct (but
+    * reproducible) initializations. */
+  def fitPq(df: DataFrame, vecCol: String, m: Int = 8, ksub: Int = 16,
+            seed: Long = 42L, maxIter: Int = 10,
+            sampleFraction: Double = 1.0, normalize: Boolean = true,
+            cacheKey: Option[String] = None): Array[Array[Array[Double]]] = {
+    def fit(): Array[Array[Array[Double]]] = {
+      val sampled = if (sampleFraction < 1.0) df.sample(sampleFraction, seed)
+                    else df
+      val raw = col(vecCol).cast("array<double>")
+      // the interpreted normalization HOF is fine HERE: training runs
+      // once over a sample; the per-row hot paths (encode, LUT) do the
+      // same normalization inside their fused loops
+      val unit = {
+        val n = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
+        transform(raw, x => x / when(n === 0.0, 1.0).otherwise(n))
+      }
+      val base = sampled
+        .select((if (normalize) unit else raw).as("vec"))
+        .filter(col("vec").isNotNull)
+        .cache()
+      try {
+        val dim = base.select(size(col("vec"))).head().getInt(0)
+        require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+        val dsub = dim / m
+        (0 until m).map { j =>
+          val sub = base.select(
+            array_to_vector(slice(col("vec"), j * dsub + 1, dsub)).as("fv"))
+          new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(maxIter)
+            .setFeaturesCol("fv").setPredictionCol("c").fit(sub)
+            .clusterCenters.map(_.toArray)
+        }.toArray
+      } finally { base.unpersist(); () }
+    }
+    cacheKey match {
+      case Some(key) =>
+        pqCodebookCache.computeIfAbsent(
+          (s"$key|norm=$normalize", m, ksub, seed), _ => fit())
+      case None => fit()
+    }
+  }
+
+  /** Encode a corpus to PQ codes: (id, codes array<int> of length m).
+    * Per-row fused-codegen projection ([[graft.functions.PqEncode]]),
+    * no shuffle. At scale THIS is the stored ANN column — m small ints
+    * (m bytes at ksub ≤ 256) scanned per candidate instead of d
+    * floats, a 32× IO cut at d=64/m=8/f32. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]],
+               normalize: Boolean = true): DataFrame =
+    df.select(col(idCol),
+      graft.functions.GraftFunctions.pq_encode(
+        col(vecCol).cast("array<double>"), codebooks, normalize).as("codes"))
+
+  /** Batch k-NN join under asymmetric PQ distance (ADC): the query
+    * batch broadcasts with a per-query LUT of subspace distances
+    * ([[graft.functions.PqLut]], m·ksub doubles per query), the
+    * corpus streams through its CODES — scoring a candidate is m
+    * array reads + m adds ([[graft.functions.PqAdcDistance]]), the
+    * original floats never leave storage. Per-query ranking is the
+    * row_number idiom (WindowGroupLimit caps map output at k rows per
+    * query before the shuffle, the [[annJoinBruteForce]] shape).
+    *
+    * Distances are approximate (quantization error), ascending
+    * squared-euclidean to the RECONSTRUCTED corpus vector; ties break
+    * by neighbor id, so results are deterministic at any parallelism
+    * for fixed codebooks. Compose [[annJoinPqRerank]] when exact
+    * final ranks matter (the production two-stage shape). */
+  def annJoinPq(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                codebooks: Array[Array[Array[Double]]],
+                normalize: Boolean = true,
+                roundTo: Int = 6): DataFrame = {
+    val ksub = codebooks(0).length
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      graft.functions.GraftFunctions.pq_lut(
+        col(vecCol).cast("array<double>"), codebooks, normalize)
+        .as("__qlut")))
+    val c = pqEncode(corpus, idCol, vecCol, codebooks, normalize)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(graft.functions.GraftFunctions.pq_adc(
+          col("codes"), col("__qlut"), ksub), roundTo).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Two-stage PQ retrieval — the production shape: ADC over the
+    * compressed codes proposes `k × refine` candidates per query
+    * (cheap, code-only scan), then ONLY those candidates' true
+    * vectors are fetched (a candidate-bounded equality join — at most
+    * |queries|·k·refine rows of the corpus, never the corpus itself)
+    * and exact cosine re-ranks the final top-k. Refinement recovers
+    * the recall ADC loses to quantization error while keeping the
+    * full-precision reads proportional to the answer size, not the
+    * corpus. */
+  def annJoinPqRerank(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      codebooks: Array[Array[Array[Double]]],
+                      normalize: Boolean = true,
+                      refine: Int = 4, roundTo: Int = 6): DataFrame = {
+    val cand = annJoinPq(queries, corpus, idCol, vecCol, k * refine,
+        codebooks, normalize, roundTo = 9)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__vec"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(cv, "neighbor_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__vec"), col("__qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
 }

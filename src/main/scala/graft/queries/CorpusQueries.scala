@@ -240,8 +240,28 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Batch k-NN join through product quantization with exact re-rank
+    * ([[Similarity.fitPq]] + [[Similarity.annJoinPqRerank]]): the
+    * corpus is scanned as m=8 small-int codes (32× less IO than the
+    * float vectors), ADC proposes k×refine candidates per query from
+    * a per-query broadcast LUT, and only the candidates' true vectors
+    * are read for the exact cosine re-rank. Rows-only (the per-
+    * subspace KMeans fits are not SQL-expressible); PqSpec pins the
+    * expression bit-identities and gates recall ≥ 0.85 vs the exact
+    * join. Codebooks are memoized per (dir, params) — the stored-
+    * artifact behavior, like q130's index. */
+  val q158KnnJoinPq = QueryDef.rowsOnly("q158_knn_join_pq") { (s, d) =>
+    val emb = Tables.embeddings(s, d)
+    val cb = Similarity.fitPq(emb, "embedding", m = 8, ksub = 64,
+      cacheKey = Some(s"$d/embeddings"))
+    Similarity.annJoinPqRerank(
+        queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
+        idCol = "vec_id", vecCol = "embedding", k = 5, cb, refine = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
-    q156CorpusDiff, q157RemoveDupSpans)
+    q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq)
 }
