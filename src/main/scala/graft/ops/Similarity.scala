@@ -966,4 +966,130 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  /** Materialized IVFPQ index — [[buildIvfIndex]]'s layout plus the
+    * PQ compression layer: cell-partitioned CODES next to the
+    * cell-partitioned vectors, PQ codebooks and IVF centroids as tiny
+    * side tables. A query then reads ~nprobe/nlist of the index AND
+    * reads it as m-int codes instead of d-float vectors — the two
+    * multiplicative IO cuts of the FAISS IVFPQ architecture — pulling
+    * full-precision vectors only for the final re-rank candidates.
+    *
+    * Codes quantize the NORMALIZED vector directly (non-residual PQ;
+    * residual encoding would couple every code to its cell centroid,
+    * complicating append/rebalance for accuracy this corpus shape
+    * doesn't need — the re-rank stage recovers it). Layout:
+    * `centroids` (cell, centroid), `codebooks` (j, c, centroid),
+    * `vectors/` and `codes/` both partitioned by cell. Same
+    * single-writer lock and overwrite semantics as [[buildIvfIndex]]. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      indexDir: String, nlist: Int = 16, m: Int = 8,
+                      ksub: Int = 64, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfPqIndex") {
+      val v = col(vecCol).cast("array<double>")
+      val base = df.select(col(idCol).as("vec_id"), v.as("vec"))
+        .withColumn("fv", array_to_vector(col("vec")))
+      val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+      val codebooks = fitPq(df, vecCol, m = m, ksub = ksub, seed = seed)
+      // one assignment+encode pass feeds both partitioned writes
+      val assigned = model.transform(base)
+        .select(col("vec_id"), col("vec"),
+          graft.functions.GraftFunctions.pq_encode(col("vec"), codebooks,
+            normalize = true).as("codes"),
+          col("cell"))
+        .localCheckpoint(true)
+      assigned.select(col("vec_id"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      assigned.select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq
+        .toDF("j", "c", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    }
+  }
+
+  /** Batch k-NN join through the stored IVFPQ index: probe cells are
+    * picked in-row against the broadcast centroid table (the
+    * [[annJoinIvfStored]] rule — centroid cosine desc, ties by cell
+    * id) and become a literal partition filter on the CODES scan;
+    * within probed cells, ADC over the per-query broadcast LUT
+    * proposes `k × refine` candidates (m array reads + m adds per
+    * row, no float IO); only those candidates' rows of `vectors/` are
+    * fetched — a candidate-bounded join, itself pruned to the probed
+    * cells — for the exact cosine re-rank.
+    *
+    * The codebook collect is bounded (m·ksub rows, KBs — the same
+    * driver class as the centroid collect). Output: (query_id,
+    * neighbor_id, cos, rnk ≤ k), deterministic for a fixed stored
+    * index. */
+  def annJoinIvfPqStored(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, queries: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         nprobe: Int = 4, refine: Int = 4,
+                         roundTo: Int = 6): DataFrame = {
+    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+      .collect()  // bounded: m × ksub tiny rows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+      }.toArray
+    val ksub = codebooks(0).length
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .crossJoin(centroids)  // bounded: |queries| × nlist
+      .select(col("query_id"), col("qvec"), col("cell"),
+        cosine(col("qvec"), col("centroid")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qvec"),
+        graft.functions.GraftFunctions.pq_lut(col("qvec"), codebooks,
+          normalize = true).as("__qlut"),
+        col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))  // ≤ nlist values
+    val cellLit = probedCells.map(Integer.valueOf)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cellLit: _*))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val cand = probes.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"),
+        col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.pq_adc(
+          col("codes"), col("__qlut"), ksub).as("adc"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * refine)
+      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(cellLit: _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(vectors, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
 }

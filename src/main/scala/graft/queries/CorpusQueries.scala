@@ -260,8 +260,37 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Batch k-NN join through the STORED IVFPQ index
+    * ([[Similarity.buildIvfPqIndex]] + [[Similarity
+    * .annJoinIvfPqStored]]): both multiplicative IO cuts at once —
+    * the scan is partition-pruned to the probed cells AND reads
+    * PQ codes, not float vectors; full-precision rows are fetched
+    * only for the ADC candidates' re-rank. PqSpec pins partition
+    * pruning and full-probe equality with the non-IVF PQ join. The
+    * index dir is wiped per run (the q130 discipline — a stale
+    * layout from older params would change cells/codes). */
+  val q159KnnJoinIvfPqStored =
+      QueryDef.rowsOnly("q159_knn_join_ivfpq_stored") { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q159_ivfpq_index_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val emb = Tables.embeddings(s, d)
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nlist = 16, m = 8, ksub = 64)
+    Similarity.annJoinIvfPqStored(s, dir,
+        queries = emb.filter(expr("vec_id % 100 = 0")),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,
+        refine = 10)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
-    q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq)
+    q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
+    q159KnnJoinIvfPqStored)
 }

@@ -148,4 +148,35 @@ class PqSpec extends SparkSpec {
       cacheKey = Some(s"$sf0001/embeddings"))
     assert(again eq codebooks)
   }
+
+  test("stored IVFPQ: codes scan pruned to probed cells; full-probe " +
+      "results equal the non-IVF PQ re-rank join") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+      nlist = 8, m = 8, ksub = 64)
+    val queries = emb.filter(expr("vec_id % 100 = 0"))
+    val pruned = Similarity.annJoinIvfPqStored(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2, refine = 10)
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+    // probing EVERY cell makes the candidate set identical to plain PQ
+    // over the same codebooks (seed-deterministic), so results match
+    val full = Similarity.annJoinIvfPqStored(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 8, refine = 10)
+    val cb64 = Similarity.fitPq(emb, "embedding", m = 8, ksub = 64,
+      cacheKey = Some(s"$sf0001/embeddings"))
+    val plain = Similarity.annJoinPqRerank(
+      queries, emb, "vec_id", "embedding", k = 5, cb64, refine = 10)
+    assert(full.orderBy("query_id", "rnk").collect().map(_.toString).toSeq ===
+      plain.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    // pruned probing still finds most of what full probing finds
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (key(pruned) & key(full)).size.toDouble / key(full).size
+    assert(overlap >= 0.5, s"nprobe=2 overlap with full probe = $overlap")
+  }
 }
