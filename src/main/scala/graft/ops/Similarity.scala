@@ -376,6 +376,14 @@ object Similarity {
     graft.sources.Sinks.withDirLock(spark, indexDir, "compactIvfIndex") {
       graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/vectors",
         partitionCols = Seq("cell"))
+      // IVFPQ layouts carry a codes table beside the vectors — compact
+      // it under the same index lock when present
+      val codes = new org.apache.hadoop.fs.Path(s"$indexDir/codes")
+      if (codes.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(codes)) {
+        graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/codes",
+          partitionCols = Seq("cell"))
+      }
     }
 
   /** Query the stored index: probe cells are ranked IN-ROW against the
@@ -1020,6 +1028,48 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$indexDir/codebooks")
     }
   }
+
+  /** Append new vectors to a stored IVFPQ index WITHOUT refitting —
+    * [[appendToIvfIndex]]'s incremental-ingest contract extended to
+    * the codes layout: each vector is assigned to its nearest STORED
+    * centroid (fused sq-euclidean argmin, ties to the lowest cell)
+    * and encoded against the STORED codebooks (non-residual, so a
+    * code never depends on its cell — appends can't skew quantization
+    * accuracy, only cell balance, which [[auditIvfIndex]]'s signal
+    * covers for both layouts since they share the vectors table).
+    * One pass feeds both partitioned appends; same lock, same
+    * non-idempotent-replay caveat as [[appendToIvfIndex]]. */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String, df: DataFrame,
+                         idCol: String, vecCol: String): Unit =
+    graft.sources.Sinks.withDirLock(spark, indexDir, "appendToIvfPqIndex") {
+      val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+      val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+        .collect()  // bounded: m × ksub tiny rows
+        .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rows) =>
+          rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+        }.toArray
+      val v = col(vecCol).cast("array<double>")
+      val assigned = df.select(col(idCol).as("vec_id"), v.as("vec"))
+        .crossJoin(centroids) // bounded: build side is nlist rows
+        .select(col("vec_id"), col("vec"), col("cell"),
+          sqEuclidean(col("vec"), col("centroid")).as("dist2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell"), col("vec")),
+          struct(col("dist2"), col("cell"))).as("__r"))
+        .select(col("vec_id"), col("__r.vec").as("vec"),
+          col("__r.cell").as("cell"),
+          graft.functions.GraftFunctions.pq_encode(col("__r.vec"), codebooks,
+            normalize = true).as("codes"))
+        .localCheckpoint(true)
+      assigned.select(col("vec_id"), col("vec"), col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      assigned.select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+    }
 
   /** Batch k-NN join through the stored IVFPQ index: probe cells are
     * picked in-row against the broadcast centroid table (the
