@@ -88,7 +88,11 @@ object ScaleBench {
     // encode + count join (merge table memoized — q155 times the
     // distributed pipeline, not the fit; q154's own timing is the
     // memoized-artifact behavior, like q30's cached model)
-    "q151_token_rarity", "q155_bpe_token_counts")
+    "q151_token_rarity", "q155_bpe_token_counts",
+    // q157: corpus rewrite (two corpus-sized shuffles by design);
+    // q159: IVFPQ build + pruned code-scan query (the fit and encode
+    // run per invocation — the honest stored-index cost, like q130)
+    "q157_remove_dup_spans", "q159_knn_join_ivfpq_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

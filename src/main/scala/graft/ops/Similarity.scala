@@ -272,7 +272,17 @@ object Similarity {
     * rows left by replayed appends — one row per id, the array-min
     * vector deterministically winning ties (replays store identical
     * vectors, so this is a pure duplicate collapse). Single-writer
-    * enforced via the indexDir `.lock`. */
+    * enforced via the indexDir `.lock`.
+    *
+    * IVFPQ layouts ([[buildIvfPqIndex]]) carry a `codes/` table
+    * partitioned by the SAME cells — leaving it untouched after a
+    * rebalance would have [[annJoinIvfPqStored]] prune by the new
+    * centroids while reading codes filed under the old cells. When
+    * `codes/` exists the rebalance re-encodes the reassigned vectors
+    * against the STORED codebooks (codes are non-residual, so the
+    * bytes are bit-identical to the old table — only the cell
+    * partitioning changes, and the codebooks are deliberately NOT
+    * refit) and swaps all three tables atomically together. */
   def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
                         indexDir: String, nlist: Int = 16,
                         seed: Long = 42L, sampleFraction: Double = 1.0,
@@ -313,28 +323,39 @@ object Similarity {
       val fs = new org.apache.hadoop.fs.Path(indexDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def p(s: String) = new org.apache.hadoop.fs.Path(s)
-      // write both replacements fully before touching the live layout
-      fs.delete(p(s"$indexDir/vectors__rebal_tmp"), true)
-      fs.delete(p(s"$indexDir/centroids__rebal_tmp"), true)
+      // an IVFPQ layout's codes table moves cells with its vectors
+      val hasCodes = fs.exists(p(s"$indexDir/codes"))
+      val tables = Seq("vectors", "centroids") ++
+        (if (hasCodes) Seq("codes") else Nil)
+      // write all replacements fully before touching the live layout
+      tables.foreach(t => fs.delete(p(s"$indexDir/${t}__rebal_tmp"), true))
       assigned.write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/vectors__rebal_tmp")
       centroids.coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/centroids__rebal_tmp")
-      fs.delete(p(s"$indexDir/vectors__rebal_bak"), true)
-      fs.delete(p(s"$indexDir/centroids__rebal_bak"), true)
-      require(fs.rename(p(s"$indexDir/vectors"),
-        p(s"$indexDir/vectors__rebal_bak")) &&
-        fs.rename(p(s"$indexDir/centroids"),
-          p(s"$indexDir/centroids__rebal_bak")),
+      if (hasCodes) {
+        val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+          .collect()  // bounded: m × ksub tiny rows
+          .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+          .map { case (_, rows) =>
+            rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+          }.toArray
+        assigned.select(col("vec_id"),
+          graft.functions.GraftFunctions.pq_encode(col("vec"), codebooks,
+            normalize = true).as("codes"),
+          col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexDir/codes__rebal_tmp")
+      }
+      tables.foreach(t => fs.delete(p(s"$indexDir/${t}__rebal_bak"), true))
+      require(tables.forall(t => fs.rename(p(s"$indexDir/$t"),
+        p(s"$indexDir/${t}__rebal_bak"))),
         s"rebalanceIvfIndex: could not stage backups under $indexDir")
-      require(fs.rename(p(s"$indexDir/vectors__rebal_tmp"),
-        p(s"$indexDir/vectors")) &&
-        fs.rename(p(s"$indexDir/centroids__rebal_tmp"),
-          p(s"$indexDir/centroids")),
+      require(tables.forall(t => fs.rename(p(s"$indexDir/${t}__rebal_tmp"),
+        p(s"$indexDir/$t"))),
         s"rebalanceIvfIndex: could not swap new layout into $indexDir " +
           "(old layout preserved at __rebal_bak)")
-      fs.delete(p(s"$indexDir/vectors__rebal_bak"), true)
-      fs.delete(p(s"$indexDir/centroids__rebal_bak"), true)
+      tables.foreach(t => fs.delete(p(s"$indexDir/${t}__rebal_bak"), true))
       ()
     }
 
@@ -989,10 +1010,16 @@ object Similarity {
     * doesn't need — the re-rank stage recovers it). Layout:
     * `centroids` (cell, centroid), `codebooks` (j, c, centroid),
     * `vectors/` and `codes/` both partitioned by cell. Same
-    * single-writer lock and overwrite semantics as [[buildIvfIndex]]. */
+    * single-writer lock and overwrite semantics as [[buildIvfIndex]].
+    * `pqCacheKey` forwards to [[fitPq]]'s codebook memoization — the
+    * fit is a deterministic artifact of (corpus, m, ksub, seed), so a
+    * caller that already fit the same corpus (e.g. for an in-memory
+    * [[annJoinPq]]) reuses it instead of re-running the m subspace
+    * KMeans fits. */
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       indexDir: String, nlist: Int = 16, m: Int = 8,
-                      ksub: Int = 64, seed: Long = 42L): Unit = {
+                      ksub: Int = 64, seed: Long = 42L,
+                      pqCacheKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfPqIndex") {
@@ -1001,7 +1028,8 @@ object Similarity {
         .withColumn("fv", array_to_vector(col("vec")))
       val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
-      val codebooks = fitPq(df, vecCol, m = m, ksub = ksub, seed = seed)
+      val codebooks = fitPq(df, vecCol, m = m, ksub = ksub, seed = seed,
+        cacheKey = pqCacheKey)
       // one assignment+encode pass feeds both partitioned writes
       val assigned = model.transform(base)
         .select(col("vec_id"), col("vec"),

@@ -268,7 +268,11 @@ object CorpusQueries {
     * only for the ADC candidates' re-rank. PqSpec pins partition
     * pruning and full-probe equality with the non-IVF PQ join. The
     * index dir is wiped per run (the q130 discipline — a stale
-    * layout from older params would change cells/codes). */
+    * layout from older params would change cells/codes); the PQ
+    * codebook fit shares q158's memoized artifact (same corpus and
+    * params — the q154 discipline), so the timing covers the index
+    * BUILD (cell fit + assign/encode + partitioned writes) and the
+    * pruned query, not a refit q158 already times. */
   val q159KnnJoinIvfPqStored =
       QueryDef.rowsOnly("q159_knn_join_ivfpq_stored") { (s, d) =>
     val dir = {
@@ -280,7 +284,7 @@ object CorpusQueries {
     fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
     Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
-      nlist = 16, m = 8, ksub = 64)
+      nlist = 16, m = 8, ksub = 64, pqCacheKey = Some(s"$d/embeddings"))
     Similarity.annJoinIvfPqStored(s, dir,
         queries = emb.filter(expr("vec_id % 100 = 0")),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,

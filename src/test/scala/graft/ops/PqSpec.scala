@@ -231,4 +231,39 @@ class PqSpec extends SparkSpec {
       .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
     assert(after === before)
   }
+
+  test("rebalanceIvfIndex on an IVFPQ layout: codes move cells with " +
+      "their vectors, bytes unchanged, full-probe results invariant") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rebal").toString
+    // skewed construction: fit cells on a quarter, append the rest
+    Similarity.buildIvfPqIndex(emb.filter(expr("vec_id % 4 = 0")),
+      "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    Similarity.appendToIvfPqIndex(spark, dir,
+      emb.filter(expr("vec_id % 4 != 0")), "vec_id", "embedding")
+    val queries = emb.filter(expr("vec_id % 100 = 0"))
+    def fullProbe() = Similarity.annJoinIvfPqStored(spark, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 8, refine = 10)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    val beforeRes = fullProbe()
+    val beforeCodes = spark.read.parquet(s"$dir/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+
+    Similarity.rebalanceIvfIndex(spark, dir, nlist = 8)
+
+    // codes are non-residual: the rebalance must keep every row's
+    // bytes and only re-file it under its vector's new cell
+    val afterCodes = spark.read.parquet(s"$dir/codes")
+    assert(afterCodes.count() === beforeCodes.size.toLong)
+    assert(afterCodes.select("vec_id", "codes").collect()
+      .forall(r => beforeCodes(r.getLong(0)) == r.getSeq[Int](1)))
+    val misfiled = afterCodes.select(col("vec_id"), col("cell"))
+      .join(spark.read.parquet(s"$dir/vectors")
+        .select(col("vec_id"), col("cell").as("vcell")), "vec_id")
+      .filter(col("cell") =!= col("vcell")).count()
+    assert(misfiled === 0L)
+    // full probe scans every cell and re-ranks exactly, so results
+    // cannot depend on the cell layout
+    assert(fullProbe() === beforeRes)
+  }
 }
