@@ -275,6 +275,111 @@ object Curation {
         round(col("sum_cnt").cast("double") / col("n_toks"), 6))
   }
 
+  /** md5-derived hashed-n-gram bucket ids (unigrams + bigrams) as one
+    * in-row array — the DSIR feature map. Hash collisions are part of
+    * the METHOD here, not an implementation detail: DSIR's importance
+    * estimates live in the hashed `numBuckets`-dimensional space by
+    * construction (Xie et al. 2023 use exactly such hashed n-gram
+    * features), so the md5-derived bucket — replayable by any engine —
+    * is the canonical hash, not a slower stand-in for xxhash64. The
+    * token array must be materialized by the caller's projection (the
+    * [[TextAnalysis.wordNgrams]] CSE contract). */
+  private def gramBuckets(toks: Column, numBuckets: Int): Column = {
+    def buckets(grams: Column): Column = transform(grams,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long") % numBuckets)
+    concat(buckets(TextAnalysis.wordNgrams(toks, 1)),
+      buckets(TextAnalysis.wordNgrams(toks, 2)))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-bucket
+    * log-likelihood ratios `w[b] = ln(p_target[b] / p_raw[b])` of
+    * add-one-smoothed hashed-n-gram distributions. A document's
+    * importance score is then the sum of `w` over its gram
+    * occurrences — the log importance weight of the doc under the
+    * bag-of-hashed-n-grams model.
+    *
+    * Shape at scale: each corpus streams through scan → in-row gram
+    * build → explode → ONE aggregation shuffle whose map-side combine
+    * collapses to ≤ `numBuckets` rows per task, so the shuffle moves
+    * ~buckets×partitions rows, never the corpus. The result is a
+    * `numBuckets`-row table (every bucket id present — unseen buckets
+    * get the smoothed default) meant to be BROADCAST to the scorer.
+    *
+    * Replayability: the ratio is computed as ONE `ln` of an
+    * IEEE-exact double quotient and rounded to `roundTo` decimals
+    * into a DECIMAL column, so per-doc score sums are exact,
+    * order-independent, and cross-engine reproducible (the rounding
+    * absorbs the ≤1-ulp `ln` difference between libm and the JVM). */
+  def dsirWeights(target: DataFrame, raw: DataFrame,
+                  textCol: String = "text", numBuckets: Int = 4096,
+                  roundTo: Int = 6): DataFrame = {
+    val spark = target.sparkSession
+    def counts(df: DataFrame, as: String): DataFrame = df
+      .select(TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(explode(gramBuckets(col("__ts"), numBuckets)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val t = counts(target, "nt")
+    val r = counts(raw, "nr")
+    // bounded 1-row totals ride a broadcast cross join (the means/flags
+    // pattern), never a collect
+    val totals = broadcast(t.agg(sum(col("nt")).as("tt"))
+      .crossJoin(r.agg(sum(col("nr")).as("rt"))))
+    spark.range(numBuckets).select(col("id").as("bucket"))
+      .join(broadcast(t), Seq("bucket"), "left")
+      .join(broadcast(r), Seq("bucket"), "left")
+      .na.fill(0L, Seq("nt", "nr"))
+      .crossJoin(totals)
+      .select(col("bucket"),
+        round(log(
+          ((col("nt") + 1).cast("double") *
+            (col("rt") + numBuckets).cast("double")) /
+          ((col("nr") + 1).cast("double") *
+            (col("tt") + numBuckets).cast("double"))), roundTo)
+          .cast(s"decimal(18,$roundTo)").as("w"))
+  }
+
+  /** Per-document DSIR importance score: the exact DECIMAL sum of
+    * [[dsirWeights]] entries over the doc's hashed-gram OCCURRENCES
+    * (not distinct grams — frequency matters in the bag model). One
+    * explode → broadcast join (the weight table is `numBuckets` rows)
+    * → one doc_id aggregation whose map-side combine collapses each
+    * doc to one partial per partition. Non-null `textCol` contract:
+    * a null text drops out of the explode and the doc vanishes from
+    * the output. */
+  def dsirScore(docs: DataFrame, weights: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text",
+                numBuckets: Int = 4096): DataFrame =
+    docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__ts"))
+      .select(col(idCol),
+        explode(gramBuckets(col("__ts"), numBuckets)).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+
+  /** DSIR selection via the Gumbel-top-k trick: adding independent
+    * Gumbel(0,1) noise to each log-weight and taking the top `n` keys
+    * draws an exact without-replacement sample proportional to the
+    * importance weights — the paper's resampling step as one
+    * deterministic `TakeOrdered(n)`, no sequential draws, no rejection
+    * loop. The noise is a pure function of (id, seed): an md5-derived
+    * uniform strictly inside (0,1) (the `+0.5` offset keeps both `ln`s
+    * finite) through the inverse-CDF `-ln(-ln(u))`, rounded into the
+    * same DECIMAL scale as the score so `sel_key = score + g` is
+    * exact and any engine replays the selection bit-for-bit. */
+  def dsirResample(docs: DataFrame, weights: DataFrame, n: Int,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   numBuckets: Int = 4096, seed: Long = 42L,
+                   roundTo: Int = 6): DataFrame = {
+    val u = (conv(substring(md5(concat_ws("|", col(idCol), lit(seed))),
+      1, 15), 16, 10).cast("double") + 0.5) / 1.152921504606847e18
+    val g = round(-log(-log(u)), roundTo).cast(s"decimal(18,$roundTo)")
+    dsirScore(docs, weights, idCol, textCol, numBuckets)
+      .withColumn("sel_key", col("score") + g)
+      .orderBy(col("sel_key").desc, col(idCol))
+      .limit(n)
+  }
+
   /** PII redaction patterns (RE2-subset — no lookarounds — so an
     * external oracle can replicate them byte-for-byte). */
   val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"

@@ -292,9 +292,78 @@ object CorpusQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** DSIR data selection ([[Curation.dsirWeights]] +
+    * [[Curation.dsirResample]]): hashed-n-gram importance resampling
+    * toward a target distribution — here the English sub-corpus — in
+    * three oracled stages fused into one plan: per-bucket add-one
+    * log-likelihood-ratio weights (4096 md5 buckets over
+    * unigrams+bigrams), exact DECIMAL per-doc score sums, and the
+    * Gumbel-top-k draw (md5-derived noise) selecting 100 docs
+    * proportionally to importance without replacement. Everything —
+    * the ln (one rounded IEEE quotient), the decimal sums, the
+    * Gumbel inverse-CDF — replays in DuckDB, so the SELECTED SET
+    * itself is hash-checked, not just row counts. */
+  val q160DsirSelect = QueryDef(
+    "q160_dsir_select",
+    """WITH toks AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+      |), grams AS (
+      |  SELECT doc_id, lang, unnest(t) AS gram FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, lang,
+      |    unnest(list_transform(generate_series(1, len(t) - 1),
+      |           i -> t[i] || ' ' || t[i+1])) AS gram
+      |  FROM toks
+      |), b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) % 4096
+      |      AS BIGINT) AS bucket
+      |  FROM grams
+      |), tc AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS nt FROM b
+      |  WHERE lang = 'en' GROUP BY bucket
+      |), rc AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS nr FROM b GROUP BY bucket
+      |), tot AS (
+      |  SELECT (SELECT count(*) FROM b WHERE lang = 'en') AS tt,
+      |         (SELECT count(*) FROM b) AS rt
+      |), w AS (
+      |  SELECT g.bucket,
+      |    CAST(round(ln(
+      |      (CAST(COALESCE(nt, 0) + 1 AS DOUBLE) * CAST(rt + 4096 AS DOUBLE))
+      |      /
+      |      (CAST(COALESCE(nr, 0) + 1 AS DOUBLE) * CAST(tt + 4096 AS DOUBLE))
+      |    ), 6) AS DECIMAL(18,6)) AS w
+      |  FROM (SELECT unnest(generate_series(0, 4095)) AS bucket) g
+      |  LEFT JOIN tc ON g.bucket = tc.bucket
+      |  LEFT JOIN rc ON g.bucket = rc.bucket, tot
+      |), score AS (
+      |  SELECT b.doc_id, SUM(w.w) AS score
+      |  FROM b JOIN w ON b.bucket = w.bucket GROUP BY b.doc_id
+      |), sel AS (
+      |  SELECT doc_id, score,
+      |    score + CAST(round(-ln(-ln(
+      |      (CAST(CAST('0x' || substring(
+      |         md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 15) AS BIGINT)
+      |       AS DOUBLE) + 0.5) / 1.152921504606847e18)), 6)
+      |      AS DECIMAL(18,6)) AS sel_key
+      |  FROM score
+      |)
+      |SELECT doc_id, CAST(score AS DOUBLE) AS score,
+      |       CAST(sel_key AS DOUBLE) AS sel_key
+      |FROM sel ORDER BY sel_key DESC, doc_id LIMIT 100""".stripMargin) {
+      (s, d) =>
+    val docs = Tables.documents(s, d)
+    val w = Curation.dsirWeights(docs.filter(col("lang") === "en"), docs)
+    Curation.dsirResample(docs, w, n = 100)
+      .select(col("doc_id"), col("score").cast("double").as("score"),
+        col("sel_key").cast("double").as("sel_key"))
+      .orderBy(col("sel_key").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
-    q159KnnJoinIvfPqStored)
+    q159KnnJoinIvfPqStored, q160DsirSelect)
 }

@@ -51,6 +51,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CorpusQueries.q156CorpusDiff,       // digest full-outer diff
     CorpusQueries.q157RemoveDupSpans,   // keep-first span rewrite
     CorpusQueries.q158KnnJoinPq,        // PQ ADC + rerank (memoized fit)
+    CorpusQueries.q160DsirSelect,       // decimal LLR sums + Gumbel top-k
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
