@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, CorpusQueries, CurationQueries, DataQueries, ExtendedQueries, LoanQueries, PipelineQueries, ScaleQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, DataQueries, ExtendedQueries, LoanQueries, PipelineQueries, ScaleQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -15,7 +15,8 @@ object SparkEntry {
   private def registry: Seq[QueryDef] =
     CoreQueries.all ++ LoanQueries.all ++ DataQueries.all ++
       AdvancedQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
-      CurationQueries.all ++ ScaleQueries.all ++ CorpusQueries.all
+      CurationQueries.all ++ ScaleQueries.all ++ CorpusQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

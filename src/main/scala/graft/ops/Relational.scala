@@ -481,4 +481,72 @@ object Relational {
       ((col("__rn").cast("long") - 1) % nShards).as("shard"),
       col(sizeCol))
   }
+
+  /** Exact per-group quantiles by RANK SELECTION — the deterministic,
+    * cross-engine-replayable alternative to `percentile_approx`
+    * (whose sketch internals are engine-specific, q84's rows-only
+    * reason) and to engine `percentile_disc` implementations (whose
+    * interpolation/tie conventions differ between engines).
+    *
+    * Semantics: for each group and each p, the value at rank
+    * `max(1, ceil(p * n))` under `ORDER BY value, tieCols` — the
+    * lower `percentile_disc` convention, pinned explicitly so any
+    * engine replays it with a plain `ROW_NUMBER`. `tieCols` must make
+    * the order total (a unique key), which is what makes the selected
+    * ROW — not just the value — deterministic at any parallelism.
+    *
+    * Scale shape: ONE shuffle (the group-partitioned window); the ps
+    * ride as an exploded literal array inside the same projection
+    * (|ps|× rows transiently, then the rank filter cuts them — no
+    * extra shuffle, no join). `ceil(n * p)` is the same IEEE double
+    * multiply in any engine, so the target rank replays exactly.
+    *
+    * A single giant group degenerates to one reducer — that shape is
+    * [[exactQuantilesGlobal]], which routes the DISTRIBUTED global
+    * rank instead. */
+  def exactQuantiles(df: DataFrame, groupCols: Seq[String],
+                     valueCol: String, tieCols: Seq[String],
+                     ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ps must be in (0, 1], got $ps")
+    require(groupCols.nonEmpty,
+      "exactQuantiles needs group columns — for the ungrouped form use " +
+        "exactQuantilesGlobal (distributed rank, no single-reducer window)")
+    val grp = groupCols.map(col)
+    val order = col(valueCol) +: tieCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(order: _*)
+    val ranked = df
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(grp: _*)))
+    ranked
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(col("__n") * col("p"))))
+      .select(grp ++ Seq(col("p"), col(valueCol).as("quantile"),
+        col("__n").as("n_rows")): _*)
+  }
+
+  /** Global (ungrouped) exact quantiles through the DISTRIBUTED rank
+    * ([[globalRankAndRunningSum]]: range partitions + local windows +
+    * bounded offsets) — same rank-selection semantics as
+    * [[exactQuantiles]] with no single-reducer window, so "exact p99
+    * of a 10^12-row column" is one range shuffle. The row count falls
+    * out of the same pass (the rank primitive's partition stats), so
+    * no second scan. */
+  def exactQuantilesGlobal(df: DataFrame, valueCol: String,
+                           tieCols: Seq[String],
+                           ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"ps must be in (0, 1], got $ps")
+    val (ranked, n) = globalRankAndRunningSum(df,
+      order = col(valueCol) +: tieCols.map(col),
+      value = lit(1L), rankCol = "__rn", cumCol = "__cum")
+    ranked
+      .withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("__rn") ===
+        greatest(lit(1L), ceil(lit(n) * col("p"))))
+      .select(col("p"), col(valueCol).as("quantile"),
+        lit(n).as("n_rows"))
+  }
 }

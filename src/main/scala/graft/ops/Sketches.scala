@@ -143,4 +143,72 @@ object Sketches {
     if (groupCols.isEmpty) side.agg(aggs.head, aggs.tail: _*)
     else side.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** EXACT cross-group n-gram overlap matrix — the ground-truth twin
+    * of [[overlapMatrix]] (whose HLL inclusion–exclusion estimates
+    * carry sketch error and are engine-specific, q139's rows-only
+    * reason). Every (group_a < group_b) pair reports its exact shared
+    * distinct-gram count and Jaccard — the decontamination screen you
+    * run when the HLL screen flags a pair and you need the real
+    * number before dropping a source.
+    *
+    * Shape: one explode + distinct compresses each group to its
+    * distinct (group, gram) set; the pair counts come from a gram-key
+    * EQUALITY self-join — a gram lands ≤ |groups| rows on its
+    * reducer, so with bounded group cardinality (sources, shards,
+    * snapshot versions: the same low-cardinality rule as partitionBy
+    * and the sketch sidecars) no join key is hot regardless of corpus
+    * size. Per-group totals cross-join (|groups|² pairs — broadcast
+    * bounded) so DISJOINT pairs report 0 instead of vanishing.
+    * Jaccard = shared/(na+nb-shared) is one IEEE division of exact
+    * longs — replays anywhere; the grams ride as strings (the q113
+    * exact-decontamination precedent), which is what makes the whole
+    * matrix oracle-checkable (q165). [[exactOverlapMatrixHashed]] is
+    * the same plan with 8-byte fused XXH64 gram hashes — the 100 TB
+    * path; collisions can only OVER-count overlap, the safe direction
+    * for a contamination screen. */
+  def exactOverlapMatrix(df: DataFrame, groupCol: String,
+                         textCol: String, n: Int = 5): DataFrame = {
+    val grams = df
+      .select(col(groupCol).as("g"), TextAnalysis.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("g"),
+        explode(array_distinct(TextAnalysis.wordNgrams(col("ts"), n))).as("gram"))
+      .distinct()
+    exactOverlapFromGramSets(grams)
+  }
+
+  /** [[exactOverlapMatrix]] with fused-codegen hashed grams
+    * ([[graft.functions.HashedShingles]]: one zero-copy byte scan per
+    * doc, 8-byte keys on every shuffle instead of n-word strings) —
+    * the production form at corpus scale. SketchesSpec asserts matrix
+    * equality with the exact-string form on the test corpus. */
+  def exactOverlapMatrixHashed(df: DataFrame, groupCol: String,
+                               textCol: String, n: Int = 5): DataFrame = {
+    val grams = df
+      .select(col(groupCol).as("g"),
+        explode(graft.functions.GraftFunctions.hashed_shingles(col(textCol), n))
+          .as("gram"))
+      .distinct()
+    exactOverlapFromGramSets(grams)
+  }
+
+  /** Shared tail: distinct (group, gram) rows → full ordered pair
+    * matrix with exact shared counts and Jaccard. */
+  private def exactOverlapFromGramSets(grams: DataFrame): DataFrame = {
+    val counts = grams.groupBy(col("g")).agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("group_a"), col("b.g").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val pairs = counts.select(col("g").as("group_a"), col("n_grams").as("n_a"))
+      .join(counts.select(col("g").as("group_b"), col("n_grams").as("n_b")),
+        col("group_a") < col("group_b"))
+    pairs.join(shared, Seq("group_a", "group_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("jaccard",
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
+  }
 }

@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.{Dedup, Relational, Sketches}
+import graft.sources.{Bucketing, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-7 second block: exact distributed analytics the approximate
+  * family already covers probabilistically — exact rank-selected
+  * quantiles (per-group AND global, q84's approx twin), co-located
+  * bucketed joins (the write-time shuffle kill), edit-distance-
+  * verified near-dup pairs (the character-level verifier the set-
+  * based dedup family lacks), and the exact cross-source overlap
+  * matrix (q139's HLL screen, ground-truthed). All five carry DuckDB
+  * oracles.
+  */
+object AnalyticsQueries {
+
+  private val Ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+  private val PsSql = "[0.25, 0.5, 0.75, 0.9, 0.99]::DOUBLE[]"
+
+  /** Exact per-group percentiles ([[Relational.exactQuantiles]]) of
+    * l_extendedprice per return flag: rank selection under a TOTAL
+    * order (value, orderkey, linenumber), so the selected row — not
+    * just the value — is deterministic and the oracle replays it with
+    * a plain ROW_NUMBER. One group-partitioned window shuffle; the ps
+    * explode inside the same projection. */
+  val q161ExactQuantiles = QueryDef(
+    "q161_exact_quantiles",
+    s"""WITH r AS (
+       |  SELECT l_returnflag, l_extendedprice,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+       |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT)
+       |      AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+       |  FROM lineitem
+       |), ps AS (SELECT unnest($PsSql) AS p)
+       |SELECT l_returnflag, p, l_extendedprice AS quantile, n AS n_rows
+       |FROM r CROSS JOIN ps
+       |WHERE rn = greatest(1, CAST(ceil(n * p) AS BIGINT))
+       |ORDER BY l_returnflag, p""".stripMargin) { (s, d) =>
+    Relational.exactQuantiles(Tables.lineitem(s, d),
+        groupCols = Seq("l_returnflag"), valueCol = "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"), ps = Ps)
+      .orderBy(col("l_returnflag"), col("p"))
+  }
+
+  /** Exact GLOBAL percentiles ([[Relational.exactQuantilesGlobal]]) of
+    * events.value: same rank selection, but the rank comes from the
+    * DISTRIBUTED global-rank primitive (range partitions + local
+    * windows + bounded offsets) — "exact p99 of the whole column"
+    * with no single-reducer window, the shape q84's sketch
+    * approximates. */
+  val q162GlobalQuantiles = QueryDef(
+    "q162_global_quantiles",
+    s"""WITH r AS (
+       |  SELECT value,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY value, event_id) AS BIGINT)
+       |      AS rn,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM events
+       |), ps AS (SELECT unnest($PsSql) AS p)
+       |SELECT p, value AS quantile, n AS n_rows
+       |FROM r CROSS JOIN ps
+       |WHERE rn = greatest(1, CAST(ceil(n * p) AS BIGINT))
+       |ORDER BY p""".stripMargin) { (s, d) =>
+    Relational.exactQuantilesGlobal(
+        Tables.events(s, d).select(col("value"), col("event_id")),
+        valueCol = "value", tieCols = Seq("event_id"), ps = Ps)
+      .orderBy(col("p"))
+  }
+
+  /** Co-located bucketed join ([[Bucketing.writeBucketedTable]]):
+    * orders and lineitem both written CLUSTERED BY orderkey INTO 8
+    * BUCKETS, then joined — the join plans with ZERO exchanges
+    * (BucketingSpec asserts it); at 100 TB this is the
+    * pay-the-shuffle-once-at-ingest pattern for every
+    * fact-to-fact join that recurs. Results oracled against the plain
+    * join on the raw tables (bucketing must not change semantics);
+    * revenue through decimal operands (the q01 pattern) so the sum is
+    * partitioning-independent. */
+  val q163BucketedJoin = QueryDef(
+    "q163_bucketed_join",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_").replace(".", "_")
+    val base = s"target/tmp/q163_buckets_$sf"
+    Bucketing.writeBucketedTable(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      table = s"g_orders_$sf", path = s"$base/orders",
+      bucketCols = Seq("o_orderkey"), numBuckets = 8,
+      sortCols = Seq("o_orderkey"))
+    Bucketing.writeBucketedTable(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      table = s"g_lineitem_$sf", path = s"$base/lineitem",
+      bucketCols = Seq("l_orderkey"), numBuckets = 8,
+      sortCols = Seq("l_orderkey"))
+    Bucketing.table(s, s"g_orders_$sf")
+      .join(Bucketing.table(s, s"g_lineitem_$sf"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+            (lit(1).cast(DecimalType(4, 2)) -
+              col("l_discount").cast(DecimalType(4, 2))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Edit-distance-verified near-dup pairs
+    * ([[Dedup.editDistancePairs]]): normalized-prefix blocking +
+    * bounded Levenshtein — the character-level verifier. Every piece
+    * (normalization regexes, prefix block, levenshtein, the sim
+    * division) replays in DuckDB, so unlike the hash-seeded candidate
+    * generators this one is hash-oracled end-to-end. */
+  val q164EditDistancePairs = QueryDef(
+    "q164_edit_distance_pairs",
+    """WITH norm AS (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+      |  FROM documents
+      |), blk AS (
+      |  SELECT doc_id, nt, substring(nt, 1, 12) AS bk FROM norm
+      |), sized AS (
+      |  SELECT doc_id, nt, bk, count(*) OVER (PARTITION BY bk) AS bn
+      |  FROM blk
+      |), ok AS (
+      |  SELECT doc_id, nt, bk FROM sized WHERE bn BETWEEN 2 AND 50
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         CAST(levenshtein(a.nt, b.nt) AS BIGINT) AS dist,
+      |         round(CAST(1 AS DOUBLE) -
+      |           CAST(levenshtein(a.nt, b.nt) AS DOUBLE) /
+      |           CAST(greatest(len(a.nt), len(b.nt)) AS DOUBLE), 6) AS sim
+      |  FROM ok a JOIN ok b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_a, id_b, dist, sim FROM pairs WHERE dist <= 40
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.editDistancePairs(Tables.documents(s, d), "text", "doc_id",
+        prefixLen = 12, maxDist = 40, blockCap = 50)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact cross-source 5-gram overlap matrix
+    * ([[Sketches.exactOverlapMatrix]]): the ground truth q139's HLL
+    * inclusion–exclusion estimates — every source pair's exact shared
+    * distinct-gram count and Jaccard, disjoint pairs included as 0. */
+  val q165ExactOverlap = QueryDef(
+    "q165_exact_overlap",
+    """WITH toks AS (
+      |  SELECT source, string_split(text, ' ') AS ts FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT source, unnest(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 4),
+      |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |           ts[i+3] || ' ' || ts[i+4]))) AS g
+      |  FROM toks WHERE len(ts) >= 5
+      |), counts AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+      |  FROM grams GROUP BY source
+      |), shared AS (
+      |  SELECT a.source AS group_a, b.source AS group_b,
+      |         CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT ca.source AS group_a, cb.source AS group_b,
+      |         ca.n_grams AS n_a, cb.n_grams AS n_b
+      |  FROM counts ca JOIN counts cb ON ca.source < cb.source
+      |)
+      |SELECT p.group_a, p.group_b, p.n_a, p.n_b,
+      |  coalesce(s.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+      |  round(CAST(coalesce(s.n_shared, 0) AS DOUBLE) /
+      |    CAST(p.n_a + p.n_b - coalesce(s.n_shared, 0) AS DOUBLE), 6)
+      |    AS jaccard
+      |FROM pairs p LEFT JOIN shared s
+      |  ON s.group_a = p.group_a AND s.group_b = p.group_b
+      |ORDER BY p.group_a, p.group_b""".stripMargin) { (s, d) =>
+    Sketches.exactOverlapMatrix(Tables.documents(s, d),
+        groupCol = "source", textCol = "text", n = 5)
+      .orderBy(col("group_a"), col("group_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
+    q164EditDistancePairs, q165ExactOverlap)
+}
