@@ -608,4 +608,50 @@ class DedupSpec extends SparkSpec {
       .orderBy($"doc_id").select($"status").as[String].collect().toSeq
     assert(got === Seq("unchanged", "changed"))
   }
+
+  test("editDistancePairs: planted typo'd copy found with exact distance, " +
+      "reordered-token pair scores low sim, distant pair excluded") {
+    val docs = Seq(
+      // shares the 12-char normalized prefix with 1; two char edits
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"),
+      // same prefix but pushed past maxDist by a long suffix change
+      (3L, "the quick brown fox " + ("x" * 80)),
+      // different prefix entirely — never paired with the above
+      (4L, "completely unrelated content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        prefixLen = 12, maxDist = 10, blockCap = 10)
+      .orderBy($"id_a", $"id_b")
+      .select($"id_a", $"id_b", $"dist")
+      .as[(Long, Long, Long)].collect().toSeq
+    // dog→cat is 3 substitutions; doc 3 is past the band (levenshtein
+    // threshold form returns -1 → filtered); doc 4 blocks alone
+    assert(got === Seq((1L, 2L, 3L)))
+  }
+
+  test("editDistancePairs: normalization makes formatting noise free " +
+      "(dist 0 for a case/punctuation variant)") {
+    val docs = Seq(
+      (1L, "Hello, World! This is Fine."),
+      (2L, "hello world  this is fine")
+    ).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        prefixLen = 8, maxDist = 5, blockCap = 10)
+      .select($"id_a", $"id_b", $"dist", $"sim")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L, 1.0)))
+  }
+
+  test("editDistancePairs: blockCap drops a hot boilerplate block") {
+    val hot = (1L to 20L).map(i => (i, s"same boilerplate prefix doc $i"))
+    val cold = Seq((100L, "rare prefix one alpha"), (101L, "rare prefix one alphb"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs, "text", "doc_id",
+        prefixLen = 12, maxDist = 10, blockCap = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    // the 20-doc block exceeds the cap → contributes no pairs; the
+    // 2-doc block survives
+    assert(got === Seq((100L, 101L)))
+  }
 }

@@ -266,4 +266,44 @@ class RelationalSpec extends SparkSpec {
     assert(loads.max <= ideal * 2,
       s"max load ${loads.max} vs ideal $ideal")
   }
+
+  test("exactQuantiles: rank selection matches a driver-side reference " +
+      "on a hand-checkable frame") {
+    // group g: values 10..100 step 10 (n=10); p=0.5 → rank 5 → 50,
+    // p=0.9 → rank 9 → 90, p=0.25 → rank ceil(2.5)=3 → 30
+    val df = (1L to 10L).map(i => ("g", i, i * 10.0)).toDF("grp", "id", "v")
+    val got = exactQuantiles(df, Seq("grp"), "v", Seq("id"),
+        Seq(0.25, 0.5, 0.9))
+      .orderBy($"p").select($"p", $"quantile", $"n_rows")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(got === Seq((0.25, 30.0, 10L), (0.5, 50.0, 10L), (0.9, 90.0, 10L)))
+  }
+
+  test("exactQuantiles: ties broken by tie column — the selected ROW is " +
+      "deterministic, not just the value") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 5.0),
+      ("g", 4L, 9.0)).toDF("grp", "id", "v")
+    // p=0.5 → rank 2: the id=2 row under (v, id) order
+    val got = exactQuantiles(df, Seq("grp"), "v", Seq("id"), Seq(0.5))
+      .select($"quantile").as[Double].head()
+    assert(got === 5.0)
+  }
+
+  test("exactQuantilesGlobal equals the grouped form collapsed to one " +
+      "group, and runs without an unpartitioned window") {
+    val df = (1L to 1000L).map(i => (i, (i * 37 % 1000).toDouble))
+      .toDF("id", "v")
+    val ps = Seq(0.25, 0.5, 0.75, 0.99)
+    val global = exactQuantilesGlobal(df, "v", Seq("id"), ps)
+      .orderBy($"p").select($"p", $"quantile", $"n_rows")
+      .as[(Double, Double, Long)].collect().toSeq
+    val grouped = exactQuantiles(df.withColumn("g", lit(1)),
+        Seq("g"), "v", Seq("id"), ps)
+      .orderBy($"p").select($"p", $"quantile", $"n_rows")
+      .as[(Double, Double, Long)].collect().toSeq
+    assert(global === grouped)
+    val plan = exactQuantilesGlobal(df, "v", Seq("id"), ps)
+    plan.collect()
+    assertNoUnpartitionedWindow(plan)
+  }
 }

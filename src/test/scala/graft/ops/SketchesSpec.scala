@@ -116,4 +116,37 @@ class SketchesSpec extends SparkSpec {
     val d = docs.agg(countDistinct($"text")).head().getLong(0)
     assert(math.abs(row.getLong(1).toDouble - d) <= math.max(1.0, 0.05 * d))
   }
+
+  test("exactOverlapMatrix: planted shared grams counted exactly, " +
+      "disjoint pair reports 0") {
+    // sources a/b share exactly the grams of one common sentence;
+    // c is disjoint from both
+    val common = "alpha beta gamma delta epsilon zeta"   // 6 toks → 4 3-grams
+    val docs = Seq(
+      ("a", common), ("a", "one two three four five six"),
+      ("b", common), ("b", "seven eight nine ten eleven twelve"),
+      ("c", "thirteen fourteen fifteen sixteen seventeen eighteen")
+    ).toDF("source", "text")
+    val m = Sketches.exactOverlapMatrix(docs, "source", "text", n = 3)
+      .orderBy($"group_a", $"group_b")
+      .select($"group_a", $"group_b", $"n_a", $"n_b", $"n_shared")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // each source: 2 docs × 4 grams = 8 distinct grams
+    assert(m === Seq(
+      ("a", "b", 8L, 8L, 4L),
+      ("a", "c", 8L, 4L, 0L),
+      ("b", "c", 8L, 4L, 0L)))
+  }
+
+  test("exactOverlapMatrixHashed: same matrix as the exact-string form " +
+      "on the real documents table") {
+    val docs = Tables.documents(spark, sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"group_a", $"group_b")
+        .select($"group_a", $"group_b", $"n_a", $"n_b", $"n_shared", $"jaccard")
+        .collect().toSeq
+    val exact = canon(Sketches.exactOverlapMatrix(docs, "source", "text", 5))
+    val hashed = canon(Sketches.exactOverlapMatrixHashed(docs, "source", "text", 5))
+    assert(exact === hashed)
+  }
 }
