@@ -18,6 +18,8 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // pre-flight: fail ONCE with a named diff on testdata storage drift
+    graft.sources.TestdataContract.assertContract(spark, sfDir)
 
     // warmup: a small join+agg exercises scan, shuffle, codegen paths
     try SparkEntry.entry(spark).count()

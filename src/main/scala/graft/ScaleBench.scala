@@ -24,10 +24,10 @@ import org.apache.spark.sql.types.LongType
   * group is 10× denser, so candidate generation that is secretly
   * quadratic in duplication density shows up immediately.
   *
-  * `events.ts` arrives as parquet TIMESTAMP(NANOS), which the blown
-  * copy stores as a plain int64 of the same nano value
-  * (`nanosAsLong`); [[graft.sources.Tables.events]] applies the same
-  * div-1000 conversion to either encoding, so query code is unchanged.
+  * `events.ts` replication preserves whatever encoding the source
+  * files carry (the current TIMESTAMP_NTZ micros roundtrips
+  * byte-exactly); [[graft.sources.Tables.normalizeEventTs]] dispatches
+  * on the blown copy's footer, so query code is unchanged either way.
   *
   * Each selected query runs `SPARK_GRAFT_BENCH_RUNS`-min (default
   * min-of-2) at the base SF and at the blow-up; the artifact reports
@@ -57,7 +57,6 @@ object ScaleBench {
 
   def materialize(spark: SparkSession, sfDir: String, outDir: String,
                   copies: Int): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.allTables.foreach { t =>
       val base = spark.read.parquet(s"$sfDir/$t.parquet")
       val n = if (FactTables.contains(t)) copies else 1

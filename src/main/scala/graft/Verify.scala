@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // pre-flight: fail ONCE with a named diff if the testdata's storage
+    // drifted (round-7: 17 opaque per-query errors for one ts change)
+    graft.sources.TestdataContract.assertContract(spark, sfDir)
     // wipe stale outputs: a renamed/removed query must not leave its
     // old dump behind to be compared (or "pass" rows-only) on rerun
     val outRoot = new java.io.File(outDir)

@@ -939,15 +939,29 @@ object Dedup {
     * (the q157 oracle does — 128-bit collisions are not a thing).
     *
     * Output per doc: clean_text (may be empty when every chunk was
-    * seen before), n_chunks, kept_chunks, n_tokens, removed_tokens. */
+    * seen before), n_chunks, kept_chunks, n_tokens, removed_tokens.
+    *
+    * Survivor policy: default keep-FIRST in (id, chunk_idx) order.
+    * `qualityCol = Some(q)` keeps the occurrence in the
+    * HIGHEST-QUALITY document instead (order q DESC, then the same
+    * (id, chunk_idx) tiebreak — still total, still deterministic at
+    * any cluster size) — the q129 quality-argmax survivor rule
+    * extended from whole-doc dedup to span removal: boilerplate
+    * survives in the best document that carries it, not merely the
+    * first. Same two-shuffle shape (the quality value rides the
+    * existing chunk rows; no extra join). */
   def removeDuplicateSpans(df: DataFrame, textCol: String, idCol: String,
                            chunkTokens: Int = 50,
-                           replayableKeys: Boolean = false): DataFrame = {
-    val chunked = TextAnalysis.chunk(df, textCol, chunkTokens, 0, idCol)
+                           replayableKeys: Boolean = false,
+                           qualityCol: Option[String] = None): DataFrame = {
+    val rideAlong = Seq(idCol) ++ qualityCol
+    val chunked = TextAnalysis.chunk(df, textCol, chunkTokens, 0, rideAlong: _*)
     val key = if (replayableKeys) md5(col("chunk_text"))
               else xxhash64(col("chunk_text")).cast("string")
+    val order = qualityCol.map(q => col(q).desc).toSeq ++
+      Seq(col(idCol).asc, col("chunk_idx").asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__k")).orderBy(col(idCol), col("chunk_idx"))
+      .partitionBy(col("__k")).orderBy(order: _*)
     chunked
       .withColumn("__k", key)
       .withColumn("__keep", row_number().over(w) === 1)

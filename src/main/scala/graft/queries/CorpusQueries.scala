@@ -142,14 +142,73 @@ object CorpusQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** The full BPE TRAINING loop replayed in ANSI SQL — shared by the
+    * q154/q155 oracles. Unlike the KMeans family (engine-seeded,
+    * solver-dependent), [[Bpe.train]] is a pure function of the
+    * corpus: exact long counts, (count DESC, left, right) argmax
+    * tiebreak, greedy left-to-right non-overlapping merge passes. So
+    * the fit itself is oracle-checkable; this recursive CTE replays
+    * all 20 iterations.
+    *
+    * Encoding trick: a word's symbol sequence rides as ONE string
+    * `|s1||s2||...|` — every symbol delimited on both sides — so one
+    * greedy merge pass is exactly one `replace(s, '|l||r|', '|lr|')`
+    * (SQL replace scans left-to-right and resumes AFTER each
+    * replacement: non-overlapping by construction, and the double
+    * delimiter means consecutive matches don't share a boundary
+    * character). The corpus is printable ASCII with no '|' (asserted
+    * in BpeSpec), so delimiters are unambiguous and DuckDB's
+    * codepoint char-split equals the engine's char segmentation.
+    * The vocab table travels as a LIST&lt;STRUCT&gt; on a single
+    * recursion row; per-iteration argmax is a correlated scalar
+    * subquery over its unnest. */
+  private val BpeTrainSql =
+    """WITH RECURSIVE bpe(i, vocab, bl, br, bc) AS (
+      |  SELECT 0,
+      |    (SELECT list({'w': w,
+      |       's': '|' || array_to_string(string_split_regex(w,''),'||') || '|',
+      |       'c': c})
+      |     FROM (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |           FROM (SELECT unnest(string_split(text,' ')) AS w
+      |                 FROM documents)
+      |           GROUP BY w)),
+      |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+      |  UNION ALL
+      |  SELECT i+1,
+      |    list_transform(vocab, x -> {'w': x.w,
+      |      's': replace(x.s, '|'||best.l||'||'||best.r||'|',
+      |                   '|'||best.l||best.r||'|'),
+      |      'c': x.c}),
+      |    best.l, best.r, best.cnt
+      |  FROM (
+      |    SELECT i, vocab,
+      |      (SELECT {'l': l, 'r': r, 'cnt': cnt} FROM (
+      |         SELECT sy[k] AS l, sy[k+1] AS r, CAST(sum(c) AS BIGINT) AS cnt
+      |         FROM (
+      |           SELECT unnest(generate_series(1, len(sy)-1)) AS k, sy, c
+      |           FROM (SELECT string_split(substr(x.s, 2, len(x.s)-2), '||')
+      |                   AS sy, x.c AS c
+      |                 FROM (SELECT unnest(vocab) AS x))
+      |         )
+      |         GROUP BY l, r
+      |         ORDER BY cnt DESC, l, r
+      |         LIMIT 1)) AS best
+      |    FROM bpe WHERE i < 20
+      |  )
+      |  WHERE best.cnt >= 2
+      |)""".stripMargin
+
   /** BPE tokenizer training ([[Bpe.train]], 20 merges over the
     * documents corpus): the merge table a subword tokenizer ships.
-    * Rows-only: the fit is iterative with a data-dependent argmax per
-    * round — the same non-SQL class as the KMeans fits (q124/q130) —
-    * but it is fully DETERMINISTIC (exact counts, lexicographic
-    * tiebreak), so the rows-only check still pins byte-stable output,
-    * and BpeSpec hand-verifies the algorithm. */
-  val q154BpeMerges = QueryDef.rowsOnly("q154_bpe_merges") { (s, d) =>
+    * HASH-ORACLED as of round 8: the fit is deterministic (exact
+    * counts, lexicographic tiebreak — BpeSpec proves two-run byte
+    * equality), so [[BpeTrainSql]] replays the whole training loop in
+    * DuckDB and the merge table itself is compared bit-for-bit. */
+  val q154BpeMerges = QueryDef(
+    "q154_bpe_merges",
+    s"""$BpeTrainSql
+       |SELECT i AS rank, bl AS "left", br AS "right", bc AS pair_count
+       |FROM bpe WHERE i >= 1 ORDER BY rank""".stripMargin) { (s, d) =>
     Bpe.mergesDf(s,
         Bpe.trainCached(Tables.documents(s, d), d, "text", numMerges = 20))
       .orderBy(col("rank"))
@@ -158,8 +217,31 @@ object CorpusQueries {
   /** Per-doc token counts under the q154 merge table
     * ([[Bpe.tokenCounts]]): every distinct word is encoded ONCE; doc
     * counts come from the occurrence-compressed (doc, word, count)
-    * join — the corpus never runs through the imperative encoder. */
-  val q155BpeTokenCounts = QueryDef.rowsOnly("q155_bpe_token_counts") { (s, d) =>
+    * join — the corpus never runs through the imperative encoder.
+    * HASH-ORACLED as of round 8: the oracle replays training
+    * ([[BpeTrainSql]]), takes the FINAL vocab's per-word symbol
+    * count, and re-derives every document's rollup relationally —
+    * encode, join, and rollup all checked end-to-end. */
+  val q155BpeTokenCounts = QueryDef(
+    "q155_bpe_token_counts",
+    s"""$BpeTrainSql, final_vocab AS (
+       |  SELECT unnest(vocab) AS x FROM bpe
+       |  WHERE i = (SELECT max(i) FROM bpe)
+       |), word_len AS (
+       |  SELECT x.w AS w,
+       |    CAST(len(string_split(substr(x.s, 2, len(x.s)-2), '||')) AS BIGINT)
+       |      AS n_bpe
+       |  FROM final_vocab
+       |), per_doc AS (
+       |  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+       |        FROM documents)
+       |  GROUP BY doc_id, w
+       |)
+       |SELECT p.doc_id, CAST(sum(p.c) AS BIGINT) AS n_words,
+       |       CAST(sum(p.c * wl.n_bpe) AS BIGINT) AS n_bpe_tokens
+       |FROM per_doc p JOIN word_len wl ON p.w = wl.w
+       |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
     Bpe.tokenCounts(docs, "doc_id", "text",
         Bpe.trainCached(docs, d, "text", numMerges = 20))
@@ -237,6 +319,46 @@ object CorpusQueries {
       |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
     Dedup.removeDuplicateSpans(Tables.documents(s, d), "text", "doc_id",
         chunkTokens = 10, replayableKeys = true)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality-weighted span removal ([[Dedup.removeDuplicateSpans]]
+    * with `qualityCol`): same rewrite as q157, but each duplicated
+    * chunk survives in the HIGHEST-quality document carrying it
+    * (quality = n_chars here; ties broken by the same (doc_id,
+    * chunk_idx) order, so the decision is total and replays exactly).
+    * The q129 quality-argmax survivor rule at span granularity. */
+  val q167RemoveDupSpansByQuality = QueryDef(
+    "q167_remove_dup_spans_by_quality",
+    """WITH t AS (
+      |  SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM documents
+      |), toks AS (
+      |  SELECT doc_id, n_chars, generate_subscripts(ts, 1) AS i,
+      |         unnest(ts) AS tok
+      |  FROM t
+      |), chunks AS (
+      |  SELECT doc_id, n_chars, CAST((i - 1) // 10 AS BIGINT) AS chunk_idx,
+      |         CAST(count(*) AS BIGINT) AS chunk_tokens,
+      |         string_agg(tok, ' ' ORDER BY i) AS chunk_text
+      |  FROM toks GROUP BY doc_id, n_chars, (i - 1) // 10
+      |), flagged AS (
+      |  SELECT doc_id, chunk_idx, chunk_tokens, chunk_text,
+      |    (ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+      |       ORDER BY n_chars DESC, doc_id, chunk_idx) = 1) AS keep
+      |  FROM chunks
+      |)
+      |SELECT doc_id,
+      |  coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+      |    ORDER BY chunk_idx), '') AS clean_text,
+      |  CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+      |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN NOT keep THEN chunk_tokens ELSE 0 END) AS BIGINT)
+      |    AS removed_tokens
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Dedup.removeDuplicateSpans(Tables.documents(s, d), "text", "doc_id",
+        chunkTokens = 10, replayableKeys = true,
+        qualityCol = Some("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -365,5 +487,5 @@ object CorpusQueries {
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
-    q159KnnJoinIvfPqStored, q160DsirSelect)
+    q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality)
 }

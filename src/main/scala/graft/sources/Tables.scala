@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 import org.apache.spark.sql.types._
 
 /** Table readers for the engine.
@@ -32,16 +32,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet INT64 TIMESTAMP(NANOS),
-    * which Spark has no native type for. We read it as a long
-    * (legacy nanosAsLong) and floor-convert to microsecond
-    * TimestampType — the same truncation DuckDB applies when it reads
-    * the column, so both engines see identical instants. */
+  /** The events table's `ts` column has shipped under two physical
+    * parquet encodings, and the reader must not assume either:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark has no nanosecond type, so we
+    *    read it as a long (legacy `nanosAsLong`) and floor-convert to
+    *    microsecond TimestampType — the same truncation DuckDB applies.
+    *  - INT64 TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it
+    *    as TIMESTAMP_NTZ; we cast to TimestampType. The session
+    *    timezone is pinned to UTC ([[graft.GraftSession]]), so the cast
+    *    preserves the stored microsecond value exactly — the same naive
+    *    micros DuckDB sees.
+    *
+    * Dispatch is on the file footer (what `spark.read` actually
+    * inferred), not on a hard-coded writer assumption: landing-zone
+    * writers change, and the contract is "ts is an event-time instant",
+    * not one physical encoding. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless for micros/NTZ files; required to even read nanos footers.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
   }
+
+  /** Normalize an events DataFrame's `ts` to TimestampType whatever
+    * the storage encoding produced (see [[events]] for the contract).
+    * Shared by the batch reader and the streaming file source. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType => // legacy INT64 TIMESTAMP(NANOS) read as long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // TIMESTAMP(MICROS, adjusted=false)
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw // already instant-typed
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported storage type $other (expected " +
+          "INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

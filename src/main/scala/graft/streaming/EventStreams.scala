@@ -18,24 +18,39 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Event schema as stored (ts arrives as INT64 nanos in parquet). */
-  val rawSchema: StructType = StructType(Seq(
+  /** Event schema with `ts` stored as `tsType` — the file-source
+    * stream needs a pinned schema, and that schema must match the
+    * files' physical encoding or the source silently reads nulls. The
+    * encoding is probed from the landing zone (see
+    * [[readEventStream]]), never assumed. */
+  def rawSchemaFor(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Schema of the current writer format (TIMESTAMP_NTZ micros). */
+  val rawSchema: StructType = rawSchemaFor(TimestampNTZType)
+
   /** File-source stream of an events-parquet ingestion directory (new
     * files picked up incrementally — the standard landing-zone shape).
-    * Same nanos → micros conversion as the batch reader. */
+    *
+    * The `ts` encoding is read from the footer of whatever file is
+    * already in the directory (one bounded batch-read of the schema,
+    * not the data) and normalized exactly like the batch reader
+    * ([[graft.sources.Tables.normalizeEventTs]]) — legacy INT64-nanos
+    * files and TIMESTAMP_NTZ-micros files both stream as
+    * TimestampType. An empty landing zone defaults to the current
+    * writer format. */
   def readEventStream(spark: SparkSession, ingestDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(ingestDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = scala.util.Try(
+      spark.read.parquet(ingestDir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchemaFor(tsType)).parquet(ingestDir))
   }
 
   /** Tumbling-window aggregation with a watermark: count + sum(value)

@@ -81,6 +81,21 @@ class BpeSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("corpus charset upholds the q154/q155 oracle contract: printable " +
+      "ASCII, no '|' delimiter collisions") {
+    // The SQL training replay (CorpusQueries.BpeTrainSql) encodes a
+    // word's symbols as '|s1||s2||...|' and char-splits by codepoint.
+    // Both are sound only while corpus words are pipe-free ASCII
+    // (byte = char = UTF-16 unit). Fail here — not as a silent oracle
+    // hash divergence — if the testdata generator ever widens charset.
+    for (dir <- Seq(sf0001, sf001)) {
+      val bad = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("text").rlike("[^\\x20-\\x7e]") || col("text").contains("|"))
+        .count()
+      assert(bad === 0L, s"non-ASCII or '|' text rows in $dir")
+    }
+  }
+
   test("merge table survives the DataFrame round-trip in rank order") {
     val docs = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, "text", numMerges = 3, minPairCount = 2L)

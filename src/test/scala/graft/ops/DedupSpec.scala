@@ -158,6 +158,25 @@ class DedupSpec extends SparkSpec {
       (4L, "g h i", 2L, 2L, 3L, 0L)))
   }
 
+  test("removeDuplicateSpans: qualityCol keeps the occurrence in the " +
+      "highest-quality doc; default stays keep-first") {
+    // docs 1 and 3 share chunk [a b]; doc 3 has higher quality, so
+    // under the quality policy IT keeps the chunk and doc 1 loses it.
+    val d = Seq(
+      (1L, "a b", 1.0),
+      (2L, "c d", 5.0),
+      (3L, "a b x", 9.0)).toDF("doc_id", "text", "q")
+    def clean(qual: Option[String]) =
+      Dedup.removeDuplicateSpans(d, "text", "doc_id", chunkTokens = 2,
+          qualityCol = qual)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(clean(None) ===
+      Seq((1L, "a b"), (2L, "c d"), (3L, "x")))
+    assert(clean(Some("q")) ===
+      Seq((1L, ""), (2L, "c d"), (3L, "a b x")))
+  }
+
   test("removeDuplicateSpans: replayable md5 keys make the same decisions " +
       "as the xxhash64 production keys on the documents table") {
     val d = Tables.documents(spark, sf0001).limit(120)
