@@ -344,12 +344,17 @@ object EventStreams {
     *
     *  - `minhash/` — the near-dup signature sidecar
     *    ([[graft.ops.Dedup.writeMinhashSidecar]] layout);
-    *  - `budget_state/` — (source, seen_tokens): the running
-    *    quality-kept token count per source. Admission is
-    *    prefix-by-arrival: a row is admitted while the source's seen
-    *    total (including earlier REJECTED rows' tokens — the same
-    *    running-cum-≤-budget rule as the batch mixture stage, which is
-    *    what makes incremental == one-shot) stays ≤ `tokensPerSource`;
+    *  - `budget_state/` — (source, seen_tokens, seen_docs): the
+    *    running quality-kept token AND document counts per source.
+    *    Admission is prefix-by-arrival on BOTH: a row is admitted
+    *    while the source's seen token total stays ≤ `tokensPerSource`
+    *    AND its seen doc count stays ≤ `docsPerSource` (the streaming
+    *    twin of [[graft.ops.Curation.capPerSource]]'s no-domain-
+    *    dominates rule — arrival-order prefix instead of the batch
+    *    op's seeded uniform sample, because a stream cannot
+    *    retroactively un-admit). Both counters include earlier
+    *    REJECTED rows — the running-cum-≤-budget rule of the batch
+    *    mixture stage, which is what makes incremental == one-shot;
     *  - `pack_state/` — the global token offset the next batch's
     *    packing continues from.
     *
@@ -381,14 +386,15 @@ object EventStreams {
                            bands: Int = 8, nearDupThreshold: Double = 0.7,
                            minQuality: Double = 0.5,
                            tokensPerSource: Long = 1000L,
-                           seqTokens: Long = 256L): Unit = {
+                           seqTokens: Long = 256L,
+                           docsPerSource: Long = Long.MaxValue): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         curateBatch(batch, textCol, idCol, sourceCol, pipelineDir,
           shingleK, numHashes, bands, nearDupThreshold, minQuality,
-          tokensPerSource, seqTokens)
+          tokensPerSource, seqTokens, docsPerSource)
       }
       .start()
     q.processAllAvailable()
@@ -401,7 +407,8 @@ object EventStreams {
   private[graft] def curateBatch(batch: DataFrame, textCol: String,
       idCol: String, sourceCol: String, pipelineDir: String,
       shingleK: Int, numHashes: Int, bands: Int, nearDupThreshold: Double,
-      minQuality: Double, tokensPerSource: Long, seqTokens: Long): Unit = {
+      minQuality: Double, tokensPerSource: Long, seqTokens: Long,
+      docsPerSource: Long = Long.MaxValue): Unit = {
     val spark = batch.sparkSession
     val fs = new org.apache.hadoop.fs.Path(pipelineDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -419,27 +426,38 @@ object EventStreams {
       .withColumn("__n_toks",
         graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long"))
 
-    // stage 3: per-source rolling budget. Prior = quality-kept tokens
-    // SEEN so far (admitted or not — the batch mixture stage's
-    // running-cum rule); within the batch the cum orders by id.
+    // stage 3: per-source rolling budget AND doc cap. Prior =
+    // quality-kept tokens/docs SEEN so far (admitted or not — the
+    // batch mixture stage's running-cum rule); within the batch both
+    // cums order by id on the SAME window.
     val budgetDir = s"$pipelineDir/budget_state"
-    val prior =
+    val prior0 =
       if (exists(budgetDir)) spark.read.parquet(budgetDir)
       else kept.select(col(sourceCol)).limit(0)
         .withColumn("seen_tokens", lit(0L))
+        .withColumn("seen_docs", lit(0L))
+    // pre-doc-cap state dirs lack seen_docs; treat as zero
+    val prior =
+      if (prior0.columns.contains("seen_docs")) prior0
+      else prior0.withColumn("seen_docs", lit(0L))
     val wSrc = org.apache.spark.sql.expressions.Window
       .partitionBy(col(sourceCol)).orderBy(col(idCol))
-    val withCum = kept.withColumn("__cum",
-      sum(col("__n_toks")).over(wSrc.rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+    val cumFrame = wSrc.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val withCum = kept
+      .withColumn("__cum", sum(col("__n_toks")).over(cumFrame))
+      .withColumn("__rn", row_number().over(wSrc).cast("long"))
     val admitted = withCum
       .join(broadcast(prior.withColumnRenamed(sourceCol, "__psrc")
-        .withColumnRenamed("seen_tokens", "__prior")),
+        .withColumnRenamed("seen_tokens", "__prior")
+        .withColumnRenamed("seen_docs", "__prior_docs")),
         col(sourceCol) === col("__psrc"), "left_outer")
       .withColumn("__prior", coalesce(col("__prior"), lit(0L)))
-      .filter(col("__prior") + col("__cum") <= tokensPerSource)
-      .drop("__psrc", "__cum")
+      .withColumn("__prior_docs", coalesce(col("__prior_docs"), lit(0L)))
+      .filter(col("__prior") + col("__cum") <= tokensPerSource &&
+        col("__prior_docs") + col("__rn") <= docsPerSource)
+      .drop("__psrc", "__cum", "__rn", "__prior_docs")
 
     // stage 4: sequence packing continuing from the persisted offset
     val packDir = s"$pipelineDir/pack_state"
@@ -459,12 +477,15 @@ object EventStreams {
         col("start_seq"), col("start_offset"), col("end_seq"))
       .localCheckpoint(true)
     val batchSeen = kept.groupBy(col(sourceCol))
-      .agg(sum(col("__n_toks")).as("__batch_seen"))
+      .agg(sum(col("__n_toks")).as("__batch_seen"),
+        count(lit(1)).as("__batch_docs"))
     val newState = prior
       .join(batchSeen, Seq(sourceCol), "full_outer")
       .select(col(sourceCol),
         (coalesce(col("seen_tokens"), lit(0L)) +
-          coalesce(col("__batch_seen"), lit(0L))).as("seen_tokens"))
+          coalesce(col("__batch_seen"), lit(0L))).as("seen_tokens"),
+        (coalesce(col("seen_docs"), lit(0L)) +
+          coalesce(col("__batch_docs"), lit(0L))).as("seen_docs"))
       .localCheckpoint(true)
     val admittedTokens = packed.agg(coalesce(sum(col("n_toks")), lit(0L)))
       .head().getLong(0)

@@ -347,6 +347,49 @@ class EventStreamsSpec extends SparkSpec {
       .head().getLong(0) === 160L)
   }
 
+  test("streaming curation doc cap: per-source docsPerSource admits the " +
+      "arrival prefix, cuts in-batch and cross-batch, two micro-batches " +
+      "== one-shot") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scuration_cap")
+    val twoDir = root.resolve("two").toString
+    val oneDir = root.resolve("one").toString
+    val ckpt = root.resolve("ckpt").toString
+    def mk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    // all docs quality 0.5 / 40 tokens; budget (10k) never binds, so
+    // every cut below is the DOC cap's
+    val b1 = Seq(
+      (1L, "web", mk("aa", 40)),    // web doc 1 → packed
+      (2L, "web", mk("bb", 40)),    // web doc 2 → packed
+      (3L, "books", mk("cc", 40)),  // books doc 1 → packed
+      (5L, "web", mk("dd", 40)))    // web doc 3 > cap 2 → cut IN-batch
+    val b2 = Seq(
+      (11L, "web", mk("ee", 40)),   // web prior_docs 3 → cut CROSS-batch
+      (12L, "books", mk("ff", 40))) // books doc 2 ≤ cap → packed
+    val mem = MemoryStream[(Long, String, String)]
+    def run() = runCurationToParquet(
+      mem.toDF().toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", twoDir, ckpt,
+      tokensPerSource = 10000L, seqTokens = 64L, docsPerSource = 2L)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    curateBatch((b1 ++ b2).toDF("doc_id", "source", "text"),
+      "text", "doc_id", "source", oneDir,
+      2, 64, 8, 0.7, 0.5, 10000L, 64L, docsPerSource = 2L)
+
+    def packed(d: String) = spark.read.parquet(s"$d/packed")
+      .collect().map(_.toString).sorted.toSeq
+    assert(packed(twoDir) === packed(oneDir))
+    assert(spark.read.parquet(s"$twoDir/packed")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 12L))
+    // seen_docs counts quality-KEPT docs (admitted or not): web saw 4
+    val st = spark.read.parquet(s"$twoDir/budget_state")
+      .select($"source", $"seen_docs").as[(String, Long)].collect().toMap
+    assert(st === Map("web" -> 4L, "books" -> 2L))
+    assert(spark.read.parquet(s"$twoDir/budget_state").columns.toSeq ===
+      spark.read.parquet(s"$oneDir/budget_state").columns.toSeq)
+  }
+
   test("streaming sketch sidecar: merged estimates equal a from-scratch " +
       "batch build over everything ingested (lossless union)") {
     implicit val sqlCtx = spark.sqlContext
