@@ -57,6 +57,10 @@ object ScaleBench {
 
   def materialize(spark: SparkSession, sfDir: String, outDir: String,
                   copies: Int): Unit = {
+    // SPARK_GRAFT_SCALE_REUSE=1 skips re-materializing an existing
+    // blow-up dir (the copies are deterministic, so reuse is exact)
+    if (sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+        new java.io.File(s"$outDir/lineitem.parquet").exists()) return
     graft.sources.Tables.allTables.foreach { t =>
       val base = spark.read.parquet(s"$sfDir/$t.parquet")
       val n = if (FactTables.contains(t)) copies else 1

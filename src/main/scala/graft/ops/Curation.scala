@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -382,6 +382,70 @@ object Curation {
 
   /** PII redaction patterns (RE2-subset — no lookarounds — so an
     * external oracle can replicate them byte-for-byte). */
+  /** Append one batch's exact token counts to a persisted sidecar —
+    * the INCREMENTAL form of [[tokenRarity]]'s corpus-frequency table,
+    * in the HLL-sidecar discipline ([[Sketches.writeSketchSidecar]]):
+    * exact long counts are ADDITIVE, so the merge is a lossless sum
+    * and the merged table equals a from-scratch build over everything
+    * ingested, however the stream happened to micro-batch. Each append
+    * is one batch-local aggregation (map-side combine; the shuffle
+    * moves the batch's distinct tokens, not occurrences) written as
+    * (w, cnt) rows; single writer per sidecar via the dir lock, like
+    * every appender. At-least-once replays double-count — key batches
+    * externally (the sketch sidecar's documented contract) when
+    * exactness under replay matters. */
+  def writeTokenCountSidecar(batch: DataFrame, textCol: String,
+                             sidecarDir: String): Unit =
+    graft.sources.Sinks.withDirLock(
+      batch.sparkSession, sidecarDir, "writeTokenCountSidecar") {
+      batch.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .write.mode("append").parquet(sidecarDir)
+    }
+
+  /** Merged corpus token frequencies from a sidecar: one sum per
+    * token over the appended partials. Output (w, cnt) — exactly the
+    * `tf` table [[tokenRarity]] computes from raw text, without
+    * re-reading the corpus. */
+  def mergedTokenCounts(spark: SparkSession, sidecarDir: String): DataFrame =
+    spark.read.parquet(sidecarDir)
+      .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Many small appends → one summed row per token, via the shared
+    * backup-swap compaction ([[graft.sources.Sinks.compactParquetDir]]
+    * — its lock and crash-restore; the merge rides as the transform).
+    * Counts are unchanged by construction (additive). */
+  def compactTokenCountSidecar(spark: SparkSession,
+                               sidecarDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = Some("w"),
+      transform = Some(_.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))))
+
+  /** Score documents against a token-count SIDECAR instead of
+    * re-aggregating the corpus — [[tokenRarity]] with the frequency
+    * table read from `sidecarDir`. When the sidecar holds exactly the
+    * corpus' counts the output is IDENTICAL to [[tokenRarity]] (q168
+    * proves it against the DuckDB oracle); in the streaming setting
+    * the sidecar is the running corpus-so-far, which is the
+    * incremental semantic a rolling quality filter wants. Same scale
+    * shape: the docs side compresses to (doc, token, count) before
+    * the token-key join; the sidecar side is distinct tokens. */
+  def tokenRarityAgainstSidecar(docs: DataFrame, sidecarDir: String,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    val perDoc = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val tf = mergedTokenCounts(docs.sparkSession, sidecarDir)
+    perDoc.join(tf, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * col("cnt")).as("sum_cnt"),
+        min(col("cnt")).as("min_cnt"))
+      .withColumn("mean_cnt",
+        round(col("sum_cnt").cast("double") / col("n_toks"), 6))
+  }
+
   val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
   val PhonePattern = "[0-9]{3}-[0-9]{4}"
 

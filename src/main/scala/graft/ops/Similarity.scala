@@ -1141,6 +1141,16 @@ object Similarity {
         graft.functions.GraftFunctions.pq_lut(col("qvec"), codebooks,
           normalize = true).as("__qlut"),
         col("cell"))
+      // MATERIALIZE the LUTs before the codes join: the probe side
+      // feeds the join inside one whole-stage-codegen pipeline, where
+      // a projected expression is evaluated lazily AT USE — and the
+      // use site (pq_adc) is inside the join's matched-row loop, so
+      // without a barrier the m·ksub·dsub LUT is recomputed PER
+      // CANDIDATE PAIR instead of per probe row. Invisible at bench
+      // SF; the round-8 100× scalebench caught one task burning 15+
+      // minutes in exactly this loop. The checkpoint is bounded:
+      // |queries|·nprobe rows of m·ksub doubles.
+      .localCheckpoint()
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))  // ≤ nlist values
     val cellLit = probedCells.map(Integer.valueOf)

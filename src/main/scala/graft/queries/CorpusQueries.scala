@@ -62,6 +62,47 @@ object CorpusQueries {
     Curation.tokenRarity(Tables.documents(s, d)).orderBy(col("doc_id"))
   }
 
+  /** Token rarity scored against the INCREMENTAL token-count sidecar
+    * ([[Curation.writeTokenCountSidecar]] /
+    * [[Curation.tokenRarityAgainstSidecar]]): the corpus lands in TWO
+    * batches (doc_id parity — the q123/q133 sidecar discipline), the
+    * sidecar is compacted, and every document is scored against the
+    * merged counts. Exact longs are additive, so the result is
+    * hash-IDENTICAL to q151's one-shot rarity — which is exactly what
+    * the shared oracle proves: the whole incremental path (append →
+    * compact → merge → score) must reproduce the from-scratch
+    * numbers bit-for-bit. */
+  val q168TokenRaritySidecar = QueryDef(
+    "q168_token_rarity_sidecar",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), tf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY w
+      |), j AS (
+      |  SELECT t.doc_id, f.cnt FROM toks t JOIN tf f ON t.w = f.w
+      |)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+      |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+      |       min(cnt) AS min_cnt,
+      |       round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_cnt
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"target/tmp/q168_tokcnt_$sf"
+    // fresh sidecar per run (stale counts from an earlier corpus would
+    // change scores — the q130/q159 wipe discipline)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    Curation.writeTokenCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    Curation.writeTokenCountSidecar(
+      docs.filter(col("doc_id") % 2 === 1), "text", dir)
+    Curation.compactTokenCountSidecar(s, dir)
+    Curation.tokenRarityAgainstSidecar(docs, dir).orderBy(col("doc_id"))
+  }
+
   /** Semantic decontamination ([[Similarity.semanticDecontaminate]]):
     * vectors with `vec_id % 97 = 0` stand in for the eval set; every
     * other vector reports its nearest eval neighbor and a rounded-
@@ -487,5 +528,6 @@ object CorpusQueries {
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
-    q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality)
+    q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
+    q168TokenRaritySidecar)
 }

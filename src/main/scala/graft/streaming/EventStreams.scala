@@ -507,6 +507,30 @@ object EventStreams {
     ()
   }
 
+  /** Streaming token-count sidecar maintenance — the EXACT-count twin
+    * of [[runSketchToSidecar]] and the incremental feed for
+    * [[graft.ops.Curation.tokenRarityAgainstSidecar]]: each
+    * micro-batch appends its token-frequency partials
+    * ([[graft.ops.Curation.writeTokenCountSidecar]]). Long counts are
+    * additive, so the merged table equals a from-scratch build over
+    * everything ingested regardless of micro-batching (the rarity
+    * scores derived from it are batch-identical — EventStreamsSpec
+    * proves it). At-least-once replays double-count, the same
+    * documented contract as the sketch sidecar's `n_rows`. */
+  def runTokenCountsToSidecar(docs: DataFrame, textCol: String,
+                              sidecarDir: String,
+                              checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Curation.writeTokenCountSidecar(batch, textCol, sidecarDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming sketch-sidecar maintenance: each micro-batch appends
     * its per-group HLL sketch rows ([[graft.ops.Sketches
     * .writeSketchSidecar]]) — the continuous form of per-shard sketch

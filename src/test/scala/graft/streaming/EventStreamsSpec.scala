@@ -390,6 +390,38 @@ class EventStreamsSpec extends SparkSpec {
       spark.read.parquet(s"$oneDir/budget_state").columns.toSeq)
   }
 
+  test("streaming token-count sidecar: merged counts and rarity scores " +
+      "equal the one-shot batch build (exact counts are additive)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("stokcnt")
+    val sidecar = root.resolve("tf").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq((1L, "the cat sat"), (2L, "the dog sat here"))
+    val b2 = Seq((3L, "the cat ran"), (4L, "a rare hapax"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(b1: _*)
+    runTokenCountsToSidecar(mem.toDF().toDF("doc_id", "text"),
+      "text", sidecar, ckpt)
+    mem.addData(b2: _*)
+    runTokenCountsToSidecar(mem.toDF().toDF("doc_id", "text"),
+      "text", sidecar, ckpt)
+    graft.ops.Curation.compactTokenCountSidecar(spark, sidecar)
+
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(canon(graft.ops.Curation
+        .tokenRarityAgainstSidecar(union, sidecar)) ===
+      canon(graft.ops.Curation.tokenRarity(union)))
+    // merged table == one-shot frequency table, and compaction left
+    // exactly one row per token
+    val merged = graft.ops.Curation.mergedTokenCounts(spark, sidecar)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(merged("the") === 3L && merged("hapax") === 1L)
+    assert(spark.read.parquet(sidecar).groupBy($"w").count()
+      .filter($"count" > 1).count() === 0L)
+  }
+
   test("streaming sketch sidecar: merged estimates equal a from-scratch " +
       "batch build over everything ingested (lossless union)") {
     implicit val sqlCtx = spark.sqlContext
