@@ -303,9 +303,10 @@ object DataQueries {
   }
 
   /** Multimodal pipeline end-to-end: synthetic media table → binary
-    * payloads → partition-parallel decode (stubbed codec seam) →
-    * per-kind feature statistics. Deterministic but engine-specific
-    * (stub hash) → rows-only. */
+    * payloads → partition-parallel decode (REAL javax.imageio decode
+    * for the PNG image rows; stub seam for audio/video) → per-kind
+    * feature statistics. Deterministic but engine-specific (stub
+    * hash for the non-image kinds) → rows-only. */
   val q55Multimodal = QueryDef.rowsOnly("q55_multimodal_pipeline") { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(s, 300)).toDF()
@@ -409,8 +410,9 @@ object DataQueries {
     * feature vector per media item, then exact cosine top-10 against
     * media_id 0 — the media-retrieval pipeline (decode once, search
     * many) over the same ANN operators the embeddings table uses.
-    * Stub-derived features → rows-only; decode parity and recall are
-    * asserted in specs. */
+    * Image features are real luminance histograms (imageio decode);
+    * audio/video features are stub-derived → rows-only; decode parity
+    * and recall are asserted in specs. */
   val q99MultimodalAnn = QueryDef.rowsOnly("q99_multimodal_ann") { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decodeBatched(Multimodal.syntheticMedia(s, 500)).toDF()

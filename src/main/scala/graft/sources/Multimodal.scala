@@ -11,11 +11,16 @@ import org.apache.spark.sql.types._
   * mapInPandas batches).
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape,
-  * null/corrupt handling — is real and tested. The actual codec call
-  * is STUBBED behind [[MediaCodec]] (this environment ships no
-  * image/audio libraries): `decodeStub` derives deterministic fake
-  * dimensions/features from the payload bytes. Swapping in a real
-  * codec touches ONLY [[MediaCodec]].
+  * null/corrupt handling — is real and tested. The codec seam
+  * ([[MediaCodec]]) is real for IMAGES as of round 8: payloads
+  * decode through pure-JDK `javax.imageio` (PNG/BMP/GIF/JPEG — no
+  * external libraries), yielding true dimensions and a deterministic
+  * 8-bin luminance-histogram feature; a corrupt image payload is
+  * DROPPED (permissive-scan semantics), never faked. Audio/video
+  * remain stubbed (`decodeStub` — the JDK ships no codec for them):
+  * deterministic fake dimensions/features from the payload bytes.
+  * Swapping in a real audio/video codec still touches ONLY
+  * [[MediaCodec]].
   */
 object Multimodal {
 
@@ -51,16 +56,58 @@ object Multimodal {
       (width, height, frames, feature)
     }
 
-    /** STUB batch decode: one call per batch (where a real codec
-      * amortizes setup); per-item results identical to [[decodeStub]].
-      * Corrupt (null) payloads are dropped, not thrown. */
-    def decodeBatchStub(batch: Array[MediaRow]): Array[DecodedMedia] =
-      batch.flatMap { m =>
-        Option(m.payload).map { p =>
+    /** REAL image decode — pure-JDK `javax.imageio` (PNG, BMP, GIF,
+      * JPEG readers ship with the JRE): true raster dimensions,
+      * n_frames = 1, and an 8-bin luminance-histogram feature. The
+      * histogram bins integer luma `(299r + 587g + 114b)/1000` by
+      * `>> 5` (exact integer arithmetic); the only float op is the
+      * final per-bin count/total division — deterministic across
+      * JVMs, and PNG being lossless makes the whole decode a pure
+      * function of the encoded pixels. Returns None for anything
+      * imageio cannot parse (corrupt/truncated/not-an-image). */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).map { img =>
+          val w = img.getWidth
+          val h = img.getHeight
+          val hist = new Array[Long](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+              hist(math.min(lum >> 5, 7)) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          (w, h, 1, hist.map(c => c / n))
+        }
+      } catch { case _: Exception => None }
+
+    /** Per-item dispatch: images decode for REAL (corrupt → None,
+      * dropped downstream); audio/video go through the stub. Null
+      * payloads are dropped for every kind. */
+    def decodeItem(m: MediaRow): Option[DecodedMedia] =
+      Option(m.payload).flatMap { p =>
+        if (m.kind == "image")
+          decodeImage(p).map { case (w, h, f, feat) =>
+            DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
+        else {
           val (w, h, f, feat) = decodeStub(p)
-          DecodedMedia(m.media_id, m.kind, w, h, f, feat)
+          Some(DecodedMedia(m.media_id, m.kind, w, h, f, feat))
         }
       }
+
+    /** Batch decode: one call per batch (where a real codec amortizes
+      * setup); per-item results identical to [[decodeItem]]. Corrupt
+      * and null payloads are dropped, not thrown. */
+    def decodeBatch(batch: Array[MediaRow]): Array[DecodedMedia] =
+      batch.flatMap(decodeItem)
   }
 
   /** Decode/feature-extract as a partition-parallel typed map: one
@@ -70,14 +117,7 @@ object Multimodal {
     * mirroring permissive-mode scan semantics. */
   def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      it.flatMap { m =>
-        Option(m.payload).map { p =>
-          val (w, ht, frames, feat) = MediaCodec.decodeStub(p)
-          DecodedMedia(m.media_id, m.kind, w, ht, frames, feat)
-        }
-      }
-    }
+    media.mapPartitions(_.flatMap(MediaCodec.decodeItem))
   }
 
   /** Batched decode — the mapInPandas/Arrow batch shape: the codec is
@@ -90,7 +130,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        MediaCodec.decodeBatchStub(batch.toArray)
+        MediaCodec.decodeBatch(batch.toArray)
       }
     }
   }
@@ -115,14 +155,43 @@ object Multimodal {
   def withResizeTarget(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("resize_target", struct(lit(w).as("w"), lit(h).as("h")))
 
-  /** Deterministic synthetic media table for tests/demos (no media
-    * libs in this environment): payload bytes derived from the id. */
+  /** Deterministic 8×8 PNG payload: pixel colors are a pure function
+    * of (id, x, y), encoded losslessly — so the DECODED raster (and
+    * every feature derived from it) is byte-stable even if the PNG
+    * encoder's compression details differ between JREs. */
+  def syntheticPng(i: Long, side: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(side, side,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val v = ((i * 131 + x * 17 + y * 29) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((v * 7) % 256))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic media table for tests/demos: image rows
+    * carry REAL 8×8 PNGs (decoded by the real imageio path);
+    * audio/video rows carry opaque deterministic bytes (their decode
+    * is the documented stub seam). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
-      val bytes = Array.tabulate(128)(j => ((i * 131 + j * 7) % 256).toByte)
-      MediaRow(i, if (i % 3 == 0) "image" else if (i % 3 == 1) "audio" else "video",
-        "application/octet-stream", bytes, Map("src" -> s"synthetic/$i"))
+      if (i % 3 == 0)
+        MediaRow(i, "image", "image/png", syntheticPng(i),
+          Map("src" -> s"synthetic/$i"))
+      else {
+        val bytes = Array.tabulate(128)(j => ((i * 131 + j * 7) % 256).toByte)
+        MediaRow(i, if (i % 3 == 1) "audio" else "video",
+          "application/octet-stream", bytes, Map("src" -> s"synthetic/$i"))
+      }
     }
   }
 }

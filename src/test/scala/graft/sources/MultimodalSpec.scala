@@ -59,6 +59,35 @@ class MultimodalSpec extends SparkSpec {
     assert(one.feature.sameElements(oneStreaming.feature))
   }
 
+  test("real image decode: known 2x2 PNG yields exact dims and an exact " +
+      "luminance histogram") {
+    // two black pixels (luma 0 -> bin 0) + two white (luma 255 -> bin 7)
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xFFFFFF)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val Some((w, h, f, feat)) = Multimodal.MediaCodec.decodeImage(bos.toByteArray)
+    assert((w, h, f) === ((2, 2, 1)))
+    assert(feat.toSeq === Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+  }
+
+  test("corrupt image payloads are DROPPED, audio/video stay stub-decoded") {
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "image/png",
+        Array[Byte](1, 2, 3, 4), Map.empty),              // not a PNG
+      Multimodal.MediaRow(2L, "image", "image/png",
+        Multimodal.syntheticPng(2L), Map.empty),          // real PNG
+      Multimodal.MediaRow(3L, "audio", "application/octet-stream",
+        Array[Byte](9, 9, 9), Map.empty))                 // stub path
+    val got = Multimodal.decode(rows.toDS()).collect().sortBy(_.media_id)
+    assert(got.map(_.media_id).toSeq === Seq(2L, 3L))
+    assert(got(0).width === 8 && got(0).height === 8 && got(0).n_frames === 1)
+    // histogram is a probability vector over the decoded raster
+    assert(math.abs(got(0).feature.sum - 1f) < 1e-6)
+  }
+
   test("multimodal ANN query returns k nearest decoded features") {
     val topk = graft.queries.DataQueries.q99MultimodalAnn.fn(spark, sf0001).collect()
     assert(topk.length === 10)
