@@ -1048,16 +1048,48 @@ object Dedup {
     val sized = norm.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(col("bk"))))
     val ok = sized.filter(col("__bn") >= 2 && col("__bn") <= blockCap)
-    val a = ok.select(col("bk"), col("id").as("id_a"), col("nt").as("nt_a"))
-    val b = ok.select(col("bk"), col("id").as("id_b"), col("nt").as("nt_b"))
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
+    // Collapse identical normalized texts before any Levenshtein —
+    // the q103 exact-collapse rule, semantics-FREE here too: dist is
+    // a function of nt alone, so every member of a text-group shares
+    // its representative's distances (the expansion below reproduces
+    // the exact per-doc pair set, oracle hash unchanged) and
+    // intra-group distances are 0 by definition. Verification work is
+    // ∝ DISTINCT text pairs: a 10×-duplicated corpus does 1× the
+    // Levenshtein (round-8 ScaleBench caught the ×16 it costs
+    // without this; block sizes still count DOCS, so the blockCap
+    // drop set is unchanged). Group member lists are bounded by
+    // blockCap.
+    val groups = ok.groupBy(col("bk"), col("nt"))
+      .agg(collect_list(col("id")).as("ids"))
+    val ga = groups.select(col("bk"), col("nt").as("nt_a"),
+      col("ids").as("ids_a"))
+    val gb = groups.select(col("bk"), col("nt").as("nt_b"),
+      col("ids").as("ids_b"))
+    val cross = ga.join(gb, Seq("bk"))
+      .filter(col("nt_a") < col("nt_b"))
       .withColumn("dist",
         levenshtein(col("nt_a"), col("nt_b"), maxDist).cast("long"))
       .filter(col("dist") >= 0L)
-      .select(col("id_a"), col("id_b"), col("dist"),
-        round(lit(1.0) - col("dist").cast("double") /
-          greatest(length(col("nt_a")), length(col("nt_b"))).cast("double"),
-          6).as("sim"))
+      .withColumn("sim", round(lit(1.0) - col("dist").cast("double") /
+        greatest(length(col("nt_a")), length(col("nt_b"))).cast("double"),
+        6))
+      .select(explode(col("ids_a")).as("__ia"), col("ids_b"),
+        col("dist"), col("sim"))
+      .select(col("__ia"), explode(col("ids_b")).as("__ib"),
+        col("dist"), col("sim"))
+      .select(least(col("__ia"), col("__ib")).as("id_a"),
+        greatest(col("__ia"), col("__ib")).as("id_b"),
+        col("dist"), col("sim"))
+    val intra = groups.filter(size(col("ids")) >= 2)
+      .select(col("nt"), explode(col("ids")).as("__ia"), col("ids"))
+      .select(col("nt"), col("__ia"), explode(col("ids")).as("__ib"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        lit(0L).as("dist"),
+        // same IEEE expression as the cross pairs at dist 0 (an empty
+        // nt yields NaN in both engines, not a fabricated 1.0)
+        round(lit(1.0) - lit(0.0) / length(col("nt")).cast("double"), 6)
+          .as("sim"))
+    cross.unionAll(intra)
   }
 }

@@ -1055,6 +1055,65 @@ object ScaleQueries {
     s.read.parquet(s"$dir/packed").orderBy(col("doc_id"))
   }
 
+  /** q143's body with the round-8 per-source DOC CAP binding instead
+    * of the token budget ([[graft.streaming.EventStreams.curateBatch]]
+    * `docsPerSource`): the budget is loose (10k tokens) so every cut
+    * in the output is the arrival-prefix doc cap's (rn ≤ 10 within
+    * source, rejected rows still counted — the same running-prefix
+    * rule). DuckDB replays the quality gate, BOTH admission windows,
+    * and the packing arithmetic. */
+  val q169StreamingCurationCap = QueryDef(
+    "q169_streaming_curation_cap",
+    """WITH base AS (
+      |  SELECT doc_id, source, length(text) AS n_chars,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |  FROM documents
+      |), kept AS (
+      |  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_toks
+      |  FROM base
+      |  WHERE (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) >= 0.5
+      |), adm AS (
+      |  SELECT doc_id, source, n_toks FROM (
+      |    SELECT doc_id, source, n_toks,
+      |      CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS cum_src,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn_src
+      |    FROM kept)
+      |  WHERE cum_src <= 10000 AND rn_src <= 10
+      |), packed AS (
+      |  SELECT doc_id, source, n_toks,
+      |    CAST(SUM(n_toks) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM adm
+      |)
+      |SELECT doc_id, source, n_toks, cum_tokens,
+      |  CAST((cum_tokens - n_toks) // 256 AS BIGINT) AS start_seq,
+      |  CAST((cum_tokens - n_toks) % 256 AS BIGINT) AS start_offset,
+      |  CAST((cum_tokens - 1) // 256 AS BIGINT) AS end_seq
+      |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q169_pipeline_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    graft.streaming.EventStreams.curateBatch(
+      Tables.documents(s, d), "text", "doc_id", "source", dir,
+      shingleK = 2, numHashes = 64, bands = 8, nearDupThreshold = 0.7,
+      minQuality = 0.5, tokensPerSource = 10000L, seqTokens = 256L,
+      docsPerSource = 10L)
+    s.read.parquet(s"$dir/packed").orderBy(col("doc_id"))
+  }
+
   /** Diversity-preserving subset selection
     * ([[Similarity.diversitySample]]): 100 vectors picked
     * coverage-first — every occupied hyperplane bucket contributes its
@@ -1284,5 +1343,5 @@ object ScaleQueries {
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
     q143StreamingCuration, q144DiversitySample, q145GroupSplit,
     q146CdcChunks, q147CdcDupSpans, q148ClusterSplit,
-    q149MinhashPairsMd5)
+    q149MinhashPairsMd5, q169StreamingCurationCap)
 }
