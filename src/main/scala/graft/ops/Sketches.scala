@@ -144,6 +144,89 @@ object Sketches {
     else side.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Equi-width histogram of `valueCol` per group: one row per
+    * (group, bin) with the EXACT count of values in that bin — the
+    * quantile twin of [[distinctSketches]]. Distinct counts need HLL
+    * because they are not additive; bin counts ARE additive exact
+    * longs, so the histogram sidecar gets the stronger property for
+    * free: merged per-shard histograms are IDENTICAL to a
+    * from-scratch build (not estimate-equal — long-sum equal), and
+    * every downstream number replays in ANSI SQL (q170), which no
+    * sketch-library intermediate can offer.
+    *
+    * Binning: `bin = clamp(floor((v - lo) / w), 0, bins-1)` with
+    * `w = (hi - lo) / bins` — values outside [lo, hi) clamp to the
+    * edge bins, so the total count is preserved and out-of-range
+    * drift is visible as edge-bin mass. The bin id is exact integer
+    * arithmetic on one IEEE division — cross-engine reproducible.
+    *
+    * Scale shape: one aggregation, map-side partials collapse each
+    * task to ≤ groups×bins rows; the sidecar grows by shards×groups×
+    * bins rows per append (KBs), answers come from sidecar rows only. */
+  def histogram(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, s"need bins>0, hi>lo; got $bins, [$lo,$hi)")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valueCol) - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+      lit((bins - 1).toLong))
+    df.groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Append one shard's histogram rows to a sidecar — the
+    * [[writeSketchSidecar]] lifecycle with exact additive counts.
+    * (lo, hi, bins) MUST match across every appender of one sidecar:
+    * bin ids are a function of all three (the same parameter contract
+    * as the minhash sidecar's band keys). */
+  def writeHistSidecar(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, sidecarDir: String,
+                       lo: Double, hi: Double, bins: Int): Unit =
+    graft.sources.Sinks.withDirLock(
+      df.sparkSession, sidecarDir, "writeHistSidecar") {
+      histogram(df, groupCols, valueCol, lo, hi, bins)
+        .write.mode("append").parquet(sidecarDir)
+    }
+
+  /** Merged per-group histogram from a sidecar: exact long sums per
+    * (group, bin) — equal to a from-scratch build by additivity. */
+  def mergedHistogram(spark: SparkSession, sidecarDir: String,
+                      groupCols: Seq[String]): DataFrame =
+    spark.read.parquet(sidecarDir)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from a merged histogram: for each p, the
+    * LOWER EDGE of the first bin whose cumulative count reaches
+    * `ceil(p * n)` — a deterministic, SQL-replayable selection rule
+    * (the exact-quantile rank rule of q161 lifted to bins). The
+    * estimate is within one bin width of the true quantile by
+    * construction; halve the error by doubling `bins`, which costs
+    * sidecar rows, never a rescan. The cumulative window partitions
+    * by group and orders by bin: ≤ bins rows per group — bounded
+    * state, the q126 bounded-window class. */
+  def histQuantiles(hist: DataFrame, groupCols: Seq[String],
+                    ps: Seq[Double], lo: Double, hi: Double,
+                    bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (hi - lo) / bins
+    val win = Window.partitionBy(groupCols.map(col): _*).orderBy(col("bin"))
+    val withCum = hist
+      .withColumn("__cum", sum(col("cnt")).over(win))
+      .withColumn("__n", sum(col("cnt")).over(
+        Window.partitionBy(groupCols.map(col): _*)))
+    val p = explode(array(ps.map(lit): _*)).as("p")
+    withCum.select((groupCols.map(col) :+ col("bin") :+ col("cnt") :+
+        col("__cum") :+ col("__n") :+ p): _*)
+      .filter(col("__cum") - col("cnt") <
+          greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) &&
+        greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) <=
+          col("__cum"))
+      .select((groupCols.map(col) :+ col("p") :+
+        (lit(lo) + col("bin") * lit(w)).as("quantile_lo") :+
+        col("__n").as("n_rows")): _*)
+  }
+
   /** EXACT cross-group n-gram overlap matrix — the ground-truth twin
     * of [[overlapMatrix]] (whose HLL inclusion–exclusion estimates
     * carry sketch error and are engine-specific, q139's rows-only

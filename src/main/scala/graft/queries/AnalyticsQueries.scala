@@ -188,7 +188,56 @@ object AnalyticsQueries {
       .orderBy(col("group_a"), col("group_b"))
   }
 
+  /** Histogram-sidecar quantiles ([[Sketches.writeHistSidecar]] /
+    * [[Sketches.histQuantiles]]): the mergeable-percentile
+    * pre-aggregation — the quantile twin of the q135 HLL sidecar, but
+    * STRONGER: bin counts are additive exact longs, so the merged
+    * sidecar equals a from-scratch build long-for-long and the whole
+    * path (binning → merge → cumulative rank selection) replays in
+    * DuckDB. The corpus lands in TWO parity batches (the q168
+    * discipline); estimates are bin lower edges under the q161
+    * greatest(1, ceil(n·p)) rank rule — within one bin width (5.0) of
+    * the exact quantile, tightened by adding bins, never by a rescan. */
+  val q170HistSidecarQuantiles = QueryDef(
+    "q170_hist_sidecar_quantiles",
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 99)
+       |      AS bin
+       |  FROM events
+       |), h AS (
+       |  SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, bin, cnt,
+       |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT)
+       |      AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+       |  FROM h
+       |), ps AS (SELECT unnest($PsSql) AS p)
+       |SELECT event_type, p, 0.0 + bin * 5.0 AS quantile_lo, n AS n_rows
+       |FROM c CROSS JOIN ps
+       |WHERE cum - cnt < greatest(1, CAST(ceil(n * p) AS BIGINT))
+       |  AND greatest(1, CAST(ceil(n * p) AS BIGINT)) <= cum
+       |ORDER BY event_type, p""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"target/tmp/q170_hist_$sf"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 0),
+      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100)
+    Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 1),
+      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100)
+    Sketches.histQuantiles(
+        Sketches.mergedHistogram(s, dir, Seq("event_type")),
+        Seq("event_type"), Ps, lo = 0.0, hi = 500.0, bins = 100)
+      .orderBy(col("event_type"), col("p"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
-    q164EditDistancePairs, q165ExactOverlap)
+    q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles)
 }

@@ -149,4 +149,49 @@ class SketchesSpec extends SparkSpec {
     val hashed = canon(Sketches.exactOverlapMatrixHashed(docs, "source", "text", 5))
     assert(exact === hashed)
   }
+
+  test("histogram sidecar: two-shard merge equals one-shot LONG-FOR-LONG " +
+      "(additivity), out-of-range values clamp to edge bins") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist_side").toString + "/h"
+    val all = Seq(("a", -5.0), ("a", 0.0), ("a", 7.5), ("a", 99.9),
+      ("a", 250.0), ("b", 12.0), ("b", 12.0), ("b", 88.0))
+      .toDF("g", "v")
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    Sketches.writeHistSidecar(all.filter($"v" < 50), Seq("g"), "v",
+      dir, lo, hi, bins)
+    Sketches.writeHistSidecar(all.filter($"v" >= 50), Seq("g"), "v",
+      dir, lo, hi, bins)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", $"bin", $"cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val merged = canon(Sketches.mergedHistogram(spark, dir, Seq("g")))
+    val oneShot = canon(Sketches.histogram(all, Seq("g"), "v", lo, hi, bins))
+    assert(merged === oneShot)
+    // -5.0 clamps to bin 0 (with 0.0 and 7.5); 250.0 clamps to bin 9
+    // (with 99.9); total count preserved
+    val m = merged.filter(_._1 == "a").map(t => t._2 -> t._3).toMap
+    assert(m(0L) === 3L && m(9L) === 2L)
+    assert(merged.map(_._3).sum === 8L)
+  }
+
+  test("histQuantiles: estimates sit within one bin width of the exact " +
+      "quantile on the events table") {
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select(col("value"), col("event_id"))
+    val (lo, hi, bins) = (0.0, 500.0, 100)
+    val w = (hi - lo) / bins
+    val ps = Seq(0.25, 0.5, 0.9)
+    val est = Sketches.histQuantiles(
+        Sketches.histogram(ev, Seq.empty, "value", lo, hi, bins),
+        Seq.empty, ps, lo, hi, bins)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = graft.ops.Relational.exactQuantilesGlobal(
+        ev, "value", Seq("event_id"), ps)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach { p =>
+      assert(est(p) <= exact(p) && exact(p) < est(p) + w,
+        s"p=$p est=${est(p)} exact=${exact(p)}")
+    }
+  }
 }
