@@ -227,6 +227,65 @@ object Sketches {
         col("__n").as("n_rows")): _*)
   }
 
+  /** Per-period histogram table: one row per (period, bin) with the
+    * exact count — the [[periodSketches]] pattern for VALUES instead
+    * of distincts. `period` must be LONG-typed (an epoch-hour/day
+    * index) so trailing windows can use RANGE frames that tolerate
+    * gaps. */
+  def periodHistograms(df: DataFrame, period: org.apache.spark.sql.Column,
+                       valueCol: String, lo: Double, hi: Double,
+                       bins: Int): DataFrame =
+    histogram(df.withColumn("__period", period), Seq("__period"),
+        valueCol, lo, hi, bins)
+      .withColumnRenamed("__period", "period")
+
+  /** Trailing-window quantiles over a period-histogram table: for
+    * each period, quantile estimates of the last `periods` periods'
+    * values (current included) — "p99 over any trailing window"
+    * WITHOUT rescanning raw data, the rolling twin of
+    * [[histQuantiles]] and the exact-long analogue of
+    * [[rollingDistinct]] (whose HLL internals keep it rows-only;
+    * additive bin counts make THIS one fully SQL-replayable — q171).
+    *
+    * Mechanics: densify to the (period × occupied-bin) grid (bounded:
+    * periods × bins rows — zero-count rows are needed so RANGE
+    * trailing sums see every bin at every period), trailing bin mass
+    * via a RANGE frame per bin (gap-tolerant: missing periods simply
+    * contribute nothing), then the [[histQuantiles]] cumulative rank
+    * selection per period. All three windows are bounded by grid
+    * cardinality, never by row count. */
+  def rollingQuantiles(periodHist: DataFrame, ps: Seq[Double],
+                       periods: Int, lo: Double, hi: Double,
+                       bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(periods > 0, s"periods must be > 0, got $periods")
+    val w = (hi - lo) / bins
+    val grid = periodHist.select(col("period")).distinct()
+      .crossJoin(periodHist.select(col("bin")).distinct())
+      .join(periodHist, Seq("period", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+    val wTrail = Window.partitionBy(col("bin")).orderBy(col("period"))
+      .rangeBetween(-(periods - 1).toLong, 0L)
+    val wCum = Window.partitionBy(col("period")).orderBy(col("bin"))
+    val withCum = grid
+      .withColumn("__t", sum(col("cnt")).over(wTrail))
+      .withColumn("__cum", sum(col("__t")).over(wCum))
+      .withColumn("__n", sum(col("__t")).over(
+        Window.partitionBy(col("period"))))
+    val p = explode(array(ps.map(lit): _*)).as("p")
+    withCum
+      .select(col("period"), col("bin"), col("__t"), col("__cum"),
+        col("__n"), p)
+      .filter(col("__n") > 0L &&
+        col("__cum") - col("__t") <
+          greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) &&
+        greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) <=
+          col("__cum"))
+      .select(col("period"), col("p"),
+        (lit(lo) + col("bin") * lit(w)).as("quantile_lo"),
+        col("__n").as("n_rows"))
+  }
+
   /** EXACT cross-group n-gram overlap matrix — the ground-truth twin
     * of [[overlapMatrix]] (whose HLL inclusion–exclusion estimates
     * carry sketch error and are engine-specific, q139's rows-only

@@ -237,7 +237,57 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("p"))
   }
 
+  /** Trailing-window quantiles over per-hour histograms
+    * ([[Sketches.periodHistograms]] + [[Sketches.rollingQuantiles]]):
+    * "p99 of the last 6 hours, for every hour" answered from
+    * periods×bins pre-aggregated rows — never a rescan of raw events.
+    * The rolling twin of q170 and the exact-long analogue of q141's
+    * rolling distinct: additive bin counts make the ENTIRE rolling
+    * computation (densified grid, gap-tolerant RANGE trailing sums,
+    * cumulative rank selection) DuckDB-replayable where the HLL
+    * version is rows-only by construction. */
+  val q171RollingQuantiles = QueryDef(
+    "q171_rolling_quantiles",
+    """WITH e AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS period,
+      |    least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 99)
+      |      AS bin
+      |  FROM events
+      |), h AS (
+      |  SELECT period, bin, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM e GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT p.period, b.bin, coalesce(h.cnt, CAST(0 AS BIGINT)) AS cnt
+      |  FROM (SELECT DISTINCT period FROM h) p
+      |  CROSS JOIN (SELECT DISTINCT bin FROM h) b
+      |  LEFT JOIN h ON h.period = p.period AND h.bin = b.bin
+      |), t AS (
+      |  SELECT period, bin, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY bin ORDER BY period
+      |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS tcnt
+      |  FROM grid
+      |), c AS (
+      |  SELECT period, bin, tcnt,
+      |    CAST(SUM(tcnt) OVER (PARTITION BY period ORDER BY bin) AS BIGINT)
+      |      AS cum,
+      |    CAST(SUM(tcnt) OVER (PARTITION BY period) AS BIGINT) AS n
+      |  FROM t
+      |), ps AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS p)
+      |SELECT period, p, 0.0 + bin * 5.0 AS quantile_lo, n AS n_rows
+      |FROM c CROSS JOIN ps
+      |WHERE n > 0 AND cum - tcnt < greatest(1, CAST(ceil(n * p) AS BIGINT))
+      |  AND greatest(1, CAST(ceil(n * p) AS BIGINT)) <= cum
+      |ORDER BY period, p""".stripMargin) { (s, d) =>
+    val ph = Sketches.periodHistograms(Tables.events(s, d),
+      expr("unix_micros(ts) div 3600000000"), "value",
+      lo = 0.0, hi = 500.0, bins = 100)
+    Sketches.rollingQuantiles(ph, Seq(0.5, 0.9, 0.99), periods = 6,
+        lo = 0.0, hi = 500.0, bins = 100)
+      .orderBy(col("period"), col("p"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
-    q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles)
+    q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles,
+    q171RollingQuantiles)
 }

@@ -531,6 +531,29 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming histogram-sidecar maintenance — the exact-count
+    * percentile feed ([[graft.ops.Sketches.writeHistSidecar]]): each
+    * micro-batch appends its (group, bin, cnt) partials; additive
+    * long counts make the merged histogram — and every quantile read
+    * off it — identical to a from-scratch build regardless of
+    * micro-batching. (lo, hi, bins) must match across all appends of
+    * one sidecar (the band-key parameter contract). */
+  def runHistToSidecar(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, sidecarDir: String,
+                       checkpointDir: String,
+                       lo: Double, hi: Double, bins: Int): Unit = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Sketches.writeHistSidecar(batch, groupCols, valueCol,
+          sidecarDir, lo, hi, bins)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming sketch-sidecar maintenance: each micro-batch appends
     * its per-group HLL sketch rows ([[graft.ops.Sketches
     * .writeSketchSidecar]]) — the continuous form of per-shard sketch

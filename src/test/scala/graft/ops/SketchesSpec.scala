@@ -175,6 +175,37 @@ class SketchesSpec extends SparkSpec {
     assert(merged.map(_._3).sum === 8L)
   }
 
+  test("rollingQuantiles: every period's trailing estimate equals a direct " +
+      "histQuantiles over that window's raw rows (gap-tolerant)") {
+    val (lo, hi, bins, periods) = (0.0, 500.0, 100, 3)
+    val ps = Seq(0.5, 0.9)
+    val ev = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("__period", expr("unix_micros(ts) div 3600000000"))
+    val ph = Sketches.periodHistograms(
+      graft.sources.Tables.events(spark, sf0001),
+      expr("unix_micros(ts) div 3600000000"), "value", lo, hi, bins)
+    val rolled = Sketches.rollingQuantiles(ph, ps, periods, lo, hi, bins)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val allPeriods = ph.select("period").distinct()
+      .collect().map(_.getLong(0)).sorted
+    // spot-check first, middle, last period against a direct build
+    for (per <- Seq(allPeriods.head, allPeriods(allPeriods.length / 2),
+        allPeriods.last)) {
+      val direct = Sketches.histQuantiles(
+          Sketches.histogram(
+            ev.filter(col("__period").between(per - periods + 1, per)),
+            Seq.empty, "value", lo, hi, bins),
+          Seq.empty, ps, lo, hi, bins)
+        .collect().map(r => r.getDouble(0) -> (r.getDouble(1), r.getLong(2)))
+        .toMap
+      ps.foreach { p =>
+        assert(rolled((per, p)) === direct(p), s"period=$per p=$p")
+      }
+    }
+  }
+
   test("histQuantiles: estimates sit within one bin width of the exact " +
       "quantile on the events table") {
     val ev = graft.sources.Tables.events(spark, sf001)

@@ -422,6 +422,33 @@ class EventStreamsSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0L)
   }
 
+  test("streaming histogram sidecar: merged histogram and quantiles equal " +
+      "the one-shot build (additive counts)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("shist")
+    val sidecar = root.resolve("h").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = (0 until 200).map(i => ("g" + i % 2, i.toDouble))
+    val b2 = (200 until 500).map(i => ("g" + i % 2, i.toDouble))
+    val mem = MemoryStream[(String, Double)]
+    def run() = runHistToSidecar(mem.toDF().toDF("g", "v"),
+      Seq("g"), "v", sidecar, ckpt, lo = 0.0, hi = 500.0, bins = 50)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val union = (b1 ++ b2).toDF("g", "v")
+    assert(canon(graft.ops.Sketches.mergedHistogram(spark, sidecar, Seq("g")))
+      === canon(graft.ops.Sketches.histogram(union, Seq("g"), "v",
+        0.0, 500.0, 50)))
+    assert(canon(graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.mergedHistogram(spark, sidecar, Seq("g")),
+        Seq("g"), Seq(0.5, 0.9), 0.0, 500.0, 50))
+      === canon(graft.ops.Sketches.histQuantiles(
+        graft.ops.Sketches.histogram(union, Seq("g"), "v", 0.0, 500.0, 50),
+        Seq("g"), Seq(0.5, 0.9), 0.0, 500.0, 50)))
+  }
+
   test("streaming sketch sidecar: merged estimates equal a from-scratch " +
       "batch build over everything ingested (lossless union)") {
     implicit val sqlCtx = spark.sqlContext
