@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, CoreQueries, CorpusQueries, CurationQueries, ExtendedQueries, ScaleQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, ExtendedQueries, ScaleQueries, TemporalQueries}
 import org.apache.spark.sql.SparkSession
 
 /** Results must be BYTE-IDENTICAL regardless of parallelism — the
@@ -52,6 +52,13 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CorpusQueries.q157RemoveDupSpans,   // keep-first span rewrite
     CorpusQueries.q158KnnJoinPq,        // PQ ADC + rerank (memoized fit)
     CorpusQueries.q160DsirSelect,       // decimal LLR sums + Gumbel top-k
+    CorpusQueries.q167RemoveDupSpansByQuality, // quality-argmax survivor window
+    CorpusQueries.q168TokenRaritySidecar, // sidecar append+compact+score
+    TemporalQueries.q166NtzSemantics,   // NTZ window + epoch outputs
+    AnalyticsQueries.q161ExactQuantiles, // rank-selected exact quantiles
+    AnalyticsQueries.q164EditDistancePairs, // collapse + expand pair set
+    AnalyticsQueries.q170HistSidecarQuantiles, // additive bin counts
+    AnalyticsQueries.q171RollingQuantiles, // grid + RANGE trailing sums
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
