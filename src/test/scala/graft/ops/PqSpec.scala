@@ -162,6 +162,15 @@ class PqSpec extends SparkSpec {
       .map(_.toString).mkString("\n")
     assert(scan.contains("PartitionFilters") && scan.contains("cell"),
       scan.take(500))
+    // the per-query ADC LUT must be MATERIALIZED before the codes join
+    // (probe-side localCheckpoint): if pq_lut appears anywhere in the
+    // executed plan, whole-stage codegen can defer it into the join's
+    // matched-row loop and recompute the m·ksub·dsub table PER
+    // CANDIDATE PAIR — the round-8 100×-found regression. Behind the
+    // checkpoint barrier the LUT is data; the expression is gone.
+    val wholePlan = pruned.queryExecution.executedPlan.toString
+    assert(!wholePlan.contains("pq_lut"),
+      "pq_lut expression leaked into the join-side plan")
     // probing EVERY cell makes the candidate set identical to plain PQ
     // over the same codebooks (seed-deterministic), so results match
     val full = Similarity.annJoinIvfPqStored(spark, dir, queries,
