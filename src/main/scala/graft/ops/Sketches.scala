@@ -234,8 +234,8 @@ object Sketches {
     * gaps. */
   def periodHistograms(df: DataFrame, period: org.apache.spark.sql.Column,
                        valueCol: String, lo: Double, hi: Double,
-                       bins: Int): DataFrame =
-    histogram(df.withColumn("__period", period), Seq("__period"),
+                       bins: Int, groupCols: Seq[String] = Nil): DataFrame =
+    histogram(df.withColumn("__period", period), groupCols :+ "__period",
         valueCol, lo, hi, bins)
       .withColumnRenamed("__period", "period")
 
@@ -256,34 +256,41 @@ object Sketches {
     * cardinality, never by row count. */
   def rollingQuantiles(periodHist: DataFrame, ps: Seq[Double],
                        periods: Int, lo: Double, hi: Double,
-                       bins: Int): DataFrame = {
+                       bins: Int, groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(periods > 0, s"periods must be > 0, got $periods")
     val w = (hi - lo) / bins
-    val grid = periodHist.select(col("period")).distinct()
+    val g = groupCols.map(col)
+    // densify per group: a group's period set is the periods it was
+    // active in (no output for fully-inactive periods — the q141
+    // rolling-distinct convention); trailing mass from earlier periods
+    // reaches each active period through the RANGE frame
+    val grid = periodHist.select((g :+ col("period")): _*).distinct()
       .crossJoin(periodHist.select(col("bin")).distinct())
-      .join(periodHist, Seq("period", "bin"), "left")
+      .join(periodHist, groupCols ++ Seq("period", "bin"), "left")
       .na.fill(0L, Seq("cnt"))
-    val wTrail = Window.partitionBy(col("bin")).orderBy(col("period"))
+    val wTrail = Window.partitionBy((g :+ col("bin")): _*)
+      .orderBy(col("period"))
       .rangeBetween(-(periods - 1).toLong, 0L)
-    val wCum = Window.partitionBy(col("period")).orderBy(col("bin"))
+    val wCum = Window.partitionBy((g :+ col("period")): _*)
+      .orderBy(col("bin"))
     val withCum = grid
       .withColumn("__t", sum(col("cnt")).over(wTrail))
       .withColumn("__cum", sum(col("__t")).over(wCum))
       .withColumn("__n", sum(col("__t")).over(
-        Window.partitionBy(col("period"))))
+        Window.partitionBy((g :+ col("period")): _*)))
     val p = explode(array(ps.map(lit): _*)).as("p")
     withCum
-      .select(col("period"), col("bin"), col("__t"), col("__cum"),
-        col("__n"), p)
+      .select((g ++ Seq(col("period"), col("bin"), col("__t"), col("__cum"),
+        col("__n"), p)): _*)
       .filter(col("__n") > 0L &&
         col("__cum") - col("__t") <
           greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) &&
         greatest(lit(1L), ceil(col("__n") * col("p")).cast("long")) <=
           col("__cum"))
-      .select(col("period"), col("p"),
+      .select((g ++ Seq(col("period"), col("p"),
         (lit(lo) + col("bin") * lit(w)).as("quantile_lo"),
-        col("__n").as("n_rows"))
+        col("__n").as("n_rows"))): _*)
   }
 
   /** EXACT cross-group n-gram overlap matrix — the ground-truth twin

@@ -286,8 +286,59 @@ object AnalyticsQueries {
       .orderBy(col("period"), col("p"))
   }
 
+  /** GROUPED trailing quantiles — q171 with a group dimension: "p90 of
+    * the last 6 hours, per event_type, for every hour it was active"
+    * — the per-entity rolling-percentile monitoring shape, still
+    * answered from pre-aggregated (group, period, bin) rows and still
+    * fully DuckDB-replayable. Each window adds the group to its
+    * partition key, so state stays bounded at that group's
+    * periods×bins grid rows. */
+  val q172RollingQuantilesByType = QueryDef(
+    "q172_rolling_quantiles_by_type",
+    """WITH e AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS period,
+      |    least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 99)
+      |      AS bin
+      |  FROM events
+      |), h AS (
+      |  SELECT event_type, period, bin, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM e GROUP BY 1, 2, 3
+      |), grid AS (
+      |  SELECT gp.event_type, gp.period, b.bin,
+      |    coalesce(h.cnt, CAST(0 AS BIGINT)) AS cnt
+      |  FROM (SELECT DISTINCT event_type, period FROM h) gp
+      |  CROSS JOIN (SELECT DISTINCT bin FROM h) b
+      |  LEFT JOIN h ON h.event_type = gp.event_type
+      |    AND h.period = gp.period AND h.bin = b.bin
+      |), t AS (
+      |  SELECT event_type, period, bin, cnt,
+      |    CAST(SUM(cnt) OVER (PARTITION BY event_type, bin ORDER BY period
+      |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS tcnt
+      |  FROM grid
+      |), c AS (
+      |  SELECT event_type, period, bin, tcnt,
+      |    CAST(SUM(tcnt) OVER (PARTITION BY event_type, period
+      |      ORDER BY bin) AS BIGINT) AS cum,
+      |    CAST(SUM(tcnt) OVER (PARTITION BY event_type, period) AS BIGINT)
+      |      AS n
+      |  FROM t
+      |), ps AS (SELECT unnest([0.5, 0.9]::DOUBLE[]) AS p)
+      |SELECT event_type, period, p, 0.0 + bin * 5.0 AS quantile_lo,
+      |  n AS n_rows
+      |FROM c CROSS JOIN ps
+      |WHERE n > 0 AND cum - tcnt < greatest(1, CAST(ceil(n * p) AS BIGINT))
+      |  AND greatest(1, CAST(ceil(n * p) AS BIGINT)) <= cum
+      |ORDER BY event_type, period, p""".stripMargin) { (s, d) =>
+    val ph = Sketches.periodHistograms(Tables.events(s, d),
+      expr("unix_micros(ts) div 3600000000"), "value",
+      lo = 0.0, hi = 500.0, bins = 100, groupCols = Seq("event_type"))
+    Sketches.rollingQuantiles(ph, Seq(0.5, 0.9), periods = 6,
+        lo = 0.0, hi = 500.0, bins = 100, groupCols = Seq("event_type"))
+      .orderBy(col("event_type"), col("period"), col("p"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
     q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles,
-    q171RollingQuantiles)
+    q171RollingQuantiles, q172RollingQuantilesByType)
 }

@@ -59,6 +59,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AnalyticsQueries.q164EditDistancePairs, // collapse + expand pair set
     AnalyticsQueries.q170HistSidecarQuantiles, // additive bin counts
     AnalyticsQueries.q171RollingQuantiles, // grid + RANGE trailing sums
+    AnalyticsQueries.q172RollingQuantilesByType, // grouped rolling grid
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
