@@ -61,6 +61,10 @@ object ScaleBench {
     // blow-up dir (the copies are deterministic, so reuse is exact)
     if (sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
         new java.io.File(s"$outDir/lineitem.parquet").exists()) return
+    // The plain spark.read below must be able to open a contract-legal
+    // legacy INT64-nanos events footer; harmless for micros/NTZ files
+    // (round-9 ADVICE — this conf was dropped in a refactor).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.allTables.foreach { t =>
       val base = spark.read.parquet(s"$sfDir/$t.parquet")
       val n = if (FactTables.contains(t)) copies else 1

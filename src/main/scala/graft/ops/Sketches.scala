@@ -170,7 +170,15 @@ object Sketches {
     val bin = least(greatest(
       floor((col(valueCol) - lit(lo)) / lit(w)).cast("long"), lit(0L)),
       lit((bins - 1).toLong))
-    df.groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
+    // Null/NaN values are DROPPED, explicitly (round-9 ADVICE):
+    // floor(NaN) casts to null long and least/greatest propagate it, so
+    // without this filter a NaN row lands in a null bin that silently
+    // survives sidecar merges while a SQL replay's CAST diverges.
+    // ±Infinity needs no special case — the long cast saturates and the
+    // clamp sends it to an edge bin. Total-count preservation therefore
+    // holds over FINITE, NON-NULL values of valueCol.
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .groupBy((groupCols.map(col) :+ bin.as("bin")): _*)
       .agg(count(lit(1)).as("cnt"))
   }
 

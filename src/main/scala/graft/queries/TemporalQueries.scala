@@ -47,9 +47,12 @@ object TemporalQueries {
       |  CAST(coalesce(sum(epoch_us(ts) - epoch_us(prev_ts)), 0) AS BIGINT)
       |    AS sum_gap_us
       |FROM f GROUP BY 1 ORDER BY hour""".stripMargin) { (s, d) =>
-    // Deliberately the RAW scan: ts stays TIMESTAMP_NTZ throughout the
-    // filter/window/group — the whole point of the query.
-    val raw = Tables.table(s, d, "events")
+    // NTZ-normalized scan: ts is TIMESTAMP_NTZ throughout the
+    // filter/window/group — the whole point of the query. eventsNtz
+    // dispatches on the footer, so any contract-legal encoding
+    // (NTZ, instant, legacy nanos) lands on the same naive value
+    // instead of an opaque analysis error (round-9 ADVICE).
+    val raw = Tables.eventsNtz(s, d)
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val us = (c: org.apache.spark.sql.Column) =>
       unix_micros(c.cast(TimestampType))

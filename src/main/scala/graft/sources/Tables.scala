@@ -68,6 +68,33 @@ object Tables {
         s"events.ts: unsupported storage type $other (expected " +
           "INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
+  /** Events with `ts` normalized to TIMESTAMP_NTZ — the naive-semantics
+    * twin of [[events]], for queries that operate on the stored
+    * wall-clock value (q166). Same footer dispatch as
+    * [[normalizeEventTs]], landing on NTZ instead of instant: the
+    * session timezone is pinned UTC ([[graft.GraftSession]]), so the
+    * instant→NTZ cast preserves the stored microseconds bit-exactly,
+    * and the legacy nanos long floors to micros first (the same
+    * truncation DuckDB applies). Without this dispatch, a
+    * contract-legal encoding change (instant-typed or legacy-nanos
+    * files) would make a raw NTZ-assuming query fail with an opaque
+    * analysis error even though the pre-flight contract check passed. */
+  def eventsNtz(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy INT64 TIMESTAMP(NANOS) read as long
+        raw.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case TimestampType => // instant-typed; UTC session tz => bit-exact
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case TimestampNTZType => raw // already naive-typed
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported storage type $other (expected " +
+          "INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

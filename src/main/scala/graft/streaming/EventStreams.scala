@@ -49,8 +49,22 @@ object EventStreams {
     val tsType = scala.util.Try(
       spark.read.parquet(ingestDir).schema("ts").dataType)
       .getOrElse(TimestampNTZType)
-    graft.sources.Tables.normalizeEventTs(
+    val normalized = graft.sources.Tables.normalizeEventTs(
       spark.readStream.schema(rawSchemaFor(tsType)).parquet(ingestDir))
+    // Encoding-mismatch tripwire (round-9 ADVICE): the probe above runs
+    // once at stream SETUP; if the zone was empty then and the first
+    // files to arrive carry a DIFFERENT physical ts encoding, the
+    // pinned-schema file source reads null ts for every row — watermark
+    // operators would then silently drop the whole stream. An event's
+    // ts is contractually non-null (it IS the event time), so any null
+    // after normalization can only be that mismatch: fail loud with a
+    // named error instead of streaming nulls.
+    normalized.withColumn("ts",
+      when(col("ts").isNotNull, col("ts")).otherwise(raise_error(lit(
+        s"readEventStream: null ts after normalization — landing-zone " +
+          s"file encoding does not match the schema probed at stream " +
+          s"setup ($tsType); restart the stream after the first files " +
+          s"land, or align the writer encoding"))))
   }
 
   /** Tumbling-window aggregation with a watermark: count + sum(value)
