@@ -304,9 +304,10 @@ object DataQueries {
 
   /** Multimodal pipeline end-to-end: synthetic media table → binary
     * payloads → partition-parallel decode (REAL javax.imageio decode
-    * for the PNG image rows; stub seam for audio/video) → per-kind
-    * feature statistics. Deterministic but engine-specific (stub
-    * hash for the non-image kinds) → rows-only. */
+    * for the PNG image rows, REAL javax.sound WAV decode for the
+    * audio rows; stub seam for video) → per-kind feature statistics.
+    * Deterministic but engine-specific (stub hash for the video
+    * kind) → rows-only. */
   val q55Multimodal = QueryDef.rowsOnly("q55_multimodal_pipeline") { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(s, 300)).toDF()

@@ -12,15 +12,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, partition sizing, batch shape,
   * null/corrupt handling — is real and tested. The codec seam
-  * ([[MediaCodec]]) is real for IMAGES as of round 8: payloads
-  * decode through pure-JDK `javax.imageio` (PNG/BMP/GIF/JPEG — no
-  * external libraries), yielding true dimensions and a deterministic
-  * 8-bin luminance-histogram feature; a corrupt image payload is
-  * DROPPED (permissive-scan semantics), never faked. Audio/video
-  * remain stubbed (`decodeStub` — the JDK ships no codec for them):
-  * deterministic fake dimensions/features from the payload bytes.
-  * Swapping in a real audio/video codec still touches ONLY
-  * [[MediaCodec]].
+  * ([[MediaCodec]]) is real for IMAGES (round 8: pure-JDK
+  * `javax.imageio`, PNG/BMP/GIF/JPEG) and AUDIO (round 9: pure-JDK
+  * `javax.sound.sampled`, WAV/AIFF/AU — true sample rate, channels,
+  * frame count, and a deterministic 8-bin amplitude-histogram
+  * feature); a corrupt payload of either kind is DROPPED
+  * (permissive-scan semantics), never faked. Video remains stubbed
+  * (`decodeStub` — the JDK ships no video codec): deterministic fake
+  * dimensions/features from the payload bytes. Swapping in a real
+  * video codec still touches ONLY [[MediaCodec]].
   */
 object Multimodal {
 
@@ -89,17 +89,67 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
-    /** Per-item dispatch: images decode for REAL (corrupt → None,
-      * dropped downstream); audio/video go through the stub. Null
+    /** REAL audio decode — pure-JDK `javax.sound.sampled` (WAV, AIFF,
+      * AU file readers ship with the JRE): the payload parses through
+      * `AudioSystem`, converts to canonical 16-bit signed
+      * little-endian PCM (a pure-JDK conversion, so 8-bit and
+      * big-endian sources decode too), and yields
+      * `(sample_rate, channels, frame_count)` in the (width, height,
+      * n_frames) slots plus an 8-bin amplitude-magnitude histogram:
+      * `bin = min(|sample| >> 12, 7)` — exact integer arithmetic over
+      * the decoded samples, the [[decodeImage]] luminance-histogram
+      * discipline for sound. The only float op is the final per-bin
+      * count/total division. Returns None for anything the JDK cannot
+      * parse (corrupt/truncated/unknown container) and for
+      * zero-sample streams — dropped downstream, never faked. */
+    def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val src = in.getFormat
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+          try {
+            val bytes = pcm.readAllBytes()
+            val nSamples = bytes.length / 2
+            if (nSamples == 0) None
+            else {
+              val hist = new Array[Long](8)
+              var i = 0
+              while (i < nSamples * 2) {
+                // little-endian signed 16-bit
+                val s = (bytes(i) & 0xFF) | (bytes(i + 1).toInt << 8)
+                hist(math.min(math.abs(s) >> 12, 7)) += 1
+                i += 2
+              }
+              val n = nSamples.toFloat
+              Some((src.getSampleRate.toInt, src.getChannels,
+                nSamples / src.getChannels, hist.map(c => c / n)))
+            }
+          } finally pcm.close()
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Per-item dispatch: images and audio decode for REAL (corrupt →
+      * None, dropped downstream); video goes through the stub. Null
       * payloads are dropped for every kind. */
     def decodeItem(m: MediaRow): Option[DecodedMedia] =
       Option(m.payload).flatMap { p =>
-        if (m.kind == "image")
-          decodeImage(p).map { case (w, h, f, feat) =>
-            DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
-        else {
-          val (w, h, f, feat) = decodeStub(p)
-          Some(DecodedMedia(m.media_id, m.kind, w, h, f, feat))
+        m.kind match {
+          case "image" =>
+            decodeImage(p).map { case (w, h, f, feat) =>
+              DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
+          case "audio" =>
+            decodeAudio(p).map { case (w, h, f, feat) =>
+              DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
+          case _ =>
+            val (w, h, f, feat) = decodeStub(p)
+            Some(DecodedMedia(m.media_id, m.kind, w, h, f, feat))
         }
       }
 
@@ -177,9 +227,36 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic 16-bit PCM mono WAV payload: sample t is a pure
+    * integer function of (id, t), the container is raw PCM — so the
+    * decoded samples (and every feature derived from them) are
+    * byte-stable across JREs, the [[syntheticPng]] discipline for
+    * sound. */
+  def syntheticWav(i: Long, nSamples: Int = 256,
+                   sampleRate: Int = 8000): Array[Byte] = {
+    val data = new Array[Byte](nSamples * 2)
+    var t = 0
+    while (t < nSamples) {
+      val s = (((i * 131 + t.toLong * 7919) % 65536L) - 32768L).toShort
+      data(2 * t) = (s & 0xFF).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table for tests/demos: image rows
-    * carry REAL 8×8 PNGs (decoded by the real imageio path);
-    * audio/video rows carry opaque deterministic bytes (their decode
+    * carry REAL 8×8 PNGs (decoded by the real imageio path), audio
+    * rows carry REAL mono WAVs (decoded by the real javax.sound
+    * path); video rows carry opaque deterministic bytes (their decode
     * is the documented stub seam). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
@@ -187,10 +264,13 @@ object Multimodal {
       if (i % 3 == 0)
         MediaRow(i, "image", "image/png", syntheticPng(i),
           Map("src" -> s"synthetic/$i"))
+      else if (i % 3 == 1)
+        MediaRow(i, "audio", "audio/wav", syntheticWav(i),
+          Map("src" -> s"synthetic/$i"))
       else {
         val bytes = Array.tabulate(128)(j => ((i * 131 + j * 7) % 256).toByte)
-        MediaRow(i, if (i % 3 == 1) "audio" else "video",
-          "application/octet-stream", bytes, Map("src" -> s"synthetic/$i"))
+        MediaRow(i, "video", "application/octet-stream", bytes,
+          Map("src" -> s"synthetic/$i"))
       }
     }
   }

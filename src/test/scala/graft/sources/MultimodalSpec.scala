@@ -73,19 +73,67 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.toSeq === Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
   }
 
-  test("corrupt image payloads are DROPPED, audio/video stay stub-decoded") {
+  test("corrupt image/audio payloads are DROPPED, video stays stub-decoded") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", "image/png",
         Array[Byte](1, 2, 3, 4), Map.empty),              // not a PNG
       Multimodal.MediaRow(2L, "image", "image/png",
         Multimodal.syntheticPng(2L), Map.empty),          // real PNG
-      Multimodal.MediaRow(3L, "audio", "application/octet-stream",
+      Multimodal.MediaRow(3L, "audio", "audio/wav",
+        Array[Byte](9, 9, 9), Map.empty),                 // not a WAV → drop
+      Multimodal.MediaRow(4L, "audio", "audio/wav",
+        Multimodal.syntheticWav(4L), Map.empty),          // real WAV
+      Multimodal.MediaRow(5L, "video", "application/octet-stream",
         Array[Byte](9, 9, 9), Map.empty))                 // stub path
     val got = Multimodal.decode(rows.toDS()).collect().sortBy(_.media_id)
-    assert(got.map(_.media_id).toSeq === Seq(2L, 3L))
+    assert(got.map(_.media_id).toSeq === Seq(2L, 4L, 5L))
     assert(got(0).width === 8 && got(0).height === 8 && got(0).n_frames === 1)
-    // histogram is a probability vector over the decoded raster
+    // histograms are probability vectors over raster / samples
     assert(math.abs(got(0).feature.sum - 1f) < 1e-6)
+    assert(got(1).width === 8000 && got(1).height === 1 &&
+      got(1).n_frames === 256)
+    assert(math.abs(got(1).feature.sum - 1f) < 1e-6)
+  }
+
+  test("real audio decode: known 4-sample WAV yields exact rate/channels/" +
+      "frames and an exact amplitude histogram") {
+    // samples 0, 4096, -32768, 20000 → |s|>>12 bins 0, 1, 7 (clamped), 4
+    val samples = Array[Short](0, 4096, Short.MinValue, 20000)
+    val data = new Array[Byte](8)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 4L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, frames, feat)) =
+      Multimodal.MediaCodec.decodeAudio(bos.toByteArray)
+    assert((rate, ch, frames) === ((8000, 1, 4)))
+    assert(feat.toSeq === Seq(0.25f, 0.25f, 0f, 0f, 0.25f, 0f, 0f, 0.25f))
+  }
+
+  test("audio decode is invariant to source sample width (8-bit converts)") {
+    // an 8-bit unsigned WAV goes through the canonical 16-bit
+    // conversion; 0x80 (midpoint) converts to 16-bit 0 → bin 0
+    val data = Array[Byte](0x80.toByte, 0x80.toByte, 0x80.toByte, 0x80.toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 4L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((rate, ch, frames, feat)) =
+      Multimodal.MediaCodec.decodeAudio(bos.toByteArray)
+    assert((rate, ch, frames) === ((8000, 1, 4)))
+    assert(feat(0) === 1f)
   }
 
   test("multimodal ANN query returns k nearest decoded features") {
