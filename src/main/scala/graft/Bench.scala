@@ -7,17 +7,44 @@ import org.apache.spark.sql.SparkSession
   * startup / first-codegen cost is not attributed to whichever query
   * happens to run first. */
 object Bench {
+  /** Accumulates executor spill bytes from task-end events — the
+    * memory-pressure sweep's evidence that constrained-heap runs
+    * engage the spill paths (hash-agg, sort, window buffers) instead
+    * of failing. Reads are snapshotted between queries AFTER a
+    * listener-bus drain, so deltas attribute to the right query. */
+  private final class SpillListener
+      extends org.apache.spark.scheduler.SparkListener {
+    val mem = new java.util.concurrent.atomic.AtomicLong
+    val disk = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        mem.addAndGet(m.memoryBytesSpilled)
+        disk.addAndGet(m.diskBytesSpilled)
+        ()
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the low-mem sweep raises partitions above the thread count so
+    // each task's hash/sort state shrinks — the knob a real cluster
+    // turns when executors are memory-tight
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    val spillListener = new SpillListener
+    spark.sparkContext.addSparkListener(spillListener)
     // pre-flight: fail ONCE with a named diff on testdata storage drift
     graft.sources.TestdataContract.assertContract(spark, sfDir)
 
@@ -41,6 +68,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      val (memBefore, diskBefore) =
+        (spillListener.mem.get(), spillListener.disk.get())
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -64,20 +93,40 @@ object Bench {
       // charged to whoever alphabetically follows it.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      System.gc()
-      (name, times.map(_._1).min, ok)
+      // The driver-GC prompt is PROPORTIONAL (round-9 verdict): with
+      // 100+ queries sitting at a 0.10-0.35 s floor, an unconditional
+      // full GC between every pair costs more than many of the queries
+      // themselves (~16 s across the sweep). A query that finished in
+      // <0.3 s did no index build / checkpoint / broadcast worth
+      // reaping, so the ContextCleaner prompt is kept only for the
+      // heavy/stateful queries that motivated it — and after any
+      // failure (r7's regressions were exception-neighborhood
+      // pollution; never skip hygiene after an exception).
+      if (!ok || times.map(_._1).min >= 0.3) System.gc()
+      // drain async task-end events so this query's spills don't
+      // bleed into the next snapshot (summed over all `runs` runs)
+      org.apache.spark.graftbridge.ListenerBridge
+        .waitUntilListenerBusEmpty(spark.sparkContext)
+      val spillMem = spillListener.mem.get() - memBefore
+      val spillDisk = spillListener.disk.get() - diskBefore
+      (name, times.map(_._1).min, ok, spillMem, spillDisk)
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // per-query spill deltas, nonzero only (empty at a roomy heap; the
+    // low-mem sweep's whole point is which queries appear here)
+    val spills = results.collect { case (k, _, _, m, d) if m > 0 || d > 0 =>
+      s""""$k":{"mem_bytes":$m,"disk_bytes":$d}"""
+    }.mkString("{", ",", "}")
     // Full per-query detail for humans/logs — this line is ~3k chars,
     // larger than the 2000-char stdout tail the driver keeps, so it
     // must NOT be the last line (rounds 1-3 recorded parsed:null
     // because the tail clipped the front of the one big JSON line).
-    println(s"""{"metric":"detail","queries":$qs,"errors":$errors}""")
+    println(s"""{"metric":"detail","queries":$qs,"errors":$errors,"spills":$spills}""")
     // Compact line LAST: total + a stable headline subset (one per
     // operator family, 3-decimal rounding) — guaranteed < 1 KB so the
     // driver's tail always contains the complete parseable line.
@@ -87,11 +136,14 @@ object Bench {
       "q40_cosine_topk", "q54_embedding_dedup", "q59_topk_custom_op",
       "q72_salted_join", "q96_pipeline_e2e")
     val hs = results.collect {
-      case (k, v, ok) if headline.contains(k) =>
+      case (k, v, ok, _, _) if headline.contains(k) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
     val nOk = results.count(_._3)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_ok":$nOk,"errors":$errors,"runs":$runs,"sf":"$sfDir"}""")
+    val (spillMemTot, spillDiskTot) =
+      (results.map(_._4).sum, results.map(_._5).sum)
+    val nSpilled = results.count(r => r._4 > 0 || r._5 > 0)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_ok":$nOk,"errors":$errors,"runs":$runs,"heap":"${Runtime.getRuntime.maxMemory() >> 20}m","shuffle_partitions":$shufflePartitions,"n_spilled":$nSpilled,"spill_mem_bytes":$spillMemTot,"spill_disk_bytes":$spillDiskTot,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,6 +101,20 @@ object ScaleBench {
     // run per invocation — the honest stored-index cost, like q130)
     "q157_remove_dup_spans", "q159_knn_join_ivfpq_stored")
 
+  /** Stored-index queries timed in two phases (round-9 verdict ask):
+    * the one-time index BUILD is corpus-linear by design, so its 100×
+    * ratio is expected to be ~copies×; the per-batch PROBE is the
+    * number that must stay flat — and inside a single combined ratio a
+    * probe regression could hide under the dominant build term. Each
+    * entry maps to a (build, probe) closure pair exposed by the query
+    * definition itself, so the split times exactly what the registered
+    * query runs. */
+  private val SplitQueries: Map[String, (SparkSession, String) =>
+      (() => Unit, () => org.apache.spark.sql.DataFrame)] = Map(
+    "q130_knn_join_ivf_stored" -> (graft.queries.ScaleQueries.q130Parts _),
+    "q132_ivf_append" -> (graft.queries.ScaleQueries.q132Parts _),
+    "q159_knn_join_ivfpq_stored" -> (graft.queries.CorpusQueries.q159Parts _))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
@@ -141,23 +155,71 @@ object ScaleBench {
       if (ts.exists(_ < 0)) -1.0 else ts.min
     }
 
+    // (buildSec, probeSec) for the stored-index split queries; the min
+    // of each PHASE across runs (run 1 may pay a memoized-codebook fit
+    // the later runs don't — min reports the steady state either way)
+    def timeSplit(name: String, dir: String): (Double, Double) = {
+      val parts = SplitQueries(name)
+      val ts = (1 to runs).map { _ =>
+        try {
+          val (build, probe) = parts(spark, dir)
+          val t0 = System.nanoTime()
+          build()
+          val t1 = System.nanoTime()
+          probe().count()
+          val t2 = System.nanoTime()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name @ $dir FAILED: ${e.getMessage}")
+          (-1.0, -1.0)
+        }
+      }
+      if (ts.exists(t => t._1 < 0 || t._2 < 0)) (-1.0, -1.0)
+      else (ts.map(_._1).min, ts.map(_._2).min)
+    }
+
+    final case class Row(name: String, base: Double, blown: Double,
+        ratio: Double, split: Option[(Double, Double, Double, Double)])
+
     val rows = names.filter(SparkEntry.queries.contains).map { name =>
-      val base = time(name, sfDir)
-      val blown = time(name, outDir)
+      val row = if (SplitQueries.contains(name)) {
+        val (bb, bp) = timeSplit(name, sfDir)
+        val (xb, xp) = timeSplit(name, outDir)
+        val base = if (bb < 0) -1.0 else bb + bp
+        val blown = if (xb < 0) -1.0 else xb + xp
+        val ratio = if (base > 0 && blown >= 0) blown / base else -1.0
+        Row(name, base, blown, ratio, Some((bb, bp, xb, xp)))
+      } else {
+        val base = time(name, sfDir)
+        val blown = time(name, outDir)
+        val ratio = if (base > 0 && blown >= 0) blown / base else -1.0
+        Row(name, base, blown, ratio, None)
+      }
       // hygiene between queries (see Bench): one query's checkpoint /
       // broadcast residue must not be charged to the next
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       System.gc()
-      val ratio = if (base > 0 && blown >= 0) blown / base else -1.0
-      (name, base, blown, ratio)
+      row
     }
     val superlinear = rows.collect {
-      case (n, _, _, r) if r > copies * 1.5 => n
+      // a split query is flagged on its PROBE ratio — the build is
+      // corpus-linear by design and ~copies× is its expected ratio
+      case Row(n, _, _, r, None) if r > copies * 1.5 => n
+      case Row(n, _, _, _, Some((bb, bp, _, xp)))
+        if bb >= 0 && bp > 0 && xp / bp > copies * 1.5 => n
     }
-    val errors = rows.collect { case (n, b, x, _) if b < 0 || x < 0 => n }
-    val qs = rows.map { case (n, b, x, r) =>
-      f"""\"$n\":{\"base_sec\":$b%.3f,\"x${copies}_sec\":$x%.3f,\"ratio\":$r%.2f}"""
+    val errors = rows.collect { case Row(n, b, x, _, _) if b < 0 || x < 0 => n }
+    val qs = rows.map {
+      case Row(n, b, x, r, None) =>
+        f"""\"$n\":{\"base_sec\":$b%.3f,\"x${copies}_sec\":$x%.3f,\"ratio\":$r%.2f}"""
+      case Row(n, b, x, r, Some((bb, bp, xb, xp))) =>
+        val br = if (bb > 0 && xb >= 0) xb / bb else -1.0
+        val pr = if (bp > 0 && xp >= 0) xp / bp else -1.0
+        f"""\"$n\":{\"base_sec\":$b%.3f,\"x${copies}_sec\":$x%.3f,\"ratio\":$r%.2f,""" +
+          f"""\"build_base_sec\":$bb%.3f,\"probe_base_sec\":$bp%.3f,""" +
+          f"""\"build_x${copies}_sec\":$xb%.3f,\"probe_x${copies}_sec\":$xp%.3f,""" +
+          f"""\"build_ratio\":$br%.2f,\"probe_ratio\":$pr%.2f}"""
     }.mkString("{", ",", "}")
     val sl = superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")
     val er = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -503,7 +503,24 @@ object Relational {
     *
     * A single giant group degenerates to one reducer — that shape is
     * [[exactQuantilesGlobal]], which routes the DISTRIBUTED global
-    * rank instead. */
+    * rank instead.
+    *
+    * DECLARED SCALE PATH: the per-group window buffers each group on
+    * one reducer, so wall time grows with the LARGEST group, not the
+    * partition count — the 10× map shows exactly that (q161 ratio
+    * ~5.5 with fixed group cardinality). When groups outgrow a
+    * reducer, the designed alternative is the histogram-sidecar
+    * family ([[graft.ops.Sketches.histogram]] →
+    * [[graft.ops.Sketches.histQuantiles]], q170/q171): additive
+    * per-bin exact counts with a ≤-bins-rows-per-group cumulative
+    * window, whose quantile estimate is within ONE BIN WIDTH of this
+    * operator's exact answer by construction (the same
+    * `max(1, ceil(p*n))` rank rule lifted to bins —
+    * SketchesSpec pins the bound mechanically at 10× the bench
+    * corpus). Halving the error costs 2× sidecar rows, never a
+    * rescan. Keep THIS operator for auditable exact answers and
+    * bounded group sizes; route dashboards and unbounded groups
+    * through the sidecar. */
   def exactQuantiles(df: DataFrame, groupCols: Seq[String],
                      valueCol: String, tieCols: Seq[String],
                      ps: Seq[Double]): DataFrame = {

@@ -436,23 +436,38 @@ object CorpusQueries {
     * params — the q154 discipline), so the timing covers the index
     * BUILD (cell fit + assign/encode + partitioned writes) and the
     * pruned query, not a refit q158 already times. */
-  val q159KnnJoinIvfPqStored =
-      QueryDef.rowsOnly("q159_knn_join_ivfpq_stored") { (s, d) =>
+  /** q159 split into build vs probe (the q130Parts pattern): the 100×
+    * scale entry for this query was build-dominated by design (the
+    * one-time cell fit + encode is corpus-linear), which meant a
+    * probe-side regression could hide inside the single ratio. */
+  private[graft] def q159Parts(s: org.apache.spark.sql.SparkSession,
+      d: String): (() => Unit, () => org.apache.spark.sql.DataFrame) = {
     val dir = {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q159_ivfpq_index_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
-    Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
-      nlist = 16, m = 8, ksub = 64, pqCacheKey = Some(s"$d/embeddings"))
-    Similarity.annJoinIvfPqStored(s, dir,
+    val build = () => {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+      Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 64, pqCacheKey = Some(s"$d/embeddings"))
+      ()
+    }
+    val probe = () => Similarity.annJoinIvfPqStored(s, dir,
         queries = emb.filter(expr("vec_id % 100 = 0")),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,
         refine = 10)
       .orderBy(col("query_id"), col("rnk"))
+    (build, probe)
+  }
+
+  val q159KnnJoinIvfPqStored =
+      QueryDef.rowsOnly("q159_knn_join_ivfpq_stored") { (s, d) =>
+    val (build, probe) = q159Parts(s, d)
+    build()
+    probe()
   }
 
   /** DSIR data selection ([[Curation.dsirWeights]] +

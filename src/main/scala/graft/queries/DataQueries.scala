@@ -305,9 +305,10 @@ object DataQueries {
   /** Multimodal pipeline end-to-end: synthetic media table → binary
     * payloads → partition-parallel decode (REAL javax.imageio decode
     * for the PNG image rows, REAL javax.sound WAV decode for the
-    * audio rows; stub seam for video) → per-kind feature statistics.
-    * Deterministic but engine-specific (stub hash for the video
-    * kind) → rows-only. */
+    * audio rows, REAL MP4 box-tree metadata parse for video rows) →
+    * per-kind feature statistics. Deterministic but engine-specific
+    * (imageio/javax.sound/box-walk internals have no SQL oracle) →
+    * rows-only. */
   val q55Multimodal = QueryDef.rowsOnly("q55_multimodal_pipeline") { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(s, 300)).toDF()
@@ -412,8 +413,10 @@ object DataQueries {
     * media_id 0 — the media-retrieval pipeline (decode once, search
     * many) over the same ANN operators the embeddings table uses.
     * Image features are real luminance histograms (imageio decode);
-    * audio/video features are stub-derived → rows-only; decode parity
-    * and recall are asserted in specs. */
+    * audio features are real amplitude histograms (javax.sound
+    * decode); video features are container-byte histograms over real
+    * MP4 payloads → rows-only; decode parity and recall are asserted
+    * in specs. */
   val q99MultimodalAnn = QueryDef.rowsOnly("q99_multimodal_ann") { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decodeBatched(Multimodal.syntheticMedia(s, 500)).toDF()

@@ -189,20 +189,35 @@ object ScaleQueries {
     * in-memory [[Similarity.annJoinIvf]] and asserts the partition
     * pruning. The index dir is wiped per run (buildIvfIndex overwrites
     * but a stale layout from an older nlist would change cells). */
-  val q130AnnJoinIvfStored = QueryDef.rowsOnly("q130_knn_join_ivf_stored") { (s, d) =>
+  /** q130 split into its two phases so the scale bench can time the
+    * one-time index BUILD (corpus-linear by design) separately from
+    * the per-batch PROBE (nprobe/nlist-pruned) — a probe-side
+    * regression must not hide under the build number at 100×. */
+  private[graft] def q130Parts(s: org.apache.spark.sql.SparkSession,
+      d: String): (() => Unit, () => org.apache.spark.sql.DataFrame) = {
     val dir = {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q130_ivf_index_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
-    Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16)
-    Similarity.annJoinIvfStored(s, dir,
+    val build = () => {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16)
+      ()
+    }
+    val probe = () => Similarity.annJoinIvfStored(s, dir,
         queries = emb.filter(expr(QueryFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rnk"))
+    (build, probe)
+  }
+
+  val q130AnnJoinIvfStored = QueryDef.rowsOnly("q130_knn_join_ivf_stored") { (s, d) =>
+    val (build, probe) = q130Parts(s, d)
+    build()
+    probe()
   }
 
   /** Sequence packing ([[Relational.packSequences]]): documents
@@ -774,23 +789,38 @@ object ScaleQueries {
     * full query batch runs through the appended index — the nightly
     * embedding-ingest shape. Rows-only (KMeans fit); SimilaritySpec
     * pins the assignment rule and stored-path visibility. */
-  val q132IvfAppend = QueryDef.rowsOnly("q132_ivf_append") { (s, d) =>
+  /** q132 split (the q130Parts pattern): build = initial fit over the
+    * even half + incremental APPEND of the odd half; probe = the
+    * pruned batch query. The append is the nightly-ingest cost — it
+    * belongs on the build side of the ratio. */
+  private[graft] def q132Parts(s: org.apache.spark.sql.SparkSession,
+      d: String): (() => Unit, () => org.apache.spark.sql.DataFrame) = {
     val dir = {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q132_ivf_index_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
-    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
-      "vec_id", "embedding", dir, nlist = 16)
-    Similarity.appendToIvfIndex(s, dir, emb.filter(col("vec_id") % 2 === 1),
-      "vec_id", "embedding")
-    Similarity.annJoinIvfStored(s, dir,
+    val build = () => {
+      val path = new org.apache.hadoop.fs.Path(dir)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(path, true)
+      Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir, nlist = 16)
+      Similarity.appendToIvfIndex(s, dir, emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      ()
+    }
+    val probe = () => Similarity.annJoinIvfStored(s, dir,
         queries = emb.filter(expr(QueryFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rnk"))
+    (build, probe)
+  }
+
+  val q132IvfAppend = QueryDef.rowsOnly("q132_ivf_append") { (s, d) =>
+    val (build, probe) = q132Parts(s, d)
+    build()
+    probe()
   }
 
   /** The composed post-sidecar curation plan — every round-5 operator

@@ -13,14 +13,17 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partition sizing, batch shape,
   * null/corrupt handling — is real and tested. The codec seam
   * ([[MediaCodec]]) is real for IMAGES (round 8: pure-JDK
-  * `javax.imageio`, PNG/BMP/GIF/JPEG) and AUDIO (round 9: pure-JDK
+  * `javax.imageio`, PNG/BMP/GIF/JPEG), AUDIO (round 9: pure-JDK
   * `javax.sound.sampled`, WAV/AIFF/AU — true sample rate, channels,
   * frame count, and a deterministic 8-bin amplitude-histogram
-  * feature); a corrupt payload of either kind is DROPPED
-  * (permissive-scan semantics), never faked. Video remains stubbed
-  * (`decodeStub` — the JDK ships no video codec): deterministic fake
-  * dimensions/features from the payload bytes. Swapping in a real
-  * video codec still touches ONLY [[MediaCodec]].
+  * feature), and VIDEO METADATA (round 9: pure-byte MP4 box-tree and
+  * AVI RIFF-chunk parse — true dimensions, frame count, and duration
+  * from the container headers). A corrupt payload of ANY kind is
+  * DROPPED (permissive-scan semantics), never faked. The one
+  * remaining seam: video FRAME (pixel) decode needs a codec the JDK
+  * does not ship — the video feature vector is a container-byte
+  * histogram, documented as such, and swapping in an ffmpeg-class
+  * frame decoder still touches ONLY [[MediaCodec]].
   */
 object Multimodal {
 
@@ -40,21 +43,15 @@ object Multimodal {
                                 width: Int, height: Int, n_frames: Int,
                                 feature: Array[Float])
 
-  /** The codec seam. Replace the stub bodies with real decoders
-    * (javax.imageio / ffmpeg bindings / etc.) when available. */
+  /** Parsed video container metadata — REAL header fields, no frame
+    * decode (see [[MediaCodec.probeVideo]]). */
+  final case class VideoMeta(width: Int, height: Int, nFrames: Int,
+                             durationMs: Long, container: String)
+
+  /** The codec seam. All three kinds now parse REAL bytes; swapping in
+    * richer decoders (an ffmpeg binding for video FRAMES) still
+    * touches only this object. */
   object MediaCodec {
-    /** STUB: deterministic fake decode — dimensions and a 8-dim
-      * feature vector derived from payload bytes. Real impl would
-      * parse the container header and decode pixels/samples. */
-    def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 64 + math.abs(h % 1024)
-      val height = 64 + math.abs((h / 1024) % 1024)
-      val frames = 1 + math.abs(h % 7)
-      val feature = Array.tabulate(8)(i =>
-        ((h >> (i * 4)) & 0xF).toFloat / 15f)
-      (width, height, frames, feature)
-    }
 
     /** REAL image decode — pure-JDK `javax.imageio` (PNG, BMP, GIF,
       * JPEG readers ship with the JRE): true raster dimensions,
@@ -135,8 +132,145 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
 
-    /** Per-item dispatch: images and audio decode for REAL (corrupt →
-      * None, dropped downstream); video goes through the stub. Null
+    // ---- video: REAL container-metadata parse (round 9) -------------
+    // The JDK ships no video CODEC, so pixel-level frame decode stays
+    // out of reach without native bindings — but the container
+    // METADATA (dimensions, frame count, duration) is plain big-/
+    // little-endian byte structure, parsed here for real from the MP4
+    // box tree and the AVI RIFF chunk list. Corrupt/unknown containers
+    // are DROPPED (the image/audio discipline), never faked.
+
+    private def u32be(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def u64be(b: Array[Byte], o: Int): Long =
+      (u32be(b, o) << 32) | u32be(b, o + 4)
+    private def u32le(b: Array[Byte], o: Int): Long =
+      ((b(o + 3) & 0xFFL) << 24) | ((b(o + 2) & 0xFFL) << 16) |
+        ((b(o + 1) & 0xFFL) << 8) | (b(o) & 0xFFL)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** MP4/ISO-BMFF metadata: walks the box tree (`moov` → `mvhd` for
+      * timescale/duration, `trak` → `tkhd` for 16.16-fixed dims,
+      * `trak/mdia/minf/stbl` → `stts` whose sample counts sum to the
+      * frame count). Handles v0/v1 full boxes and 64-bit largesize;
+      * any malformed size aborts the walk → None. With several tracks
+      * (sound tracks carry 0×0 dims) the max dims / max frame sum
+      * win — the video track's numbers. */
+    def parseMp4(b: Array[Byte]): Option[VideoMeta] = {
+      if (b.length < 12 || fourcc(b, 4) != "ftyp") return None
+      val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+      var timescale = 0L; var duration = 0L
+      var width = 0; var height = 0; var frames = 0L
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var pos = start
+        while (pos + 8 <= end) {
+          val size0 = u32be(b, pos.toInt)
+          val typ = fourcc(b, pos.toInt + 4)
+          val (size, hdr) =
+            if (size0 == 1 && pos + 16 <= end) (u64be(b, pos.toInt + 8), 16)
+            else if (size0 == 0) (end - pos, 8)  // "to end of file"
+            else (size0, 8)
+          if (size < hdr || pos + size > end) return false
+          val body = pos + hdr
+          typ match {
+            case t if containers.contains(t) =>
+              if (depth > 8 || !walk(body, pos + size, depth + 1)) return false
+            case "mvhd" if size >= hdr + 4 =>
+              val v = b(body.toInt) & 0xFF
+              if (v == 1 && size >= hdr + 28) {
+                timescale = u32be(b, body.toInt + 20)
+                duration = u64be(b, body.toInt + 24)
+              } else if (v == 0 && size >= hdr + 20) {
+                timescale = u32be(b, body.toInt + 12)
+                duration = u32be(b, body.toInt + 16)
+              }
+            case "tkhd" if size >= hdr + 84 =>
+              val v = b(body.toInt) & 0xFF
+              // dims are the LAST 8 bytes of the box either version
+              val o = (pos + size - 8).toInt
+              if (v <= 1) {
+                width = math.max(width, (u32be(b, o) >> 16).toInt)
+                height = math.max(height, (u32be(b, o + 4) >> 16).toInt)
+              }
+            case "stts" if size >= hdr + 8 =>
+              val n = u32be(b, body.toInt + 4)
+              if (body + 8 + n * 8 <= pos + size) {
+                var sum = 0L; var i = 0
+                while (i < n) {
+                  sum += u32be(b, (body + 8 + i * 8).toInt); i += 1
+                }
+                frames = math.max(frames, sum)
+              }
+            case _ => ()
+          }
+          pos += size
+        }
+        true
+      }
+      if (!walk(0L, b.length.toLong, 0) || timescale == 0) None
+      else Some(VideoMeta(width, height, frames.toInt,
+        duration * 1000L / timescale, "mp4"))
+    }
+
+    /** AVI metadata: RIFF chunk walk to the `avih` main header —
+      * µs/frame, total frames, and pixel dims as little-endian u32s at
+      * fixed offsets. `LIST` chunks recurse; odd chunk sizes pad one
+      * byte (the RIFF rule). Malformed sizes abort → None. */
+    def parseAvi(b: Array[Byte]): Option[VideoMeta] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ")
+        return None
+      var meta: Option[VideoMeta] = None
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var pos = start
+        while (pos + 8 <= end && meta.isEmpty) {
+          val typ = fourcc(b, pos.toInt)
+          val size = u32le(b, pos.toInt + 4)
+          if (pos + 8 + size > end) return false
+          if (typ == "LIST" && size >= 4) {
+            if (depth > 8 || !walk(pos + 12, pos + 8 + size, depth + 1))
+              return false
+          } else if (typ == "avih" && size >= 40) {
+            val o = pos.toInt + 8
+            val usPerFrame = u32le(b, o)
+            val totalFrames = u32le(b, o + 16)
+            meta = Some(VideoMeta(u32le(b, o + 32).toInt,
+              u32le(b, o + 36).toInt, totalFrames.toInt,
+              usPerFrame * totalFrames / 1000L, "avi"))
+          }
+          pos += 8 + size + (size & 1)  // RIFF chunks pad to even
+        }
+        true
+      }
+      if (!walk(12L, b.length.toLong, 0)) None else meta
+    }
+
+    /** Container probe: MP4 first (`ftyp` magic), then AVI (`RIFF`).
+      * REAL metadata, no frame decode. */
+    def probeVideo(payload: Array[Byte]): Option[VideoMeta] =
+      try parseMp4(payload).orElse(parseAvi(payload))
+      catch { case _: Exception => None }
+
+    /** Video through the (width, height, n_frames, feature) decode
+      * shape: metadata from [[probeVideo]]; the feature is the 8-bin
+      * BYTE-VALUE histogram of the payload (`bin = byte >> 5` over the
+      * real container bytes — a deterministic file-level signature
+      * usable for container near-dup grouping, NOT a pixel feature;
+      * pixel features need a codec the JDK doesn't ship). */
+    def decodeVideo(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      probeVideo(payload).map { m =>
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < payload.length) {
+          hist((payload(i) & 0xFF) >> 5) += 1; i += 1
+        }
+        val n = math.max(payload.length, 1).toFloat
+        (m.width, m.height, m.nFrames, hist.map(c => c / n))
+      }
+
+    /** Per-item dispatch: all three kinds parse REAL bytes; a corrupt
+      * payload (or an unknown kind) is dropped, never faked. Null
       * payloads are dropped for every kind. */
     def decodeItem(m: MediaRow): Option[DecodedMedia] =
       Option(m.payload).flatMap { p =>
@@ -147,9 +281,10 @@ object Multimodal {
           case "audio" =>
             decodeAudio(p).map { case (w, h, f, feat) =>
               DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
-          case _ =>
-            val (w, h, f, feat) = decodeStub(p)
-            Some(DecodedMedia(m.media_id, m.kind, w, h, f, feat))
+          case "video" =>
+            decodeVideo(p).map { case (w, h, f, feat) =>
+              DecodedMedia(m.media_id, m.kind, w, h, f, feat) }
+          case _ => None
         }
       }
 
@@ -256,8 +391,9 @@ object Multimodal {
   /** Deterministic synthetic media table for tests/demos: image rows
     * carry REAL 8×8 PNGs (decoded by the real imageio path), audio
     * rows carry REAL mono WAVs (decoded by the real javax.sound
-    * path); video rows carry opaque deterministic bytes (their decode
-    * is the documented stub seam). */
+    * path), video rows carry REAL minimal MP4 containers (parsed by
+    * the real box-tree walk — dims/frames/duration are true header
+    * fields). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -267,11 +403,77 @@ object Multimodal {
       else if (i % 3 == 1)
         MediaRow(i, "audio", "audio/wav", syntheticWav(i),
           Map("src" -> s"synthetic/$i"))
-      else {
-        val bytes = Array.tabulate(128)(j => ((i * 131 + j * 7) % 256).toByte)
-        MediaRow(i, "video", "application/octet-stream", bytes,
+      else
+        MediaRow(i, "video", "video/mp4", syntheticMp4(i),
           Map("src" -> s"synthetic/$i"))
-      }
     }
+  }
+
+  private def beBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+    bb.putInt(8 + payload.length)
+    bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(payload)
+    bb.array()
+  }
+
+  /** Deterministic minimal-but-valid MP4: `ftyp` + `moov{mvhd,
+    * trak{tkhd, mdia{minf{stbl{stts}}}}}` + an `mdat` of deterministic
+    * bytes — every header field a pure function of `i`, so the parsed
+    * [[VideoMeta]] (and the byte-histogram feature) is byte-stable
+    * across JREs, the [[syntheticPng]] discipline for containers. The
+    * stts carries TWO entries so the frame count exercises the
+    * sample-count SUM, not a single field copy. */
+  def syntheticMp4(i: Long): Array[Byte] = {
+    val width = 160 + (i % 8).toInt * 16
+    val height = 120 + (i % 6).toInt * 16
+    val frames = 24 + (i % 10).toInt
+    val timescale = 600
+    val duration = frames * 25
+    val ftyp = beBox("ftyp", {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put("isom".getBytes("US-ASCII")).putInt(0x200)
+        .put("isom".getBytes("US-ASCII"))
+      bb.array()
+    })
+    val mvhd = beBox("mvhd", {
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(0)                       // version 0 + flags
+        .putInt(0).putInt(0)             // creation, modification
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000)              // rate 1.0
+        .putShort(0x0100.toShort)        // volume 1.0
+        .putShort(0).putLong(0)          // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(v => bb.putInt(v))              // unity matrix
+      (1 to 6).foreach(_ => bb.putInt(0)) // pre_defined
+      bb.putInt(2)                       // next_track_ID
+      bb.array()
+    })
+    val tkhd = beBox("tkhd", {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(7)                       // version 0 + enabled flags
+        .putInt(0).putInt(0)             // creation, modification
+        .putInt(1).putInt(0)             // track_ID, reserved
+        .putInt(duration).putLong(0)     // duration, reserved
+        .putShort(0).putShort(0)         // layer, alternate_group
+        .putShort(0).putShort(0)         // volume, reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(v => bb.putInt(v))
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      bb.array()
+    })
+    val stts = beBox("stts", {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.putInt(0).putInt(2)             // version/flags, entry_count
+        .putInt(frames - 1).putInt(25)   // (sample_count, delta)
+        .putInt(1).putInt(25)
+      bb.array()
+    })
+    val trak = beBox("trak",
+      tkhd ++ beBox("mdia", beBox("minf", beBox("stbl", stts))))
+    val mdat = beBox("mdat",
+      Array.tabulate(64)(j => ((i * 131 + j * 7) % 256).toByte))
+    ftyp ++ beBox("moov", mvhd ++ trak) ++ mdat
   }
 }

@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Test-only fault-injection seam for [[curateBatch]]'s crash-
+    * ordering contract: invoked with a window name at the two points
+    * inside the write section where a process death would tear the
+    * batch (after the packed sink append; after the sidecar append).
+    * Production value is a no-op; the fault-injection spec swaps in a
+    * thrower and restores it in a finally — the thrown exception
+    * aborts the remaining writes exactly like a kill would, while
+    * `Sinks.withDirLock` still releases the lock the way a crashed
+    * holder's marker would be cleared with `breakDirLock`. */
+  @volatile private[graft] var failpoint: String => Unit = _ => ()
+
   /** Event schema with `ts` stored as `tsType` — the file-source
     * stream needs a pinned schema, and that schema must match the
     * files' physical encoding or the source silently reads nulls. The
@@ -511,8 +522,10 @@ object EventStreams {
     // silently double-admit budgets and overlap sequence positions)
     graft.sources.Sinks.withDirLock(spark, pipelineDir, "curateBatch") {
       packed.write.mode("append").parquet(s"$pipelineDir/packed")
+      failpoint("curateBatch:after-packed-append")
       graft.ops.Dedup.writeMinhashSidecar(surv, textCol, idCol,
         s"$pipelineDir/minhash", shingleK, numHashes, bands)
+      failpoint("curateBatch:after-sidecar-append")
       newState.coalesce(1).write.mode("overwrite").parquet(budgetDir)
       import spark.implicits._
       Seq(offset + admittedTokens).toDF("next_offset")

@@ -225,4 +225,39 @@ class SketchesSpec extends SparkSpec {
         s"p=$p est=${est(p)} exact=${exact(p)}")
     }
   }
+
+  test("histQuantiles at 10x: per-group estimates stay within one bin " +
+      "width of q161's exact rank selection on a 10x-blown lineitem — " +
+      "the documented scale pairing for exactQuantiles") {
+    // the ScaleBench blow-up shape, inline: 10 re-keyed copies (values
+    // copied verbatim) — per-group n grows 10x, group count does not,
+    // which is exactly the regime where the per-group sort window
+    // behind exactQuantiles stops scaling and the histogram sidecar is
+    // the declared path (Relational.exactQuantiles scaladoc)
+    val base = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    val blown = (0 until 10).map { i =>
+      base.withColumn("l_orderkey", col("l_orderkey") + lit(i * (1L << 33)))
+    }.reduce(_ unionByName _)
+    val (lo, hi, bins) = (0.0, 120000.0, 200)
+    val w = (hi - lo) / bins
+    val ps = Seq(0.25, 0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(
+        Sketches.histogram(blown, Seq("l_returnflag"), "l_extendedprice",
+          lo, hi, bins),
+        Seq("l_returnflag"), ps, lo, hi, bins)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val exact = graft.ops.Relational.exactQuantiles(blown,
+        Seq("l_returnflag"), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), ps)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(exact.keySet === est.keySet)
+    exact.foreach { case (key, ex) =>
+      assert(est(key) <= ex && ex < est(key) + w,
+        s"$key est=${est(key)} exact=$ex width=$w")
+    }
+  }
 }

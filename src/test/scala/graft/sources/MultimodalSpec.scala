@@ -73,7 +73,8 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.toSeq === Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
   }
 
-  test("corrupt image/audio payloads are DROPPED, video stays stub-decoded") {
+  test("corrupt image/audio/video payloads are DROPPED, real payloads of " +
+      "all three kinds decode") {
     val rows = Seq(
       Multimodal.MediaRow(1L, "image", "image/png",
         Array[Byte](1, 2, 3, 4), Map.empty),              // not a PNG
@@ -83,16 +84,62 @@ class MultimodalSpec extends SparkSpec {
         Array[Byte](9, 9, 9), Map.empty),                 // not a WAV → drop
       Multimodal.MediaRow(4L, "audio", "audio/wav",
         Multimodal.syntheticWav(4L), Map.empty),          // real WAV
-      Multimodal.MediaRow(5L, "video", "application/octet-stream",
-        Array[Byte](9, 9, 9), Map.empty))                 // stub path
+      Multimodal.MediaRow(5L, "video", "video/mp4",
+        Array[Byte](9, 9, 9), Map.empty),                 // not MP4/AVI → drop
+      Multimodal.MediaRow(6L, "video", "video/mp4",
+        Multimodal.syntheticMp4(6L), Map.empty),          // real MP4
+      Multimodal.MediaRow(7L, "hologram", "application/octet-stream",
+        Array[Byte](1, 2), Map.empty))                    // unknown kind → drop
     val got = Multimodal.decode(rows.toDS()).collect().sortBy(_.media_id)
-    assert(got.map(_.media_id).toSeq === Seq(2L, 4L, 5L))
+    assert(got.map(_.media_id).toSeq === Seq(2L, 4L, 6L))
     assert(got(0).width === 8 && got(0).height === 8 && got(0).n_frames === 1)
-    // histograms are probability vectors over raster / samples
+    // histograms are probability vectors over raster / samples / bytes
     assert(math.abs(got(0).feature.sum - 1f) < 1e-6)
     assert(got(1).width === 8000 && got(1).height === 1 &&
       got(1).n_frames === 256)
     assert(math.abs(got(1).feature.sum - 1f) < 1e-6)
+    // MP4 header fields for i=6: width 160+6*16, height 120, frames 24+6
+    assert(got(2).width === 256 && got(2).height === 120 &&
+      got(2).n_frames === 30)
+    assert(math.abs(got(2).feature.sum - 1f) < 1e-6)
+  }
+
+  test("real MP4 metadata parse: dims from tkhd 16.16 fixed, frame count " +
+      "as the stts sample-count SUM, duration from mvhd timescale") {
+    val Some(m) = Multimodal.MediaCodec.probeVideo(Multimodal.syntheticMp4(3L))
+    // i=3: width 160+3*16=208, height 120+3*16=168, frames 24+3=27
+    assert((m.width, m.height, m.nFrames, m.container) ===
+      ((208, 168, 27, "mp4")))
+    // mvhd: timescale 600, duration frames*25 → ms = 27*25*1000/600
+    assert(m.durationMs === 1125L)
+    // truncating the payload mid-moov is a malformed size → drop
+    val truncated = Multimodal.syntheticMp4(3L).take(40)
+    assert(Multimodal.MediaCodec.probeVideo(truncated).isEmpty)
+  }
+
+  test("real AVI metadata parse: avih header fields through the RIFF " +
+      "LIST-chunk walk") {
+    // hand-built minimal AVI: RIFF{AVI LIST{hdrl avih{...}}}
+    val avih = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.put("avih".getBytes("US-ASCII")).putInt(56)
+      .putInt(40000)        // µs/frame (25 fps)
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(250)          // total frames
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(320).putInt(240) // width, height
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val hdrl = java.nio.ByteBuffer.allocate(76)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hdrl.put("LIST".getBytes("US-ASCII")).putInt(68)
+      .put("hdrl".getBytes("US-ASCII")).put(avih.array())
+    val riff = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(80)
+      .put("AVI ".getBytes("US-ASCII")).put(hdrl.array())
+    val Some(m) = Multimodal.MediaCodec.probeVideo(riff.array())
+    assert((m.width, m.height, m.nFrames, m.durationMs, m.container) ===
+      ((320, 240, 250, 10000L, "avi")))
   }
 
   test("real audio decode: known 4-sample WAV yields exact rate/channels/" +

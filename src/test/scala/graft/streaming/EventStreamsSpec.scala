@@ -390,6 +390,117 @@ class EventStreamsSpec extends SparkSpec {
       spark.read.parquet(s"$oneDir/budget_state").columns.toSeq)
   }
 
+  test("curateBatch fault injection: a kill between the packed sink write " +
+      "and the sidecar/state writes re-emits the batch on replay — " +
+      "duplicates, never loss — and the rerun converges to one-shot") {
+    val root = java.nio.file.Files.createTempDirectory("scuration_crash1")
+    val crashDir = root.resolve("crash").toString
+    val oneDir = root.resolve("one").toString
+    def mk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b1 = Seq((1L, "web", mk("aa", 40)), (2L, "books", mk("bb", 40)))
+    val b2 = Seq((11L, "web", mk("cc", 40)), (12L, "books", mk("dd", 40)))
+    def runBatch(rows: Seq[(Long, String, String)], dir: String) =
+      curateBatch(rows.toDF("doc_id", "source", "text"),
+        "text", "doc_id", "source", dir,
+        2, 64, 8, 0.7, 0.5, 10000L, 64L)
+
+    // kill batch 1 right after the packed append — the first crash
+    // window of the documented sink-first ordering
+    EventStreams.failpoint = name =>
+      if (name == "curateBatch:after-packed-append")
+        throw new RuntimeException(s"injected crash: $name")
+    val killed =
+      try { runBatch(b1, crashDir); false }
+      catch { case e: RuntimeException
+        if e.getMessage.startsWith("injected crash") => true }
+      finally { EventStreams.failpoint = _ => () }
+    assert(killed)
+    // torn state: the sink landed; sidecar and both states never did
+    assert(spark.read.parquet(s"$crashDir/packed").count() === 2L)
+    assert(!new java.io.File(s"$crashDir/minhash").exists)
+    assert(!new java.io.File(s"$crashDir/budget_state").exists)
+    assert(!new java.io.File(s"$crashDir/pack_state").exists)
+    // the exception path released the writer lock (a hard process kill
+    // would leave the marker for Sinks.breakDirLock)
+    assert(!new java.io.File(crashDir + ".lock").exists)
+
+    // at-least-once replay of batch 1, then batch 2; reference = the
+    // union as one batch on a fresh dir
+    runBatch(b1, crashDir)
+    runBatch(b2, crashDir)
+    runBatch(b1 ++ b2, oneDir)
+
+    val crash = spark.read.parquet(s"$crashDir/packed")
+    val one = spark.read.parquet(s"$oneDir/packed")
+    // the replay saw the UN-advanced sidecar, budget, and offset, so it
+    // re-derived byte-identical rows: the crash dir is exactly the
+    // one-shot result plus a second copy of batch-1's packed rows
+    val dupRows = one.filter($"doc_id" <= 2L).collect().map(_.toString).toSeq
+    assert(crash.collect().map(_.toString).toSeq.sorted ===
+      (one.collect().map(_.toString).toSeq ++ dupRows).sorted)
+    // nothing lost, nothing foreign
+    assert(crash.select($"doc_id").distinct().as[Long].collect().toSet ===
+      Set(1L, 2L, 11L, 12L))
+    // states converged to the one-shot values
+    def state(d: String, t: String) = spark.read.parquet(s"$d/$t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(state(crashDir, "budget_state") === state(oneDir, "budget_state"))
+    assert(state(crashDir, "pack_state") === state(oneDir, "pack_state"))
+  }
+
+  test("curateBatch fault injection: a kill between the sidecar append and " +
+      "the state writes leaves the replay with zero survivors and the next " +
+      "batch overlapping positions — over-admission, never loss") {
+    val root = java.nio.file.Files.createTempDirectory("scuration_crash2")
+    val crashDir = root.resolve("crash").toString
+    val oneDir = root.resolve("one").toString
+    def mk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val b1 = Seq((1L, "web", mk("aa", 40)), (2L, "web", mk("bb", 40)))
+    val b2 = Seq((11L, "web", mk("cc", 40)))
+    // budget 100: the one-shot cuts doc 11 (cum 120 > 100); the crash
+    // dir's lost budget state re-admits it — the documented direction
+    def runBatch(rows: Seq[(Long, String, String)], dir: String) =
+      curateBatch(rows.toDF("doc_id", "source", "text"),
+        "text", "doc_id", "source", dir,
+        2, 64, 8, 0.7, 0.5, 100L, 64L)
+
+    EventStreams.failpoint = name =>
+      if (name == "curateBatch:after-sidecar-append")
+        throw new RuntimeException(s"injected crash: $name")
+    val killed =
+      try { runBatch(b1, crashDir); false }
+      catch { case e: RuntimeException
+        if e.getMessage.startsWith("injected crash") => true }
+      finally { EventStreams.failpoint = _ => () }
+    assert(killed)
+    // torn state: sink AND sidecar landed; budget/pack states did not
+    assert(spark.read.parquet(s"$crashDir/packed").count() === 2L)
+    assert(new java.io.File(s"$crashDir/minhash").exists)
+    assert(!new java.io.File(s"$crashDir/budget_state").exists)
+    assert(!new java.io.File(s"$crashDir/pack_state").exists)
+
+    // replay: every batch-1 row is now an exact dup of the sidecar →
+    // zero survivors, no new packed rows; the states land, recording
+    // zero seen (the crashed batch's contribution is unrecoverable —
+    // that is the overlap hazard the scaladoc names, not row loss)
+    runBatch(b1, crashDir)
+    assert(spark.read.parquet(s"$crashDir/packed").count() === 2L)
+    assert(spark.read.parquet(s"$crashDir/pack_state").head().getLong(0) === 0L)
+
+    runBatch(b2, crashDir)
+    runBatch(b1 ++ b2, oneDir)
+    val crash = spark.read.parquet(s"$crashDir/packed")
+    // never loss: batch 1's rows and batch 2's row are all present...
+    assert(crash.select($"doc_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 11L))
+    // ...but doc 11 was OVER-admitted (one-shot budget cuts it) and its
+    // position overlaps the crashed batch's stream (offset restarted)
+    assert(spark.read.parquet(s"$oneDir/packed")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(crash.filter($"doc_id" === 11L)
+      .select($"cum_tokens").as[Long].head() === 40L)
+  }
+
   test("streaming token-count sidecar: merged counts and rarity scores " +
       "equal the one-shot batch build (exact counts are additive)") {
     implicit val sqlCtx = spark.sqlContext
