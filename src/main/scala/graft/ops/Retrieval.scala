@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranked retrieval over the document corpus: an inverted index
+  * (postings + per-doc lengths + corpus totals) and BM25 scoring on
+  * top of it — the retrieval layer a training-data pipeline needs for
+  * query-relevance curation and retrieval-based decontamination
+  * (flagging corpus documents a benchmark query can retrieve is the
+  * IR-side complement of the n-gram containment check in
+  * [[Curation.decontaminate]]).
+  *
+  * Reference scope: the reference app has no retrieval surface at all
+  * (`app.py:1-248` scores one loan row at a time); this module is part
+  * of the north-star LLM-curation extension, like [[Curation]] /
+  * [[Dedup]].
+  *
+  * Shape at scale (the 100 TB question):
+  *  - [[postings]] is ONE aggregation shuffle on (term, doc) whose
+  *    map-side combine collapses each task to its distinct terms; the
+  *    shuffle moves distinct (term, doc) pairs, never token
+  *    occurrences. Document lengths fall out of the same pass.
+  *  - term document-frequencies re-aggregate postings by term — the
+  *    second shuffle moves one row per distinct (term) per partition.
+  *  - the QUERY side is a benchmark/eval suite — MBs by construction,
+  *    like [[Curation.decontaminate]]'s eval grams — so query terms
+  *    ride a BROADCAST and scoring is a broadcast hash join against
+  *    the postings, never a shuffle of the corpus on query keys.
+  *  - per-query top-k is a rank window partitioned by query_id: state
+  *    is one sort buffer per query partition, bounded by that query's
+  *    candidate postings. Queries made of stopword-class terms can
+  *    make the candidate set approach the corpus; [[bm25TopK]]'s
+  *    `dfCapRatio` drops terms whose df exceeds the given fraction of
+  *    N (their idf is the lowest in the query by construction, and at
+  *    ratio ≥ 0.5 the log-idf has gone negative — the classic
+  *    stopword-pruning trade, documented like the LSH bucketCap).
+  *
+  * Replayability (the [[Curation.dsirWeights]] DECIMAL discipline):
+  * both BM25 factors are computed as ONE IEEE double division over
+  * exactly-long-valued operands (plus one `ln` for the idf) and
+  * rounded to 6 decimals into DECIMAL(18,6) — the rounding absorbs
+  * the ≤1-ulp `ln` spread between libm and the JVM, the per-term
+  * product DECIMAL(18,6)×DECIMAL(18,6) is exact, and the per-doc
+  * score SUM of exact decimals is order-independent, so any engine
+  * replays the ranking bit-for-bit from the same corpus.
+  */
+object Retrieval {
+
+  /** Inverted-index postings: one row per distinct (term, doc) with
+    * the within-doc term frequency. One explode → one aggregation
+    * shuffle with map-side combine. */
+  def postings(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-document token counts (BM25's `dl`) — in-row, no shuffle. */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+
+  /** BM25 idf as a rounded DECIMAL:
+    * `round(ln((2N − 2·df + 1) / (2·df + 1)), 6)` — the standard
+    * probabilistic idf `ln((N − df + 0.5)/(df + 0.5))` with numerator
+    * and denominator doubled so both are exact integer-valued doubles
+    * and the quotient is ONE IEEE division feeding one `ln`. */
+  private def idfDec(nDocs: Column, df: Column): Column =
+    round(log((lit(2.0) * nDocs - lit(2.0) * df + lit(1.0)) /
+              (lit(2.0) * df + lit(1.0))), 6)
+      .cast("decimal(18,6)")
+
+  /** BM25 term-frequency saturation factor as a rounded DECIMAL. With
+    * k1=1.2, b=0.75 and avgdl = T/N (T total corpus tokens, N docs):
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    *     = 22·tf·T / (20·T·tf + 6·T + 18·dl·N)   — halved to 11/10/3/9
+    *
+    * Numerator and denominator are integer-valued products of long
+    * columns (exact in double up to 2^53 — far above any per-shard
+    * corpus stats; beyond that both engines still agree because the
+    * operand tree is evaluated in the same IEEE order), so the factor
+    * is ONE double division, rounded to 6 into DECIMAL(18,6). */
+  private def tfPartDec(tf: Column, dl: Column, nDocs: Column,
+                        totTokens: Column): Column =
+    round((lit(11.0) * tf * totTokens) /
+          (lit(10.0) * totTokens * tf + lit(3.0) * totTokens +
+           lit(9.0) * dl * nDocs), 6)
+      .cast("decimal(18,6)")
+
+  /** Score every (query, candidate-doc) pair: the exact-decimal sum of
+    * idf·tfPart over the query's distinct terms present in the doc.
+    * `queries` is (query_id, query_text) — an eval/benchmark suite,
+    * small by construction, broadcast to the postings. Terms with
+    * `df > dfCapRatio · N` are dropped from scoring (stopword-class
+    * pruning; 1.0 disables). Output: (query_id, doc_id, score
+    * DECIMAL, n_terms matched). */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 dfCapRatio: Double = 1.0): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val dls = docLengths(docs, idCol, textCol)
+    // bounded 1-row totals ride a broadcast cross join (the q160
+    // totals pattern), never a collect
+    val totals = broadcast(
+      dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
+    val dfs = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val qterms = broadcast(
+      queries.select(col("query_id"),
+          explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+        .distinct())
+    post
+      .join(qterms, Seq("term"))
+      .join(dfs, Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(totals)
+      .filter(col("df").cast("double") <=
+        lit(dfCapRatio) * col("n_docs").cast("double"))
+      .select(col("query_id"), col("doc_id"),
+        (idfDec(col("n_docs"), col("df")) *
+          tfPartDec(col("tf"), col("dl"), col("n_docs"), col("tot_tokens")))
+          .as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms"))
+  }
+
+  /** Per-query BM25 top-k: rank by (score DESC, doc_id) — doc_id as
+    * the unique tiebreak makes the cut deterministic and
+    * oracle-replayable. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               dfCapRatio: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, queries, idCol, textCol, dfCapRatio)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Retrieval-based decontamination: a corpus doc any eval query
+    * retrieves with BM25 ≥ `minScore` is contaminated. Returns one row
+    * per flagged doc with its best (max_score, n_queries-that-hit) —
+    * the IR-side complement of [[Curation.decontaminate]]'s n-gram
+    * containment check (that one catches verbatim overlap; this one
+    * catches paraphrase-level term-profile overlap). Max over exact
+    * decimals is order-independent, so the flag set replays
+    * cross-engine. */
+  def bm25Decontaminate(docs: DataFrame, evalQueries: DataFrame,
+                        minScore: Double, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        dfCapRatio: Double = 1.0): DataFrame =
+    bm25Scores(docs, evalQueries, idCol, textCol, dfCapRatio)
+      .filter(col("score") >= lit(minScore).cast("decimal(18,6)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("score")).as("max_score"),
+        countDistinct(col("query_id")).as("n_queries"))
+}

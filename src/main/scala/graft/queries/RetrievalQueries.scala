@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Retrieval
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-9 block: BM25 ranked retrieval ([[graft.ops.Retrieval]]) —
+  * the IR layer of the curation surface, fully hash-oracled.
+  *
+  * The fixed query suite below is the stand-in for an eval/benchmark
+  * query set (small by construction — it BROADCASTS, the operator's
+  * scale contract). `dup` is the corpus's one rare term (df ≈ 5% of
+  * docs), so rankings exercise both signs of the idf: rare-term hits
+  * dominate positively while the stopword-class terms (df ≈ 80% of
+  * docs, negative idf) demote long common-term docs — the realistic
+  * Zipf shape compressed into the synthetic vocabulary.
+  */
+object RetrievalQueries {
+
+  /** (query_id, query_text) — shared by both queries and both engines. */
+  private val QuerySuite: Seq[(Long, String)] = Seq(
+    0L -> "dup scan batch",
+    1L -> "fast table scan",
+    2L -> "hash join merge",
+    3L -> "dup vector stream",
+    4L -> "customer query data order")
+
+  private def querySuiteDf(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    QuerySuite.toDF("query_id", "query_text")
+  }
+
+  private val QuerySuiteValues: String = QuerySuite
+    .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+
+  /** The shared oracle scaffolding: postings / doc lengths / corpus
+    * totals / dfs / query terms / per-pair decimal scores — the
+    * [[Retrieval.bm25Scores]] pipeline replayed step for step
+    * (identical rounded-decimal factor expressions; see the operator
+    * scaladoc for why the rounding makes this engine-independent). */
+  private def scoredCtes(dfCapRatio: Double): String =
+    s"""p AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), post AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM p GROUP BY term, doc_id
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
+       |), dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+       |), q(query_id, query_text) AS (VALUES $QuerySuiteValues),
+       |qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT CAST(query_id AS BIGINT) AS query_id,
+       |           unnest(string_split(query_text, ' ')) AS term FROM q)
+       |), scored AS (
+       |  SELECT qt.query_id, post.doc_id,
+       |    CAST(round(ln((2.0 * n_docs - 2.0 * df + 1.0) /
+       |                  (2.0 * df + 1.0)), 6) AS DECIMAL(18,6)) *
+       |    CAST(round((11.0 * tf * tot_tokens) /
+       |               (10.0 * tot_tokens * tf + 3.0 * tot_tokens +
+       |                9.0 * dl.dl * n_docs), 6) AS DECIMAL(18,6)) AS w
+       |  FROM post
+       |  JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), tot
+       |  WHERE CAST(df AS DOUBLE) <= $dfCapRatio * CAST(n_docs AS DOUBLE)
+       |), s AS (
+       |  SELECT query_id, doc_id, SUM(w) AS score,
+       |         CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY query_id, doc_id
+       |)""".stripMargin
+
+  /** Per-query BM25 top-5 over the corpus: the full inverted-index →
+    * decimal-scored → ranked pipeline, hash-compared end to end
+    * (scores surface as the decimal cast to DOUBLE — exact sums on
+    * both sides, so the cast agrees bitwise). */
+  val q177Bm25TopK = QueryDef(
+    "q177_bm25_topk",
+    s"""WITH ${scoredCtes(dfCapRatio = 1.0)},
+       |r AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_terms, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    Retrieval.bm25TopK(Tables.documents(s, d), querySuiteDf(s), k = 5)
+      .select(col("query_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_terms"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Retrieval-based decontamination: corpus docs any suite query
+    * retrieves with BM25 ≥ 0.5 (in this corpus: the rare-term docs the
+    * `dup` queries profile-match, minus those the common-term negative
+    * idf demotes below threshold). `dfCapRatio = 0.8` exercises the
+    * stopword-pruning cap on whatever terms cross 80% df at the given
+    * SF — the cap comparison is one IEEE product on both sides, so
+    * the pruned term set replays exactly. */
+  val q178Bm25Decontam = QueryDef(
+    "q178_bm25_decontam",
+    s"""WITH ${scoredCtes(dfCapRatio = 0.8)}
+       |SELECT doc_id, CAST(max(score) AS DOUBLE) AS max_score,
+       |       CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+       |FROM s WHERE score >= CAST(0.5 AS DECIMAL(18,6))
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Retrieval.bm25Decontaminate(Tables.documents(s, d), querySuiteDf(s),
+        minScore = 0.5, dfCapRatio = 0.8)
+      .select(col("doc_id"), col("max_score").cast("double").as("max_score"),
+        col("n_queries"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam)
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, ExtendedQueries, ScaleQueries, TemporalQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, ExtendedQueries, RetrievalQueries, ScaleQueries, TemporalQueries}
 import org.apache.spark.sql.SparkSession
 
 /** Results must be BYTE-IDENTICAL regardless of parallelism — the
@@ -60,6 +60,10 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AnalyticsQueries.q170HistSidecarQuantiles, // additive bin counts
     AnalyticsQueries.q171RollingQuantiles, // grid + RANGE trailing sums
     AnalyticsQueries.q172RollingQuantilesByType, // grouped rolling grid
+    RetrievalQueries.q177Bm25TopK,      // decimal BM25 sums + rank window
+    RetrievalQueries.q178Bm25Decontam,  // decimal max + df-cap pruning
+    graft.queries.SeededAnnQueries.q173SeededKmeans, // integer Lloyd fit
+    graft.queries.SeededAnnQueries.q176PqSeeded,     // integer ADC ranks
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // N=3 docs, T=9 tokens; df: apple 1, banana 2, cherry 2.
+  // Hand-computed BM25 factors (k1=1.2, b=0.75, the operator's fixed
+  // shape): tfpart = 99·tf / (90·tf + 27 + 27·dl), idf = ln((2N−2df+1)/(2df+1))
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry cherry")).toDF("doc_id", "text")
+
+  private def query = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
+
+  test("postings and docLengths: one row per distinct (term, doc) with tf") {
+    val p = Retrieval.postings(corpus)
+      .orderBy($"term", $"doc_id")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(p === Seq(("apple", 1L, 2L), ("banana", 1L, 1L), ("banana", 2L, 1L),
+      ("cherry", 2L, 1L), ("cherry", 3L, 4L)))
+    val dl = Retrieval.docLengths(corpus).orderBy($"doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(dl === Seq((1L, 3L), (2L, 2L), (3L, 4L)))
+  }
+
+  test("bm25TopK ranks by exact decimal score; rare-term idf positive, " +
+      "common-term negative") {
+    val got = Retrieval.bm25TopK(corpus, query, k = 3)
+      .select($"query_id", $"doc_id",
+        $"score".cast("double").as("score"), $"n_terms", $"rnk")
+      .orderBy($"rnk")
+      .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    assert(got.map(_._2) === Seq(1L, 2L, 3L)) // apple doc, then cherry docs
+    // doc1: idf(apple)=round(ln(5/3),6)=0.510826 × tfpart(2,3)=198/288=0.687500
+    //   → exact decimal product 0.351192875, cast to double
+    assert(got(0)._3 === 0.351192875)
+    assert(got(0)._4 === 1L) // only 'apple' matched
+    // cherry idf = ln(3/5) < 0: both cherry docs score negative, the
+    // heavier-tf doc3 (tfpart 0.8) more negative than doc2 (0.578947)
+    assert(got(1)._3 < 0 && got(2)._3 < got(1)._3)
+  }
+
+  test("dfCapRatio drops stopword-class terms from scoring") {
+    // ratio 0.5: df must be ≤ 1.5 → banana/cherry (df=2) pruned; only
+    // the apple posting scores, so doc1 is the only candidate
+    val got = Retrieval.bm25Scores(corpus, query, dfCapRatio = 0.5)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("bm25Decontaminate flags only docs above minScore with best score") {
+    val got = Retrieval.bm25Decontaminate(corpus, query, minScore = 0.3)
+      .select($"doc_id", $"max_score".cast("double"), $"n_queries")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got === Seq((1L, 0.351192875, 1L)))
+  }
+
+  test("multiple queries score independently; ties break on doc_id") {
+    val qs = Seq((0L, "apple cherry"), (1L, "banana")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25TopK(corpus, qs, k = 2)
+      .filter($"query_id" === 1L).orderBy($"rnk")
+      .select($"doc_id").as[Long].collect().toSeq
+    // banana tf=1 both docs; tfpart: doc1 99/198=0.5 < doc2 99/171.
+    // idf(banana)<0, so the larger tfpart is MORE negative → doc1 wins
+    assert(got === Seq(1L, 2L))
+  }
+}
