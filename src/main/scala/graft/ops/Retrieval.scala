@@ -92,18 +92,12 @@ object Retrieval {
            lit(9.0) * dl * nDocs), 6)
       .cast("decimal(18,6)")
 
-  /** Score every (query, candidate-doc) pair: the exact-decimal sum of
-    * idf·tfPart over the query's distinct terms present in the doc.
-    * `queries` is (query_id, query_text) — an eval/benchmark suite,
-    * small by construction, broadcast to the postings. Terms with
-    * `df > dfCapRatio · N` are dropped from scoring (stopword-class
-    * pruning; 1.0 disables). Output: (query_id, doc_id, score
-    * DECIMAL, n_terms matched). */
-  def bm25Scores(docs: DataFrame, queries: DataFrame,
-                 idCol: String = "doc_id", textCol: String = "text",
-                 dfCapRatio: Double = 1.0): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-    val dls = docLengths(docs, idCol, textCol)
+  /** The scoring core shared by the from-scratch and sidecar paths:
+    * given postings (term, doc_id, tf) and doc lengths (doc_id, dl),
+    * produce the exact-decimal (query, doc) scores. */
+  private def scoreFrom(post: DataFrame, dls: DataFrame,
+                        queries: DataFrame,
+                        dfCapRatio: Double): DataFrame = {
     // bounded 1-row totals ride a broadcast cross join (the q160
     // totals pattern), never a collect
     val totals = broadcast(
@@ -128,6 +122,19 @@ object Retrieval {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms"))
   }
+
+  /** Score every (query, candidate-doc) pair: the exact-decimal sum of
+    * idf·tfPart over the query's distinct terms present in the doc.
+    * `queries` is (query_id, query_text) — an eval/benchmark suite,
+    * small by construction, broadcast to the postings. Terms with
+    * `df > dfCapRatio · N` are dropped from scoring (stopword-class
+    * pruning; 1.0 disables). Output: (query_id, doc_id, score
+    * DECIMAL, n_terms matched). */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 dfCapRatio: Double = 1.0): DataFrame =
+    scoreFrom(postings(docs, idCol, textCol),
+      docLengths(docs, idCol, textCol), queries, dfCapRatio)
 
   /** Per-query BM25 top-k: rank by (score DESC, doc_id) — doc_id as
     * the unique tiebreak makes the cut deterministic and
@@ -159,4 +166,68 @@ object Retrieval {
       .groupBy(col("doc_id"))
       .agg(max(col("score")).as("max_score"),
         countDistinct(col("query_id")).as("n_queries"))
+
+  // ------------------------------------------------------------------
+  // Incremental postings sidecar — at 100 TB the inverted index is an
+  // artifact to MATERIALIZE once and reuse across eval suites, not a
+  // per-query re-aggregation of the corpus. Same discipline as the
+  // token-count sidecar ([[Curation.writeTokenCountSidecar]]): exact
+  // long tf counts are additive, appends are batch-local aggregations
+  // under the dir lock, and scoring against a sidecar holding exactly
+  // the corpus' postings is IDENTICAL to the from-scratch path (the
+  // backing query proves it against the shared oracle). Batches must
+  // partition the corpus by DOCUMENT (the q123/q133 contract): a doc
+  // split across appends would carry partial tf/dl rows. At-least-once
+  // replays double-append — key batches externally when that matters.
+
+  /** Append one document batch's postings + doc lengths. Two tables
+    * under one root: `<dir>/postings` (term, doc_id, tf) and
+    * `<dir>/doclen` (doc_id, dl); one lock guards both appends. */
+  def writePostingsSidecar(batch: DataFrame, sidecarDir: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Unit =
+    graft.sources.Sinks.withDirLock(
+      batch.sparkSession, sidecarDir, "writePostingsSidecar") {
+      postings(batch, idCol, textCol)
+        .write.mode("append").parquet(s"$sidecarDir/postings")
+      docLengths(batch, idCol, textCol)
+        .write.mode("append").parquet(s"$sidecarDir/doclen")
+    }
+
+  /** Many small appends → one file per table via the shared
+    * backup-swap compaction (its lock and crash-restore). Postings
+    * re-aggregate by (term, doc_id) — a no-op sum under the
+    * disjoint-batch contract, but it makes compaction converge even
+    * after an accidental double-append of the same doc batch. */
+  def compactPostingsSidecar(spark: org.apache.spark.sql.SparkSession,
+                             sidecarDir: String): Unit = {
+    graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/postings",
+      sortCol = Some("term"),
+      transform = Some(_.groupBy(col("term"), col("doc_id"))
+        .agg(sum(col("tf")).as("tf"))))
+    graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/doclen",
+      sortCol = Some("doc_id"))
+  }
+
+  /** BM25 scores computed FROM the sidecar — the corpus is never
+    * re-read: candidates come off the postings table (IO bounded by
+    * the query terms' posting lists once compacted + sorted by term),
+    * df/totals re-aggregate sidecar rows, not text. */
+  def bm25ScoresFromSidecar(spark: org.apache.spark.sql.SparkSession,
+                            sidecarDir: String, queries: DataFrame,
+                            dfCapRatio: Double = 1.0): DataFrame =
+    scoreFrom(spark.read.parquet(s"$sidecarDir/postings"),
+      spark.read.parquet(s"$sidecarDir/doclen"), queries, dfCapRatio)
+
+  /** Per-query top-k from the sidecar — [[bm25TopK]]'s ranking over
+    * [[bm25ScoresFromSidecar]]. */
+  def bm25TopKFromSidecar(spark: org.apache.spark.sql.SparkSession,
+                          sidecarDir: String, queries: DataFrame, k: Int,
+                          dfCapRatio: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25ScoresFromSidecar(spark, sidecarDir, queries, dfCapRatio)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -66,25 +66,49 @@ object SeededKMeans {
       x => floor(x * lit(GridScale.toDouble) + lit(0.5)).cast("long"))
 
   /** Exact integer squared euclidean distance between two long-array
-    * columns — the only distance the fit ever compares. */
+    * COLUMNS — fused codegen loop
+    * ([[graft.functions.SqEuclideanLong]]); used where both sides are
+    * data (the stored-index probe join). */
   def dist2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SqEuclideanLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** The interpreted-HOF distance (reference formulation, bit-identical
+    * to [[dist2]] — integer sums have no accumulation-order caveat):
+    * kept as the property-test twin, the [[TextAnalysis.cdcStartsHof]]
+    * convention. */
+  def dist2Hof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
       (acc, x) => acc + x)
 
   private def centsLit(cents: Array[Array[Long]]): Column =
     array(cents.map(c => array(c.map(lit): _*)): _*)
 
-  /** Argmin cell for a quantized vector column against literal
-    * centroids: k (dist, cell) structs sorted lexicographically — the
-    * first element IS (min dist, lowest cell on ties). Per-row
-    * projection, no join: the centroid table rides in the expression
-    * as a k×d literal (KBs), so assignment adds zero shuffles. */
-  def assignCell(q: Column, cents: Array[Array[Long]]): Column = {
+  /** Argmin cell for a quantized vector column against constant
+    * centroids (ties → lowest cell): one fused codegen loop
+    * ([[graft.functions.ArgminCellLong]]), the centroid table riding
+    * the plan as a reference object (KBs). Per-row projection, no
+    * join — assignment adds zero shuffles. */
+  def assignCell(q: Column, cents: Array[Array[Long]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.ArgminCellLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q), cents))
+
+  /** The interpreted-HOF argmin (reference formulation): k (dist,
+    * cell) structs sorted lexicographically — the first element IS
+    * (min dist, lowest cell on ties). Bit-identical to [[assignCell]]
+    * by construction (exact integers, same tie rule); kept as the
+    * property-test twin. Its ~k·d-literal tree re-analyzed per Lloyd
+    * iteration is why the fused form exists (38 s → sub-second fits
+    * at bench SF). */
+  def assignCellHof(q: Column, cents: Array[Array[Long]]): Column = {
     val lit0 = centsLit(cents)
     // aliases inside lambda bodies are erased (fields come out col1/
     // col2), so name the fields via a positional struct cast
     val scored = transform(sequence(lit(0), lit(cents.length - 1)),
-      i => struct(dist2(q, element_at(lit0, i + 1)), i.cast("int"))
+      i => struct(dist2Hof(q, element_at(lit0, i + 1)), i.cast("int"))
         .cast("struct<d:bigint,cell:int>"))
     array_sort(scored).getItem(0).getField("cell")
   }
@@ -148,17 +172,38 @@ object SeededKMeans {
     cents
   }
 
+  /** Deterministic-fit memoization (the [[Similarity.fitPq]] /
+    * [[Bpe.trainCached]] precedent): the fit is a pure artifact of
+    * (corpus, k, iters, seed), so queries sharing one corpus (q173–
+    * q175 all fit the same embeddings) reuse one fit per JVM instead
+    * of re-running the Lloyd loop. Keyed by an explicit caller token —
+    * never inferred from the plan. */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Long),
+      Array[Array[Long]]]()
+
   /** Fit on a raw float/double vector column. Null vectors are
     * excluded (they have no cell; [[Similarity.fitPq]] filters the
-    * same way). */
+    * same way). `cacheKey` opts into per-JVM memoization of the
+    * centroids (timings then reflect the memoized-artifact behavior,
+    * like q30's cached model / q154's merge table). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
-          iters: Int = 5, seed: Long = 42L): Model = {
-    val base = df
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .filter(col("__q").isNotNull)
-      .cache() // iters+1 passes over the quantized projection
-    try Model(k, iters, seed, fitQuantized(base, "__id", "__q", k, iters, seed))
-    finally { base.unpersist(); () }
+          iters: Int = 5, seed: Long = 42L,
+          cacheKey: Option[String] = None): Model = {
+    def compute(): Array[Array[Long]] = {
+      val base = df
+        .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+        .filter(col("__q").isNotNull)
+        .cache() // iters+1 passes over the quantized projection
+      try fitQuantized(base, "__id", "__q", k, iters, seed)
+      finally { base.unpersist(); () }
+    }
+    val cents = cacheKey match {
+      case Some(key) =>
+        fitCache.computeIfAbsent((key, k, iters, seed), _ => compute())
+      case None => compute()
+    }
+    Model(k, iters, seed, cents)
   }
 
   // ------------------------------------------------------------------
@@ -176,43 +221,75 @@ object SeededKMeans {
     val dsub: Int = dim / m
   }
 
+  private val pqFitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long),
+      (Int, Array[Array[Array[Long]]])]()
+
+  /** m per-subspace seeded fits; `cacheKey` memoizes like [[fit]]. */
   def fitPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
-            ksub: Int, iters: Int = 5, seed: Long = 42L): PqModel = {
-    val base = df
-      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
-      .filter(col("__q").isNotNull)
-      .cache() // m fits slice the same quantized projection
-    try {
-      val dim = base.select(size(col("__q"))).head().getInt(0)
-      require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
-      val dsub = dim / m
-      val books = (0 until m).map { j =>
-        val sub = base.select(col("__id"),
-          slice(col("__q"), j * dsub + 1, dsub).as("__q"))
-        fitQuantized(sub, "__id", "__q", ksub, iters, seed + j)
-      }.toArray
-      PqModel(m, ksub, dim, iters, seed, books)
-    } finally { base.unpersist(); () }
+            ksub: Int, iters: Int = 5, seed: Long = 42L,
+            cacheKey: Option[String] = None): PqModel = {
+    def compute(): (Int, Array[Array[Array[Long]]]) = {
+      val base = df
+        .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__q"))
+        .filter(col("__q").isNotNull)
+        .cache() // m fits slice the same quantized projection
+      try {
+        val dim = base.select(size(col("__q"))).head().getInt(0)
+        require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+        val dsub = dim / m
+        val books = (0 until m).map { j =>
+          val sub = base.select(col("__id"),
+            slice(col("__q"), j * dsub + 1, dsub).as("__q"))
+          fitQuantized(sub, "__id", "__q", ksub, iters, seed + j)
+        }.toArray
+        (dim, books)
+      } finally { base.unpersist(); () }
+    }
+    val (dim, books) = cacheKey match {
+      case Some(key) =>
+        pqFitCache.computeIfAbsent((key, m, ksub, iters, seed), _ => compute())
+      case None => compute()
+    }
+    PqModel(m, ksub, dim, iters, seed, books)
   }
 
   /** PQ-encode a quantized vector column: array of m argmin codes,
     * subspace j scored against codebook j (ties to the lowest code —
-    * the [[assignCell]] rule per subspace). Per-row projection. */
+    * the [[assignCell]] rule per subspace). One fused codegen loop
+    * ([[graft.functions.PqEncodeLong]]); per-row projection. */
   def pqEncode(q: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqEncodeLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
+        model.codebooks))
+
+  /** Exact-integer asymmetric distance (ADC): Σ_j dist²(query slice j,
+    * codebook_j[code_j]) — the neighbor contributes only its m codes,
+    * the query its quantized slices. One fused codegen loop
+    * ([[graft.functions.PqAdcLong]]); all-long arithmetic, so ranks
+    * are bit-deterministic at any parallelism and in any engine. */
+  def pqAdc(q: Column, codes: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.PqAdcLong(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
+        model.codebooks))
+
+  /** Interpreted-HOF PQ twins (reference formulations, bit-identical
+    * to the fused forms — exact integers, same lowest-code tie rule):
+    * the property-test pair for [[pqEncode]] / [[pqAdc]]. */
+  def pqEncodeHof(q: Column, model: PqModel): Column =
     array((0 until model.m).map { j =>
-      assignCell(slice(q, j * model.dsub + 1, model.dsub),
+      assignCellHof(slice(q, j * model.dsub + 1, model.dsub),
         model.codebooks(j))
     }: _*)
 
-  /** Exact-integer asymmetric distance (ADC): Σ_j dist2(query slice j,
-    * codebook_j[code_j]) — the neighbor contributes only its m codes,
-    * the query its quantized slices. All-long arithmetic: ranks are
-    * bit-deterministic at any parallelism and in any engine. */
-  def pqAdc(q: Column, codes: Column, model: PqModel): Column =
+  def pqAdcHof(q: Column, codes: Column, model: PqModel): Column =
     (0 until model.m).map { j =>
       val bookLit = array(model.codebooks(j).map(c =>
         array(c.map(lit): _*)): _*)
-      dist2(slice(q, j * model.dsub + 1, model.dsub),
+      dist2Hof(slice(q, j * model.dsub + 1, model.dsub),
         element_at(bookLit, element_at(codes, j + 1) + 1))
     }.reduce(_ + _)
 
@@ -252,8 +329,9 @@ object SeededKMeans {
   def ivfCosineTopKSeeded(df: DataFrame, idCol: String, vecCol: String,
                           queryId: Long, k: Int, nlist: Int,
                           nprobe: Int, iters: Int = 5, seed: Long = 42L,
-                          roundTo: Int = 6): DataFrame = {
-    val model = fit(df, idCol, vecCol, nlist, iters, seed)
+                          roundTo: Int = 6,
+                          cacheKey: Option[String] = None): DataFrame = {
+    val model = fit(df, idCol, vecCol, nlist, iters, seed, cacheKey)
     val assigned = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("vec"),
         quantize(col(vecCol)).as("__q"))
@@ -283,11 +361,12 @@ object SeededKMeans {
     * replayable artifact (q175). */
   def buildIvfIndexSeeded(df: DataFrame, idCol: String, vecCol: String,
                           indexDir: String, nlist: Int,
-                          iters: Int = 5, seed: Long = 42L): Unit = {
+                          iters: Int = 5, seed: Long = 42L,
+                          cacheKey: Option[String] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfIndexSeeded") {
-      val model = fit(df, idCol, vecCol, nlist, iters, seed)
+      val model = fit(df, idCol, vecCol, nlist, iters, seed, cacheKey)
       df.select(col(idCol).as("vec_id"),
           col(vecCol).cast("array<double>").as("vec"),
           quantize(col(vecCol)).as("__q"))

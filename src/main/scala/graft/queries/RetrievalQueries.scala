@@ -116,5 +116,45 @@ object RetrievalQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam)
+  /** BM25 top-5 served FROM the incremental postings sidecar
+    * ([[Retrieval.writePostingsSidecar]]): the corpus lands in TWO
+    * batches (doc_id parity — the q168 sidecar discipline), the
+    * sidecar compacts, and ranking runs off the postings tables
+    * without re-reading the corpus. Exact long tf/dl rows are
+    * additive, so the result is hash-IDENTICAL to q177's one-shot
+    * ranking — which is exactly what sharing its oracle proves: the
+    * whole incremental path (append → compact → merge → score) must
+    * reproduce the from-scratch numbers bit-for-bit. */
+  val q179Bm25Sidecar = QueryDef(
+    "q179_bm25_sidecar",
+    s"""WITH ${scoredCtes(dfCapRatio = 1.0)},
+       |r AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_terms, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"target/tmp/q179_postings_$sf"
+    // fresh sidecar per run (stale postings from an earlier corpus
+    // would change rankings — the q168 wipe discipline)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    graft.ops.Retrieval.writePostingsSidecar(
+      docs.filter(col("doc_id") % 2 === 0), dir)
+    graft.ops.Retrieval.writePostingsSidecar(
+      docs.filter(col("doc_id") % 2 === 1), dir)
+    graft.ops.Retrieval.compactPostingsSidecar(s, dir)
+    graft.ops.Retrieval.bm25TopKFromSidecar(s, dir, querySuiteDf(s), k = 5)
+      .select(col("query_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_terms"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar)
 }

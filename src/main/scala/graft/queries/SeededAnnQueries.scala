@@ -132,7 +132,8 @@ object SeededAnnQueries {
        |LEFT JOIN cnt ON cnt.cell = f.x.cell
        |ORDER BY cell, j""".stripMargin) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    val model = SeededKMeans.fit(emb, "vec_id", "embedding", K, Iters, Seed)
+    val model = SeededKMeans.fit(emb, "vec_id", "embedding", K, Iters, Seed,
+      cacheKey = Some(s"$d/embeddings"))
     import s.implicits._
     val cents = (for {
       (c, cell) <- model.centroids.zipWithIndex
@@ -167,7 +168,7 @@ object SeededAnnQueries {
        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
     SeededKMeans.ivfCosineTopKSeeded(Tables.embeddings(s, d), "vec_id",
       "embedding", queryId = 0L, k = 10, nlist = K, nprobe = 3,
-      iters = Iters, seed = Seed)
+      iters = Iters, seed = Seed, cacheKey = Some(s"$d/embeddings"))
   }
 
   /** Build + query the STORED seeded-IVF index — the hash-oracled twin
@@ -212,7 +213,8 @@ object SeededAnnQueries {
     fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
     SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
-      nlist = K, iters = Iters, seed = Seed)
+      nlist = K, iters = Iters, seed = Seed,
+      cacheKey = Some(s"$d/embeddings"))
     SeededKMeans.annJoinIvfSeededStored(s, dir,
         queries = emb.filter(expr("vec_id % 100 = 0")),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
@@ -282,7 +284,8 @@ object SeededAnnQueries {
   val q176PqSeeded = QueryDef("q176_knn_join_pq_seeded", pqOracle) { (s, d) =>
     val emb = Tables.embeddings(s, d)
     val model = SeededKMeans.fitPq(emb, "vec_id", "embedding",
-      m = PqM, ksub = PqKsub, iters = PqIters, seed = Seed)
+      m = PqM, ksub = PqKsub, iters = PqIters, seed = Seed,
+      cacheKey = Some(s"$d/embeddings"))
     SeededKMeans.annJoinPqSeeded(
         queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
         idCol = "vec_id", vecCol = "embedding", k = 5, model = model)

@@ -558,6 +558,34 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming postings-sidecar maintenance — the inverted-index twin
+    * of [[runTokenCountsToSidecar]] and the incremental feed for
+    * [[graft.ops.Retrieval.bm25TopKFromSidecar]]: each micro-batch
+    * appends its postings + doc-length partials
+    * ([[graft.ops.Retrieval.writePostingsSidecar]]). Documents arrive
+    * WHOLE within one micro-batch by construction (a file-source row
+    * is one doc), satisfying the sidecar's doc-disjoint batch
+    * contract, so the merged index — and every BM25 ranking read off
+    * it — equals a from-scratch build over everything ingested,
+    * however the stream micro-batched (EventStreamsSpec proves the
+    * two-batch == one-shot ranking equality). At-least-once replays
+    * double-append, the same documented contract as every sidecar. */
+  def runPostingsToSidecar(docs: DataFrame, sidecarDir: String,
+                           checkpointDir: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Retrieval.writePostingsSidecar(batch, sidecarDir,
+          idCol, textCol)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming histogram-sidecar maintenance — the exact-count
     * percentile feed ([[graft.ops.Sketches.writeHistSidecar]]): each
     * micro-batch appends its (group, bin, cnt) partials; additive

@@ -62,11 +62,10 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AnalyticsQueries.q172RollingQuantilesByType, // grouped rolling grid
     RetrievalQueries.q177Bm25TopK,      // decimal BM25 sums + rank window
     RetrievalQueries.q178Bm25Decontam,  // decimal max + df-cap pruning
-    graft.queries.SeededAnnQueries.q173SeededKmeans, // integer Lloyd fit
-    graft.queries.SeededAnnQueries.q176PqSeeded,     // integer ADC ranks
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
+    RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank
     ScaleQueries.q136NearDupSidecar,    // band join + signature estimator
     ScaleQueries.q143StreamingCuration) // curation body + state plumbing
 
@@ -76,6 +75,20 @@ class PartitioningInvarianceSpec extends SparkSpec {
       val hi = q.fn(withParallelism(24), sf0001).collect().map(_.toString).toSeq
       assert(lo == hi)
     }
+  }
+
+  test("SeededKMeans.fit: identical centroids at shuffle parallelism 1 vs 24") {
+    // q173-q176 memoize the fit per JVM (cacheKey), which would make
+    // the second run a cache hit — exercise the UNcached fit in both
+    // sessions (the Bpe.train pattern below)
+    def cents(n: Int) = {
+      val s = withParallelism(n)
+      graft.ops.SeededKMeans.fit(
+        s.read.parquet(s"$sf0001/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 3, seed = 42L)
+        .centroids.map(_.toSeq).toSeq
+    }
+    assert(cents(1) === cents(24))
   }
 
   test("Bpe.train: identical merge table at shuffle parallelism 1 vs 24") {

@@ -59,6 +59,27 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((1L, 0.351192875, 1L)))
   }
 
+  test("postings sidecar: two-batch append + compact == one-shot ranking") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("retrieval-sidecar").toString + "/idx"
+    Retrieval.writePostingsSidecar(corpus.filter($"doc_id" % 2 === 0), dir)
+    Retrieval.writePostingsSidecar(corpus.filter($"doc_id" % 2 === 1), dir)
+    Retrieval.compactPostingsSidecar(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"score".cast("double"), $"n_terms", $"rnk")
+      .orderBy($"query_id", $"rnk")
+      .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val incremental = rows(Retrieval.bm25TopKFromSidecar(spark, dir, query, k = 3))
+    val oneShot = rows(Retrieval.bm25TopK(corpus, query, k = 3))
+    assert(incremental === oneShot)
+    // compaction leaves one file per table
+    Seq("postings", "doclen").foreach { t =>
+      val files = new java.io.File(s"$dir/$t")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files === 1, s"$t should compact to one file")
+    }
+  }
+
   test("multiple queries score independently; ties break on doc_id") {
     val qs = Seq((0L, "apple cherry"), (1L, "banana")).toDF("query_id", "query_text")
     val got = Retrieval.bm25TopK(corpus, qs, k = 2)

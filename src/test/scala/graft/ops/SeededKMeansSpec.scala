@@ -78,6 +78,32 @@ class SeededKMeansSpec extends SparkSpec {
     assert(m.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
   }
 
+  test("fused expressions are bit-identical to the interpreted HOF twins") {
+    // the codegen loops (ArgminCellLong / PqEncodeLong / PqAdcLong /
+    // SqEuclideanLong) vs the reference HOF formulations, over the
+    // real corpus — exact integers, so equality is exact or broken
+    val model = SeededKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val pq = SeededKMeans.fitPq(emb, "vec_id", "embedding", m = 4, ksub = 4,
+      iters = 2)
+    val q = SeededKMeans.quantize(col("embedding"))
+    val rows = emb.select(
+        SeededKMeans.assignCell(q, model.centroids).as("a"),
+        SeededKMeans.assignCellHof(q, model.centroids).as("ah"),
+        SeededKMeans.pqEncode(q, pq).as("e"),
+        SeededKMeans.pqEncodeHof(q, pq).as("eh"),
+        SeededKMeans.pqAdc(q, SeededKMeans.pqEncode(q, pq), pq).as("d"),
+        SeededKMeans.pqAdcHof(q, SeededKMeans.pqEncodeHof(q, pq), pq).as("dh"),
+        SeededKMeans.dist2(q, q).as("z"),
+        SeededKMeans.dist2Hof(q, q).as("zh"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3))
+      assert(r.getLong(4) === r.getLong(5))
+      assert(r.getLong(6) === 0L && r.getLong(7) === 0L)
+    }
+  }
+
   test("PQ: encode codes are in range and ADC is nonnegative integer") {
     val model = SeededKMeans.fitPq(emb, "vec_id", "embedding",
       m = 4, ksub = 4, iters = 2)

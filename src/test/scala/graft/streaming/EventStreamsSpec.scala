@@ -533,6 +533,31 @@ class EventStreamsSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0L)
   }
 
+  test("streaming postings sidecar: BM25 ranking off the sidecar equals " +
+      "the one-shot batch build (docs arrive whole per micro-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("spostings")
+    val sidecar = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq((1L, "apple banana apple"), (2L, "banana cherry"))
+    val b2 = Seq((3L, "cherry cherry cherry cherry"))
+    val mem = MemoryStream[(Long, String)]
+    def run() = runPostingsToSidecar(mem.toDF().toDF("doc_id", "text"),
+      sidecar, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    graft.ops.Retrieval.compactPostingsSidecar(spark, sidecar)
+
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    val queries = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"score".cast("double"), $"n_terms", $"rnk")
+      .orderBy($"query_id", $"rnk").collect().map(_.toString).toSeq
+    assert(canon(graft.ops.Retrieval
+        .bm25TopKFromSidecar(spark, sidecar, queries, k = 3)) ===
+      canon(graft.ops.Retrieval.bm25TopK(union, queries, k = 3)))
+  }
+
   test("streaming histogram sidecar: merged histogram and quantiles equal " +
       "the one-shot build (additive counts)") {
     implicit val sqlCtx = spark.sqlContext
