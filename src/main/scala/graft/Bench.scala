@@ -134,7 +134,8 @@ object Bench {
       "q01_pricing_summary", "q04_large_join", "q07_window_topk",
       "q21_token_stats", "q25_minhash_pairs", "q30_loan_pipeline_metrics",
       "q40_cosine_topk", "q54_embedding_dedup", "q59_topk_custom_op",
-      "q72_salted_join", "q96_pipeline_e2e")
+      "q72_salted_join", "q96_pipeline_e2e", "q173_seeded_kmeans",
+      "q177_bm25_topk")
     val hs = results.collect {
       case (k, v, ok, _, _) if headline.contains(k) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")

@@ -167,6 +167,53 @@ object Retrieval {
       .agg(max(col("score")).as("max_score"),
         countDistinct(col("query_id")).as("n_queries"))
 
+  /** Pseudo-relevance-feedback query expansion (the Rocchio idea as
+    * one deterministic pipeline): retrieve each query's BM25 top-k,
+    * then rank the terms of those top documents — excluding the
+    * query's own — by `idf · Σ tf` over the feedback set, keeping the
+    * `nTerms` best per query (ties → term asc). The weight is the
+    * exact decimal product of the rounded idf and an exact long tf
+    * sum, so the expansion term set replays cross-engine like the
+    * ranking it feeds.
+    *
+    * Scale shape: the feedback set is |queries|·k doc ids — it rides
+    * a BROADCAST back onto the postings (the candidate side is the
+    * top docs' postings rows, bounded by k·dl per query), and the
+    * final rank window partitions by query_id. Output: (query_id,
+    * term, weight DECIMAL, n_docs_with_term, rnk). */
+  def bm25QueryExpansion(docs: DataFrame, queries: DataFrame, k: Int,
+                         nTerms: Int, idCol: String = "doc_id",
+                         textCol: String = "text",
+                         dfCapRatio: Double = 1.0): DataFrame = {
+    val post = postings(docs, idCol, textCol)
+    val dls = docLengths(docs, idCol, textCol)
+    val totals = broadcast(
+      dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
+    val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = broadcast(
+      queries.select(col("query_id"),
+          explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+        .distinct())
+    val top = broadcast(
+      bm25TopK(docs, queries, k, idCol, textCol, dfCapRatio)
+        .select(col("query_id"), col("doc_id")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("weight").desc, col("term"))
+    post
+      .join(top, Seq("doc_id"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .join(dfs, Seq("term"))
+      .crossJoin(totals)
+      .groupBy(col("query_id"), col("term"), col("df"), col("n_docs"))
+      .agg(sum(col("tf")).as("sum_tf"), count(lit(1)).as("n_docs_with_term"))
+      .select(col("query_id"), col("term"),
+        (idfDec(col("n_docs"), col("df")) *
+          col("sum_tf").cast("decimal(18,0)")).as("weight"),
+        col("n_docs_with_term"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= nTerms)
+  }
+
   // ------------------------------------------------------------------
   // Incremental postings sidecar — at 100 TB the inverted index is an
   // artifact to MATERIALIZE once and reuse across eval suites, not a

@@ -455,8 +455,13 @@ object CorpusQueries {
         nlist = 16, m = 8, ksub = 64, pqCacheKey = Some(s"$d/embeddings"))
       ()
     }
+    // copy-0-pinned probe batch (ScaleQueries.ProbeBatchFilter): on
+    // real testdata dirs this is every 100th vector unchanged; on a
+    // ScaleBench blow-up it pins the query COUNT so the split's probe
+    // ratio certifies probe-cost-vs-corpus at a fixed workload
     val probe = () => Similarity.annJoinIvfPqStored(s, dir,
-        queries = emb.filter(expr("vec_id % 100 = 0")),
+        queries = emb.filter(
+          expr("vec_id % 100 = 0 AND vec_id < 8589934592")),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,
         refine = 10)
       .orderBy(col("query_id"), col("rnk"))

@@ -156,5 +156,58 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar)
+  /** Pseudo-relevance-feedback expansion
+    * ([[Retrieval.bm25QueryExpansion]]): each suite query's BM25
+    * top-5 feeds back, and the 3 best non-query terms of the feedback
+    * docs (by exact-decimal idf · Σtf) come out as expansion terms —
+    * retrieval, feedback join, exclusion, and the weight ranking all
+    * replayed in one oracle. */
+  val q180Bm25Prf = QueryDef(
+    "q180_bm25_prf",
+    s"""WITH ${scoredCtes(dfCapRatio = 1.0)},
+       |r AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM s
+       |),
+       |exp AS (
+       |  SELECT r.query_id, post.term, dfs.df, tot.n_docs,
+       |         CAST(sum(post.tf) AS BIGINT) AS sum_tf,
+       |         CAST(count(*) AS BIGINT) AS n_docs_with_term
+       |  FROM r
+       |  JOIN post ON post.doc_id = r.doc_id
+       |  JOIN dfs USING (term), tot
+       |  WHERE r.rnk <= 5 AND NOT EXISTS (
+       |    SELECT 1 FROM qt
+       |    WHERE qt.query_id = r.query_id AND qt.term = post.term)
+       |  GROUP BY r.query_id, post.term, dfs.df, tot.n_docs
+       |),
+       |ew AS (
+       |  SELECT query_id, term,
+       |    CAST(round(ln((2.0 * n_docs - 2.0 * df + 1.0) /
+       |                  (2.0 * df + 1.0)), 6) AS DECIMAL(18,6)) *
+       |    CAST(sum_tf AS DECIMAL(18,0)) AS weight,
+       |    n_docs_with_term
+       |  FROM exp
+       |),
+       |er AS (
+       |  SELECT query_id, term, weight, n_docs_with_term,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY weight DESC, term) AS INT) AS rnk
+       |  FROM ew
+       |)
+       |SELECT query_id, term, CAST(weight AS DOUBLE) AS weight,
+       |       n_docs_with_term, rnk
+       |FROM er WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    graft.ops.Retrieval.bm25QueryExpansion(
+        Tables.documents(s, d), querySuiteDf(s), k = 5, nTerms = 3)
+      .select(col("query_id"), col("term"),
+        col("weight").cast("double").as("weight"),
+        col("n_docs_with_term"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
+    q180Bm25Prf)
 }

@@ -19,6 +19,22 @@ object ScaleQueries {
   /** Query set for the batch k-NN joins: every 100th vector. */
   private val QueryFilter = "vec_id % 100 = 0"
 
+  /** Probe batch for the SPLIT stored-index queries (q130/q132/q159):
+    * [[QueryFilter]] restricted to ids below the ScaleBench copy
+    * stride (2^33), i.e. copy 0 only. On the real testdata dirs every
+    * id is below the stride, so the registered queries' outputs are
+    * unchanged; on a blown corpus this pins the query COUNT while the
+    * index still grows ×copies — without it the probe ratio compounds
+    * query-batch growth (ids ≡ 0 mod 100 exist in every re-keyed
+    * copy) with per-query candidate growth and stops measuring the
+    * thing the split exists to certify (probe cost vs corpus size at
+    * a fixed workload). Round-9 100× run: q159's probe read ×222 with
+    * the compounded batch — ~2 000 queries × 100× cells, i.e. BETTER
+    * than the naive quadratic 10 000×, but unreadable as a
+    * flat-probe certificate. */
+  private[graft] val ProbeBatchFilter =
+    "vec_id % 100 = 0 AND vec_id < 8589934592"
+
   /** Batch EXACT k-NN join: top-5 corpus neighbors for every query
     * vector in one plan. Query side broadcasts (bounded batch); the
     * corpus streams once; per-query ranking is map-side-limited by
@@ -208,7 +224,7 @@ object ScaleQueries {
       ()
     }
     val probe = () => Similarity.annJoinIvfStored(s, dir,
-        queries = emb.filter(expr(QueryFilter)),
+        queries = emb.filter(expr(ProbeBatchFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rnk"))
     (build, probe)
@@ -811,7 +827,7 @@ object ScaleQueries {
       ()
     }
     val probe = () => Similarity.annJoinIvfStored(s, dir,
-        queries = emb.filter(expr(QueryFilter)),
+        queries = emb.filter(expr(ProbeBatchFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
       .orderBy(col("query_id"), col("rnk"))
     (build, probe)

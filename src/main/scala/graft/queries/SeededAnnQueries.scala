@@ -292,6 +292,87 @@ object SeededAnnQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** ANN recall evaluation — the quality metric every approximate
+    * index family reports, as a hash-oracled query: recall@5 of the
+    * stored seeded-IVF index (nprobe=3 of nlist=8) against the exact
+    * brute-force cosine top-5, per query. Only possible on the SEEDED
+    * fit: both pipelines are externally replayable, so the recall
+    * numbers themselves — not just row counts — hash-compare. (The
+    * MLlib-fit indexes get spec-level recall bounds instead —
+    * SimilaritySpec/PqSpec — because their cell layout is
+    * engine-seeded.) */
+  val q181SeededAnnRecall = QueryDef(
+    "q181_seeded_ann_recall",
+    s"""WITH RECURSIVE $fullFitCtes,
+       |$AsgCte,
+       |qs AS (SELECT vec_id AS query_id, dv AS qdv, q AS qq FROM qv
+       |       WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT query_id, qdv, cell FROM (
+       |    SELECT qs.query_id, qs.qdv, y.cell,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY list_sum(list_transform(generate_series(1, len(qs.qq)),
+       |          jj -> (qs.qq[jj] - y.c[jj]) * (qs.qq[jj] - y.c[jj]))), y.cell)
+       |        AS prn
+       |    FROM qs, fc, (SELECT unnest(fc.cents) AS y FROM fc) u(y)
+       |  ) WHERE prn <= 3
+       |),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, a.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY round(list_cosine_similarity(a.dv, p.qdv), 6) DESC,
+       |                 a.vec_id) AS rnk
+       |    FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  ) WHERE rnk <= 5
+       |),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT qs.query_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY round(list_cosine_similarity(e.dv, qs.qdv), 6) DESC,
+       |                 e.vec_id) AS rnk
+       |    FROM qs JOIN qv e ON e.vec_id <> qs.query_id
+       |  ) WHERE rnk <= 5
+       |),
+       |hit AS (
+       |  SELECT a.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM approx a JOIN exact e
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY a.query_id
+       |)
+       |SELECT qs.query_id, coalesce(hit.n_hit, 0) AS n_hit,
+       |       CAST(coalesce(hit.n_hit, 0) AS DOUBLE) / 5.0 AS recall
+       |FROM qs LEFT JOIN hit ON qs.query_id = hit.query_id
+       |ORDER BY qs.query_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q181_seeded_ivf_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    val emb = Tables.embeddings(s, d)
+    SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
+      nlist = K, iters = Iters, seed = Seed,
+      cacheKey = Some(s"$d/embeddings"))
+    val queries = emb.filter(expr("vec_id % 100 = 0"))
+    val approx = SeededKMeans.annJoinIvfSeededStored(s, dir, queries,
+        "vec_id", "embedding", k = 5, nprobe = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = graft.ops.Similarity.annJoinBruteForce(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall", col("n_hit").cast("double") / lit(5.0))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q173SeededKmeans, q174IvfAnnSeeded, q175IvfStoredSeeded, q176PqSeeded)
+    q173SeededKmeans, q174IvfAnnSeeded, q175IvfStoredSeeded, q176PqSeeded,
+    q181SeededAnnRecall)
 }

@@ -322,4 +322,18 @@ class PlanQualitySpec extends SparkSpec {
     // shuffle moves |queries|·k·partitions rows, not |corpus|·|queries|
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("BM25 top-k (q177): query terms and corpus totals broadcast; the " +
+      "postings join is a broadcast hash join, never a corpus shuffle on " +
+      "query keys") {
+    val plan = executed(
+      graft.queries.RetrievalQueries.q177Bm25TopK.fn(spark, sf0001))
+    // scoring joins the (small, broadcast) query-term and totals sides
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    // the only nested loop is the bounded 1-row totals cross join (the
+    // q160 pattern); a real cartesian would be a quadratic candidate bug
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    // per-query ranking is group-limited map-side before the shuffle
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }

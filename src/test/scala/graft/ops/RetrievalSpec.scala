@@ -80,6 +80,19 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bm25QueryExpansion feeds back top docs and excludes query terms") {
+    // query "apple": only doc1 scores positive... in fact only doc1
+    // CONTAINS apple, so the feedback set is {doc1} at any k; its
+    // non-query terms = {banana}, weight = idf(banana)·Σtf =
+    // round(ln(3/5),6) × 1 = -0.510826
+    val q = Seq((0L, "apple")).toDF("query_id", "query_text")
+    val got = Retrieval.bm25QueryExpansion(corpus, q, k = 2, nTerms = 3)
+      .select($"query_id", $"term", $"weight".cast("double"),
+        $"n_docs_with_term", $"rnk")
+      .as[(Long, String, Double, Long, Int)].collect().toSeq
+    assert(got === Seq((0L, "banana", -0.510826, 1L, 1)))
+  }
+
   test("multiple queries score independently; ties break on doc_id") {
     val qs = Seq((0L, "apple cherry"), (1L, "banana")).toDF("query_id", "query_text")
     val got = Retrieval.bm25TopK(corpus, qs, k = 2)
