@@ -382,6 +382,39 @@ object SeededKMeans {
     }
   }
 
+  /** Incremental append to a stored seeded index — the
+    * [[Similarity.appendToIvfIndex]] contract on the micro-grid: new
+    * vectors go to the nearest STORED centroid (exact integer argmin,
+    * ties to the lowest cell — [[assignCell]]'s rule, computed here as
+    * a broadcast join + min_by because the centroid table is data, not
+    * a plan constant), appended under the index lock; no refit, stored
+    * queries see appends on next scan. Because assignment against
+    * stored centroids is the SAME pure function the fit uses, an index
+    * built on a prefix and appended with the rest answers queries
+    * IDENTICALLY to one full assignment under the prefix-fit centroids
+    * — which is exactly what q182's oracle replays (unlike q132, where
+    * the MLlib fit keeps the maintenance op rows-only). */
+  def appendToIvfIndexSeeded(spark: SparkSession, indexDir: String,
+                             df: DataFrame, idCol: String,
+                             vecCol: String): Unit =
+    graft.sources.Sinks.withDirLock(spark, indexDir,
+      "appendToIvfIndexSeeded") {
+      val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
+      df.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("vec"),
+          quantize(col(vecCol)).as("__q"))
+        .crossJoin(centroids) // bounded: build side is nlist rows
+        .select(col("vec_id"), col("vec"), col("cell"),
+          dist2(col("__q"), col("centroid")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cell"), col("vec")),
+          struct(col("d2"), col("cell"))).as("__r"))
+        .select(col("vec_id"), col("__r.vec").as("vec"),
+          col("__r.cell").as("cell"))
+        .write.mode("append").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+    }
+
   /** Batch k-NN join through the stored seeded-IVF index
     * ([[Similarity.annJoinIvfStored]] twin, q175): probe cells picked
     * in-row against the broadcast micro-grid centroid table by exact

@@ -60,14 +60,14 @@ object SeededAnnQueries {
     * mean, empty cells keeping their centroid — [[SeededKMeans
     * .fitQuantized]] step for step. */
   private def kmCte(name: String, vecExpr: String, k: Int, iters: Int,
-                    seed: Long): String =
+                    seed: Long, src: String = "qv"): String =
     s"""$name(i, cents) AS (
        |  SELECT 0, (SELECT list({'cell': CAST(rn - 1 AS INT), 'c': v} ORDER BY rn)
        |             FROM (SELECT $vecExpr AS v,
        |                     row_number() OVER (
        |                       ORDER BY md5(CAST(vec_id AS VARCHAR) || '|$seed'),
        |                       vec_id) AS rn
-       |                   FROM qv) WHERE rn <= $k)
+       |                   FROM $src) WHERE rn <= $k)
        |  UNION ALL
        |  SELECT i + 1,
        |    (SELECT list({'cell': x.cell, 'c': coalesce(nm.nc, x.c)} ORDER BY x.cell)
@@ -85,7 +85,7 @@ object SeededAnnQueries {
        |                ORDER BY list_sum(list_transform(generate_series(1, len(v)),
        |                  jj -> (v[jj] - y.c[jj]) * (v[jj] - y.c[jj]))), y.cell
        |                LIMIT 1) AS cell
-       |             FROM qv
+       |             FROM $src
        |           ) a, unnest(generate_series(1, len(a.v))) AS g(j)
        |         )
        |         GROUP BY cell, j
@@ -372,7 +372,68 @@ object SeededAnnQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Incremental index maintenance, hash-oracled — the q132 shape
+    * (build on half the corpus, APPEND the other half, batch-query the
+    * stored index) under the seeded fit, where the whole lifecycle
+    * replays: the oracle fits centroids on the EVEN ids only (the
+    * build set), assigns EVERY vector to those centroids (append
+    * assignment is the same pure argmin the fit uses, so
+    * built+appended == one full assignment), and replays the q175
+    * probe/rank pipeline. q132's MLlib fit keeps the production
+    * maintenance op rows-only; this is its verified twin. */
+  val q182IvfAppendSeeded = QueryDef(
+    "q182_ivf_append_seeded",
+    s"""WITH RECURSIVE $QvCte,
+       |qve AS (SELECT * FROM qv WHERE vec_id % 2 = 0),
+       |${kmCte("km", "q", K, Iters, Seed, src = "qve")},
+       |fc AS (SELECT cents FROM km WHERE i = $Iters),
+       |$AsgCte,
+       |qs AS (SELECT vec_id AS query_id, dv AS qdv, q AS qq FROM qv
+       |       WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT query_id, qdv, cell FROM (
+       |    SELECT qs.query_id, qs.qdv, y.cell,
+       |      row_number() OVER (PARTITION BY qs.query_id
+       |        ORDER BY list_sum(list_transform(generate_series(1, len(qs.qq)),
+       |          jj -> (qs.qq[jj] - y.c[jj]) * (qs.qq[jj] - y.c[jj]))), y.cell)
+       |        AS prn
+       |    FROM qs, fc, (SELECT unnest(fc.cents) AS y FROM fc) u(y)
+       |  ) WHERE prn <= 3
+       |),
+       |ranked AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(a.dv, p.qdv), 6) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(list_cosine_similarity(a.dv, p.qdv), 6) DESC,
+       |               a.vec_id) AS INT) AS rnk
+       |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q182_seeded_ivf_$sf"
+    }
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    val emb = Tables.embeddings(s, d)
+    SeededKMeans.buildIvfIndexSeeded(
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir,
+      nlist = K, iters = Iters, seed = Seed,
+      // distinct token: the even-half fit must never share the
+      // full-corpus cache entry of q173-q175
+      cacheKey = Some(s"$d/embeddings#even"))
+    SeededKMeans.appendToIvfIndexSeeded(s, dir,
+      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    SeededKMeans.annJoinIvfSeededStored(s, dir,
+        queries = emb.filter(expr("vec_id % 100 = 0")),
+        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q173SeededKmeans, q174IvfAnnSeeded, q175IvfStoredSeeded, q176PqSeeded,
-    q181SeededAnnRecall)
+    q181SeededAnnRecall, q182IvfAppendSeeded)
 }

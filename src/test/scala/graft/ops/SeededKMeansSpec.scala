@@ -104,6 +104,26 @@ class SeededKMeansSpec extends SparkSpec {
     }
   }
 
+  test("appendToIvfIndexSeeded: build-on-half + append equals one full " +
+      "assignment under the half-fit centroids") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("seeded-append").toString + "/idx"
+    SeededKMeans.buildIvfIndexSeeded(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dir,
+      nlist = 4, iters = 3)
+    SeededKMeans.appendToIvfIndexSeeded(spark, dir,
+      emb.filter($"vec_id" % 2 === 1), "vec_id", "embedding")
+    // append assignment (broadcast-join min_by on stored centroids)
+    // must equal the fit's own argmin over every vector
+    val model = SeededKMeans.fit(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", k = 4, iters = 3)
+    val expected = model.assign(emb, "embedding")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(stored === expected)
+  }
+
   test("PQ: encode codes are in range and ADC is nonnegative integer") {
     val model = SeededKMeans.fitPq(emb, "vec_id", "embedding",
       m = 4, ksub = 4, iters = 2)
