@@ -558,6 +558,32 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming ANN-index ingest — continuous
+    * [[graft.ops.SeededKMeans.appendToIvfIndexSeeded]]: each
+    * micro-batch of new vectors lands in the stored seeded-IVF index
+    * under the index lock, assigned to the nearest STORED centroid.
+    * Because append assignment is the same pure argmin the fit uses,
+    * the index state after any micro-batching equals one full
+    * assignment of everything ingested (EventStreamsSpec proves it) —
+    * the q182 invariant, continuously. The index must exist before
+    * the stream starts (build is a batch op); at-least-once replays
+    * double-append a batch, the standing sidecar contract. */
+  def runIvfIngestSeeded(vectors: DataFrame, indexDir: String,
+                         checkpointDir: String,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val q = vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.SeededKMeans.appendToIvfIndexSeeded(
+          batch.sparkSession, indexDir, batch, idCol, vecCol)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming postings-sidecar maintenance — the inverted-index twin
     * of [[runTokenCountsToSidecar]] and the incremental feed for
     * [[graft.ops.Retrieval.bm25TopKFromSidecar]]: each micro-batch

@@ -93,6 +93,24 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((0L, "banana", -0.510826, 1L, 1)))
   }
 
+  test("edge semantics: unknown terms, empty query, empty doc") {
+    // a query of terms absent from the corpus has no candidates
+    val unknown = Seq((0L, "zebra quux")).toDF("query_id", "query_text")
+    assert(Retrieval.bm25Scores(corpus, unknown).count() === 0L)
+    // an empty query text tokenizes to [""], which matches no posting
+    val empty = Seq((1L, "")).toDF("query_id", "query_text")
+    assert(Retrieval.bm25Scores(corpus, empty).count() === 0L)
+    // an empty doc contributes dl=1 (the [""] token) to the corpus
+    // totals — same value string_split yields in the oracle engine —
+    // and never matches a real query term
+    val withEmpty = corpus.union(Seq((9L, "")).toDF("doc_id", "text"))
+    val got = Retrieval.bm25Scores(withEmpty, query)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!got.contains(9L))
+    assert(Retrieval.docLengths(withEmpty).filter($"doc_id" === 9L)
+      .select($"dl").as[Long].head() === 1L)
+  }
+
   test("multiple queries score independently; ties break on doc_id") {
     val qs = Seq((0L, "apple cherry"), (1L, "banana")).toDF("query_id", "query_text")
     val got = Retrieval.bm25TopK(corpus, qs, k = 2)

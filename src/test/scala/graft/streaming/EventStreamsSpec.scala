@@ -533,6 +533,37 @@ class EventStreamsSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0L)
   }
 
+  test("streaming seeded-IVF ingest: index state after micro-batched appends " +
+      "equals one full assignment under the stored centroids") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sivf")
+    val dir = root.resolve("idx").toString
+    val ckpt = root.resolve("ckpt").toString
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // build on the first quarter (the batch op), stream the rest in
+    // two micro-batches of (id, vec) rows
+    val built = emb.filter($"vec_id" % 4 === 0)
+    graft.ops.SeededKMeans.buildIvfIndexSeeded(built, "vec_id", "embedding",
+      dir, nlist = 4, iters = 3)
+    val rest = emb.filter($"vec_id" % 4 =!= 0)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = rest.splitAt(rest.size / 2)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    def run() = runIvfIngestSeeded(
+      mem.toDF().toDF("vec_id", "embedding"), dir, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+
+    val model = graft.ops.SeededKMeans.fit(built, "vec_id", "embedding",
+      k = 4, iters = 3)
+    val expected = model.assign(emb, "embedding")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val stored = spark.read.parquet(s"$dir/vectors")
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(stored === expected)
+  }
+
   test("streaming postings sidecar: BM25 ranking off the sidecar equals " +
       "the one-shot batch build (docs arrive whole per micro-batch)") {
     implicit val sqlCtx = spark.sqlContext
