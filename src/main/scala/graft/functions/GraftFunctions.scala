@@ -121,6 +121,27 @@ object GraftFunctions {
     ColumnBridge.column(PqAdcDistance(ColumnBridge.expression(codes),
       ColumnBridge.expression(lut), ksub))
 
+  /** Micro-grid (all-long) seeded-KMeans family (see
+    * [[ArgminCellLong]] / [[PqEncodeLong]] / [[PqAdcLong]] /
+    * [[SqEuclideanLong]]); constant tables ride the expressions as
+    * literal reference objects, so — like [[pq_encode]] — these are
+    * Column-API only, not SQL-registrable. */
+  def argmin_cell_long(vec: Column, cents: Array[Array[Long]]): Column =
+    ColumnBridge.column(ArgminCellLong(ColumnBridge.expression(vec), cents))
+
+  def pq_encode_long(vec: Column,
+                     codebooks: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqEncodeLong(ColumnBridge.expression(vec), codebooks))
+
+  def pq_adc_long(vec: Column, codes: Column,
+                  codebooks: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqAdcLong(ColumnBridge.expression(vec),
+      ColumnBridge.expression(codes), codebooks))
+
+  def sq_euclidean_long(a: Column, b: Column): Column =
+    ColumnBridge.column(SqEuclideanLong(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+
   /** Evaluate a foldable int argument of a SQL call (e.g. the `k` in
     * `minhash_signature(sh, 64)`). */
   private def intArg(fn: String, e: Expression): Int = {
@@ -138,6 +159,7 @@ object GraftFunctions {
   private[functions] val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "sq_euclidean" -> (exprs => SqEuclideanDistance(exprs(0), exprs(1))),
+    "sq_euclidean_long" -> (exprs => SqEuclideanLong(exprs(0), exprs(1))),
     "minhash_signature" -> (exprs =>
       MinHashSignature(exprs(0), intArg("minhash_signature", exprs(1)))),
     "hashed_shingles" -> (exprs =>

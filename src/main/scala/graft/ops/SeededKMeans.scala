@@ -70,10 +70,7 @@ object SeededKMeans {
     * ([[graft.functions.SqEuclideanLong]]); used where both sides are
     * data (the stored-index probe join). */
   def dist2(a: Column, b: Column): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.SqEuclideanLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+    graft.functions.GraftFunctions.sq_euclidean_long(a, b)
 
   /** The interpreted-HOF distance (reference formulation, bit-identical
     * to [[dist2]] — integer sums have no accumulation-order caveat):
@@ -92,9 +89,7 @@ object SeededKMeans {
     * the plan as a reference object (KBs). Per-row projection, no
     * join — assignment adds zero shuffles. */
   def assignCell(q: Column, cents: Array[Array[Long]]): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.ArgminCellLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q), cents))
+    graft.functions.GraftFunctions.argmin_cell_long(q, cents)
 
   /** The interpreted-HOF argmin (reference formulation): k (dist,
     * cell) structs sorted lexicographically — the first element IS
@@ -259,10 +254,7 @@ object SeededKMeans {
     * the [[assignCell]] rule per subspace). One fused codegen loop
     * ([[graft.functions.PqEncodeLong]]); per-row projection. */
   def pqEncode(q: Column, model: PqModel): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.PqEncodeLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
-        model.codebooks))
+    graft.functions.GraftFunctions.pq_encode_long(q, model.codebooks)
 
   /** Exact-integer asymmetric distance (ADC): Σ_j dist²(query slice j,
     * codebook_j[code_j]) — the neighbor contributes only its m codes,
@@ -270,11 +262,7 @@ object SeededKMeans {
     * ([[graft.functions.PqAdcLong]]); all-long arithmetic, so ranks
     * are bit-deterministic at any parallelism and in any engine. */
   def pqAdc(q: Column, codes: Column, model: PqModel): Column =
-    org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.PqAdcLong(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(q),
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(codes),
-        model.codebooks))
+    graft.functions.GraftFunctions.pq_adc_long(q, codes, model.codebooks)
 
   /** Interpreted-HOF PQ twins (reference formulations, bit-identical
     * to the fused forms — exact integers, same lowest-code tie rule):

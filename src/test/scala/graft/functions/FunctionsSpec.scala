@@ -326,6 +326,16 @@ class FunctionsSpec extends SparkSpec {
     assert(got.isNullAt(1))
   }
 
+  test("sq_euclidean_long: exact integer geometry, nulls, SQL registration") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT sq_euclidean_long(array(1L, 2L), array(4L, 6L)) AS d, " +
+        "sq_euclidean_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n")
+      .collect()(0)
+    assert(got.getLong(0) === 25L)
+    assert(got.isNullAt(1))
+  }
+
   test("BloomMightContain: structural equality on identical filters " +
       "(plan canonicalization contract)") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
