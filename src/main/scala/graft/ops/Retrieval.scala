@@ -167,6 +167,52 @@ object Retrieval {
       .agg(max(col("score")).as("max_score"),
         countDistinct(col("query_id")).as("n_queries"))
 
+  /** Positional postings: one row per token OCCURRENCE with its
+    * 0-based position — the inverted-index layout phrase search needs.
+    * Pure explode, no aggregation (positions must survive). */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase search via the standard inverted-index algorithm:
+    * each phrase term at offset `off` nominates candidate start
+    * `pos − off`; a start where ALL offsets are present (count of
+    * distinct matched offsets == phrase length) is an occurrence.
+    * Output: (phrase_id, doc_id, n_occurrences, first_pos).
+    *
+    * Scale shape: the phrase set broadcasts (an eval suite, like the
+    * BM25 queries); the corpus contributes only positions of terms
+    * that APPEAR in some phrase (the join prunes the explode), and
+    * the one aggregation shuffle keys on (phrase, doc, start) with
+    * map-side combine. Duplicate terms inside a phrase are handled by
+    * the distinct-offset count: a start qualifies only when every
+    * offset's term is found at `start + off`. All-integer arithmetic,
+    * so the match set replays in any engine. */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val qterms = broadcast(
+      phrases.select(col("phrase_id"),
+          posexplode(TextAnalysis.tokens(col("phrase_text")))
+            .as(Seq("off", "term")))
+        .select(col("phrase_id"), col("term"), col("off").cast("long").as("off"))
+        .join(phrases.select(col("phrase_id"),
+          size(TextAnalysis.tokens(col("phrase_text"))).cast("long").as("plen")),
+          Seq("phrase_id")))
+    positionalPostings(docs, idCol, textCol)
+      .join(qterms, Seq("term"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("start"), col("off"), col("plen"))
+      .filter(col("start") >= 0) // off > pos can never complete a match
+      .groupBy(col("phrase_id"), col("doc_id"), col("start"))
+      .agg(countDistinct(col("off")).as("n_off"), max(col("plen")).as("plen"))
+      .filter(col("n_off") === col("plen"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"), min(col("start")).as("first_pos"))
+  }
+
   /** Pseudo-relevance-feedback query expansion (the Rocchio idea as
     * one deterministic pipeline): retrieve each query's BM25 top-k,
     * then rank the terms of those top documents — excluding the

@@ -208,6 +208,57 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The phrase suite: in-vocabulary word sequences (some present in
+    * the corpus, one deliberately absent) plus a repeated-term phrase
+    * exercising the distinct-offset rule. */
+  private val PhraseSuite: Seq[(Long, String)] = Seq(
+    0L -> "value table part",
+    1L -> "the table",
+    2L -> "fast merge batch",
+    3L -> "a a",
+    4L -> "dup dup dup")
+
+  /** Exact phrase search ([[Retrieval.phraseSearch]]): candidate
+    * starts from positional postings, an occurrence where every
+    * phrase offset matches — the inverted-index phrase algorithm,
+    * replayed in SQL from the same (term, doc, pos) explode with the
+    * phrase terms as a VALUES table. All-integer, so counts and first
+    * positions hash-compare. */
+  val q183PhraseSearch = QueryDef(
+    "q183_phrase_search", {
+      val qvals = PhraseSuite.flatMap { case (id, text) =>
+        val toks = text.split(" ")
+        toks.zipWithIndex.map { case (t, off) =>
+          s"($id, '$t', $off, ${toks.length})"
+        }
+      }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |), p AS (
+         |  SELECT doc_id, t[g.i] AS term, CAST(g.i - 1 AS BIGINT) AS pos
+         |  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+         |), q(phrase_id, term, off, plen) AS (VALUES $qvals),
+         |cand AS (
+         |  SELECT CAST(q.phrase_id AS BIGINT) AS phrase_id, p.doc_id,
+         |         p.pos - q.off AS start, q.off, q.plen
+         |  FROM p JOIN q ON p.term = q.term
+         |  WHERE p.pos - q.off >= 0
+         |), occ AS (
+         |  SELECT phrase_id, doc_id, start
+         |  FROM cand GROUP BY phrase_id, doc_id, start
+         |  HAVING count(DISTINCT off) = max(plen)
+         |)
+         |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       min(start) AS first_pos
+         |FROM occ GROUP BY phrase_id, doc_id
+         |ORDER BY phrase_id, doc_id""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    graft.ops.Retrieval.phraseSearch(Tables.documents(s, d),
+        PhraseSuite.toDF("phrase_id", "phrase_text"))
+      .orderBy(col("phrase_id"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
-    q180Bm25Prf)
+    q180Bm25Prf, q183PhraseSearch)
 }

@@ -63,6 +63,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     RetrievalQueries.q177Bm25TopK,      // decimal BM25 sums + rank window
     RetrievalQueries.q178Bm25Decontam,  // decimal max + df-cap pruning
     RetrievalQueries.q180Bm25Prf,       // feedback join + decimal expansion
+    RetrievalQueries.q183PhraseSearch,  // positional start-offset agg
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window

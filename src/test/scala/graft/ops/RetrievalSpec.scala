@@ -93,6 +93,23 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((0L, "banana", -0.510826, 1L, 1)))
   }
 
+  test("phraseSearch: exact occurrences, overlaps, repeated terms, no-match") {
+    val docs = Seq(
+      (1L, "x a b c a b y"),   // "a b" at 1 and 4
+      (2L, "a a a"),           // "a a" overlapping at 0 and 1
+      (3L, "b a")).toDF("doc_id", "text")
+    val phrases = Seq(
+      (0L, "a b"), (1L, "a a"), (2L, "c a b"), (3L, "z q")
+    ).toDF("phrase_id", "phrase_text")
+    val got = Retrieval.phraseSearch(docs, phrases)
+      .orderBy($"phrase_id", $"doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 1L, 2L, 1L),  // "a b" twice in doc1, first at pos 1
+      (1L, 2L, 2L, 0L),  // overlapping "a a" at 0 and 1
+      (2L, 1L, 1L, 3L))) // "c a b" once at pos 3; "z q" nowhere
+  }
+
   test("edge semantics: unknown terms, empty query, empty doc") {
     // a query of terms absent from the corpus has no candidates
     val unknown = Seq((0L, "zebra quux")).toDF("query_id", "query_text")
