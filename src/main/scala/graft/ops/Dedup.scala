@@ -1007,6 +1007,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Split-leakage audit: near-duplicate pairs that CROSS a train/test
+    * boundary — the check a training pipeline runs after splitting,
+    * because a test doc whose near-dup sits in train leaks the answer
+    * even though no doc appears on both sides. Composes the
+    * [[ngramJaccardPairs]] verified-candidate machinery with the
+    * md5-uniform split decision ([[Relational.groupAwareSplit]]'s
+    * formula, replayable in any engine), so the VIOLATION SET itself
+    * is externally checkable, not just its size. Output one row per
+    * leaking pair: (train_id, test_id, jaccard).
+    *
+    * Scale shape: inherited — the pair generation is the capped
+    * inverted index (never all-pairs), the split flag is a per-row
+    * projection, and the side filter drops same-side pairs before
+    * anything wide. The fix for a violation is policy (move or drop
+    * one side); this op only reports. */
+  def splitLeakageAudit(df: DataFrame, textCol: String, idCol: String,
+                        testFraction: Double, seed: Long = 42L,
+                        shingleK: Int = 3, threshold: Double = 0.3,
+                        dfCap: Int = 50): DataFrame = {
+    val sides = Relational.groupAwareSplit(
+        df.select(col(idCol)), group = col(idCol),
+        testFraction = testFraction, seed = seed)
+      .select(col(idCol).as("__sid"), col("is_test"))
+    ngramJaccardPairs(df, textCol, idCol, shingleK, threshold, dfCap)
+      .join(sides.select(col("__sid").as("id_a"), col("is_test").as("__ta")),
+        Seq("id_a"))
+      .join(sides.select(col("__sid").as("id_b"), col("is_test").as("__tb")),
+        Seq("id_b"))
+      .filter(col("__ta") =!= col("__tb"))
+      .select(
+        when(col("__ta"), col("id_b")).otherwise(col("id_a")).as("train_id"),
+        when(col("__ta"), col("id_a")).otherwise(col("id_b")).as("test_id"),
+        col("jaccard"))
+  }
+
   /** Edit-distance-verified near-dup pairs: prefix blocking + BOUNDED
     * Levenshtein — the character-level verifier the set-based family
     * (Jaccard/minhash/SimHash) fundamentally lacks. Token-set methods

@@ -201,6 +201,55 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Split-leakage audit ([[Dedup.splitLeakageAudit]]): verified
+    * near-dup pairs crossing a 30% md5-uniform test split — the q27
+    * candidate machinery with the q145 split formula, so the exact
+    * violation set (which train doc leaks which test doc, at what
+    * Jaccard) hash-compares. */
+  val q184SplitLeakage = QueryDef(
+    "q184_split_leakage",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), inv AS (
+      |  SELECT doc_id, unnest(s) AS g FROM sh
+      |), rare AS (
+      |  SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  JOIN rare r ON r.g = x.g
+      |), jp AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      |  FROM pairs p
+      |  JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b ON b.doc_id = p.id_b
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+      |), side AS (
+      |  SELECT doc_id,
+      |    (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || '42'),
+      |       1, 15) AS BIGINT) + 1.0) / 1.152921504606847e18 < 0.3 AS is_test
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN sa.is_test THEN jp.id_b ELSE jp.id_a END AS train_id,
+      |       CASE WHEN sa.is_test THEN jp.id_a ELSE jp.id_b END AS test_id,
+      |       jp.jaccard
+      |FROM jp
+      |JOIN side sa ON sa.doc_id = jp.id_a
+      |JOIN side sb ON sb.doc_id = jp.id_b
+      |WHERE sa.is_test <> sb.is_test
+      |ORDER BY train_id, test_id""".stripMargin) { (s, d) =>
+    Dedup.splitLeakageAudit(Tables.documents(s, d), "text", "doc_id",
+        testFraction = 0.3, shingleK = 2, threshold = 0.2, dfCap = 20)
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
   /** Order-sensitive rolling-hash document fingerprints, ORACLED: the
     * token hash is md5-derived (top 60 bits — q109's construction) and
     * the rotl5-XOR fold runs in a 60-bit domain, so DuckDB replays the
@@ -445,5 +494,5 @@ object DataQueries {
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
     q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn,
-    q102StratifiedSample)
+    q102StratifiedSample, q184SplitLeakage)
 }

@@ -673,4 +673,32 @@ class DedupSpec extends SparkSpec {
     // 2-doc block survives
     assert(got === Seq((100L, 101L)))
   }
+
+  test("splitLeakageAudit reports only cross-side near-dup pairs, oriented " +
+      "(train_id, test_id)") {
+    // two near-dup pairs; force the sides via the known md5-uniform
+    // decision so the spec doesn't depend on luck: compute each doc's
+    // side the same way the operator does and assert orientation
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),   // near-dup of 1
+      (3L, "one two three four five"),
+      (4L, "one two three four six")         // near-dup of 3
+    ).toDF("doc_id", "text")
+    val side = Relational.groupAwareSplit(docs.select($"doc_id"),
+        group = $"doc_id", testFraction = 0.5)
+      .as[(Long, Boolean)].collect().toMap
+    val got = Dedup.splitLeakageAudit(docs, "text", "doc_id",
+        testFraction = 0.5, shingleK = 2, threshold = 0.2, dfCap = 20)
+      .select($"train_id", $"test_id", $"jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    val expected = Seq((1L, 2L), (3L, 4L)).flatMap { case (a, b) =>
+      if (side(a) == side(b)) None
+      else if (side(a)) Some((b, a)) else Some((a, b))
+    }
+    assert(got.map(t => (t._1, t._2)).sorted === expected.sorted)
+    got.foreach { case (tr, te, j) =>
+      assert(!side(tr) && side(te) && j >= 0.2)
+    }
+  }
 }
