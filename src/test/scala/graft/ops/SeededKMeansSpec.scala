@@ -104,6 +104,32 @@ class SeededKMeansSpec extends SparkSpec {
     }
   }
 
+  test("long expression family null contracts: null input, wrong length, " +
+      "null element all yield null, never a wrong answer") {
+    val model = SeededKMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val pq = SeededKMeans.fitPq(emb, "vec_id", "embedding", m = 4, ksub = 2,
+      iters = 1)
+    val rows = Seq(
+      (None: Option[Seq[Long]]),                 // null vector
+      (Some(Seq(1L, 2L, 3L))),                   // wrong length (dim is 64)
+      (Some(Seq.fill[Long](64)(0L)))             // valid → non-null
+    ).toDF("q")
+    val got = rows.select(
+        SeededKMeans.assignCell($"q", model.centroids).as("cell"),
+        SeededKMeans.pqEncode($"q", pq).as("codes"))
+      .collect()
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).isNullAt(0) && got(1).isNullAt(1))
+    assert(!got(2).isNullAt(0) && !got(2).isNullAt(1))
+    // a null ELEMENT inside an otherwise-valid vector is also null
+    val withNullElem = spark.sql(
+      "SELECT array_insert(array_repeat(CAST(0 AS BIGINT), 63), 1, " +
+        "CAST(NULL AS BIGINT)) AS q")
+    val g2 = withNullElem.select(
+      SeededKMeans.assignCell($"q", model.centroids).as("cell")).collect()
+    assert(g2(0).isNullAt(0))
+  }
+
   test("appendToIvfIndexSeeded: build-on-half + append equals one full " +
       "assignment under the half-fit centroids") {
     val dir = java.nio.file.Files
