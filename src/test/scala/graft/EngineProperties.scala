@@ -216,6 +216,44 @@ object EngineProperties extends Properties("graft") {
       Prop(math.abs(got - expected) < 1e-12) :| s"got=$got expected=$expected"
     }
 
+  property("bm25Scores == driver-side reference of the same rounded-decimal formula") =
+    forAll(
+      Gen.listOfN(6, Gen.nonEmptyListOf(
+        Gen.oneOf("ape", "bee", "cat", "dog", "elk")).map(_.take(8))),
+      Gen.nonEmptyListOf(Gen.oneOf("ape", "bee", "cat", "dog", "elk"))
+        .map(_.take(3))) { (docsT, queryT) =>
+      import spark.implicits._
+      val docs = docsT.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val q = Seq((0L, queryT.mkString(" "))).toDF("query_id", "query_text")
+      val got = graft.ops.Retrieval.bm25Scores(docs, q)
+        .select($"doc_id", $"score".cast("double"))
+        .as[(Long, Double)].collect().toMap
+      // reference: identical formula, driver-side — one IEEE division
+      // per factor, HALF_UP round to 6, exact BigDecimal sums
+      val n = docsT.size.toDouble
+      val t = docsT.map(_.size).sum.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val df_ = docsT.flatMap(_.distinct).groupBy(identity).view
+        .mapValues(_.size.toDouble).toMap
+      val expected = docsT.zipWithIndex.flatMap { case (ws, i) =>
+        val dl = ws.size.toDouble
+        val terms = queryT.distinct.filter(ws.contains)
+        if (terms.isEmpty) None
+        else Some(i.toLong -> terms.map { w =>
+          val dfv = df_(w)
+          val tf = ws.count(_ == w).toDouble
+          val idf = r6(math.log((2.0 * n - 2.0 * dfv + 1.0) / (2.0 * dfv + 1.0)))
+          val tfp = r6((11.0 * tf * t) /
+            (10.0 * t * tf + 3.0 * t + 9.0 * dl * n))
+          idf * tfp
+        }.sum.toDouble)
+      }.toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   property("tokens_in_set native == HOF filter+isin, incl. repeated spaces") =
     forAll(Gen.listOfN(12,
       Gen.oneOf("the", "a", "zz", "", "of", "qqq", " "))) { parts =>
