@@ -116,6 +116,27 @@ object SeededKMeansExpressions {
     }
     java.lang.Long.valueOf(acc)
   }
+
+  /** Exact squared euclidean distance of two long vectors under the
+    * module null contract: length mismatch or a null element → null
+    * (never a silently-truncated distance). */
+  def sqDist(x: ArrayData, y: ArrayData): Any = {
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var t = 0
+    while (t < n) {
+      if (x.isNullAt(t) || y.isNullAt(t)) return null
+      t += 1
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
 }
 
 /** Argmin cell of an `array<long>` micro-grid vector against a
@@ -173,8 +194,13 @@ case class ArgminCellLong(child: Expression, cents: Array[Array[Long]])
 case class PqEncodeLong(child: Expression, codebooks: Array[Array[Array[Long]]])
     extends UnaryExpression {
 
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-    "codebooks must be m × ksub × dsub, all non-empty")
+  // mirror ArgminCellLong's rectangularity require (round-10 ADVICE):
+  // the fused loop takes ksub/dsub from codebook 0, so a jagged table
+  // would mis-index or return wrong codes rather than fail loudly
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+    codebooks.forall(_.length == codebooks(0).length) &&
+    codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "codebooks must be m × ksub × dsub, rectangular and non-empty")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -224,8 +250,11 @@ case class PqAdcLong(left: Expression, right: Expression,
                      codebooks: Array[Array[Array[Long]]])
     extends BinaryExpression {
 
-  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
-    "codebooks must be m × ksub × dsub, all non-empty")
+  // same rectangularity require as PqEncodeLong (round-10 ADVICE)
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty) &&
+    codebooks.forall(_.length == codebooks(0).length) &&
+    codebooks.forall(_.forall(_.length == codebooks(0)(0).length)),
+    "codebooks must be m × ksub × dsub, rectangular and non-empty")
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -275,7 +304,11 @@ case class PqAdcLong(left: Expression, right: Expression,
   * the long twin of [[SqEuclideanDistance]], for distances where BOTH
   * sides are columns (the stored-index probe join scores query rows
   * against the centroid TABLE, where no constant table exists to ride
-  * an argmin expression). */
+  * an argmin expression). Holds the module null contract like its
+  * three siblings: a length mismatch or a null element yields null,
+  * never a silently-truncated distance — this one is SQL-registered
+  * (`sq_euclidean_long`), so user SQL over un-quantized data can hit
+  * the malformed-input paths (round-10 ADVICE). */
 case class SqEuclideanLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -289,35 +322,19 @@ case class SqEuclideanLong(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sq_euclidean_long"
+  override def nullable: Boolean = true
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0L
-    var i = 0
-    while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SeededKMeansExpressions.sqDist(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
+      val out = ctx.freshName("d2")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
+         |Object $out = graft.functions.SeededKMeansExpressions.sqDist($a, $b);
+         |if ($out == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $out).longValue(); }
        """.stripMargin
     })
 

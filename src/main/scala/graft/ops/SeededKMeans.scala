@@ -32,7 +32,10 @@ import org.apache.spark.sql.functions._
   *     sum over the cell divided by its count with one explicit
   *     half-up rounding, `floor(sum/n + 0.5)` (sum and n are exact
   *     below 2^53, so the one double division is IEEE-identical in
-  *     every engine). Empty cells keep their previous centroid.
+  *     every engine — and [[fitQuantized]] enforces that envelope
+  *     LOUDLY via [[ExactSumBound]] rather than letting an extreme
+  *     cell silently diverge from the oracle). Empty cells keep their
+  *     previous centroid.
   *
   * Every decision in the fit is therefore integer-exact and
   * order-independent — partition layout, shuffle parallelism, and
@@ -58,6 +61,13 @@ object SeededKMeans {
     * distance/sum far inside exact long/double-integer range:
     * dist ≤ d·(2·10^6·max|x|)², cell sums ≤ n·10^6·max|x|. */
   val GridScale = 1000000L
+
+  /** The exactness envelope of the fit's single double division: a
+    * per-(cell, coordinate) long sum at or beyond 2^53 is no longer
+    * exactly representable as a double, so `floor(s/n + 0.5)` could
+    * silently diverge from the oracle's identical IEEE computation.
+    * [[fitQuantized]] enforces this loudly per iteration. */
+  val ExactSumBound: Long = 1L << 53
 
   /** Quantize a float/double vector column to the micro-grid:
     * `floor(x · 10^6 + 0.5)` per component (see object doc, point 1). */
@@ -158,6 +168,18 @@ object SeededKMeans {
       sums.foreach { r =>
         val cell = r.getInt(0); val j = r.getInt(1)
         val s = r.getLong(2); val n = r.getLong(3)
+        // LOUD exactness-envelope guard (round-9 verdict #3): the one
+        // double division below is IEEE-identical to the DuckDB oracle
+        // only while the cell sum is exactly representable as a double
+        // (|s| < 2^53). At genuine 100 TB cell sizes that envelope can
+        // be exceeded — and without this check the fit would silently
+        // stop matching its oracle. Remediation when it fires: shrink
+        // GridScale, shard the corpus, or raise k so cells shrink.
+        require(math.abs(s) < ExactSumBound,
+          s"seeded KMeans cell sum |$s| (cell=$cell, coord=$j, n=$n) " +
+            s"exceeds the 2^53 double-exact envelope; the floor(s/n + " +
+            "0.5) mean would silently diverge from the recursive-CTE " +
+            "oracle. Reduce GridScale, shard the fit, or raise k.")
         // one explicit half-up rounded division (object doc, point 3)
         next(cell)(j) = math.floor(s.toDouble / n + 0.5).toLong
       }
@@ -181,7 +203,16 @@ object SeededKMeans {
     * excluded (they have no cell; [[Similarity.fitPq]] filters the
     * same way). `cacheKey` opts into per-JVM memoization of the
     * centroids (timings then reflect the memoized-artifact behavior,
-    * like q30's cached model / q154's merge table). */
+    * like q30's cached model / q154's merge table).
+    *
+    * CONTRACT on `cacheKey` (round-10 ADVICE): the key must uniquely
+    * identify the EXACT input rows for the lifetime of the JVM — the
+    * cache is keyed by (key, k, iters, seed) only, so reusing a key
+    * across different row sets (a regenerated dataset dir, a filtered
+    * view of the same dir) silently returns the other set's centroids
+    * and the downstream query hash-mismatches rather than erroring.
+    * Derive the key from the dataset dir plus any filter token (the
+    * q182 convention: `"$d/embeddings#even"` for the even-id half). */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int = 5, seed: Long = 42L,
           cacheKey: Option[String] = None): Model = {
@@ -220,7 +251,9 @@ object SeededKMeans {
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int, Long),
       (Int, Array[Array[Array[Long]]])]()
 
-  /** m per-subspace seeded fits; `cacheKey` memoizes like [[fit]]. */
+  /** m per-subspace seeded fits; `cacheKey` memoizes like [[fit]] and
+    * carries the same contract: it must uniquely identify the exact
+    * input rows for the JVM lifetime (see [[fit]]). */
   def fitPq(df: DataFrame, idCol: String, vecCol: String, m: Int,
             ksub: Int, iters: Int = 5, seed: Long = 42L,
             cacheKey: Option[String] = None): PqModel = {

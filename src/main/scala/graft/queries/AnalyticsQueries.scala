@@ -223,10 +223,7 @@ object AnalyticsQueries {
     val ev = Tables.events(s, d)
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"target/tmp/q170_hist_$sf"
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 0),
       Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100)
     Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 1),

@@ -91,10 +91,7 @@ object CorpusQueries {
     val dir = s"target/tmp/q168_tokcnt_$sf"
     // fresh sidecar per run (stale counts from an earlier corpus would
     // change scores — the q130/q159 wipe discipline)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     Curation.writeTokenCountSidecar(
       docs.filter(col("doc_id") % 2 === 0), "text", dir)
     Curation.writeTokenCountSidecar(
@@ -448,9 +445,7 @@ object CorpusQueries {
     }
     val emb = Tables.embeddings(s, d)
     val build = () => {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(path, true)
+      graft.sources.Sinks.wipeForRebuild(s, dir)
       Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
         nlist = 16, m = 8, ksub = 64, pqCacheKey = Some(s"$d/embeddings"))
       ()

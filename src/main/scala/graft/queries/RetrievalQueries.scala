@@ -141,10 +141,7 @@ object RetrievalQueries {
     val dir = s"target/tmp/q179_postings_$sf"
     // fresh sidecar per run (stale postings from an earlier corpus
     // would change rankings — the q168 wipe discipline)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     graft.ops.Retrieval.writePostingsSidecar(
       docs.filter(col("doc_id") % 2 === 0), dir)
     graft.ops.Retrieval.writePostingsSidecar(

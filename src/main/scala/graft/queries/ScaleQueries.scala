@@ -170,9 +170,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q123_sidecar_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     val docs = Tables.documents(s, d)
     Dedup.writeFingerprintSidecar(
       docs.filter(col("doc_id") % 2 === 0), "text", dir)
@@ -217,9 +215,7 @@ object ScaleQueries {
     }
     val emb = Tables.embeddings(s, d)
     val build = () => {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(path, true)
+      graft.sources.Sinks.wipeForRebuild(s, dir)
       Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16)
       ()
     }
@@ -566,10 +562,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q133_sidecar_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$dir.bloom"), false)
+    graft.sources.Sinks.wipeForRebuild(s, dir, s"$dir.bloom")
     val docs = Tables.documents(s, d)
     Dedup.writeFingerprintSidecar(
       docs.filter(col("doc_id") % 2 === 0), "text", dir)
@@ -669,9 +662,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q135_sketches_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     val docs = Tables.documents(s, d)
     graft.ops.Sketches.writeSketchSidecar(
       docs.filter(col("doc_id") % 2 === 0), Seq("source"), "text", dir)
@@ -694,9 +685,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q136_mh_sidecar_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     val docs = Tables.documents(s, d)
     Dedup.writeMinhashSidecar(
       docs.filter(col("doc_id") % 2 === 0), "text", "doc_id", dir)
@@ -817,9 +806,7 @@ object ScaleQueries {
     }
     val emb = Tables.embeddings(s, d)
     val build = () => {
-      val path = new org.apache.hadoop.fs.Path(dir)
-      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(path, true)
+      graft.sources.Sinks.wipeForRebuild(s, dir)
       Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", dir, nlist = 16)
       Similarity.appendToIvfIndex(s, dir, emb.filter(col("vec_id") % 2 === 1),
@@ -1029,9 +1016,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q131_sidecar_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     val docs = Tables.documents(s, d)
     Dedup.writeFingerprintSidecar(
       docs.filter(col("doc_id") % 2 === 0), "text", dir)
@@ -1091,9 +1076,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q143_pipeline_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     graft.streaming.EventStreams.curateBatch(
       Tables.documents(s, d), "text", "doc_id", "source", dir,
       shingleK = 2, numHashes = 64, bands = 8, nearDupThreshold = 0.7,
@@ -1149,9 +1132,7 @@ object ScaleQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q169_pipeline_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     graft.streaming.EventStreams.curateBatch(
       Tables.documents(s, d), "text", "doc_id", "source", dir,
       shingleK = 2, numHashes = 64, bands = 8, nearDupThreshold = 0.7,

@@ -204,21 +204,38 @@ object SeededAnnQueries {
        |)
        |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val (build, probe) = q175Parts(s, d)
+    build()
+    probe()
+  }
+
+  /** q175 split into BUILD (deterministic fit + cell-partitioned
+    * materialization; corpus-linear by design) and PROBE (the batch
+    * query against the stored layout) — the q130Parts discipline
+    * (round-9 verdict #1): inside a single combined ratio a probe
+    * regression can hide under the dominant build term at 100×. The
+    * probe batch pins to copy 0 ([[ScaleQueries.ProbeBatchFilter]]),
+    * so the certified ratio measures probe cost vs corpus size at a
+    * FIXED workload; on the real testdata dirs every id is below the
+    * copy stride, so the registered query's output is unchanged. */
+  private[graft] def q175Parts(s: org.apache.spark.sql.SparkSession,
+      d: String): (() => Unit, () => org.apache.spark.sql.DataFrame) = {
     val dir = {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q175_seeded_ivf_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
     val emb = Tables.embeddings(s, d)
-    SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
-      nlist = K, iters = Iters, seed = Seed,
-      cacheKey = Some(s"$d/embeddings"))
-    SeededKMeans.annJoinIvfSeededStored(s, dir,
-        queries = emb.filter(expr("vec_id % 100 = 0")),
+    val build = () => {
+      graft.sources.Sinks.wipeForRebuild(s, dir)
+      SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
+        nlist = K, iters = Iters, seed = Seed,
+        cacheKey = Some(s"$d/embeddings"))
+    }
+    val probe = () => SeededKMeans.annJoinIvfSeededStored(s, dir,
+        queries = emb.filter(expr(ScaleQueries.ProbeBatchFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
       .orderBy(col("query_id"), col("rnk"))
+    (build, probe)
   }
 
   /** PQ oracle pieces: m per-subspace fits (seeds `Seed + j`, the
@@ -349,9 +366,7 @@ object SeededAnnQueries {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q181_seeded_ivf_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
+    graft.sources.Sinks.wipeForRebuild(s, dir)
     val emb = Tables.embeddings(s, d)
     SeededKMeans.buildIvfIndexSeeded(emb, "vec_id", "embedding", dir,
       nlist = K, iters = Iters, seed = Seed,
@@ -410,27 +425,39 @@ object SeededAnnQueries {
        |)
        |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val (build, probe) = q182Parts(s, d)
+    build()
+    probe()
+  }
+
+  /** q182 split into BUILD (even-half fit + append of the odd half —
+    * the whole index-maintenance lifecycle, corpus-linear by design)
+    * and PROBE, with the copy-0-pinned batch — the q175Parts
+    * discipline applied to the append path (round-9 verdict #1 asked
+    * for exactly this while the machinery was out). */
+  private[graft] def q182Parts(s: org.apache.spark.sql.SparkSession,
+      d: String): (() => Unit, () => org.apache.spark.sql.DataFrame) = {
     val dir = {
       val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
       s"target/tmp/q182_seeded_ivf_$sf"
     }
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(path, true)
-    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), true)
     val emb = Tables.embeddings(s, d)
-    SeededKMeans.buildIvfIndexSeeded(
-      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir,
-      nlist = K, iters = Iters, seed = Seed,
-      // distinct token: the even-half fit must never share the
-      // full-corpus cache entry of q173-q175
-      cacheKey = Some(s"$d/embeddings#even"))
-    SeededKMeans.appendToIvfIndexSeeded(s, dir,
-      emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
-    SeededKMeans.annJoinIvfSeededStored(s, dir,
-        queries = emb.filter(expr("vec_id % 100 = 0")),
+    val build = () => {
+      graft.sources.Sinks.wipeForRebuild(s, dir)
+      SeededKMeans.buildIvfIndexSeeded(
+        emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", dir,
+        nlist = K, iters = Iters, seed = Seed,
+        // distinct token: the even-half fit must never share the
+        // full-corpus cache entry of q173-q175
+        cacheKey = Some(s"$d/embeddings#even"))
+      SeededKMeans.appendToIvfIndexSeeded(s, dir,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding")
+    }
+    val probe = () => SeededKMeans.annJoinIvfSeededStored(s, dir,
+        queries = emb.filter(expr(ScaleQueries.ProbeBatchFilter)),
         idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 3)
       .orderBy(col("query_id"), col("rnk"))
+    (build, probe)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -176,6 +176,26 @@ object Sinks {
     fs.delete(lock, false)
   }
 
+  /** Wipe an index/sidecar directory AND its writer-lock marker ahead
+    * of a from-scratch rebuild — the single shared wipe for every
+    * bench/query harness that rebuilds a locked dir per run (round-10
+    * ADVICE: the harnesses each hand-rolled this, and the ones that
+    * deleted only the dir left a crashed prior build's stale lock
+    * permanently failing the rebuild with "locked by another writer").
+    * Deleting the lock is the deliberate harness semantic: these dirs
+    * are single-tenant per bench process, so a surviving lock is by
+    * definition stale, never a live writer. `extra` names sibling
+    * artifacts keyed off the same dir (e.g. the `.bloom` twin of a
+    * fingerprint sidecar). */
+  def wipeForRebuild(spark: SparkSession, dir: String,
+                     extra: String*): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".lock"), false)
+    extra.foreach(e => fs.delete(new org.apache.hadoop.fs.Path(e), true))
+  }
+
   /** Compact an append-accumulated parquet directory. Append-based
     * operators (the dedup fingerprint sidecar, IVF index appends) add
     * one file set per ingest; at 100 TB the small-files tax — one

@@ -336,6 +336,21 @@ class FunctionsSpec extends SparkSpec {
     assert(got.isNullAt(1))
   }
 
+  test("sq_euclidean_long holds the module null contract: length mismatch " +
+      "and null elements yield null, never a truncated distance " +
+      "(round-10 ADVICE)") {
+    GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT sq_euclidean_long(array(1L, 2L, 3L), array(1L, 2L)) AS mismatch, " +
+        "sq_euclidean_long(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) " +
+        "AS null_elem, " +
+        "sq_euclidean_long(array(1L, 2L), array(1L, CAST(NULL AS BIGINT))) " +
+        "AS null_elem_rhs")
+      .collect()(0)
+    assert(got.isNullAt(0), "length mismatch must be null, not min-length")
+    assert(got.isNullAt(1) && got.isNullAt(2))
+  }
+
   test("BloomMightContain: structural equality on identical filters " +
       "(plan canonicalization contract)") {
     val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)

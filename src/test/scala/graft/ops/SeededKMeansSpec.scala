@@ -130,6 +130,29 @@ class SeededKMeansSpec extends SparkSpec {
     assert(g2(0).isNullAt(0))
   }
 
+  test("2^53 exactness-envelope guard fires loudly instead of letting the " +
+      "fit silently diverge from the oracle") {
+    // four identical planted vectors whose cell sum (4 · 3·2^51 =
+    // 3·2^53) exceeds the double-exact envelope: identical rows mean
+    // zero distances (no long overflow upstream of the guard) and one
+    // populated cell, so the guard is the first thing that can trip
+    val v = 3L << 51
+    val hot = Seq(1L, 2L, 3L, 4L).map(id => (id, Seq(v, v)))
+      .toDF("id", "q")
+    val e = intercept[IllegalArgumentException] {
+      SeededKMeans.fitQuantized(hot, "id", "q", k = 2, iters = 1, seed = 42L)
+    }
+    assert(e.getMessage.contains("2^53"))
+    // a sum just INSIDE the envelope fits cleanly and yields the exact
+    // mean of the planted rows
+    val edge = (1L << 52) - 1
+    val ok = Seq((1L, Seq(edge, edge)), (2L, Seq(edge, edge)))
+      .toDF("id", "q")
+    val cents = SeededKMeans.fitQuantized(ok, "id", "q", k = 1, iters = 1,
+      seed = 42L)
+    assert(cents.map(_.toSeq).toSeq == Seq(Seq(edge, edge)))
+  }
+
   test("appendToIvfIndexSeeded: build-on-half + append equals one full " +
       "assignment under the half-fit centroids") {
     val dir = java.nio.file.Files
