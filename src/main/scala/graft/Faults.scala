@@ -1,0 +1,140 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.api.plugin.{DriverPlugin, ExecutorPlugin, SparkPlugin}
+import org.apache.spark.sql.SparkSession
+
+/** Task-retry fault injection (round-9 verdict #2 — a new evidence
+  * class). Partitioning invariance proves the engine's deterministic
+  * operators are layout-independent; nothing before this proved they
+  * are RETRY-safe: on a real cluster, tasks are re-executed all the
+  * time (executor loss, speculation, fetch-failure resubmission), and
+  * a retried task re-running a nondeterministic-ordered stage is
+  * exactly the mechanism that corrupts the guarantees this engine
+  * sells — md5-ordered deterministic sampling/splits/shuffles,
+  * memoized fit artifacts, sidecar appends through the commit
+  * protocol.
+  *
+  * Injection mechanism (public Spark API only): a [[SparkPlugin]]
+  * whose executor half throws from `onTaskStart` on the FIRST attempt
+  * of every task. `Task.run` invokes plugins inside the task body
+  * scope, so the throw is an ordinary task failure — counted against
+  * `maxFailures` and retried by the scheduler, exactly like a real
+  * executor fault. The session master is `local[cpus, 4]` (local-mode
+  * task retries enabled, maxFailures = 4), so attempt 1 of every task
+  * runs after attempt 0 died — EVERY task in EVERY stage of every
+  * swept query executes under a retry.
+  *
+  * Evidence shape: one process runs the sweep with injection ARMED,
+  * another with it disarmed (separate JVMs so per-JVM memoized
+  * artifacts — seeded-KMeans centroids, BPE merge tables — are
+  * COMPUTED under injection in the armed run rather than reused from
+  * a clean pass). Each prints a sha-256 per query over the sorted
+  * result rows; the FAULTS artifact records both sides plus the
+  * injected-failure count, and the gate is hash equality with
+  * `injected_failures > 0` on the armed side.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.01), SPARK_GRAFT_FAULT_ARMED
+  * (1 = inject, 0 = clean baseline), SPARK_GRAFT_FAULT_QUERIES
+  * (comma list or ALL; default = the deterministic-operator set the
+  * round-9 verdict names), SPARK_GRAFT_CPUS (default 8).
+  */
+object FaultInjectionPlugin {
+  /** Injection switch — flipped by [[Faults.main]] after session
+    * start so session-construction tasks aren't part of the sweep. */
+  val armed = new AtomicBoolean(false)
+
+  /** Number of task attempts this plugin killed. */
+  val injected = new AtomicLong(0L)
+}
+
+class FaultInjectionPlugin extends SparkPlugin {
+  override def driverPlugin(): DriverPlugin = null
+
+  override def executorPlugin(): ExecutorPlugin = new ExecutorPlugin {
+    override def onTaskStart(): Unit = {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.attemptNumber() == 0 &&
+          FaultInjectionPlugin.armed.get()) {
+        FaultInjectionPlugin.injected.incrementAndGet()
+        throw new RuntimeException(
+          s"graft-fault-injection: killing first attempt of stage " +
+            s"${tc.stageId()} partition ${tc.partitionId()}")
+      }
+    }
+  }
+}
+
+object Faults {
+
+  /** The deterministic operators whose guarantees retry could corrupt:
+    * md5-ordered shuffle/sample/split family, the packing cumsum, the
+    * BPE fit, the seeded-KMeans fit + stored-index lifecycle, and
+    * every sidecar appender (exact, bloom, minhash, sketch, token-
+    * count, postings, IVF append) — the round-9 verdict's list plus
+    * the families it says "and the sidecar appenders" about. */
+  private val DefaultQueries = Seq(
+    "q11_hash_sample", "q127_stratified_det", "q138_det_shuffle",
+    "q145_group_split", "q148_cluster_split", "q150_source_cap",
+    "q160_dsir_select", "q125_seq_pack", "q154_bpe_merges",
+    "q173_seeded_kmeans", "q175_ivf_stored_seeded",
+    "q182_ivf_append_seeded", "q123_incremental_dedup",
+    "q133_incremental_dedup_bloom", "q135_sketch_sidecar",
+    "q136_neardup_sidecar", "q168_token_rarity_sidecar",
+    "q179_bm25_sidecar", "q143_streaming_curation")
+
+  private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    df.collect().map(_.toString).sorted
+      .foreach(s => md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val armed = sys.env.getOrElse("SPARK_GRAFT_FAULT_ARMED", "1") == "1"
+    val names = sys.env.get("SPARK_GRAFT_FAULT_QUERIES") match {
+      case Some("ALL") => SparkEntry.queries.keys.toSeq.sorted
+      case Some(list) => list.split(",").map(_.trim).toSeq
+      case None => DefaultQueries
+    }
+    val spark = SparkSession.builder()
+      // local[N, 4]: local-mode task retries, maxFailures = 4 — the
+      // injected first-attempt kill leaves 3 more attempts
+      .master(s"local[$cpus, 4]")
+      .config("spark.plugins", "graft.FaultInjectionPlugin")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR") // injected failures are noisy at WARN
+    graft.functions.GraftFunctions.register(spark)
+    graft.sources.TestdataContract.assertContract(spark, sfDir)
+
+    FaultInjectionPlugin.armed.set(armed)
+    val results = names.filter(SparkEntry.queries.contains).map { name =>
+      val t0 = System.nanoTime()
+      val h =
+        try Right(hashRows(SparkEntry.queries(name)(spark, sfDir)))
+        catch { case e: Throwable =>
+          System.err.println(s"[faults] $name FAILED: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+        }
+      (name, h, (System.nanoTime() - t0) / 1e9)
+    }
+    FaultInjectionPlugin.armed.set(false)
+
+    val qs = results.map {
+      case (n, Right(h), t) => f""""$n":{"hash":"$h","sec":$t%.2f}"""
+      case (n, Left(e), t) => f""""$n":{"hash":null,"error":"$e","sec":$t%.2f}"""
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (n, Left(_), _) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"faults","armed":$armed,""" +
+      s""""injected_failures":${FaultInjectionPlugin.injected.get()},""" +
+      s""""task_max_failures":4,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

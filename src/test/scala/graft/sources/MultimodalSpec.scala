@@ -183,6 +183,102 @@ class MultimodalSpec extends SparkSpec {
     assert(feat(0) === 1f)
   }
 
+  test("real MJPEG-AVI FRAME decode: sampled movi chunks decode through " +
+      "the imageio path and the feature is the exact per-bin frame mean") {
+    val payload = Multimodal.syntheticAviMjpeg(2L) // 5 frames of 8x8
+    // frame chunks come back in stream order and each IS a JPEG the
+    // still-image decoder accepts
+    val chunks = Multimodal.MediaCodec.aviFrameChunks(payload)
+    assert(chunks.length === 5)
+    val frameHists = chunks.toSeq.flatMap(
+      Multimodal.MediaCodec.decodeImage(_))
+    assert(frameHists.length === 5)
+    frameHists.foreach { case (w, h, f, _) => assert((w, h, f) === ((8, 8, 1))) }
+    // decodeVideo samples MaxSampledFrames=4 evenly spaced of the 5:
+    // indices 0, 1, 2, 4 (j*(n-1)/(k-1))
+    val sampled = Seq(0, 1, 2, 4).map(chunks(_))
+      .flatMap(Multimodal.MediaCodec.decodeImage(_)).map(_._4)
+    val expected = {
+      val acc = new Array[Double](8)
+      sampled.foreach(h => (0 until 8).foreach(i => acc(i) += h(i)))
+      acc.map(v => (v / sampled.length).toFloat).toSeq
+    }
+    val Some((w, h, f, feat)) = Multimodal.MediaCodec.decodeVideo(payload)
+    assert((w, h, f) === ((8, 8, 5))) // avih header fields
+    assert(feat.toSeq === expected, "pixel feature must be the exact mean " +
+      "of the sampled frames' luminance histograms")
+  }
+
+  test("corrupt MJPEG frames are dropped from the sample; all-corrupt " +
+      "frames fall back to the byte-histogram feature") {
+    val good = Multimodal.syntheticAviMjpeg(0L) // i%3=0 → 3 frames
+    val chunks = Multimodal.MediaCodec.aviFrameChunks(good)
+    assert(chunks.length === 3)
+    // corrupt frame 1 IN PLACE (RIFF sizes stay intact, so the
+    // container still parses and only the frame decode drops): find
+    // its JPEG SOI marker (every frame starts FF D8 FF) and trash it
+    val corrupted = good.clone()
+    var soiCount = 0
+    var k = 0
+    while (k < corrupted.length - 2) {
+      if ((corrupted(k) & 0xFF) == 0xFF && (corrupted(k + 1) & 0xFF) == 0xD8 &&
+          (corrupted(k + 2) & 0xFF) == 0xFF) {
+        if (soiCount == 1) { // second frame's SOI
+          corrupted(k) = 0; corrupted(k + 1) = 0; corrupted(k + 2) = 0
+        }
+        soiCount += 1
+      }
+      k += 1
+    }
+    assert(soiCount === 3)
+    val Some((_, _, _, feat)) = Multimodal.MediaCodec.decodeVideo(corrupted)
+    val surviving = Seq(0, 2).map(chunks(_))
+      .flatMap(Multimodal.MediaCodec.decodeImage(_)).map(_._4)
+    val expected = {
+      val acc = new Array[Double](8)
+      surviving.foreach(h => (0 until 8).foreach(i => acc(i) += h(i)))
+      acc.map(v => (v / surviving.length).toFloat).toSeq
+    }
+    assert(feat.toSeq === expected,
+      "corrupt frame must be dropped from the mean, not faked or fatal")
+    // all frames corrupt → byte-histogram fallback (container still
+    // parses, so the row survives with the file-level signature)
+    val allBad = good.clone()
+    var k2 = 0
+    while (k2 < allBad.length - 2) {
+      if ((allBad(k2) & 0xFF) == 0xFF && (allBad(k2 + 1) & 0xFF) == 0xD8 &&
+          (allBad(k2 + 2) & 0xFF) == 0xFF) {
+        allBad(k2) = 0; allBad(k2 + 1) = 0; allBad(k2 + 2) = 0
+      }
+      k2 += 1
+    }
+    val Some((_, _, _, fallback)) = Multimodal.MediaCodec.decodeVideo(allBad)
+    val byteHist = {
+      val hist = new Array[Long](8)
+      allBad.foreach(b => hist((b & 0xFF) >> 5) += 1)
+      hist.map(c => c / allBad.length.toFloat).toSeq
+    }
+    assert(fallback.toSeq === byteHist)
+  }
+
+  test("syntheticMedia video rows cover BOTH containers and the AVI rows " +
+      "carry pixel-frame features end to end through decode") {
+    val decoded = Multimodal.decode(Multimodal.syntheticMedia(spark, 30))
+      .filter(_.kind == "video").collect().sortBy(_.media_id)
+    assert(decoded.length === 10)
+    // i%6==2 rows are MJPEG AVIs (8x8 frames); i%6==5 rows are MP4s
+    val avis = decoded.filter(_.media_id % 6 == 2)
+    val mp4s = decoded.filter(_.media_id % 6 == 5)
+    assert(avis.length === 5 && mp4s.length === 5)
+    avis.foreach { d =>
+      assert(d.width === 8 && d.height === 8)
+      val expected = Multimodal.MediaCodec
+        .decodeVideo(Multimodal.syntheticAviMjpeg(d.media_id)).get._4
+      assert(d.feature.toSeq === expected.toSeq)
+    }
+    mp4s.foreach(d => assert(d.width >= 160 && d.n_frames >= 24))
+  }
+
   test("multimodal ANN query returns k nearest decoded features") {
     val topk = graft.queries.DataQueries.q99MultimodalAnn.fn(spark, sf0001).collect()
     assert(topk.length === 10)
