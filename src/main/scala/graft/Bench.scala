@@ -91,22 +91,30 @@ object Bench {
       // a driver GC (which lets the ContextCleaner reap checkpoint
       // RDDs and broadcasts) stops each query's residue from being
       // charged to whoever alphabetically follows it.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      // The driver-GC prompt is PROPORTIONAL (round-9 verdict): with
-      // 100+ queries sitting at a 0.10-0.35 s floor, an unconditional
-      // full GC between every pair costs more than many of the queries
-      // themselves (~16 s across the sweep). A query that finished in
-      // <0.3 s did no index build / checkpoint / broadcast worth
-      // reaping, so the ContextCleaner prompt is kept only for the
-      // heavy/stateful queries that motivated it — and after any
-      // failure (r7's regressions were exception-neighborhood
-      // pollution; never skip hygiene after an exception).
-      if (!ok || times.map(_._1).min >= 0.3) System.gc()
-      // drain async task-end events so this query's spills don't
-      // bleed into the next snapshot (summed over all `runs` runs)
-      org.apache.spark.graftbridge.ListenerBridge
-        .waitUntilListenerBusEmpty(spark.sparkContext)
+      //
+      // ALL hygiene is PROPORTIONAL (round-9 verdict, finished round
+      // 10): with 100+ queries at a 0.10-0.35 s floor, unconditional
+      // between-pair work — a full GC (~16 s across the sweep), cache
+      // clears, a listener-bus drain — costs more than many queries
+      // themselves. A query that finished in <0.3 s with no observed
+      // spill did no index build / checkpoint / broadcast worth
+      // reaping, so such queries skip the hygiene entirely; the drain
+      // is kept whenever the spill counters MOVED (attribution must
+      // stay exact for the low-mem sweep) and after any failure (r7's
+      // regressions were exception-neighborhood pollution; never skip
+      // hygiene after an exception).
+      val spillSeen = spillListener.mem.get() != memBefore ||
+        spillListener.disk.get() != diskBefore
+      val floorQuery = ok && !spillSeen && times.map(_._1).min < 0.3
+      if (!floorQuery) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        // drain async task-end events so this query's spills don't
+        // bleed into the next snapshot (summed over all `runs` runs)
+        org.apache.spark.graftbridge.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+      }
       val spillMem = spillListener.mem.get() - memBefore
       val spillDisk = spillListener.disk.get() - diskBefore
       (name, times.map(_._1).min, ok, spillMem, spillDisk)

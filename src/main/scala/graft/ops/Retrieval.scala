@@ -260,6 +260,44 @@ object Retrieval {
       .filter(col("rnk") <= nTerms)
   }
 
+  /** Reciprocal-rank fusion of two per-query rankings — the standard
+    * hybrid-retrieval combiner (lexical BM25 × semantic ANN): over the
+    * UNION of the two top-k lists, a doc scores
+    * `Σ floor(10^6 / (rrfK + rank))` across the rankings that
+    * retrieved it. The classic 1/(rrfK+r) is scaled to an integer
+    * floor so the fused score is EXACT (the one double division is
+    * over exact small integers, and the floor can never straddle a
+    * representability boundary — the quotient is either exactly
+    * integral or at least 1/(rrfK+r) away from one), making the fused
+    * ranking hash-replayable in any engine. A doc missing from one
+    * ranking contributes 0 from it and reports rank 0 in that slot
+    * (ranks are 1-based, so 0 is unambiguous — and keeps the output
+    * columns non-null for the driver's pandas compare).
+    *
+    * Inputs: two (query_id, doc_id, rnk) frames, each already a
+    * per-query top-k (|queries|·k rows — broadcast-scale by
+    * construction, so the fuse is a join of two TINY sides and a rank
+    * window partitioned by query; the corpus-scale work lives in the
+    * constituent retrievals, each with its own scale path). Output:
+    * (query_id, doc_id, rrf_score, rnk_a, rnk_b, rnk). */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int,
+              rrfK: Int = 60): DataFrame = {
+    def contrib(r: Column): Column =
+      floor(lit(1000000.0) / (lit(rrfK) + r)).cast("long")
+    val l = a.select(col("query_id"), col("doc_id"), col("rnk").as("rnk_a"))
+    val m = b.select(col("query_id"), col("doc_id"), col("rnk").as("rnk_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+    l.join(m, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(contrib(col("rnk_a")), lit(0L)) +
+          coalesce(contrib(col("rnk_b")), lit(0L))).as("rrf_score"),
+        coalesce(col("rnk_a"), lit(0)).as("rnk_a"),
+        coalesce(col("rnk_b"), lit(0)).as("rnk_b"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   // ------------------------------------------------------------------
   // Incremental postings sidecar — at 100 TB the inverted index is an
   // artifact to MATERIALIZE once and reuse across eval suites, not a

@@ -256,6 +256,106 @@ object RetrievalQueries {
       .orderBy(col("phrase_id"), col("doc_id"))
   }
 
+  /** Hybrid retrieval ([[Retrieval.rrfFuse]], NEW round 10): for each
+    * query document (every 100th doc, its TEXT as the lexical query
+    * and its EMBEDDING as the semantic query — the aligned doc_id /
+    * vec_id spaces make it the classic more-like-this task), fuse the
+    * BM25 top-10 (self-excluded) with the exact-cosine top-10 by
+    * integer-scaled reciprocal-rank fusion and keep the fused top-5.
+    * Every stage replays: the lexical side is the q177 decimal
+    * pipeline with query terms drawn from the corpus instead of a
+    * VALUES suite, the semantic side is the q122 rounded-cosine
+    * ranking, and the fusion is integer arithmetic — so the hybrid
+    * ranking hash-compares end to end, ranks and scores included. */
+  val q185HybridRrf = QueryDef(
+    "q185_hybrid_rrf",
+    s"""WITH p AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+       |), post AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM p GROUP BY term, doc_id
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       |  FROM documents
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
+       |), dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+       |), qt AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id,
+       |           unnest(string_split(text, ' ')) AS term
+       |    FROM documents WHERE doc_id % 100 = 0)
+       |), scored AS (
+       |  SELECT qt.query_id, post.doc_id,
+       |    CAST(round(ln((2.0 * n_docs - 2.0 * df + 1.0) /
+       |                  (2.0 * df + 1.0)), 6) AS DECIMAL(18,6)) *
+       |    CAST(round((11.0 * tf * tot_tokens) /
+       |               (10.0 * tot_tokens * tf + 3.0 * tot_tokens +
+       |                9.0 * dl.dl * n_docs), 6) AS DECIMAL(18,6)) AS w
+       |  FROM post
+       |  JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id), tot
+       |), s AS (
+       |  SELECT query_id, doc_id, SUM(w) AS score
+       |  FROM scored GROUP BY query_id, doc_id
+       |), lexr AS (
+       |  SELECT query_id, doc_id, rnk FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |    FROM s WHERE doc_id <> query_id
+       |  ) WHERE rnk <= 10
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0
+       |), semr AS (
+       |  SELECT query_id, doc_id, rnk FROM (
+       |    SELECT sq.query_id, e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY sq.query_id
+       |        ORDER BY round(list_cosine_similarity(e.v, sq.qv), 6) DESC,
+       |                 e.vec_id) AS INT) AS rnk
+       |    FROM e, sq WHERE e.vec_id <> sq.query_id
+       |  ) WHERE rnk <= 10
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, m.query_id) AS query_id,
+       |         coalesce(l.doc_id, m.doc_id) AS doc_id,
+       |         CAST(coalesce(CAST(floor(1000000.0 / (60 + l.rnk)) AS BIGINT), 0)
+       |            + coalesce(CAST(floor(1000000.0 / (60 + m.rnk)) AS BIGINT), 0)
+       |           AS BIGINT) AS rrf_score,
+       |         coalesce(l.rnk, 0) AS lex_rnk, coalesce(m.rnk, 0) AS sem_rnk
+       |  FROM lexr l FULL OUTER JOIN semr m
+       |    ON l.query_id = m.query_id AND l.doc_id = m.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf_score, lex_rnk, sem_rnk, rnk FROM (
+       |  SELECT query_id, doc_id, rrf_score, lex_rnk, sem_rnk,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_score DESC, doc_id) AS INT) AS rnk
+       |  FROM fused
+       |) WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queriesDf = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val wLex = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = Retrieval.bm25Scores(docs, queriesDf)
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(wLex).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val sem = graft.ops.Similarity.annJoinBruteForce(
+        emb.filter(col("vec_id") % 100 === 0), emb,
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+    Retrieval.rrfFuse(lex, sem, k = 5)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("rnk_a").as("lex_rnk"), col("rnk_b").as("sem_rnk"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
-    q180Bm25Prf, q183PhraseSearch)
+    q180Bm25Prf, q183PhraseSearch, q185HybridRrf)
 }
