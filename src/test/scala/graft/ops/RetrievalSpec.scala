@@ -137,4 +137,21 @@ class RetrievalSpec extends SparkSpec {
     // idf(banana)<0, so the larger tfpart is MORE negative → doc1 wins
     assert(got === Seq(1L, 2L))
   }
+
+  test("rrfFuse: exact integer contributions over the union, rank-0 slots " +
+      "for docs one ranking missed, deterministic doc_id tiebreak") {
+    // query 0: doc 10 in both lists, 11 lexical-only, 12 semantic-only
+    val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "rnk")
+    val sem = Seq((0L, 10L, 2), (0L, 12L, 1)).toDF("query_id", "doc_id", "rnk")
+    val got = Retrieval.rrfFuse(lex, sem, k = 3)
+      .orderBy($"rnk")
+      .select($"doc_id", $"rrf_score", $"rnk_a", $"rnk_b", $"rnk")
+      .collect()
+    // contributions: rank1 → floor(1e6/61)=16393, rank2 → floor(1e6/62)=16129
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getInt(3), r.getInt(4))).toSeq === Seq(
+      (10L, 16393L + 16129L, 1, 2, 1), // in both lists → summed
+      (12L, 16393L, 0, 1, 2),          // semantic-only, rank-0 lex slot
+      (11L, 16129L, 2, 0, 3)))         // lexical-only, rank-0 sem slot
+  }
 }
