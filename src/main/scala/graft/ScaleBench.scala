@@ -115,7 +115,8 @@ object ScaleBench {
     "q132_ivf_append" -> (graft.queries.ScaleQueries.q132Parts _),
     "q159_knn_join_ivfpq_stored" -> (graft.queries.CorpusQueries.q159Parts _),
     "q175_ivf_stored_seeded" -> (graft.queries.SeededAnnQueries.q175Parts _),
-    "q182_ivf_append_seeded" -> (graft.queries.SeededAnnQueries.q182Parts _))
+    "q182_ivf_append_seeded" -> (graft.queries.SeededAnnQueries.q182Parts _),
+    "q179_bm25_sidecar" -> (graft.queries.RetrievalQueries.q179Parts _))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -65,6 +65,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     RetrievalQueries.q180Bm25Prf,       // feedback join + decimal expansion
     RetrievalQueries.q183PhraseSearch,  // positional start-offset agg
     RetrievalQueries.q185HybridRrf,     // integer RRF over two rankings
+    RetrievalQueries.q186RankingMetrics, // decimal DCG sums + one-division metrics
     graft.queries.DataQueries.q184SplitLeakage, // capped pairs × md5 split
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
