@@ -1127,4 +1127,63 @@ object Dedup {
           .as("sim"))
     cross.unionAll(intra)
   }
+
+  /** Dedup-quality evaluation — the [[graft.ops.RetrievalMetrics]]
+    * idea applied to near-dup detection: audit the banded MinHash-LSH
+    * candidate generator ([[minhashDedupPairsMd5]]) against the
+    * capped-inverted-index reference pair set ([[ngramJaccardPairs]])
+    * at the same shingle space and verification threshold, in ONE
+    * summary row:
+    *
+    *  - `candidate_precision` = verified / candidates — how much of
+    *    the banding's candidate volume survives exact-Jaccard
+    *    verification (the efficiency knob bands/numHashes tune);
+    *  - `reference_recall` = common / reference — what fraction of
+    *    the reference pairs the banding surfaced (the recall knob);
+    *  - `n_extra` = verified pairs the reference's df-capped index
+    *    missed (pairs whose every shared shingle is a stop-shingle —
+    *    the two generators' blind spots are DIFFERENT, which is
+    *    exactly why this audit reports both directions).
+    *
+    * Both constituent pipelines are externally replayable (the
+    * q149/q27 oracles), so the metric VALUES hash-compare — for the
+    * production xxhash64 pipeline, this audit is the spec-level
+    * recall evidence made continuous. Scale shape: inherited from the
+    * two generators (bucket/df caps, never all-pairs); the audit
+    * join touches only pair rows. */
+  def nearDupEval(df: DataFrame, textCol: String, idCol: String,
+                  shingleK: Int = 2, numHashes: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5, dfCap: Int = 20,
+                  bucketCap: Int = 200): DataFrame = {
+    val cand = minhashDedupPairsMd5(df, textCol, idCol, shingleK,
+        numHashes, bands, threshold = 0.0, bucketCap)
+      .select(col("id_a"), col("id_b"),
+        (col("jaccard") >= threshold).as("__verified"))
+    val ref = ngramJaccardPairs(df, textCol, idCol, shingleK, threshold,
+        dfCap)
+      .select(col("id_a"), col("id_b"), lit(true).as("__in_ref"))
+    cand.join(ref, Seq("id_a", "id_b"), "full_outer")
+      .agg(
+        sum(when(col("__verified").isNotNull, 1L).otherwise(0L))
+          .as("n_candidates"),
+        sum(when(col("__verified") === true, 1L).otherwise(0L))
+          .as("n_verified"),
+        sum(when(col("__in_ref"), 1L).otherwise(0L)).as("n_reference"),
+        sum(when(col("__in_ref") && col("__verified") === true, 1L)
+          .otherwise(0L)).as("n_common"),
+        sum(when(col("__verified") === true && col("__in_ref").isNull, 1L)
+          .otherwise(0L)).as("n_extra"))
+      .select(col("n_candidates"), col("n_verified"), col("n_reference"),
+        col("n_common"), col("n_extra"),
+        // guard with CASE, not coalesce: double x/0 is Inf/NaN (not
+        // null) and engines disagree on it — never let it form
+        when(col("n_candidates") > 0,
+          round(col("n_verified").cast("double") /
+            col("n_candidates").cast("double"), 6)).otherwise(lit(0.0))
+          .as("candidate_precision"),
+        when(col("n_reference") > 0,
+          round(col("n_common").cast("double") /
+            col("n_reference").cast("double"), 6)).otherwise(lit(0.0))
+          .as("reference_recall"))
+  }
 }

@@ -1360,6 +1360,93 @@ object ScaleQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Dedup-quality audit ([[Dedup.nearDupEval]], NEW round 10): the
+    * banded md5-LSH candidate generator evaluated against the
+    * df-capped inverted-index reference at the same bigram space and
+    * 0.5 threshold — candidate precision, reference recall, and the
+    * count of verified pairs the reference's cap blinds it to, in one
+    * hash-compared summary row. Both constituent pipelines already
+    * replay (q149/q27); this composes their oracles and checks the
+    * METRIC VALUES, the q186 idea applied to dedup. */
+  val q187NearDupEval = QueryDef(
+    "q187_neardup_eval",
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 15), h ->
+      |      list_min(list_transform(s, x ->
+      |        CAST('0x' || substring(md5(x || '|' || CAST(h AS VARCHAR)),
+      |          1, 15) AS BIGINT)))) AS sig
+      |  FROM sh WHERE len(s) > 0
+      |), bnd AS (
+      |  SELECT doc_id, b, array_to_string(
+      |      list_transform(sig[b*4+1 : b*4+4], v -> CAST(v AS VARCHAR)), ',')
+      |      AS chunk
+      |  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+      |), grp AS (
+      |  SELECT b, chunk FROM bnd GROUP BY 1, 2
+      |  HAVING count(*) BETWEEN 2 AND 200
+      |), cpairs AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM bnd x JOIN bnd y ON x.b = y.b AND x.chunk = y.chunk
+      |    AND x.doc_id < y.doc_id
+      |  JOIN grp g ON g.b = x.b AND g.chunk = x.chunk
+      |), cand AS (
+      |  SELECT p.id_a, p.id_b,
+      |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |       len(list_distinct(list_concat(a.s, b.s)))) >= 0.5 AS verified
+      |  FROM cpairs p
+      |  JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b ON b.doc_id = p.id_b
+      |), inv AS (
+      |  SELECT doc_id, unnest(s) AS g FROM sh
+      |), rare AS (
+      |  SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 20
+      |), rpairs AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+      |  JOIN rare r ON r.g = x.g
+      |), ref AS (
+      |  SELECT p.id_a, p.id_b, true AS in_ref
+      |  FROM rpairs p
+      |  JOIN sh a ON a.doc_id = p.id_a
+      |  JOIN sh b ON b.doc_id = p.id_b
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+      |), agg AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN c.verified IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_candidates,
+      |    CAST(sum(CASE WHEN c.verified THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_verified,
+      |    CAST(sum(CASE WHEN r.in_ref THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_reference,
+      |    CAST(sum(CASE WHEN r.in_ref AND c.verified THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_common,
+      |    CAST(sum(CASE WHEN c.verified AND r.in_ref IS NULL THEN 1 ELSE 0
+      |      END) AS BIGINT) AS n_extra
+      |  FROM cand c FULL OUTER JOIN ref r
+      |    ON c.id_a = r.id_a AND c.id_b = r.id_b
+      |)
+      |SELECT n_candidates, n_verified, n_reference, n_common, n_extra,
+      |  CASE WHEN n_candidates > 0
+      |    THEN round(CAST(n_verified AS DOUBLE) /
+      |               CAST(n_candidates AS DOUBLE), 6) ELSE 0.0 END
+      |    AS candidate_precision,
+      |  CASE WHEN n_reference > 0
+      |    THEN round(CAST(n_common AS DOUBLE) /
+      |               CAST(n_reference AS DOUBLE), 6) ELSE 0.0 END
+      |    AS reference_recall
+      |FROM agg""".stripMargin) { (s, d) =>
+    Dedup.nearDupEval(Tables.documents(s, d), "text", "doc_id",
+      shingleK = 2, numHashes = 16, bands = 4, threshold = 0.5,
+      dfCap = 20, bucketCap = 200)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q120AnnJoinLsh, q121DupSpans, q122AnnJoinExact, q123IncrementalDedup,
     q124AnnJoinIvf, q125SeqPack, q126MixtureApply, q127StratifiedDet,
@@ -1370,5 +1457,5 @@ object ScaleQueries {
     q140QualityBudget, q141RollingDistinct, q142BalanceClasses,
     q143StreamingCuration, q144DiversitySample, q145GroupSplit,
     q146CdcChunks, q147CdcDupSpans, q148ClusterSplit,
-    q149MinhashPairsMd5, q169StreamingCurationCap)
+    q149MinhashPairsMd5, q169StreamingCurationCap, q187NearDupEval)
 }

@@ -45,6 +45,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     ScaleQueries.q145GroupSplit,        // md5-uniform group side decision
     ScaleQueries.q147CdcDupSpans,       // CDC chunk-hash dup spans
     ScaleQueries.q149MinhashPairsMd5,   // md5 banded-LSH pair pipeline
+    ScaleQueries.q187NearDupEval,       // LSH-vs-reference audit metrics
     CorpusQueries.q150SourceCap,        // md5-ordered per-source ranks
     CorpusQueries.q151TokenRarity,      // occurrence-compressed tf join
     CorpusQueries.q153NormalizedDedup,  // normalized digest agg

@@ -701,4 +701,31 @@ class DedupSpec extends SparkSpec {
       assert(!side(tr) && side(te) && j >= 0.2)
     }
   }
+
+  test("nearDupEval: planted near-dup pair is found by both generators, " +
+      "counts are internally consistent, distinct docs add nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "one two three four five six seven"),
+      (4L, "totally different words here entirely now"),
+      (5L, "unrelated content again nothing shared at all"))
+      .toDF("doc_id", "text")
+    val r = Dedup.nearDupEval(docs, "text", "doc_id",
+      shingleK = 2, numHashes = 16, bands = 4, threshold = 0.5,
+      dfCap = 20, bucketCap = 200).collect()(0)
+    val (nc, nv, nr, ncom, nx) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // the planted pair shares 4 of 6 bigrams (J = 4/7 >= 0.5): the
+    // reference's rare-gram index must find it, and at 16 hashes / 4
+    // bands the banding surfaces it with overwhelming probability —
+    // both deterministic given the md5 hash family, so exact asserts
+    assert(nr === 1L && ncom === 1L && nv >= 1L)
+    // consistency: common <= min(verified, reference); extra = verified - common
+    assert(ncom <= math.min(nv, nr) && nx === nv - ncom)
+    assert(r.getDouble(6) === 1.0) // reference_recall
+    // precision well-defined and bounded
+    assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 && nc >= nv)
+  }
 }
