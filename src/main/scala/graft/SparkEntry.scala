@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, DataQueries, ExtendedQueries, LoanQueries, PipelineQueries, RetrievalQueries, ScaleQueries, SeededAnnQueries, TemporalQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, CoreQueries, CorpusQueries, CurationQueries, DataQueries, ExtendedQueries, GraphQueries, LoanQueries, PipelineQueries, RetrievalQueries, ScaleQueries, SeededAnnQueries, TemporalQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,7 +17,7 @@ object SparkEntry {
       AdvancedQueries.all ++ ExtendedQueries.all ++ PipelineQueries.all ++
       CurationQueries.all ++ ScaleQueries.all ++ CorpusQueries.all ++
       AnalyticsQueries.all ++ TemporalQueries.all ++ SeededAnnQueries.all ++
-      RetrievalQueries.all
+      RetrievalQueries.all ++ GraphQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -42,6 +42,12 @@ object GraftFunctions {
     ColumnBridge.column(
       ReservoirSample(ColumnBridge.expression(c), k, seed).toAggregateExpression())
 
+  /** Bounded-state heavy-hitter candidate aggregate (see
+    * [[MisraGriesCandidates]]). */
+  def mg_candidates(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesCandidates(ColumnBridge.expression(c), k).toAggregateExpression())
+
   /** Fused zero-copy marker-word counter (see [[TokensInSet]]). */
   def tokens_in_set(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokensInSet(ColumnBridge.expression(text), words))
@@ -168,6 +174,8 @@ object GraftFunctions {
       ReservoirSample(exprs(0), intArg("reservoir_sample", exprs(1)),
         if (exprs.length > 2) intArg("reservoir_sample", exprs(2)).toLong
         else 42L)),
+    "mg_candidates" -> (exprs =>
+      MisraGriesCandidates(exprs(0), intArg("mg_candidates", exprs(1)))),
     "tokens_in_set" -> (exprs =>
       TokensInSet(exprs(0), stringArrayArg("tokens_in_set", exprs(1)))),
     "ngrams_in_set" -> (exprs =>

@@ -368,4 +368,46 @@ object Sketches {
         round(col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6))
   }
+
+  /** EXACT heavy hitters with bounded-shuffle discovery: every value of
+    * `termCol` whose frequency exceeds n/k, with its exact count and
+    * share.
+    *
+    * The naive exact plan — `groupBy(term).count.where(cnt·k > n)` —
+    * shuffles one combined row per DISTINCT term per task; at
+    * web-scale n-gram cardinality the shuffle IS the job, and the
+    * approximate answer (q92's `approx_top_k`) gives up exactness to
+    * avoid it. This operator gets exactness at bounded shuffle width
+    * in two scans:
+    *
+    *  1. **Candidates** — one [[graft.functions.MisraGriesCandidates]]
+    *     aggregate: ≤ k counters of state per task however many
+    *     distinct terms exist, map-side combined, with the MG
+    *     guarantee that every term with true frequency > n/k survives
+    *     whatever the partition layout. The global row count rides the
+    *     same scan.
+    *  2. **Recount** — an exact `groupBy(term).count` over tokens
+    *     semi-joined (broadcast: ≤ k terms by construction) to the
+    *     candidate set — shuffle width ≤ k rows per task — then the
+    *     exact threshold `cnt·k > n` drops the sketch's false
+    *     positives.
+    *
+    * The candidate SET is layout-dependent; the FINAL output is not
+    * (no-false-negative guarantee + exact filter = exactly the true
+    * heavy-hitter set; PartitioningInvarianceSpec pins it on q189).
+    * `share` is the one IEEE division, from exact longs.
+    */
+  def exactHeavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(termCol).as("term"))
+    val candRow = toks.agg(
+      graft.functions.GraftFunctions.mg_candidates(col("term"), k).as("cs"),
+      count(lit(1)).as("n_total"))
+    val cands = candRow.select(explode(col("cs")).as("term"), col("n_total"))
+    toks.join(broadcast(cands), "term")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_total")).as("n_total"))
+      .where(col("cnt") * k > col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"),
+        (col("cnt").cast("double") / col("n_total").cast("double")).as("share"))
+  }
 }

@@ -334,8 +334,35 @@ object AnalyticsQueries {
       .orderBy(col("event_type"), col("period"), col("p"))
   }
 
+  /** Round-10: EXACT heavy hitters under bounded-shuffle discovery
+    * ([[Sketches.exactHeavyHitters]]) — the hash-oracled exact twin of
+    * q92's rows-only `approx_top_k`. Terms above a 1/30 frequency
+    * share of the documents token stream: a Misra-Gries
+    * TypedImperativeAggregate (≤ k counters per task, map-side
+    * combined, no-false-negative guarantee) proposes ≤ k candidates;
+    * an exact candidate-only recount + `cnt·k > n` threshold decides.
+    * The oracle needs none of that machinery — a plain GROUP BY +
+    * HAVING is the same answer, which is exactly the point: the
+    * sketch changes the PLAN's shuffle width, not the semantics. */
+  val q189HeavyTerms = QueryDef(
+    "q189_heavy_terms",
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks)
+      |SELECT term, CAST(count(*) AS BIGINT) AS cnt, tot.n_total,
+      |       CAST(count(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE) AS share
+      |FROM toks, tot
+      |GROUP BY term, tot.n_total
+      |HAVING CAST(count(*) AS BIGINT) * 30 > tot.n_total
+      |ORDER BY cnt DESC, term""".stripMargin) { (s, d) =>
+    Sketches.exactHeavyHitters(
+        Tables.documents(s, d).select(explode(split(col("text"), " ")).as("term")),
+        "term", k = 30)
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
     q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles,
-    q171RollingQuantiles, q172RollingQuantilesByType)
+    q171RollingQuantiles, q172RollingQuantilesByType, q189HeavyTerms)
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.Graph
+import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-10 block: graph centrality — the engine's second
+  * graph-analytics family next to the connected-components closure
+  * (q103/q108/q129). Link-graph centrality is a standard corpus
+  * quality prior (host-level PageRank over a web crawl); here the
+  * graph is the co-purchase bipartite graph (customer —bought from—
+  * supplier, distinct pairs from orders⋈lineitem), the natural
+  * data-sized graph the benchmark tables define.
+  *
+  * The whole power iteration is fixed-point integer arithmetic
+  * ([[Graph.pageRankFp]]), so the DuckDB oracle replays every step in
+  * a recursive CTE and the final ranks hash-compare exactly — the
+  * seeded-KMeans verification discipline applied to a graph loop.
+  * Oracle notes (learned on q173's family, re-learned here):
+  * correlated per-element LEFT JOINs inside the recursive member are
+  * re-evaluated PER LIST ELEMENT by DuckDB's de-correlation (30 s
+  * where the single-aggregate shape runs in 0.2 s), and MATERIALIZED
+  * CTEs referenced from a recursive member re-materialize per
+  * iteration — both shapes are avoided; the symmetrized edge list
+  * guarantees every node has in-edges, so the oracle's inner-join
+  * iteration body covers the full node set (the Spark side keeps the
+  * general left join).
+  */
+object GraphQueries {
+
+  /** Supplier node-id offset: above any scalebench-shifted key
+    * (copies ≤ 100 shift by copy·2^33 < 2^40). */
+  private val Off = 1L << 41
+  private val Iters = 5
+
+  /** Co-purchase PageRank: top-10 customers and top-10 suppliers by
+    * fixed-point rank. Two shuffles per iteration (edges⋈ranks on the
+    * pre-partitioned src; contribution sum with map-side partials);
+    * the top-10-per-kind filter rides the WindowGroupLimit rewrite
+    * (rank ≤ k pushes a per-task top-k, no full sort). */
+  val q188CopurchasePagerank = QueryDef(
+    "q188_copurchase_pagerank",
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $Off AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $Off AS src, cust AS dst FROM e0
+       |), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+       |           FROM edges GROUP BY src),
+       |consts AS (SELECT 1000000000000 // CAST(count(*) AS BIGINT) AS init,
+       |       3000000000000 // (20 * CAST(count(*) AS BIGINT)) AS base
+       |       FROM deg),
+       |pr(i, rs) AS (
+       |  SELECT 0, (SELECT list({'node': src, 'r': consts.init} ORDER BY src)
+       |             FROM deg, consts)
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    (SELECT list({'node': ct.node, 'r': consts.base + ct.s}
+       |            ORDER BY ct.node)
+       |     FROM (SELECT e.dst AS node, SUM((17 * y.r) // (20 * dg.d)) AS s
+       |           FROM (SELECT unnest(rs) AS y)
+       |           JOIN edges e ON e.src = y.node
+       |           JOIN deg dg ON dg.src = e.src
+       |           GROUP BY e.dst) ct, consts)
+       |  FROM pr WHERE i < $Iters)
+       |SELECT kind, node_key, rank_fp, degree, rnk FROM (
+       |  SELECT CASE WHEN x.node >= $Off THEN 'supp' ELSE 'cust' END AS kind,
+       |         CASE WHEN x.node >= $Off THEN x.node - $Off ELSE x.node END
+       |           AS node_key,
+       |         x.r AS rank_fp, dg.d AS degree,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY (x.node >= $Off)
+       |           ORDER BY x.r DESC, x.node) AS INT) AS rnk
+       |  FROM (SELECT unnest(rs) AS x FROM pr WHERE i = $Iters)
+       |  JOIN deg dg ON dg.src = x.node
+       |) WHERE rnk <= 10
+       |ORDER BY kind, rnk""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val edges = pairs.select(col("cust").as("src"), (col("supp") + Off).as("dst"))
+      .unionByName(pairs.select((col("supp") + Off).as("src"), col("cust").as("dst")))
+    val pr = Graph.pageRankFp(edges, "src", "dst", iters = Iters)
+    val w = Window.partitionBy("kind").orderBy(col("rank_fp").desc, col("node"))
+    pr.select(
+        when(col("node") >= Off, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("node") >= Off, col("node") - Off).otherwise(col("node")).as("node_key"),
+        col("rank_fp"), col("degree"), col("node"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select("kind", "node_key", "rank_fp", "degree", "rnk")
+      .orderBy("kind", "rnk")
+  }
+
+  val all: Seq[QueryDef] = Seq(q188CopurchasePagerank)
+}

@@ -68,6 +68,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     RetrievalQueries.q185HybridRrf,     // integer RRF over two rankings
     RetrievalQueries.q186RankingMetrics, // decimal DCG sums + one-division metrics
     graft.queries.DataQueries.q184SplitLeakage, // capped pairs × md5 split
+    graft.queries.GraphQueries.q188CopurchasePagerank, // integer power iteration
+    AnalyticsQueries.q189HeavyTerms,    // MG candidates + exact recount
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
