@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -323,5 +323,86 @@ object TextAnalysis {
     stats.join(broadcast(nDocs), "lang")
       .withColumn("weight",
         col("tf").cast("double") * col("n_docs") / col("df"))
+  }
+
+  /** Collocation extraction: adjacent word pairs ranked by LIFT — how
+    * much more often the pair occurs than its words' frequencies
+    * predict. Lift orders identically to PMI (log is monotone) while
+    * staying replayable: every count is an exact long, and the score
+    * is the fixed IEEE tree
+    * `(c_ab/N_bg) / ((c_a/N_uni)·(c_b/N_uni))` — divisions of
+    * correctly-rounded long→double conversions, no long products that
+    * could overflow at ANY corpus size (the naive cross-multiplied
+    * form `c_ab·N_uni²/(c_a·c_b·N_bg)` leaves the 64-bit envelope at
+    * ~3·10⁹ tokens; this form never does).
+    *
+    * Scale: two agg shuffles (bigram counts with map-side combine;
+    * unigram counts), two vocab-sized joins (AQE broadcasts them at
+    * bench SF, sort-merge at corpus vocab), totals ride as broadcast
+    * 1-row cross joins (the BM25 pattern), and the top-k is
+    * TakeOrdered — no global sort. `minCount` prunes the long tail
+    * BEFORE the joins (hapax bigrams dominate any real corpus). */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("toks"))
+    val bigrams = toks.select(explode(
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val unis = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nUni = unis.agg(coalesce(sum(col("c")), lit(0L)).as("n_uni"))
+    val nBg = bgCounts.agg(coalesce(sum(col("c_ab")), lit(0L)).as("n_bg"))
+    bgCounts.where(col("c_ab") >= minCount)
+      .join(unis.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(unis.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab").cast("double") / col("n_bg").cast("double")) /
+          ((col("c_a").cast("double") / col("n_uni").cast("double")) *
+            (col("c_b").cast("double") / col("n_uni").cast("double"))))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Corpus novelty curve: how fast the corpus saturates — the share
+    * of never-seen-before word k-grams contributed by each slice of a
+    * DETERMINISTIC ingestion order ([[Relational.deterministicShuffle]]
+    * md5 order, so the curve is a pure function of the data, not of
+    * arrival order). The diagnostic behind "more data or better
+    * data": a flat tail means new shards add tokens, not information.
+    *
+    * Slices are FIXED in number (`slices`, default 20), so the rollup
+    * and its running sum are bounded-row whatever the corpus size —
+    * the one unpartitioned window runs over ≤ `slices` rows. The
+    * data-sized work is one explode + min-agg per distinct gram
+    * (map-side combined) on top of the distributed md5 ranking. */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 2, slices: Int = 20): DataFrame = {
+    val ranked = Relational.deterministicShuffle(
+      docs.select(col(idCol), col(textCol)), idCol)
+    val tot = ranked.agg(max(col("pos")).as("n_docs"))
+    val grams = ranked.select(col("pos"),
+      explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min(col("pos")).as("first_pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("slice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val sparse = firstSeen.crossJoin(broadcast(tot))
+      .select(expr(s"((first_pos - 1) * $slices) div n_docs").as("slice"))
+      .groupBy("slice").agg(count(lit(1)).as("n_new"))
+    // densify: a slice that contributes nothing new is a zero row in
+    // the curve, not a missing one (the flat tail IS the signal)
+    docs.sparkSession.range(0, slices).select(col("id").as("slice"))
+      .join(sparse, Seq("slice"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_distinct", sum(col("n_new")).over(w))
+      .orderBy(col("slice"))
   }
 }

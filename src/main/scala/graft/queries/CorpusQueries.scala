@@ -539,10 +539,77 @@ object CorpusQueries {
       .orderBy(col("sel_key").desc, col("doc_id"))
   }
 
+  /** Round-10: collocation extraction ([[TextAnalysis.collocations]])
+    * — adjacent word pairs ranked by LIFT (orders identically to PMI,
+    * log being monotone, while staying exactly replayable: one fixed
+    * IEEE tree over correctly-rounded long→double conversions, no
+    * 64-bit product to overflow at any corpus size). minCount prunes
+    * hapax bigrams before the vocab joins; top-k is TakeOrdered. */
+  val q190Collocations = QueryDef(
+    "q190_collocations",
+    """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      |bi AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      |         i -> {'w1': toks[i], 'w2': toks[i + 1]})) AS bg
+      |       FROM t),
+      |bgc AS (SELECT bg.w1 AS w1, bg.w2 AS w2,
+      |          CAST(count(*) AS BIGINT) AS c_ab
+      |        FROM bi GROUP BY 1, 2),
+      |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+      |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+      |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+      |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_bg FROM bgc)
+      |SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+      |  (CAST(c_ab AS DOUBLE) / CAST(n_bg AS DOUBLE)) /
+      |  ((CAST(a.c AS DOUBLE) / CAST(n_uni AS DOUBLE)) *
+      |   (CAST(b.c AS DOUBLE) / CAST(n_uni AS DOUBLE))) AS lift
+      |FROM bgc JOIN uc a ON a.w = bgc.w1 JOIN uc b ON b.w = bgc.w2, nu, nb
+      |WHERE c_ab >= 5
+      |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin) { (s, d) =>
+    TextAnalysis.collocations(Tables.documents(s, d), "text",
+      minCount = 5L, topK = 20)
+  }
+
+  /** Round-10: corpus novelty curve ([[TextAnalysis.noveltyCurve]]) —
+    * new-bigram counts per 1/20th slice of the deterministic md5
+    * ingestion order, with the cumulative distinct-gram count. The
+    * oracle replays the md5 ranking (q138's formula), the per-doc
+    * distinct shingles, the min-first-position agg, and the
+    * fixed-slice rollup. */
+  val q191NoveltyCurve = QueryDef(
+    "q191_novelty_curve",
+    """WITH ranked AS (
+      |  SELECT text, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42')) AS BIGINT) AS pos
+      |  FROM documents
+      |), n AS (SELECT CAST(max(pos) AS BIGINT) AS n_docs FROM ranked),
+      |g AS (
+      |  SELECT pos, unnest(list_distinct(
+      |    list_transform(generate_series(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1]))) AS g
+      |  FROM (SELECT pos, string_split(text, ' ') AS toks FROM ranked)
+      |  WHERE len(toks) >= 2
+      |), fs AS (SELECT g, min(pos) AS first_pos FROM g GROUP BY g),
+      |agg AS (
+      |  SELECT ((first_pos - 1) * 20) // n_docs AS slice,
+      |         CAST(count(*) AS BIGINT) AS n_new
+      |  FROM fs, n GROUP BY 1),
+      |dense AS (
+      |  SELECT CAST(s AS BIGINT) AS slice, coalesce(agg.n_new, 0) AS n_new
+      |  FROM generate_series(0, 19) AS gs(s)
+      |  LEFT JOIN agg ON agg.slice = s)
+      |SELECT slice, n_new,
+      |  CAST(sum(n_new) OVER (ORDER BY slice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_distinct
+      |FROM dense ORDER BY slice""".stripMargin) { (s, d) =>
+    TextAnalysis.noveltyCurve(Tables.documents(s, d), "doc_id", "text",
+      k = 2, slices = 20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
     q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
-    q168TokenRaritySidecar)
+    q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve)
 }

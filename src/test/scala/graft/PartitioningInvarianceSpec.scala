@@ -70,6 +70,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.DataQueries.q184SplitLeakage, // capped pairs × md5 split
     graft.queries.GraphQueries.q188CopurchasePagerank, // integer power iteration
     AnalyticsQueries.q189HeavyTerms,    // MG candidates + exact recount
+    CorpusQueries.q190Collocations,     // lift IEEE tree + TakeOrdered
+    CorpusQueries.q191NoveltyCurve,     // md5 rank + first-seen slices
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window

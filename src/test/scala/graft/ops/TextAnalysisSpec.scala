@@ -171,4 +171,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(("en", "b")) === ((1L, 1L, 2.0)))   // 1*2/1
     assert(got(("fr", "x")) === ((1L, 1L, 1.0)))   // 1*1/1
   }
+
+  test("collocations: lift ranks the glued pair above frequency-predicted pairs") {
+    // "x y" always co-occur (3 of each, 3 pairs); "a b" co-occur at chance
+    val docs = Seq("x y a", "x y b", "x y a b", "a c b").toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (cAb, cA, cB, lift) = got(("x", "y"))
+    assert((cAb, cA, cB) === ((3L, 3L, 3L)))
+    // 9 bigrams, 13 tokens; exact IEEE tree: (3/9) / ((3/13)*(3/13))
+    assert(lift === (3.0 / 9.0) / ((3.0 / 13.0) * (3.0 / 13.0)))
+    // (y,a) occurs twice -> kept; every bigram below minCount is pruned
+    assert(got.contains(("y", "a")))
+    assert(!got.contains(("y", "b")) && !got.contains(("c", "b")))
+  }
+
+  test("collocations: empty and single-token docs contribute no bigrams") {
+    val docs = Seq("", "solo", "p q", "p q").toDF("text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 2L, topK = 5)
+      .collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq === Seq(("p", "q")))
+  }
+
+  test("noveltyCurve: dense slices, first-seen attribution, saturating tail") {
+    // 4 docs, 4 slices: the md5 order decides which doc introduces
+    // each bigram; re-derive the expected curve from the op's own
+    // deterministic rank rather than hardcoding hash order
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b x"), (4L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyCurve(docs, "doc_id", "text", k = 2, slices = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(0L, 1L, 2L, 3L))
+    // 3 distinct bigrams total: "a b", "b c", "b x"
+    assert(out.map(_._2).sum === 3L)
+    assert(out.last._3 === 3L)
+    // cum is the running sum of n_new
+    assert(out.scanLeft(0L)((acc, r) => acc + r._2).tail.toSeq === out.map(_._3).toSeq)
+    // whichever doc ranks first introduces exactly its 2 bigrams
+    assert(out.head._2 === 2L)
+  }
 }
