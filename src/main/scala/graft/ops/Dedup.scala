@@ -1007,6 +1007,131 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT Jaccard similarity join via prefix filtering (the AllPairs /
+    * PPJoin candidate bound — Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08) — the lossless counterpart of [[ngramJaccardPairs]]. The
+    * capped inverted index is honest about its recall bound (a pair
+    * whose every shared shingle exceeds `dfCap` is invisible, measured
+    * by q187); this operator finds EVERY pair with Jaccard ≥ the
+    * threshold, yet still never goes all-pairs:
+    *
+    *  1. '''Exact-collapse first''' (the q103 lesson that keeps the
+    *     dedup family flat at 100× duplication density): docs with
+    *     identical shingle SETS — exact dups and token-permuted dups —
+    *     collapse to one representative (`rep` = min id) with a
+    *     multiplicity count BEFORE any pairwise work. On an N×-
+    *     duplicated corpus the pair space shrinks N² while losing
+    *     nothing: within-group pairs are Jaccard-1 by construction and
+    *     belong to the exact-dedup family, and cross-group similarity
+    *     is invariant under the collapse.
+    *  2. '''Canonical frequency order''': every set is sorted by
+    *     (corpus df ASC, shingle ASC) — a total order that pushes the
+    *     discriminating RARE shingles to the front. Computed with one
+    *     token-keyed agg + a per-doc window; no global rank and no
+    *     driver state.
+    *  3. '''Prefix filter''': a set of size L keeps only its first
+    *     `L - ceil(t·L) + 1` tokens as join keys. Lemma (prefix
+    *     filtering principle): two sets with Jaccard ≥ t MUST share a
+    *     token inside both prefixes under any common total order — so
+    *     joining prefix-to-prefix is complete, while the frequent
+    *     tokens (the ones that would blow up an inverted index) sit
+    *     outside every prefix. The length filter
+    *     `den·min(|a|,|b|) ≥ num·max(|a|,|b|)` (J ≤ min/max) prunes
+    *     incompatible sizes inside the join condition.
+    *  4. '''Exact verification''' on the distinct candidates:
+    *     `|∩|` via `array_intersect`, union by inclusion-exclusion,
+    *     and the threshold test in INTEGER cross-multiplied form
+    *     (`den·|∩| ≥ num·|∪|`) so no IEEE comparison sits on the
+    *     decision boundary; the reported `jaccard` is one double
+    *     division of exact longs (cross-engine bit-stable).
+    *
+    * The threshold is the exact rational `num/den` (e.g. 3/10);
+    * `ceil(t·L)` is `(num·L + den - 1) DIV den` in 64-bit integers on
+    * both engines, so the prefix lengths — hence the candidate set —
+    * replay exactly in ANSI SQL (q192's oracle runs the whole
+    * pipeline on string shingles). The positional refinement (PPJoin's
+    * overlap upper bound from prefix positions) is a documented
+    * non-goal: it prunes candidates that here flow into one hash-join
+    * verification anyway, and keeping the candidate step position-free
+    * lets the DISTINCT collapse duplicates early.
+    *
+    * Scale shape: shuffles are (set → collapse), (token → df + prefix
+    * join), (rep → positions, verification joins) — all key-bounded;
+    * candidate volume is Σ_token prefixEntries(token)², concentrated
+    * on rare tokens by construction. Shingle arrays ride the collapse
+    * shuffle once; the prefix join moves only (token, rep, ln) rows.
+    *
+    * Output: one row per verified pair of DISTINCT shingle sets —
+    * (id_a, id_b, n_a, n_b, jaccard) with `n_*` the collapsed
+    * multiplicities; 0 < jaccard < 1 by construction (identical sets
+    * never pair — they share a representative). */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         shingleK: Int = 2, thresholdNum: Int = 3,
+                         thresholdDen: Int = 10): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > thresholdNum,
+      s"threshold must be a rational in (0,1), got $thresholdNum/$thresholdDen")
+    val num = thresholdNum.toLong
+    val den = thresholdDen.toLong
+    // Hashed (xxhash64) shingles end-to-end — the q25/q27 convention:
+    // set SIZES (hence Jaccard values, multiplicities, and the verified
+    // pair set) are identical to the string formulation up to 64-bit
+    // collisions, while the collapse/df/join keys shuffle 8-byte longs
+    // instead of n-gram strings and verification runs the fused
+    // zero-allocation sorted-merge. The CANDIDATE set differs from the
+    // string oracle's (a different total order ranks tokens
+    // differently) — irrelevant by construction: prefix filtering is
+    // complete under ANY common total order, and exact verification
+    // makes the OUTPUT candidate-independent.
+    val sets = df
+      .select(col(idCol).as("id"),
+        sort_array(graft.functions.GraftFunctions
+          .hashed_shingles(col(textCol), shingleK)).as("s"))
+      .filter(size(col("s")) >= 1)
+    // 1. exact-collapse on the set itself (arrays are grouping keys in
+    // both engines; the set must ride this shuffle anyway for step 4).
+    // Materialized once (localCheckpoint, the Clustering/IVFPQ
+    // pattern): it feeds the inverted index AND both verification
+    // sides, and Spark's exchange reuse does not fire across the
+    // differently-aliased self-join branches — without this the
+    // collapse shuffle runs 3×.
+    val grp = sets.groupBy(col("s"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+      .withColumn("ln", size(col("s")).cast("long"))
+      .localCheckpoint(true)
+    val inv = grp.select(col("rep"), col("ln"), explode(col("s")).as("g"))
+    // 2. canonical (df ASC, token ASC) order → per-set positions
+    val dft = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val pos = inv.join(dft, "g")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("df"), col("g"))))
+    // 3. prefix filter: first L - ceil(t·L) + 1 tokens of each set
+    // materialized for the same reason: both sides of the candidate
+    // self-join read it, and each would otherwise re-run the df agg +
+    // per-set window
+    val pref = pos.filter(
+      col("p") <= col("ln") - expr(s"(${num} * ln + ${den - 1}) DIV ${den}") + 1)
+      .select(col("rep"), col("ln"), col("g"))
+      .localCheckpoint(true)
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.g") === col("y.g") && col("x.rep") < col("y.rep") &&
+          lit(den) * least(col("x.ln"), col("y.ln")) >=
+            lit(num) * greatest(col("x.ln"), col("y.ln")))
+      .select(col("x.rep").as("id_a"), col("y.rep").as("id_b"))
+      .distinct()
+    // 4. exact verification, integer threshold test
+    val a = grp.select(col("rep").as("id_a"), col("s").as("s_a"),
+      col("n").as("n_a"), col("ln").as("ln_a"))
+    val b = grp.select(col("rep").as("id_b"), col("s").as("s_b"),
+      col("n").as("n_b"), col("ln").as("ln_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sorted_intersect_count(col("s_a"), col("s_b")).cast("long"))
+      .withColumn("uni", col("ln_a") + col("ln_b") - col("inter"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
   /** Split-leakage audit: near-duplicate pairs that CROSS a train/test
     * boundary — the check a training pipeline runs after splitting,
     * because a test doc whose near-dup sits in train leaks the answer

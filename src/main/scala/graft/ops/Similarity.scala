@@ -616,6 +616,58 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive / embedding-model training:
+    * per anchor, the k nearest WRONG-LABEL vectors by cosine — the
+    * negatives that sit closest to the decision boundary and carry the
+    * training signal random negatives don't — plus the triplet margin
+    * against the anchor's best same-label positive
+    * (`margin = pos_cos − cos`; a negative margin marks an anchor
+    * whose hardest negative is already closer than its best positive,
+    * the "violating triplet" a trainer mines first).
+    *
+    * Determinism discipline (the q40/q134 idiom): cosines are rounded
+    * to `roundTo` decimals BEFORE ranking, ties break by id, and the
+    * margin is one IEEE subtraction of two rounded values — so the
+    * mined triplet set replays exactly in any engine (q193's oracle).
+    * Anchors lacking any same-label peer drop with their positives
+    * join (no NULL margins in the contract).
+    *
+    * Shape at scale: the anchor batch is a training micro-batch —
+    * bounded, BROADCAST; the corpus streams ONCE through the
+    * broadcast join computing |anchors| fused-codegen cosines per
+    * row in-row; the per-anchor top-k and the positives max are
+    * anchor-keyed aggregations whose width is |anchors|·k. Nothing
+    * corpus-sized shuffles on a skewable key. For web-scale corpora
+    * swap the exhaustive scan for the stored-IVF shortlist
+    * ([[annJoinIvfStored]]) and re-rank the shortlist exactly — the
+    * ranking/margin contract here is unchanged. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchorPred: Column, k: Int,
+                    roundTo: Int = 6): DataFrame = {
+    val base = df.filter(col(labelCol).isNotNull)
+      .select(col(idCol).as("vec_id_"),
+        col(vecCol).cast("array<double>").as("vec"),
+        col(labelCol).as("lbl"))
+    val anchors = broadcast(df.filter(anchorPred && col(labelCol).isNotNull)
+      .select(col(idCol).as("anchor_id"),
+        col(vecCol).cast("array<double>").as("avec"),
+        col(labelCol).as("albl")))
+    val cand = base.join(anchors, col("vec_id_") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("albl"), col("vec_id_"), col("lbl"),
+        round(cosine(col("vec"), col("avec")), roundTo).as("cos"))
+    val pos = cand.filter(col("lbl") === col("albl"))
+      .groupBy(col("anchor_id")).agg(max(col("cos")).as("pos_cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id_"))
+    cand.filter(col("lbl") =!= col("albl"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .join(pos, "anchor_id")
+      .select(col("anchor_id"), col("vec_id_").as("neg_id"), col("rnk"),
+        col("cos"), (col("pos_cos") - col("cos")).as("margin"))
+  }
+
   /** Semantic decontamination — the embedding-space twin of
     * [[graft.ops.Curation.decontaminate]]: flag every training item
     * whose embedding is cosine-close to ANY held-out eval item.

@@ -372,6 +372,76 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Per-document bigram coherence — the word-salad detector the
+    * unigram quality family ([[graft.ops.Curation.tokenRarity]],
+    * q151) is structurally blind to: shuffling a document's words
+    * leaves every unigram signal untouched but destroys its adjacent
+    * pairs. Each document is scored by how well THIS corpus supports
+    * its word adjacencies:
+    *
+    *  - `n_pairs` — adjacent-pair occurrences in the doc;
+    *  - `supported_pairs` — those whose corpus-wide bigram count ≥
+    *    `minCount` (seen elsewhere, not just here);
+    *  - `support_ratio` — supported/n_pairs, ONE IEEE division of
+    *    exact longs;
+    *  - `cond_ratio` — Σ c(w1w2) / Σ c(w1) over the doc's pair
+    *    occurrences, an aggregate conditional-probability proxy
+    *    P(w2|w1) in [0,1]: gibberish and shuffled text score near 0
+    *    (its exact bigrams occur ~once while its first-words are
+    *    common), templated boilerplate scores near 1.
+    *
+    * Exactness: counts are exact longs; the two Σ's multiply per-doc
+    * occurrence counts by corpus counts in DECIMAL(38,0) (a 64-bit
+    * product overflows at ~10^13 corpus bigrams × 10^6 in-doc
+    * repeats — DECIMAL and DuckDB's HUGEINT carry the identical
+    * exact integer), and each ratio is one division of two
+    * correctly-rounded exact-integer→double conversions — the same
+    * IEEE tree in both engines, so every score hash-replays (q194).
+    *
+    * Shape at scale (the q151 discipline): pair occurrences are
+    * compressed to (doc, w1, w2, k) on the FIRST aggregation — a hot
+    * bigram costs one row per document downstream, never one per
+    * occurrence; corpus bigram counts roll up from that same frame
+    * (map-side combined); the unigram join compresses to (doc, w1, k)
+    * first. Joins are token-keyed with bounded fan-in; the final
+    * rollup is the one |corpus|-keyed shuffle. Nothing is collected,
+    * no window is unpartitioned. */
+  def bigramCoherence(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 3L): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), split(col(textCol), " ").as("ts"))
+    val pairOcc = toks.filter(size(col("ts")) >= 2)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // occurrence-compression: one row per (doc, bigram) from here on
+    val docBg = pairOcc.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k"))
+    val corpusBg = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("k")).as("cb"))
+    val corpusUni = toks.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val dec = "decimal(38,0)"
+    val bgAgg = docBg.join(corpusBg, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(when(col("cb") >= minCount, col("k")).otherwise(0L))
+          .as("supported_pairs"),
+        sum(col("k").cast(dec) * col("cb")).as("sum_bg"))
+    val ugAgg = docBg.groupBy(col("id"), col("w1"))
+      .agg(sum(col("k")).as("k1"))
+      .join(corpusUni.select(col("w").as("w1"), col("cw")), "w1")
+      .groupBy(col("id"))
+      .agg(sum(col("k1").cast(dec) * col("cw")).as("sum_ug"))
+    bgAgg.join(ugAgg, "id")
+      .select(col("id").as(idCol), col("n_pairs"), col("supported_pairs"),
+        (col("supported_pairs").cast("double") / col("n_pairs"))
+          .as("support_ratio"),
+        (col("sum_bg").cast("double") / col("sum_ug").cast("double"))
+          .as("cond_ratio"))
+  }
+
   /** Corpus novelty curve: how fast the corpus saturates — the share
     * of never-seen-before word k-grams contributed by each slice of a
     * DETERMINISTIC ingestion order ([[Relational.deterministicShuffle]]

@@ -569,6 +569,48 @@ object CorpusQueries {
       minCount = 5L, topK = 20)
   }
 
+  /** Round-10: per-document bigram coherence
+    * ([[TextAnalysis.bigramCoherence]]) — the word-salad detector:
+    * shuffling a doc's words preserves every unigram quality signal
+    * (q151) but destroys adjacency support. Counts are exact longs,
+    * the Σ k·c products ride DECIMAL(38,0) (= DuckDB HUGEINT), each
+    * ratio is one IEEE division of correctly-rounded conversions —
+    * every score hash-replays. */
+  val q194BigramCoherence = QueryDef(
+    "q194_bigram_coherence",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+      |       FROM (SELECT unnest(ts) AS w FROM t) GROUP BY w),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(ts) - 1),
+      |           i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+      |       FROM t WHERE len(ts) >= 2),
+      |dbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+      |          CAST(count(*) AS BIGINT) AS k
+      |        FROM bg GROUP BY 1, 2, 3),
+      |cbg AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb
+      |        FROM dbg GROUP BY 1, 2),
+      |agg AS (SELECT d.doc_id,
+      |          CAST(sum(d.k) AS BIGINT) AS n_pairs,
+      |          CAST(sum(CASE WHEN c.cb >= 3 THEN d.k ELSE 0 END) AS BIGINT)
+      |            AS supported_pairs,
+      |          sum(CAST(d.k AS HUGEINT) * c.cb) AS sum_bg
+      |        FROM dbg d JOIN cbg c ON d.w1 = c.w1 AND d.w2 = c.w2
+      |        GROUP BY 1),
+      |ug AS (SELECT d.doc_id, sum(CAST(d.k1 AS HUGEINT) * u.cw) AS sum_ug
+      |       FROM (SELECT doc_id, w1, CAST(sum(k) AS BIGINT) AS k1
+      |             FROM dbg GROUP BY 1, 2) d
+      |       JOIN cu u ON u.w = d.w1 GROUP BY 1)
+      |SELECT a.doc_id, a.n_pairs, a.supported_pairs,
+      |  CAST(a.supported_pairs AS DOUBLE) / a.n_pairs AS support_ratio,
+      |  CAST(a.sum_bg AS DOUBLE) / CAST(g.sum_ug AS DOUBLE) AS cond_ratio
+      |FROM agg a JOIN ug g ON g.doc_id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.bigramCoherence(Tables.documents(s, d), "doc_id", "text",
+        minCount = 3L)
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-10: corpus novelty curve ([[TextAnalysis.noveltyCurve]]) —
     * new-bigram counts per 1/20th slice of the deterministic md5
     * ingestion order, with the cumulative distinct-gram count. The
@@ -611,5 +653,6 @@ object CorpusQueries {
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
     q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
-    q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve)
+    q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve,
+    q194BigramCoherence)
 }

@@ -201,6 +201,97 @@ object DataQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Round-10: EXACT Jaccard join via prefix filtering
+    * ([[Dedup.prefixJaccardPairs]]) — the lossless AllPairs/PPJoin
+    * counterpart of q27's capped index: exact-collapse on identical
+    * shingle sets, canonical (df, token) order, per-set prefixes as
+    * the only join keys, integer cross-multiplied threshold test.
+    * The oracle replays every stage — collapse, frequency order,
+    * prefix lengths via the same 64-bit ceil formula, candidate join,
+    * exact verification — so the PAIR SET itself is externally
+    * certified complete, not just plausible. */
+  val q192PrefixJaccard = QueryDef(
+    "q192_prefix_jaccard",
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), grp AS (
+      |  SELECT s, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(len(s) AS BIGINT) AS ln
+      |  FROM sh WHERE len(s) >= 1 GROUP BY s
+      |), inv AS (
+      |  SELECT rep, ln, unnest(s) AS g FROM grp
+      |), dft AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY g
+      |), pos AS (
+      |  SELECT i.rep, i.ln, i.g,
+      |    row_number() OVER (PARTITION BY i.rep ORDER BY d.df, i.g) AS p
+      |  FROM inv i JOIN dft d ON i.g = d.g
+      |), pref AS (
+      |  SELECT rep, ln, g FROM pos
+      |  WHERE p <= ln - ((3 * ln + 9) // 10) + 1
+      |), cand AS (
+      |  SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+      |  FROM pref x JOIN pref y ON x.g = y.g AND x.rep < y.rep
+      |  WHERE 10 * LEAST(x.ln, y.ln) >= 3 * GREATEST(x.ln, y.ln)
+      |), ver AS (
+      |  SELECT c.id_a, c.id_b, a.n AS n_a, b.n AS n_b,
+      |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |    a.ln + b.ln - len(list_intersect(a.s, b.s)) AS uni
+      |  FROM cand c
+      |  JOIN grp a ON a.rep = c.id_a
+      |  JOIN grp b ON b.rep = c.id_b
+      |)
+      |SELECT id_a, id_b, n_a, n_b,
+      |  CAST(inter AS DOUBLE) / uni AS jaccard
+      |FROM ver WHERE 10 * inter >= 3 * uni
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    Dedup.prefixJaccardPairs(Tables.documents(s, d), "text", "doc_id",
+        shingleK = 2, thresholdNum = 3, thresholdDen = 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Round-10: hard-negative mining ([[Similarity.hardNegatives]]) —
+    * per anchor (a pinned md5-free `vec_id % 97` batch), the 5
+    * nearest WRONG-label vectors by rounded cosine plus the triplet
+    * margin against the best same-label positive. The whole mined
+    * triplet set — ids, ranks, cosines, margins — replays in DuckDB
+    * (rounded-before-ranking cosine, id tiebreaks, one IEEE subtract
+    * of rounded values). */
+  val q193HardNegatives = QueryDef(
+    "q193_hard_negatives",
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      |  FROM embeddings WHERE label IS NOT NULL
+      |), a AS (
+      |  SELECT vec_id AS anchor_id, v AS av, label AS al
+      |  FROM e WHERE vec_id % 97 = 0
+      |), c AS (
+      |  SELECT a.anchor_id, a.al, e.vec_id, e.label,
+      |    round(list_cosine_similarity(e.v, a.av), 6) AS cos
+      |  FROM e JOIN a ON e.vec_id <> a.anchor_id
+      |), p AS (
+      |  SELECT anchor_id, max(cos) AS pos_cos
+      |  FROM c WHERE label = al GROUP BY anchor_id
+      |), n AS (
+      |  SELECT anchor_id, vec_id, cos,
+      |    row_number() OVER (PARTITION BY anchor_id
+      |                       ORDER BY cos DESC, vec_id) AS rnk
+      |  FROM c WHERE label <> al
+      |)
+      |SELECT n.anchor_id, n.vec_id AS neg_id, CAST(n.rnk AS BIGINT) AS rnk,
+      |       n.cos, p.pos_cos - n.cos AS margin
+      |FROM n JOIN p ON p.anchor_id = n.anchor_id
+      |WHERE n.rnk <= 5
+      |ORDER BY n.anchor_id, n.rnk""".stripMargin) { (s, d) =>
+    Similarity.hardNegatives(Tables.embeddings(s, d), "vec_id", "embedding",
+        "label", anchorPred = col("vec_id") % 97 === 0, k = 5)
+      .orderBy(col("anchor_id"), col("rnk"))
+  }
+
   /** Split-leakage audit ([[Dedup.splitLeakageAudit]]): verified
     * near-dup pairs crossing a 30% md5-uniform test split — the q27
     * candidate machinery with the q145 split formula, so the exact
@@ -494,5 +585,6 @@ object DataQueries {
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
     q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn,
-    q102StratifiedSample, q184SplitLeakage)
+    q102StratifiedSample, q184SplitLeakage, q192PrefixJaccard,
+    q193HardNegatives)
 }

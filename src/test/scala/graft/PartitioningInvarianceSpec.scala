@@ -72,6 +72,8 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AnalyticsQueries.q189HeavyTerms,    // MG candidates + exact recount
     CorpusQueries.q190Collocations,     // lift IEEE tree + TakeOrdered
     CorpusQueries.q191NoveltyCurve,     // md5 rank + first-seen slices
+    graft.queries.DataQueries.q192PrefixJaccard, // collapse + prefix join + integer threshold
+    graft.queries.DataQueries.q193HardNegatives, // rounded-cosine ranks + margins
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window

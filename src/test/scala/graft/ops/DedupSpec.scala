@@ -728,4 +728,91 @@ class DedupSpec extends SparkSpec {
     // precision well-defined and bounded
     assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0 && nc >= nv)
   }
+
+  /** Driver-side ground truth for prefixJaccardPairs: collapse
+    * identical shingle sets to (min id, multiplicity), then naive
+    * all-pairs exact Jaccard with the integer threshold test. */
+  private def naivePrefixJaccard(rows: Seq[(Long, String)], k: Int,
+      num: Long, den: Long): Set[(Long, Long, Long, Long, Double)] = {
+    def sh(t: String): Set[String] = {
+      val ts = t.split(" ", -1).toSeq
+      if (k == 1) ts.toSet
+      else if (ts.size < k) Set.empty
+      else ts.sliding(k).map(_.mkString(" ")).toSet
+    }
+    val grp = rows.map { case (id, t) => (id, sh(t)) }
+      .filter(_._2.nonEmpty)
+      .groupBy(_._2).map { case (s, g) =>
+        (g.map(_._1).min, s, g.size.toLong) }.toSeq
+    (for {
+      (ia, sa, na) <- grp; (ib, sb, nb) <- grp if ia < ib
+      inter = (sa & sb).size.toLong
+      uni = sa.size + sb.size - inter
+      if den * inter >= num * uni
+    } yield {
+      val (x, y, nx, ny) = if (ia < ib) (ia, ib, na, nb) else (ib, ia, nb, na)
+      (x, y, nx, ny, inter.toDouble / uni)
+    }).toSet
+  }
+
+  test("prefixJaccardPairs equals naive all-pairs exact Jaccard (complete, " +
+      "no false positives) on an overlapping-vocab fixture, k=2 and k=1") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different content about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "the quick brown fox leaps over the lazy dog"),
+      (6L, "spark engines content about completely different"), // perm of 3
+      (7L, "a b c d e f"),
+      (8L, "a b c d e g"),
+      (9L, "x y"),
+      (10L, "solo"))
+    val df = rows.toDF("doc_id", "text")
+    for (k <- Seq(2, 1)) {
+      val got = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+          shingleK = k, thresholdNum = 3, thresholdDen = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val want = naivePrefixJaccard(rows, k, 3, 10)
+      assert(got === want, s"k=$k mismatch: got $got want $want")
+      assert(want.nonEmpty, s"k=$k fixture must exercise the join")
+    }
+  }
+
+  test("prefixJaccardPairs: exact-collapse multiplicities; identical and " +
+      "permuted sets never pair with themselves") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),   // exact dup of 1
+      (3L, "f e d c b a"),   // same WORD SET as 1 (k=1 collapse)
+      (4L, "a b c d e g"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+        shingleK = 1, thresholdNum = 3, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // docs 1,2,3 share one word set {a..f}: one representative (id 1,
+    // n=3); the only pair is (1,4) with J = 5/7
+    assert(got.toSeq === Seq((1L, 4L, 3L, 1L, 5.0 / 7)))
+  }
+
+  test("prefixJaccardPairs: integer threshold test is exact at the boundary") {
+    import spark.implicits._
+    // J(1,2) = 3/10 exactly (inter 3, union 10) -> kept at >= 3/10;
+    // J(1,3) = 3/11 -> dropped
+    val df = Seq(
+      (1L, "x y z a1 a2 a3"),
+      (2L, "x y z b1 b2 b3 b4"),
+      (3L, "x y z c1 c2 c3 c4 c5"))
+      .toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+        shingleK = 1, thresholdNum = 3, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0.3),
+      s"boundary pair missing from $got")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L), s"sub-threshold pair kept: $got")
+  }
 }

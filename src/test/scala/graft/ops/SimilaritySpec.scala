@@ -510,4 +510,43 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Long]("dim") === 64L)
     }
   }
+
+  test("hardNegatives: wrong-label top-k with margins; self and " +
+      "positive-less anchors excluded") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // anchor
+      (1L, Seq(1.0f, 0.05f), 1),  // best positive, cos ~0.9988
+      (2L, Seq(0.9f, 0.2f), 2),   // hard negative, cos ~0.9762
+      (3L, Seq(0.0f, 1.0f), 2),   // easy negative, cos 0
+      (4L, Seq(-1.0f, 0.0f), 3),  // easiest negative, cos -1
+      (10L, Seq(0.5f, 0.5f), 7))  // anchor with NO same-label peer
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        anchorPred = col("vec_id") === 0L || col("vec_id") === 10L, k = 2)
+      .orderBy("anchor_id", "rnk").collect()
+    // anchor 10 has no same-label positive -> dropped entirely
+    assert(got.map(_.getLong(0)).distinct.toSeq === Seq(0L))
+    // negatives ranked hardest-first: 2 (cos .976) then 10 (cos .707,
+    // itself an anchor but still corpus for anchor 0); k=2 cuts 3 and 4
+    assert(got.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((2L, 1L), (10L, 2L)))
+    // margin = pos_cos - cos, positive for both (positive is closer)
+    val posCos = got(0).getDouble(3) + got(0).getDouble(4)
+    got.foreach { r =>
+      assert(r.getDouble(4) > 0.0)
+      assert(r.getDouble(3) + r.getDouble(4) === posCos,
+        "margins must share one pos_cos per anchor")
+    }
+  }
+
+  test("hardNegatives: violating triplet yields a negative margin") {
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.0f, 1.0f), 1),   // far positive, cos 0
+      (2L, Seq(1.0f, 0.1f), 2))   // near negative, cos ~0.995
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+        anchorPred = col("vec_id") === 0L, k = 1).collect()
+    assert(got.length === 1 && got(0).getDouble(4) < 0.0)
+  }
 }

@@ -211,4 +211,37 @@ class TextAnalysisSpec extends SparkSpec {
     // whichever doc ranks first introduces exactly its 2 bigrams
     assert(out.head._2 === 2L)
   }
+
+  test("bigramCoherence: hand-computed support and conditional ratios; " +
+      "sub-2-token docs excluded") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "c c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    // corpus: bigrams (a,b)=3 (b,a)=1 (b,c)=1 (c,c)=1; unigrams a=3 b=3 c=3
+    // (doc 4 "solo" adds unigram solo=1 and no pairs)
+    val got = TextAnalysis.bigramCoherence(docs, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 2.0 / 3, 7.0 / 9),   // sum_bg 2*3+1*1=7, sum_ug 2*3+1*3=9
+      (2L, 2L, 1L, 1.0 / 2, 4.0 / 6),   // sum_bg 3+1, sum_ug 3+3
+      (3L, 1L, 0L, 0.0, 1.0 / 3)))      // (c,c) unsupported; 1/c(c)
+  }
+
+  test("bigramCoherence: shuffled word-salad scores below the original") {
+    // ten copies of a template make its adjacencies well-supported; one
+    // doc with the same words in scrambled order keeps every unigram
+    // count but loses bigram support
+    val template = (1 to 10).map(i => (i.toLong, "the quick brown fox jumps"))
+    val salad = Seq((99L, "jumps the brown quick fox"))
+    val docs = (template ++ salad).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramCoherence(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toMap
+      .map { case (k, v) => (k, v) } // silence unused warning paths
+    val tmpl = got(1L)
+    val bad = got(99L)
+    assert(tmpl._1 === 1.0 && bad._1 === 0.0, s"support: $tmpl vs $bad")
+    assert(bad._2 < tmpl._2, s"cond_ratio must rank salad below template")
+  }
 }
