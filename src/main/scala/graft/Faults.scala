@@ -91,6 +91,84 @@ object Faults {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Append-lifecycle scenarios (round-10 verdict #6). The query sweep
+    * above already RUNS every sidecar family under injection, but its
+    * evidence is the query OUTPUT; a retried WRITE task that
+    * double-appended a batch, tore a compaction backup-swap, or
+    * re-ran a `foreachBatch` body could leave corrupted ON-DISK state
+    * that the particular backing query happens not to read (e.g. an
+    * orphan file a later append would compound). Each scenario here
+    * runs a full multi-batch sidecar WRITE lifecycle — wipe, ≥2
+    * appends split by doc parity, compaction where the family has one
+    * — into its own workDir, and the evidence is the resulting
+    * on-disk STATE: every table directory read back and hashed over
+    * sorted rows (file names/counts are layout, the ROWS are the
+    * contract). Armed hash == clean hash ⇒ retried writes neither
+    * lose nor duplicate sidecar rows. */
+  private val AppendScenarios: Seq[(String,
+      (SparkSession, String, String) => Seq[String])] = Seq(
+    ("append_postings_sidecar", (s: SparkSession, d: String, w: String) => {
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.Retrieval.writePostingsSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0), w)
+      graft.ops.Retrieval.writePostingsSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1), w)
+      graft.ops.Retrieval.compactPostingsSidecar(s, w)
+      Seq(s"$w/postings", s"$w/doclen")
+    }),
+    ("append_minhash_sidecar", (s: SparkSession, d: String, w: String) => {
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.Dedup.writeMinhashSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        "text", "doc_id", w)
+      graft.ops.Dedup.writeMinhashSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        "text", "doc_id", w)
+      graft.ops.Dedup.compactMinhashSidecar(s, w)
+      Seq(s"$w/sigs", s"$w/bands", s"$w/stats")
+    }),
+    ("append_ivf_seeded", (s: SparkSession, d: String, w: String) => {
+      val emb = graft.sources.Tables.embeddings(s, d)
+      graft.ops.SeededKMeans.buildIvfIndexSeeded(
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+        "vec_id", "embedding", w, nlist = 8, iters = 3, seed = 42,
+        cacheKey = Some(s"$d/embeddings#faults-even"))
+      graft.ops.SeededKMeans.appendToIvfIndexSeeded(s, w,
+        emb.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
+        "vec_id", "embedding")
+      Seq(s"$w/centroids", s"$w/vectors")
+    }),
+    ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
+      // two curateBatch calls = two micro-batches through the SAME
+      // pipelineDir: the second batch's dedup/budget/pack state
+      // depends on what batch one PERSISTED, so a retry-corrupted
+      // first write would also cascade into batch two's rows
+      val docs = graft.sources.Tables.documents(s, d)
+      Seq(0, 1).foreach { par =>
+        graft.streaming.EventStreams.curateBatch(
+          docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === par),
+          "text", "doc_id", "source", w,
+          shingleK = 2, numHashes = 64, bands = 8, nearDupThreshold = 0.7,
+          minQuality = 0.5, tokensPerSource = 300L, seqTokens = 256L)
+      }
+      Seq(s"$w/packed", s"$w/budget_state", s"$w/pack_state",
+        s"$w/minhash/sigs", s"$w/minhash/bands", s"$w/minhash/stats")
+    }))
+
+  /** One hash per table dir over sorted rows — row-content identity,
+    * independent of file layout (part counts/names differ run to run). */
+  private def hashDirState(spark: SparkSession, dirs: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    dirs.sorted.foreach { dir =>
+      md.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h =
+        if (new java.io.File(dir).exists()) hashRows(spark.read.parquet(dir))
+        else "ABSENT"
+      md.update(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -124,17 +202,41 @@ object Faults {
         }
       (name, h, (System.nanoTime() - t0) / 1e9)
     }
+
+    // append-lifecycle sweep: the WRITE paths under injection, state
+    // hashed from disk (see AppendScenarios). Fresh workdir per
+    // scenario per armed-state so armed and clean runs never share
+    // state; injection stays armed through both the writes AND the
+    // state read-back (the read-back retries are part of the claim).
+    val appendResults = AppendScenarios.map { case (name, body) =>
+      val w = s"target/tmp/faults_${name}_armed$armed"
+      val t0 = System.nanoTime()
+      val h =
+        try {
+          graft.sources.Sinks.wipeForRebuild(spark, w)
+          val dirs = body(spark, sfDir, w)
+          Right(hashDirState(spark, dirs))
+        } catch { case e: Throwable =>
+          System.err.println(s"[faults] $name FAILED: ${e.getMessage}")
+          Left(e.getClass.getSimpleName)
+        }
+      (name, h, (System.nanoTime() - t0) / 1e9)
+    }
     FaultInjectionPlugin.armed.set(false)
 
-    val qs = results.map {
-      case (n, Right(h), t) => f""""$n":{"hash":"$h","sec":$t%.2f}"""
-      case (n, Left(e), t) => f""""$n":{"hash":null,"error":"$e","sec":$t%.2f}"""
-    }.mkString("{", ",", "}")
-    val errors = results.collect { case (n, Left(_), _) => "\"" + n + "\"" }
+    def section(rs: Seq[(String, Either[String, String], Double)]): String =
+      rs.map {
+        case (n, Right(h), t) => f""""$n":{"hash":"$h","sec":$t%.2f}"""
+        case (n, Left(e), t) => f""""$n":{"hash":null,"error":"$e","sec":$t%.2f}"""
+      }.mkString("{", ",", "}")
+    val errors = (results ++ appendResults)
+      .collect { case (n, Left(_), _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     println(s"""{"metric":"faults","armed":$armed,""" +
       s""""injected_failures":${FaultInjectionPlugin.injected.get()},""" +
-      s""""task_max_failures":4,"queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+      s""""task_max_failures":4,"queries":${section(results)},""" +
+      s""""appends":${section(appendResults)},""" +
+      s""""errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -446,6 +446,47 @@ object Curation {
         round(col("sum_cnt").cast("double") / col("n_toks"), 6))
   }
 
+  /** Per-group percentile-rank normalization of a quality signal —
+    * the calibration step BEFORE a global quality cut: raw scores are
+    * not comparable across heterogeneous sources (a "good" forum post
+    * and a "good" reference article live on different raw scales), so
+    * thresholding raw scores per-corpus over- or under-prunes whole
+    * sources. Mapping each row to its within-source percentile makes
+    * one global `keep pct ≥ cut` cut take the same FRACTION from
+    * every source — the standard cross-source quality-calibration
+    * move (and the rank-based alternative to per-source z-scoring,
+    * robust to heavy-tailed score distributions).
+    *
+    *   pct = (rank − 1)/(n_group − 1)   ∈ [0, 1]
+    *
+    * with rank = row_number ordered by (value, id) — the id tiebreak
+    * makes ties deterministic and the whole mapping a pure function
+    * of the data (hash-replayable, q200); a single-row group maps to
+    * 1/2 by convention (CASE, not a 0/0). ONE IEEE division of exact
+    * longs per row.
+    *
+    * Scale shape: one window per group (SortExec spills; the
+    * parallelism floor is one task per group — acceptable when
+    * groups are sources, which number in the thousands; for a
+    * SINGLE giant group use the histogram-sidecar quantile family
+    * (q170) to assign approximate percentiles in two broadcast
+    * passes instead). The global cut is a per-row filter. */
+  def percentileNormalize(df: DataFrame, groupCol: String,
+                          valueCol: String, idCol: String,
+                          keepAbove: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(idCol))
+    val cw = Window.partitionBy(col(groupCol))
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("pct",
+        when(col("__n") === 1L, lit(0.5)).otherwise(
+          (col("__rn") - lit(1L)).cast("double") /
+            (col("__n") - lit(1L)).cast("double")))
+      .filter(col("pct") >= keepAbove)
+      .drop("__rn", "__n")
+  }
+
   val EmailPattern = "[a-z0-9.]+@[a-z0-9.]+"
   val PhonePattern = "[0-9]{3}-[0-9]{4}"
 

@@ -73,7 +73,8 @@ object Graph {
       iters: Int = 5,
       scale: Long = 1000000000000L,
       dampNum: Int = 17,
-      dampDen: Int = 20): DataFrame = {
+      dampDen: Int = 20,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       s"need iters >= 1 and 0 < dampNum < dampDen, got $iters, $dampNum/$dampDen")
     // overflow guard: ranks and contribution sums are ≤ scale by the
@@ -98,7 +99,7 @@ object Graph {
     val base = ((dampDen - dampNum).toLong * scale) / (dampDen.toLong * n)
 
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e
         .join(deg, "src")
         .join(ranks, col("src") === col("node"))
@@ -107,9 +108,147 @@ object Graph {
       ranks = deg.select(col("src").as("node"))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+      // deep-iteration production path: truncate the lazy plan chain
+      // every N iterations (node-sized materialization — the rank
+      // table, never the edges). Fixed-point arithmetic makes the
+      // result bit-identical with or without the cut (GraphSpec pins
+      // iters=16 ckpt=5 vs ckpt=0); the knob only bounds plan depth,
+      // which past ~10 chained joins costs Catalyst more than the job.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks
       .join(deg.withColumnRenamed("src", "node"), "node")
       .select(col("node"), col("r").as("rank_fp"), col("deg").as("degree"))
+  }
+
+  /** Personalized (seed-restricted) fixed-point PageRank — trust/
+    * quality propagation from a curated seed set, the link-graph move
+    * behind "seed the crawl frontier from Wikipedia-class domains and
+    * let proximity rank the rest": random walks RESTART at the seeds
+    * instead of teleporting uniformly, so rank mass concentrates in
+    * the seeds' neighborhoods and decays with link distance — a
+    * smooth, global version of [[seedDistance]]'s hop counts.
+    *
+    * Identical arithmetic discipline to [[pageRankFp]] (integer
+    * fixed-point, truncating divisions, exact rational damping), with
+    * exactly two changes, both hash-replayable:
+    *  - init: r₀ = scale div |S| on seed nodes, 0 elsewhere;
+    *  - step: the teleport term ((dampDen−dampNum)·scale) div
+    *    (dampDen·|S|) is added ONLY to seed nodes.
+    * The mass invariant T ≤ scale holds by the same induction (the
+    * teleport total is ≤ (dampDen−dampNum)/dampDen·scale whatever
+    * |S|), so the overflow guard is unchanged.
+    *
+    * `seeds` is a one-column node-id frame; ids not in the graph's
+    * node set (the distinct `src`es) are ignored (inner join). Same
+    * two-shuffles-per-iteration shape and `checkpointEvery` knob as
+    * [[pageRankFp]]. */
+  def personalizedPageRankFp(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int = 5,
+      scale: Long = 1000000000000L,
+      dampNum: Int = 17,
+      dampDen: Int = 20,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
+      s"need iters >= 1 and 0 < dampNum < dampDen, got $iters, $dampNum/$dampDen")
+    require(scale > 0 && scale <= Long.MaxValue / math.max(dampNum, dampDen),
+      s"personalizedPageRankFp: scale=$scale times damping $dampNum/$dampDen " +
+        "exceeds 64-bit range")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .join(deg.select(col("src").as("node")), "node")
+      .select(col("node"), lit(1).as("is_seed"))
+      .localCheckpoint(true)
+
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRankFp: no seed is a graph node")
+    val init = scale / nSeeds
+    val base = ((dampDen - dampNum).toLong * scale) / (dampDen.toLong * nSeeds)
+
+    val nodes = deg.select(col("src").as("node"))
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("node"),
+      (col("is_seed").cast("long") * lit(init)).as("r"))
+    for (i <- 1 to iters) {
+      val contrib = e
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"($dampNum * r) div ($dampDen * deg)")).as("s"))
+      ranks = nodes
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("is_seed").cast("long") * lit(base) +
+            coalesce(col("s"), lit(0L))).as("r"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+      .join(deg.withColumnRenamed("src", "node"), "node")
+      .join(nodes.select(col("node"), col("is_seed")), "node")
+      .select(col("node"), col("r").as("rank_fp"), col("deg").as("degree"),
+        col("is_seed"))
+  }
+
+  /** Bounded-depth BFS: minimum hop distance from a seed set — the
+    * discrete companion to [[personalizedPageRankFp]] ("how many
+    * links from curated content is this node?"), and the classic
+    * crawl-frontier / contamination-blast-radius primitive.
+    *
+    * Exact integer semantics, externally replayable: dist₀ = 0 on
+    * seeds; iteration i relaxes every edge once —
+    * dist(v) ← min(dist(v), min over in-edges (u,v) of dist(u)+1) —
+    * and after `maxHops` iterations the table holds exactly the
+    * nodes within `maxHops` hops with their true min distances (BFS
+    * on unweighted edges needs no further refinement). Unreached
+    * nodes are ABSENT, not ∞.
+    *
+    * Scale shape: the edge list is partitioned by `src` once and
+    * reused every relaxation (the [[pageRankFp]] layout); the
+    * distance table is node-sized and only ever SHRINKS relative to
+    * the node set. Each iteration is one co-partitioned join + one
+    * min-agg with map-side combine. The oracle replays it as a
+    * recursive CTE whose UNION-dedup keeps the frontier polynomial
+    * (≤ nodes × maxHops (node, d) pairs — never path enumeration,
+    * which is exponential on a dense bipartite graph). */
+  def seedDistance(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64,
+      s"seedDistance: maxHops must be in [0, 64], got $maxHops")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node")).distinct()
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .join(nodes, "node")
+      .select(col("node"), lit(0).as("d"))
+    for (_ <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("node").agg(min(col("d")).as("d"))
+    }
+    dist
   }
 }

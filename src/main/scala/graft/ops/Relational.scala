@@ -566,4 +566,65 @@ object Relational {
       .select(col("p"), col(valueCol).as("quantile"),
         lit(n).as("n_rows"))
   }
+
+  /** Per-group ordinary least squares over INTEGER-valued (x, y) —
+    * the drift detector of a corpus-quality dashboard: "is this
+    * source's token length / quality proxy trending as ingestion
+    * advances?" fitted as one distributed aggregation, no iteration.
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy − slope·Σx) / n
+    *
+    * Exactness: x and y are cast to long (integer-valued inputs are
+    * the contract — positions, counts, epoch seconds); the five
+    * moments n, Σx, Σy, Σxy, Σx² accumulate as DECIMAL(38,0)
+    * (exact, order-independent — a float Σxy would be neither), the
+    * numerator/denominator combine in DECIMAL, and the outputs are
+    * the fixed IEEE trees double(num)/double(den) and
+    * (double(Σy) − slope·double(Σx))/double(n) — so both replay
+    * externally (q201). A zero-variance group (all x equal) yields
+    * NULL slope/intercept via CASE, not a 0/0.
+    *
+    * Envelope (enforced loudly, the 2^53-guard discipline): the
+    * combined products must fit DECIMAL(38,0) — |n·Σxy| and |n·Σx²|
+    * < 10^38, which holds up to ~10^10 rows/group of positional x
+    * and 10^6-scale y; past it, re-zero x per group (x − min x)
+    * before calling. The guard raises rather than letting Spark's
+    * non-ANSI decimal overflow return a silent NULL.
+    *
+    * Shape at scale: ONE map-side-combined aggregation (five sums),
+    * group-keyed shuffle of one row per group. */
+  def groupedOls(df: DataFrame, groupCols: Seq[String],
+                 xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("long").cast(dec)
+    val y = col(yCol).cast("long").cast(dec)
+    val agg = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)
+    // the guard lives INSIDE the n_rows output expression (the idAsLong
+    // idiom) — a free-standing guard column would be pruned unevaluated
+    val nGuarded = when(
+      col("sxy").isNull || col("sxx").isNull ||
+        col("num").isNull || col("den").isNull,
+      raise_error(lit("groupedOls: moment exceeds DECIMAL(38,0) " +
+        "envelope — re-zero x per group")).cast("long"))
+      .otherwise(col("n").cast("long"))
+    val slope = when(col("den") === 0, lit(null).cast("double"))
+      .otherwise(col("num").cast("double") / col("den").cast("double"))
+    agg
+      .select((groupCols.map(col) :+ col("n") :+ col("sx") :+ col("sy") :+
+        col("sxy") :+ col("sxx") :+ num.as("num") :+ den.as("den")): _*)
+      .withColumn("slope", slope)
+      .select((groupCols.map(col) :+
+        nGuarded.as("n_rows") :+
+        col("slope") :+
+        when(col("slope").isNull, lit(null).cast("double"))
+          .otherwise((col("sy").cast("double") -
+            col("slope") * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept")): _*)
+  }
 }

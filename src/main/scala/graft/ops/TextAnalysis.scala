@@ -388,7 +388,14 @@ object TextAnalysis {
     *    occurrences, an aggregate conditional-probability proxy
     *    P(w2|w1) in [0,1]: gibberish and shuffled text score near 0
     *    (its exact bigrams occur ~once while its first-words are
-    *    common), templated boilerplate scores near 1.
+    *    common), templated boilerplate scores near 1. Caveat: the
+    *    denominator uses CORPUS unigram counts c(w1), which include
+    *    occurrences in doc-final positions that start no bigram — a
+    *    deliberate proxy (the corpus-wide P(w2|w1) estimate every
+    *    n-gram LM uses) that slightly under-scores docs whose last
+    *    token is a corpus-common word; excluding final tokens would
+    *    require a second corpus-wide non-final unigram count for a
+    *    correction smaller than the proxy's own noise.
     *
     * Exactness: counts are exact longs; the two Σ's multiply per-doc
     * occurrence counts by corpus counts in DECIMAL(38,0) (a 64-bit
@@ -474,5 +481,159 @@ object TextAnalysis {
       .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
       .withColumn("cum_distinct", sum(col("n_new")).over(w))
       .orderBy(col("slice"))
+  }
+
+  /** Absolute-discount smoothed bigram language model over the corpus
+    * — the statistical heart of the CCNet-class "train a small LM on
+    * clean text, keep documents it finds unsurprising" curation
+    * pipeline, built so every probability hash-replays externally.
+    *
+    * For each observed bigram (w1, w2), with c12 = corpus bigram
+    * count, c1 = Σ_w c(w1, w) (bigram-START count — NOT the raw
+    * unigram count, so the q194 final-token caveat does not arise:
+    * probabilities over observed successors of w1 are normalized
+    * against exactly the events they model), n_succ(w1) = distinct
+    * observed successors, n_prec(w2) = distinct observed predecessors
+    * (the Kneser–Ney continuation count), n_types = total distinct
+    * bigram types, and discount D = 3/4:
+    *
+    *   p_ad(w2|w1) = (c12 − D)/c1
+    *               + (D·n_succ(w1)/c1) · (n_prec(w2)/n_types)
+    *
+    * i.e. interpolated absolute discounting with the Kneser–Ney
+    * continuation distribution as the lower order (Kneser & Ney 1995;
+    * Chen & Goodman 1999's formulation). c12 ≥ 1 for every table row,
+    * so the max(c12 − D, 0) clamp is never active.
+    *
+    * Exactness: D = 3/4 makes every operand an exact integer after
+    * scaling by 4 — the value is the FIXED IEEE tree
+    *   double(4·c12 − 3)/double(4·c1)
+    *     + (double(3·n_succ)/double(4·c1)) · (double(n_prec)/double(n_types))
+    * of correctly-rounded long→double conversions (all operands
+    * < 2^53 up to ~10^15 corpus bigrams), two divisions, one multiply,
+    * one add — identical in DuckDB, so p_ad hash-compares as a raw
+    * double (q195; the q190 lift discipline).
+    *
+    * Shape at scale: one explode produces bigram occurrences; ALL
+    * four statistics roll up from the (w1, w2, c12) table (map-side
+    * combined, token-keyed shuffles); the two totals ride broadcast
+    * 1-row cross joins. Output is the full LM table — compose with
+    * `minCount`/top-k at the call site ([[lmCrossEntropy]] joins it;
+    * q195 registers the top slice). */
+  def bigramLmTable(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("toks"))
+    val bigrams = toks.filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val starts = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
+    val conts = c12.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = c12.agg(count(lit(1)).as("n_types"))
+    c12.join(starts, "w1")
+      .join(conts, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_succ"), col("n_prec"),
+        ((lit(4L) * col("c12") - lit(3L)).cast("double") /
+          (lit(4L) * col("c1")).cast("double") +
+          ((lit(3L) * col("n_succ")).cast("double") /
+            (lit(4L) * col("c1")).cast("double")) *
+            (col("n_prec").cast("double") / col("n_types").cast("double")))
+          .as("p_ad"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own
+    * absolute-discount bigram LM ([[bigramLmTable]]) — the quality
+    * score CCNet-style filtering thresholds on: fluent, conventional
+    * text has low cross-entropy; gibberish, word salad, and
+    * boilerplate-free noise score high. Complements
+    * [[bigramCoherence]] (a support-ratio heuristic) with the actual
+    * LM quantity, and is exactly the "perplexity filter" slot of an
+    * LLM data pipeline, self-trained so no external model is needed.
+    *
+    * Every doc bigram is in the LM by construction (the corpus
+    * includes the doc), so the LM join never misses; docs with fewer
+    * than 2 tokens have no bigrams and are dropped (they carry no LM
+    * evidence either way — filter upstream by [[tokenCount]] if they
+    * must be scored).
+    *
+    * Exactness: per pair-type, log p is `round(ln(p_ad), 6)` as
+    * DECIMAL(18,6) (the BM25 idf discipline — one `ln` of a
+    * bit-identical double, rounded to 6 where last-ulp libm
+    * differences cannot survive); the per-doc sum Σ k·logp is an
+    * exact DECIMAL sum (order-independent), and the final score is
+    * ONE IEEE division of the decimal total by the pair count:
+    *   ce = double(−Σ k·logp) / double(n_pairs)
+    * — nats per bigram; e^ce is the doc's bigram perplexity.
+    *
+    * Shape at scale: doc pairs are occurrence-compressed to
+    * (doc, w1, w2, k) BEFORE the LM join (the q151/q194 discipline),
+    * the LM join is token-pair-keyed with bounded fan-in, and the
+    * final rollup is the one doc-keyed shuffle. */
+  def lmCrossEntropy(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val lm = bigramLmTable(docs, textCol)
+      .select(col("w1"), col("w2"),
+        round(log(col("p_ad")), 6).cast("decimal(18,6)").as("logp"))
+    val docBg = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("k"))
+    docBg.join(lm, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(sum(col("k")).as("n_pairs"),
+        sum(col("k") * col("logp")).as("sum_logp"))
+      .select(col("id").as(idCol), col("n_pairs"),
+        ((-col("sum_logp")).cast("double") /
+          col("n_pairs").cast("double")).as("cross_entropy"))
+  }
+
+  /** Per-document TF-IDF keyword extraction: the top-k terms of each
+    * document by tf·idf — the summarization/indexing primitive
+    * ("what is this document about") that also powers cheap topic
+    * bucketing and the per-doc metadata an embedding-free retrieval
+    * layer faceted-filters on. Distinct from [[graft.ops.Curation
+    * .tokenRarity]] (a doc-LEVEL rarity aggregate) and DSIR (hashed
+    * importance WEIGHTS): this yields the per-doc ranked TERM list.
+    *
+    * Exactness: tf and df are exact longs; idf = round(ln(N/df), 6)
+    * as DECIMAL(18,6) — one IEEE division of two exact-long→double
+    * conversions feeding one `ln`, the BM25-idf discipline — and
+    * score = tf·idf is an exact long×decimal product. Ranking breaks
+    * ties (score DESC, term ASC), so the extracted set replays
+    * externally (q199).
+    *
+    * Shape at scale: occurrence-compression to (doc, term, tf) on
+    * the first aggregation; df rolls up from that table (map-side
+    * combine); N rides a broadcast 1-row cross join; the per-doc
+    * rank ≤ k filter is a WindowGroupLimit (per-task top-k heaps, no
+    * full per-doc sort materialization). */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("term"))
+    perDoc.join(dfs, "term")
+      .crossJoin(n)
+      .select(col("id"), col("term"), col("tf"), col("df"),
+        (col("tf") *
+          round(log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .cast("decimal(18,6)")).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .withColumnRenamed("id", idCol)
   }
 }

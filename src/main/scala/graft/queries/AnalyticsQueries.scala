@@ -361,8 +361,54 @@ object AnalyticsQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Round-11: per-source OLS drift line ([[Relational.groupedOls]])
+    * — is a source's document length trending as ingestion advances?
+    * x = the doc's position within its source (doc_id order; POSITION,
+    * not raw id, keeps every moment product far inside the exact
+    * double envelope at all three verification SFs), y = n_chars.
+    * The five moments are exact DECIMAL(38,0) sums (one map-side-
+    * combined aggregation), slope/intercept are fixed IEEE trees of
+    * their conversions — both hash-replay. */
+  val q201OlsDrift = QueryDef(
+    "q201_ols_drift",
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+      |      AS BIGINT) AS rn
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(CAST(rn AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(rn AS HUGEINT) * n_chars) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(rn AS HUGEINT) * rn) AS HUGEINT) AS sxx
+      |  FROM r GROUP BY source),
+      |s AS (
+      |  SELECT source, CAST(n AS BIGINT) AS n_rows,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS den,
+      |    sx, sy, n
+      |  FROM m)
+      |SELECT source, n_rows,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+      |  CASE WHEN den = 0 THEN NULL
+      |       ELSE (CAST(sy AS DOUBLE) -
+      |             (CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+      |               * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END
+      |    AS intercept
+      |FROM s ORDER BY source""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val positioned = Tables.documents(s, d)
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    Relational.groupedOls(positioned, Seq("source"), "rn", "n_chars")
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q161ExactQuantiles, q162GlobalQuantiles, q163BucketedJoin,
     q164EditDistancePairs, q165ExactOverlap, q170HistSidecarQuantiles,
-    q171RollingQuantiles, q172RollingQuantilesByType, q189HeavyTerms)
+    q171RollingQuantiles, q172RollingQuantilesByType, q189HeavyTerms,
+    q201OlsDrift)
 }

@@ -648,11 +648,113 @@ object CorpusQueries {
       k = 2, slices = 20)
   }
 
+  /** Round-11: absolute-discount smoothed bigram LM
+    * ([[TextAnalysis.bigramLmTable]]) — the corpus-trained n-gram
+    * model behind CCNet-class perplexity filtering, with D = 3/4 so
+    * every probability is a FIXED IEEE tree of exact-long→double
+    * conversions (two divisions, one multiply, one add) and
+    * hash-replays raw. Registered slice: the 100 most predictable
+    * continuations. */
+  val q195BigramLm = QueryDef(
+    "q195_bigram_lm",
+    """WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+      |         i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+      |       FROM t WHERE len(ts) >= 2),
+      |c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+      |        FROM bg GROUP BY 1, 2),
+      |st AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS n_succ FROM c12 GROUP BY 1),
+      |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+      |       FROM c12 GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12)
+      |SELECT c12.w1, c12.w2, c12.c12, st.c1, st.n_succ, ct.n_prec,
+      |  CAST(4 * c12.c12 - 3 AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE)
+      |  + (CAST(3 * st.n_succ AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE))
+      |    * (CAST(ct.n_prec AS DOUBLE) / CAST(ty.n_types AS DOUBLE)) AS p_ad
+      |FROM c12 JOIN st USING (w1) JOIN ct USING (w2), ty
+      |ORDER BY p_ad DESC, w1, w2 LIMIT 100""".stripMargin) { (s, d) =>
+    TextAnalysis.bigramLmTable(Tables.documents(s, d), "text")
+      .orderBy(col("p_ad").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  /** Round-11: per-document cross-entropy under the corpus's own
+    * AD-smoothed bigram LM ([[TextAnalysis.lmCrossEntropy]]) — the
+    * perplexity-filter quality score itself, every value
+    * hash-replayed: per pair-type log p is round(ln(p_ad), 6) as
+    * DECIMAL (the BM25-idf discipline), the per-doc Σ k·logp is an
+    * exact decimal sum, the score one IEEE division. */
+  val q196LmCrossEntropy = QueryDef(
+    "q196_lm_cross_entropy",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(ts) - 1),
+      |           i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+      |       FROM t WHERE len(ts) >= 2),
+      |dbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+      |          CAST(count(*) AS BIGINT) AS k
+      |        FROM bg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+      |        FROM dbg GROUP BY 1, 2),
+      |st AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS n_succ FROM c12 GROUP BY 1),
+      |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+      |       FROM c12 GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12),
+      |lm AS (SELECT c12.w1, c12.w2,
+      |  CAST(round(ln(
+      |    CAST(4 * c12.c12 - 3 AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE)
+      |    + (CAST(3 * st.n_succ AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE))
+      |      * (CAST(ct.n_prec AS DOUBLE) / CAST(ty.n_types AS DOUBLE))), 6)
+      |    AS DECIMAL(18,6)) AS logp
+      |  FROM c12 JOIN st USING (w1) JOIN ct USING (w2), ty),
+      |agg AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_pairs,
+      |          sum(CAST(d.k AS DECIMAL(20,0)) * lm.logp) AS sum_logp
+      |        FROM dbg d JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+      |        GROUP BY 1)
+      |SELECT doc_id, n_pairs,
+      |  CAST(-sum_logp AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS cross_entropy
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    TextAnalysis.lmCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Round-11: per-document TF-IDF keyword extraction
+    * ([[TextAnalysis.tfidfKeywords]]) — the top-3 terms per doc by
+    * tf·idf with idf = round(ln(N/df), 6) as DECIMAL and exact
+    * long×decimal scores; the rank ≤ k filter rides the
+    * WindowGroupLimit rewrite. */
+  val q199TfidfKeywords = QueryDef(
+    "q199_tfidf_keywords",
+    """WITH pd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |            FROM documents),
+      |tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |        FROM pd GROUP BY 1, 2),
+      |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |        FROM tfq GROUP BY 1),
+      |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |sc AS (SELECT tfq.doc_id, tfq.term, tfq.tf, dfs.df,
+      |         tfq.tf * CAST(round(ln(
+      |           CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+      |           AS DECIMAL(18,6)) AS score
+      |       FROM tfq JOIN dfs USING (term), nd)
+      |SELECT doc_id, term, tf, df, CAST(score AS DOUBLE) AS score, rnk
+      |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+      |        ORDER BY score DESC, term) AS INT) AS rnk FROM sc)
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    TextAnalysis.tfidfKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score").cast("double").as("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
     q156CorpusDiff, q157RemoveDupSpans, q158KnnJoinPq,
     q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
     q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve,
-    q194BigramCoherence)
+    q194BigramCoherence, q195BigramLm, q196LmCrossEntropy,
+    q199TfidfKeywords)
 }

@@ -323,7 +323,37 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Round-11: per-source percentile-rank quality calibration
+    * ([[Curation.percentileNormalize]]) — raw quality scores are not
+    * comparable across heterogeneous sources, so the global cut runs
+    * on within-source percentiles: keep pct ≥ 0.5 takes the top half
+    * of EVERY source. pct = (rank−1)/(n−1), one IEEE division of
+    * exact longs with a deterministic (value, id) tiebreak — every
+    * kept row and its pct hash-replay. */
+  val q200PercentileNorm = QueryDef(
+    "q200_percentile_norm",
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CASE WHEN n = 1 THEN 0.5
+      |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+      |  FROM r)
+      |SELECT doc_id, source, n_chars, pct FROM p
+      |WHERE pct >= 0.5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Curation.percentileNormalize(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
+        keepAbove = 0.5)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("pct"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
-    q118MixtureWeights, q119CurationReport)
+    q118MixtureWeights, q119CurationReport, q200PercentileNorm)
 }

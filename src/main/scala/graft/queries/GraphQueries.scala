@@ -97,5 +97,136 @@ object GraphQueries {
       .orderBy("kind", "rnk")
   }
 
-  val all: Seq[QueryDef] = Seq(q188CopurchasePagerank)
+  /** Personalized PageRank from a curated customer seed set
+    * ([[Graph.personalizedPageRankFp]]) — trust propagation: walks
+    * restart at every 50th customer, so rank concentrates in the
+    * seeds' co-purchase neighborhoods instead of measuring global
+    * centrality (q188). Same integer fixed-point arithmetic, same
+    * recursive-CTE replay — the only oracle changes are the
+    * seed-indicator init and teleport term (LEFT-JOIN shaped, the
+    * de-correlation-safe form q188's scaladoc mandates). */
+  val q197PersonalizedPagerank = QueryDef(
+    "q197_personalized_pagerank",
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $Off AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $Off AS src, cust AS dst FROM e0
+       |), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+       |           FROM edges GROUP BY src),
+       |seeds AS (SELECT DISTINCT cust AS node FROM e0 WHERE cust % 50 = 0),
+       |consts AS (SELECT 1000000000000 // CAST(count(*) AS BIGINT) AS init,
+       |       3000000000000 // (20 * CAST(count(*) AS BIGINT)) AS base
+       |       FROM seeds),
+       |pr(i, rs) AS (
+       |  SELECT 0, (SELECT list({'node': deg.src,
+       |               'r': CASE WHEN sd.node IS NULL THEN 0
+       |                    ELSE consts.init END} ORDER BY deg.src)
+       |             FROM deg LEFT JOIN seeds sd ON sd.node = deg.src, consts)
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    (SELECT list({'node': ct.node,
+       |             'r': (CASE WHEN sd.node IS NULL THEN 0
+       |                   ELSE consts.base END) + ct.s} ORDER BY ct.node)
+       |     FROM (SELECT e.dst AS node, SUM((17 * y.r) // (20 * dg.d)) AS s
+       |           FROM (SELECT unnest(rs) AS y)
+       |           JOIN edges e ON e.src = y.node
+       |           JOIN deg dg ON dg.src = e.src
+       |           GROUP BY e.dst) ct
+       |     LEFT JOIN seeds sd ON sd.node = ct.node, consts)
+       |  FROM pr WHERE i < $Iters)
+       |SELECT kind, node_key, rank_fp, degree, is_seed, rnk FROM (
+       |  SELECT CASE WHEN x.node >= $Off THEN 'supp' ELSE 'cust' END AS kind,
+       |         CASE WHEN x.node >= $Off THEN x.node - $Off ELSE x.node END
+       |           AS node_key,
+       |         x.r AS rank_fp, dg.d AS degree,
+       |         CASE WHEN sd.node IS NULL THEN 0 ELSE 1 END AS is_seed,
+       |         CAST(ROW_NUMBER() OVER (
+       |           PARTITION BY (x.node >= $Off)
+       |           ORDER BY x.r DESC, x.node) AS INT) AS rnk
+       |  FROM (SELECT unnest(rs) AS x FROM pr WHERE i = $Iters)
+       |  JOIN deg dg ON dg.src = x.node
+       |  LEFT JOIN seeds sd ON sd.node = x.node
+       |) WHERE rnk <= 10
+       |ORDER BY kind, rnk""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val edges = pairs.select(col("cust").as("src"), (col("supp") + Off).as("dst"))
+      .unionByName(pairs.select((col("supp") + Off).as("src"), col("cust").as("dst")))
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("node"))
+    val pr = Graph.personalizedPageRankFp(edges, "src", "dst",
+      seeds, "node", iters = Iters)
+    val w = Window.partitionBy("kind").orderBy(col("rank_fp").desc, col("node"))
+    pr.select(
+        when(col("node") >= Off, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("node") >= Off, col("node") - Off).otherwise(col("node")).as("node_key"),
+        col("rank_fp"), col("degree"), col("is_seed"), col("node"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select("kind", "node_key", "rank_fp", "degree", "is_seed", "rnk")
+      .orderBy("kind", "rnk")
+  }
+
+  /** Bounded BFS hop distance from the same seed set
+    * ([[Graph.seedDistance]]): how many co-purchase links separate
+    * every node from curated content, rolled up to a per-kind
+    * distance histogram (bounded output whatever the graph size).
+    * The oracle's recursive CTE uses UNION dedup so the frontier
+    * stays polynomial — path enumeration on this dense bipartite
+    * graph would be exponential. */
+  val q198SeedDistance = QueryDef(
+    "q198_seed_distance",
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |), edges AS (
+       |  SELECT cust AS src, supp + $Off AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $Off AS src, cust AS dst FROM e0
+       |), seeds AS (SELECT DISTINCT cust AS node FROM e0 WHERE cust % 50 = 0),
+       |bfs(node, dd) AS (
+       |  SELECT node, 0 FROM seeds
+       |  UNION
+       |  SELECT e.dst, b.dd + 1 FROM bfs b
+       |  JOIN edges e ON e.src = b.node WHERE b.dd < 3
+       |), md AS (SELECT node, CAST(min(dd) AS INT) AS dist
+       |          FROM bfs GROUP BY node)
+       |SELECT CASE WHEN node >= $Off THEN 'supp' ELSE 'cust' END AS kind,
+       |  dist, CAST(count(*) AS BIGINT) AS n_nodes,
+       |  CAST(min(CASE WHEN node >= $Off THEN node - $Off ELSE node END)
+       |    AS BIGINT) AS min_key,
+       |  CAST(max(CASE WHEN node >= $Off THEN node - $Off ELSE node END)
+       |    AS BIGINT) AS max_key
+       |FROM md GROUP BY 1, 2
+       |ORDER BY kind, dist""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val edges = pairs.select(col("cust").as("src"), (col("supp") + Off).as("dst"))
+      .unionByName(pairs.select((col("supp") + Off).as("src"), col("cust").as("dst")))
+    val seeds = Tables.customer(s, d)
+      .filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("node"))
+    Graph.seedDistance(edges, "src", "dst", seeds, "node", maxHops = 3)
+      .select(
+        when(col("node") >= Off, lit("supp")).otherwise(lit("cust")).as("kind"),
+        col("d").cast("int").as("dist"),
+        when(col("node") >= Off, col("node") - Off).otherwise(col("node"))
+          .as("node_key"))
+      .groupBy("kind", "dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("node_key")).as("min_key"),
+        max(col("node_key")).as("max_key"))
+      .orderBy("kind", "dist")
+  }
+
+  val all: Seq[QueryDef] = Seq(q188CopurchasePagerank,
+    q197PersonalizedPagerank, q198SeedDistance)
 }

@@ -374,15 +374,25 @@ object RetrievalQueries {
     // signal — their idf is negative past 0.5 df anyway); pruning them
     // is the standard more-like-this "interesting terms" move, and the
     // cap comparison replays exactly (one IEEE product both sides)
+    // Each constituent is localCheckpointed (eager) so the two
+    // corpus-scale pipelines run SEQUENTIALLY to their |queries|·k
+    // outputs before the fuse: without the cut, the full-outer join
+    // schedules both upstream plans concurrently under one memory
+    // manager — the round-10 lowmem sweep's largest spiller (2.4 GiB
+    // at a 2 GiB heap over the 10× corpus) for a fuse whose own
+    // inputs are broadcast-scale. The checkpointed frames are tiny
+    // (≤ |queries|·10 rows each), so the pin costs nothing.
     val lex = Retrieval.bm25Scores(docs, queriesDf, dfCapRatio = 0.5)
       .filter(col("doc_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wLex).cast("int"))
       .filter(col("rnk") <= 10)
       .select(col("query_id"), col("doc_id"), col("rnk"))
+      .localCheckpoint()
     val sem = graft.ops.Similarity.annJoinBruteForce(
         emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < (1L << 33)),
         emb, "vec_id", "embedding", k = 10)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rnk"))
+      .localCheckpoint()
     Retrieval.rrfFuse(lex, sem, k = 5)
       .select(col("query_id"), col("doc_id"), col("rrf_score"),
         col("rnk_a").as("lex_rnk"), col("rnk_b").as("sem_rnk"), col("rnk"))

@@ -74,6 +74,14 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CorpusQueries.q191NoveltyCurve,     // md5 rank + first-seen slices
     graft.queries.DataQueries.q192PrefixJaccard, // collapse + prefix join + integer threshold
     graft.queries.DataQueries.q193HardNegatives, // rounded-cosine ranks + margins
+    CorpusQueries.q194BigramCoherence,  // integer adjacency counts + one division
+    CorpusQueries.q195BigramLm,         // fixed IEEE tree of exact counts
+    CorpusQueries.q196LmCrossEntropy,   // decimal Σ k·logp + one division
+    CorpusQueries.q199TfidfKeywords,    // long×decimal scores + rank window
+    graft.queries.GraphQueries.q197PersonalizedPagerank, // seeded integer power iteration
+    graft.queries.GraphQueries.q198SeedDistance, // iterative min-relaxation BFS
+    CurationQueries.q200PercentileNorm, // rank/count division with id tiebreak
+    AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window

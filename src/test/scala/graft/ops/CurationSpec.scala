@@ -279,4 +279,29 @@ class CurationSpec extends SparkSpec {
     // base rate by a wide margin (base ≈ 0.44 at sf0.01)
     assert(selEnRate > enRate + 0.15, s"base $enRate, selected $selEnRate")
   }
+
+  test("percentileNormalize: hand-computed pct, id tiebreak, 1-row group") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 30L), ("a", 3L, 20L),
+      ("a", 4L, 30L),                       // ties with id 2 on value
+      ("b", 9L, 999L))                      // singleton group
+      .toDF("source", "doc_id", "score")
+    val got = Curation.percentileNormalize(df, "source", "score", "doc_id")
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    // group a sorted by (score, id): 10(id1) 20(id3) 30(id2) 30(id4)
+    assert(got === Map(1L -> 0.0, 3L -> (1.0 / 3), 2L -> (2.0 / 3),
+      4L -> 1.0, 9L -> 0.5))
+  }
+
+  test("percentileNormalize: keepAbove takes the top fraction of EVERY group") {
+    val df = (1L to 10L).map(i => ("a", i, i)) ++
+      (1L to 4L).map(i => ("b", 100L + i, 1000L + i))
+    val kept = Curation.percentileNormalize(df.toDF("source", "doc_id", "score"),
+        "source", "score", "doc_id", keepAbove = 0.5)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a: pct = (rn-1)/9 ≥ 0.5 → rn ≥ 5.5 → rn 6..10 (5 rows)
+    // b: pct = (rn-1)/3 ≥ 0.5 → rn ≥ 2.5 → rn 3..4 (2 rows)
+    assert(kept === Map("a" -> 5L, "b" -> 2L))
+  }
 }

@@ -68,10 +68,106 @@ class GraphSpec extends SparkSpec {
     assert(spark2 === total)
   }
 
+  test("pageRankFp deep iteration with checkpointing: iters=16 ckpt=5 == ckpt=0 == reference") {
+    // the production deep-run path (round-10 verdict #3): lineage is
+    // truncated every 5 iterations; fixed-point arithmetic must make
+    // the ranks bit-identical to the unbroken 16-deep lazy chain and
+    // to the driver-side reference
+    val df = pathEdges.toDF("src", "dst")
+    val ck = Graph.pageRankFp(df, "src", "dst", iters = 16, checkpointEvery = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lazily = Graph.pageRankFp(df, "src", "dst", iters = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ck === lazily)
+    assert(ck === referencePr(pathEdges, 16))
+  }
+
   test("pageRankFp refuses a scale where dampNum * rank could overflow 64 bits") {
     intercept[IllegalArgumentException] {
       Graph.pageRankFp(pathEdges.toDF("src", "dst"), "src", "dst",
         iters = 1, scale = Long.MaxValue / 2)
     }
+  }
+
+  /** Driver-side reference of [[Graph.personalizedPageRankFp]]. */
+  private def referencePpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, scale: Long = 1000000000000L): Map[Long, Long] = {
+    val es = edges.distinct
+    val deg = es.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val sd = seeds.filter(deg.contains)
+    val init = scale / sd.size
+    val base = (3L * scale) / (20L * sd.size)
+    var r = deg.keys.map(v => v -> (if (sd(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.map { case (s, _) => (17L * r(s)) / (20L * deg(s)) }.sum
+      }
+      r = deg.keys.map(v =>
+        v -> ((if (sd(v)) base else 0L) + contrib.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRankFp: matches the reference; mass concentrates at seeds") {
+    // line 1-2-3-4-5 symmetrized, seed at node 1 only
+    val line = (1L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.personalizedPageRankFp(line.toDF("src", "dst"),
+        "src", "dst", seeds, "node", iters = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val want = referencePpr(line, Set(1L), 6)
+    assert(got.map(t => t._1 -> t._2).toMap === want)
+    assert(got.collect { case (n, _, s) if s == 1 => n }.toSeq === Seq(1L))
+    // rank decays with distance WITHIN a parity class — a path graph
+    // is bipartite, so finite-iteration mass oscillates between the
+    // odd/even sides and strict global monotonicity does not hold
+    val byNode = got.map(t => t._1 -> t._2).toMap
+    assert(byNode(1L) === byNode.values.max, "seed holds the max rank")
+    assert(byNode(1L) > byNode(3L) && byNode(3L) > byNode(5L),
+      s"even-parity decay: $byNode")
+    assert(byNode(2L) > byNode(4L), s"odd-parity decay: $byNode")
+  }
+
+  test("personalizedPageRankFp: seeds outside the node set are ignored; " +
+      "all-foreign seeds refuse") {
+    val got = Graph.personalizedPageRankFp(pathEdges.toDF("src", "dst"),
+        "src", "dst", Seq(2L, 777L).toDF("node"), "node", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === referencePpr(pathEdges, Set(2L), 3))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankFp(pathEdges.toDF("src", "dst"),
+        "src", "dst", Seq(777L).toDF("node"), "node", iters = 1)
+    }
+  }
+
+  test("personalizedPageRankFp: total mass bounded by scale") {
+    val total = Graph.personalizedPageRankFp(pathEdges.toDF("src", "dst"),
+        "src", "dst", Seq(1L, 3L).toDF("node"), "node", iters = 8)
+      .agg(sum("rank_fp")).as[Long].collect()(0)
+    assert(total <= 1000000000000L)
+  }
+
+  test("seedDistance: BFS min-hops on a line; unreached nodes absent") {
+    // 1-2-3-4-5 symmetrized, seed {1}, maxHops 2 → 4 and 5 at d>2
+    val line = (1L to 4L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val got = Graph.seedDistance(line.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2))
+    // deeper bound reaches the rest with true distances
+    val full = Graph.seedDistance(line.toDF("src", "dst"), "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(full === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4))
+  }
+
+  test("seedDistance: multiple seeds take the minimum; cycles don't loop") {
+    // triangle 1-2-3 symmetrized plus tail 3-4; seeds {1, 4}
+    val es = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 3L))
+    val got = Graph.seedDistance(es.toDF("src", "dst"), "src", "dst",
+        Seq(1L, 4L).toDF("node"), "node", maxHops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 }

@@ -306,4 +306,38 @@ class RelationalSpec extends SparkSpec {
     plan.collect()
     assertNoUnpartitionedWindow(plan)
   }
+
+  test("groupedOls: exact fit on a known line, noise-free and noisy") {
+    // group a: y = 3x + 7 exactly → slope 3, intercept 7
+    // group b: x constant → zero variance → NULL slope/intercept
+    val rows = (1L to 5L).map(x => ("a", x, 3 * x + 7)) ++
+      Seq(("b", 2L, 10L), ("b", 2L, 20L))
+    val got = groupedOls(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got("a") === ((5L, Some(3.0), Some(7.0))))
+    assert(got("b") === ((2L, None, None)))
+    // hand-computed non-integer fit: points (1,1),(2,2),(3,5)
+    // n=3 Σx=6 Σy=8 Σxy=20 Σxx=14 → slope=(60-48)/(42-36)=2
+    // intercept=(8-2·6)/3=-4/3
+    val g2 = groupedOls(Seq(("c", 1L, 1L), ("c", 2L, 2L), ("c", 3L, 5L))
+        .toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect()(0)
+    assert(g2.getDouble(2) === 2.0)
+    assert(g2.getDouble(3) === (8.0 - 2.0 * 6.0) / 3.0)
+  }
+
+  test("groupedOls: DECIMAL(38,0) envelope breach raises, not nulls") {
+    // two near-long-max products overflow the combined n·Σxy moment
+    val big = 3000000000000000000L // 3e18; Σxy ≈ 1.8e37, n·Σxy ≈ 3.6e37 ok
+    // push past 1e38: four rows → Σxy ≈ 3.6e37, n·Σxy ≈ 1.45e38 > 1e38
+    val rows = (1 to 4).map(_ => ("g", big, big))
+    val ex = intercept[Exception] {
+      groupedOls(rows.toDF("g", "x", "y"), Seq("g"), "x", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("groupedOls")),
+      s"expected the loud envelope guard, got: ${ex.getMessage}")
+  }
 }

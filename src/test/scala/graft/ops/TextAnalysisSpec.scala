@@ -237,11 +237,81 @@ class TextAnalysisSpec extends SparkSpec {
     val salad = Seq((99L, "jumps the brown quick fox"))
     val docs = (template ++ salad).toDF("doc_id", "text")
     val got = TextAnalysis.bigramCoherence(docs, "doc_id", "text", minCount = 3L)
-      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getDouble(4))).toMap
-      .map { case (k, v) => (k, v) } // silence unused warning paths
+      .collect().map(r => (r.getLong(0), (r.getDouble(3), r.getDouble(4)))).toMap
     val tmpl = got(1L)
     val bad = got(99L)
     assert(tmpl._1 === 1.0 && bad._1 === 0.0, s"support: $tmpl vs $bad")
     assert(bad._2 < tmpl._2, s"cond_ratio must rank salad below template")
+  }
+
+  test("bigramLmTable: hand-computed AD-smoothed probabilities") {
+    // corpus: "a b a b" and "a c" →
+    // bigrams: (a,b)×2, (b,a)×1, (a,c)×1
+    // c1(a)=3 n_succ(a)=2; c1(b)=1 n_succ(b)=1
+    // n_prec(b)=1, n_prec(a)=1, n_prec(c)=1; n_types=3
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmTable(docs, "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6)))).toMap
+    assert(got.size === 3)
+    // p_ad(b|a) = (2-.75)/3 + (.75·2/3)·(1/3)
+    val pAb = (4.0 * 2 - 3) / (4.0 * 3) + (3.0 * 2) / (4.0 * 3) * (1.0 / 3)
+    assert(got(("a", "b")) === ((2L, 3L, 2L, 1L, pAb)))
+    // p_ad(a|b) = (1-.75)/1 + (.75·1/1)·(1/3)
+    val pBa = (4.0 * 1 - 3) / (4.0 * 1) + (3.0 * 1) / (4.0 * 1) * (1.0 / 3)
+    assert(got(("b", "a")) === ((1L, 1L, 1L, 1L, pBa)))
+  }
+
+  test("bigramLmTable: observed-successor mass stays below 1 per history") {
+    // Σ_w2 p_ad(w2|w1) over OBSERVED successors < 1 strictly (the
+    // discount reserves continuation mass for unseen successors
+    // restricted here to observed w2 types) — a probability-axiom
+    // sanity bound a formula typo would break
+    val docs = Seq((1L, "a b a b c b a c"), (2L, "b c a"), (3L, "c a b"))
+      .toDF("doc_id", "text")
+    val sums = TextAnalysis.bigramLmTable(docs, "text")
+      .groupBy("w1").agg(sum("p_ad").as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(sums.nonEmpty)
+    sums.foreach { case (w1, s) =>
+      assert(s > 0.0 && s <= 1.0 + 1e-12, s"mass for '$w1' = $s")
+    }
+  }
+
+  test("lmCrossEntropy: word salad scores above the fluent template; " +
+      "short docs dropped") {
+    val template = (1 to 10).map(i => (i.toLong, "the quick brown fox jumps"))
+    val salad = Seq((99L, "jumps the brown quick fox"))
+    val tiny = Seq((100L, "solo"))
+    val docs = (template ++ salad ++ tiny).toDF("doc_id", "text")
+    val got = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(!got.contains(100L), "a 1-token doc has no bigram evidence")
+    assert(got(1L)._1 === 4L && got(99L)._1 === 4L)
+    assert(got(99L)._2 > got(1L)._2,
+      s"salad ${got(99L)._2} must exceed template ${got(1L)._2}")
+  }
+
+  test("tfidfKeywords: hand-computed scores, rank cap, term tiebreak") {
+    // 3 docs; "common" in all (idf = ln 1 = 0), "rare" only in doc 1
+    val docs = Seq(
+      (1L, "common rare rare alpha"),
+      (2L, "common beta beta"),
+      (3L, "common gamma")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) ->
+        (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDecimal(4).doubleValue))
+      .toMap
+    // doc 1: rare tf=2 idf=round(ln 3,6) beats alpha tf=1
+    val ln3 = BigDecimal(math.round(math.log(3.0) * 1e6)) / 1e6
+    assert(rows((1L, 1)) === (("rare", 2L, 1L, (ln3 * 2).toDouble)))
+    assert(rows((1L, 2)) === (("alpha", 1L, 1L, ln3.toDouble)))
+    // doc 3: gamma wins; common (idf 0, score 0) ranks second
+    assert(rows((3L, 1))._1 === "gamma")
+    assert(rows((3L, 2))._1 === "common" && rows((3L, 2))._4 === 0.0)
+    // cap: no rnk 3 anywhere even though doc 1 has 3 distinct terms
+    assert(!rows.keySet.exists(_._2 > 2))
   }
 }
