@@ -156,11 +156,16 @@ object Faults {
     }))
 
   /** One hash per table dir over sorted rows — row-content identity,
-    * independent of file layout (part counts/names differ run to run). */
-  private def hashDirState(spark: SparkSession, dirs: Seq[String]): String = {
+    * independent of file layout (part counts/names differ run to run).
+    * Only the table name RELATIVE to the scenario's workDir enters the
+    * digest: the workDir embeds the armed flag, so hashing absolute
+    * paths would make armed and clean runs differ unconditionally. */
+  private def hashDirState(spark: SparkSession, workDir: String,
+                           dirs: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     dirs.sorted.foreach { dir =>
-      md.update(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val rel = dir.stripPrefix(workDir)
+      md.update(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val h =
         if (new java.io.File(dir).exists()) hashRows(spark.read.parquet(dir))
         else "ABSENT"
@@ -215,7 +220,7 @@ object Faults {
         try {
           graft.sources.Sinks.wipeForRebuild(spark, w)
           val dirs = body(spark, sfDir, w)
-          Right(hashDirState(spark, dirs))
+          Right(hashDirState(spark, w, dirs))
         } catch { case e: Throwable =>
           System.err.println(s"[faults] $name FAILED: ${e.getMessage}")
           Left(e.getClass.getSimpleName)

@@ -1132,6 +1132,84 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** EXACT containment join — the ASYMMETRIC companion of
+    * [[prefixJaccardPairs]]: emit (src, dst) where
+    * C(src→dst) = |S_src ∩ S_dst| / |S_src| ≥ num/den — "most of
+    * src's shingles appear in dst". Jaccard is blind to exactly this
+    * case: a paragraph quoted inside a long document scores near-zero
+    * Jaccard (the union is dominated by the long side) but
+    * containment ≈ 1 — the sub-document copying / quotation /
+    * boilerplate-inclusion detector a symmetric threshold cannot be
+    * tuned into.
+    *
+    * Same exactness discipline as q192: hashed (xxhash64) shingles
+    * end-to-end (set sizes, hence containment values and the verified
+    * pair set, identical to the string formulation up to 64-bit
+    * collisions), exact-collapse of identical sets BEFORE pairwise
+    * work, candidates from a prefix filter, verification by the fused
+    * sorted-merge intersect with the CROSS-MULTIPLIED integer test
+    * `den·|∩| ≥ num·|S_src|` — no IEEE compare on the decision
+    * boundary; the output `containment` is one division of exact
+    * longs. Identical sets collapse to one representative, so
+    * emitted pairs are between DISTINCT sets (intra-group pairs are
+    * the exact-dup family's, multiplicities ride as n_src/n_dst).
+    *
+    * Candidate bound (the asymmetry's price): only the PROBE side has
+    * a prefix — src needs just `ln_src − ceil(t·ln_src) + 1` of its
+    * rarest tokens indexed (missing all of them forfeits > (1−t) of
+    * src, so the filter is complete) — while dst must index EVERY
+    * token. Candidates are therefore Σ_{g ∈ prefixes} df(g): the
+    * canonical (df ASC, token ASC) order makes prefix tokens the
+    * rarest ones, which is what keeps that sum near-linear on natural
+    * corpora (the standard AllPairs containment bound); a corpus of
+    * all-stopword documents degrades toward the full token join, the
+    * documented worst case. The size filter `den·ln_dst ≥ num·ln_src`
+    * (|∩| ≤ min of the sizes) prunes pairs whose dst is too small
+    * before verification. */
+  def containmentPairs(df: DataFrame, textCol: String, idCol: String,
+                       shingleK: Int = 2, thresholdNum: Int = 8,
+                       thresholdDen: Int = 10): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > thresholdNum,
+      s"threshold must be a rational in (0,1), got $thresholdNum/$thresholdDen")
+    val num = thresholdNum.toLong
+    val den = thresholdDen.toLong
+    val sets = df
+      .select(col(idCol).as("id"),
+        sort_array(graft.functions.GraftFunctions
+          .hashed_shingles(col(textCol), shingleK)).as("s"))
+      .filter(size(col("s")) >= 1)
+    val grp = sets.groupBy(col("s"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n"))
+      .withColumn("ln", size(col("s")).cast("long"))
+      .localCheckpoint(true)
+    val inv = grp.select(col("rep"), col("ln"), explode(col("s")).as("g"))
+    val dft = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // probe-side prefixes only; the dst side joins the FULL inverted
+    // index (localCheckpointed once — it feeds the candidate join and
+    // would otherwise re-run the explode)
+    val posted = inv.localCheckpoint(true)
+    val pref = posted.join(dft, "g")
+      .withColumn("p", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("df"), col("g"))))
+      .filter(col("p") <= col("ln") - expr(s"(${num} * ln + ${den - 1}) DIV ${den}") + 1)
+      .select(col("rep"), col("ln"), col("g"))
+    val cand = pref.as("x").join(posted.as("y"),
+        col("x.g") === col("y.g") && col("x.rep") =!= col("y.rep") &&
+          lit(den) * col("y.ln") >= lit(num) * col("x.ln"))
+      .select(col("x.rep").as("id_src"), col("y.rep").as("id_dst"))
+      .distinct()
+    val a = grp.select(col("rep").as("id_src"), col("s").as("s_a"),
+      col("n").as("n_src"), col("ln").as("ln_src"))
+    val b = grp.select(col("rep").as("id_dst"), col("s").as("s_b"),
+      col("n").as("n_dst"), col("ln").as("ln_dst"))
+    cand.join(a, "id_src").join(b, "id_dst")
+      .withColumn("inter", graft.functions.GraftFunctions
+        .sorted_intersect_count(col("s_a"), col("s_b")).cast("long"))
+      .filter(lit(den) * col("inter") >= lit(num) * col("ln_src"))
+      .select(col("id_src"), col("id_dst"), col("n_src"), col("n_dst"),
+        (col("inter").cast("double") / col("ln_src")).as("containment"))
+  }
+
   /** Split-leakage audit: near-duplicate pairs that CROSS a train/test
     * boundary — the check a training pipeline runs after splitting,
     * because a test doc whose near-dup sits in train leaks the answer

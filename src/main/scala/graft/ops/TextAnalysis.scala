@@ -521,14 +521,7 @@ object TextAnalysis {
     * `minCount`/top-k at the call site ([[lmCrossEntropy]] joins it;
     * q195 registers the top slice). */
   def bigramLmTable(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = docs.select(split(col(textCol), " ").as("toks"))
-    val bigrams = toks.filter(size(col("toks")) >= 2)
-      .select(explode(
-        transform(sequence(lit(1), size(col("toks")) - 1),
-          i => struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = corpusBigramCounts(docs, textCol)
     val starts = c12.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
     val conts = c12.groupBy("w2").agg(count(lit(1)).as("n_prec"))
@@ -575,10 +568,55 @@ object TextAnalysis {
     * the LM join is token-pair-keyed with bounded fan-in, and the
     * final rollup is the one doc-keyed shuffle. */
   def lmCrossEntropy(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
-    val lm = bigramLmTable(docs, textCol)
+                     textCol: String): DataFrame =
+    scoreAgainstLm(docs, idCol, textCol,
+      lmTableFromC12(corpusBigramCounts(docs, textCol)))
+
+  /** The corpus (w1, w2, c12) count table — [[bigramLmTable]]'s first
+    * aggregation, exposed because these counts are the ADDITIVE part
+    * of the LM: everything else (c1, n_succ, n_prec, n_types) derives
+    * from them, which is what makes the LM incrementally
+    * maintainable ([[writeBigramCountSidecar]]). */
+  def corpusBigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(split(col(textCol), " ").as("toks"))
+    toks.filter(size(col("toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+  }
+
+  /** AD-smoothed logp table from a (w1, w2, c12) count table — the
+    * [[bigramLmTable]] arithmetic, parameterized over where the
+    * counts came from (a corpus scan or a compacted sidecar; equal
+    * counts ⇒ bit-equal probabilities). */
+  private def lmTableFromC12(c12: DataFrame): DataFrame = {
+    val starts = c12.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
+    val conts = c12.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = c12.agg(count(lit(1)).as("n_types"))
+    c12.join(starts, "w1")
+      .join(conts, "w2")
+      .crossJoin(broadcast(types))
       .select(col("w1"), col("w2"),
-        round(log(col("p_ad")), 6).cast("decimal(18,6)").as("logp"))
+        round(log(
+          (lit(4L) * col("c12") - lit(3L)).cast("double") /
+            (lit(4L) * col("c1")).cast("double") +
+            ((lit(3L) * col("n_succ")).cast("double") /
+              (lit(4L) * col("c1")).cast("double")) *
+              (col("n_prec").cast("double") / col("n_types").cast("double"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+  }
+
+  /** Per-doc cross-entropy of `docs` under a (w1, w2, logp) LM table.
+    * Doc bigrams absent from the LM are INNER-JOIN dropped — when the
+    * LM covers the scoring corpus (q196/q204's setup) nothing drops;
+    * scoring NEW docs against a foreign LM undercounts their n_pairs
+    * accordingly (filter on n_pairs downstream if that matters). */
+  private def scoreAgainstLm(docs: DataFrame, idCol: String,
+                             textCol: String, lm: DataFrame): DataFrame = {
     val docBg = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -596,6 +634,48 @@ object TextAnalysis {
         ((-col("sum_logp")).cast("double") /
           col("n_pairs").cast("double")).as("cross_entropy"))
   }
+
+  /** Append one document batch's bigram counts to a persisted sidecar
+    * — the incremental form of the LM's corpus statistics, in the
+    * token-count-sidecar discipline ([[graft.ops.Curation
+    * .writeTokenCountSidecar]]): exact long c12 counts are ADDITIVE
+    * over doc-disjoint batches (a bigram never spans documents), so
+    * the compacted sidecar equals a from-scratch count over
+    * everything ingested, and the LM derived from it is BIT-EQUAL to
+    * the from-scratch LM (q204 proves it against q196's oracle).
+    * Batches must partition the corpus by DOCUMENT; at-least-once
+    * replays double-count — key batches externally when that matters
+    * (the standing sidecar contract). Single writer via the dir
+    * lock. */
+  def writeBigramCountSidecar(batch: DataFrame, textCol: String,
+                              sidecarDir: String): Unit =
+    graft.sources.Sinks.withDirLock(
+      batch.sparkSession, sidecarDir, "writeBigramCountSidecar") {
+      corpusBigramCounts(batch, textCol)
+        .write.mode("append").parquet(sidecarDir)
+    }
+
+  /** Many small appends → one summed table via the shared backup-swap
+    * compaction; re-aggregation by (w1, w2) makes compaction converge
+    * even after an accidental double-append of the same batch. */
+  def compactBigramSidecar(spark: org.apache.spark.sql.SparkSession,
+                           sidecarDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = Some("w1"),
+      transform = Some(_.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c12")).as("c12"))))
+
+  /** Cross-entropy scoring FROM the sidecar — the corpus text is
+    * never re-read to build the LM; only the docs being scored are
+    * scanned. The sidecar's summed counts equal the from-scratch
+    * counts under the doc-disjoint contract, so this path is
+    * IDENTICAL to [[lmCrossEntropy]] (q204 hash-proves it against the
+    * same oracle as q196). */
+  def lmCrossEntropyFromSidecar(spark: org.apache.spark.sql.SparkSession,
+                                sidecarDir: String, docs: DataFrame,
+                                idCol: String, textCol: String): DataFrame =
+    scoreAgainstLm(docs, idCol, textCol,
+      lmTableFromC12(spark.read.parquet(sidecarDir)))
 
   /** Per-document TF-IDF keyword extraction: the top-k terms of each
     * document by tf·idf — the summarization/indexing primitive

@@ -720,6 +720,61 @@ object CorpusQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Round-11: incremental bigram-LM sidecar
+    * ([[TextAnalysis.writeBigramCountSidecar]] /
+    * [[TextAnalysis.lmCrossEntropyFromSidecar]]) — the LM's corpus
+    * statistics maintained as an additive sidecar (the token-count
+    * discipline): build from two doc-disjoint appends + compaction,
+    * then score every document WITHOUT re-reading the corpus to
+    * train. Summed counts equal from-scratch counts, so the scores
+    * are bit-equal to q196's and the oracle is the same SQL — the
+    * incremental == one-shot proof, hash-checked. */
+  val q204LmSidecar = QueryDef(
+    "q204_lm_sidecar",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(ts) - 1),
+      |           i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+      |       FROM t WHERE len(ts) >= 2),
+      |dbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+      |          CAST(count(*) AS BIGINT) AS k
+      |        FROM bg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+      |        FROM dbg GROUP BY 1, 2),
+      |st AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS n_succ FROM c12 GROUP BY 1),
+      |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+      |       FROM c12 GROUP BY 1),
+      |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12),
+      |lm AS (SELECT c12.w1, c12.w2,
+      |  CAST(round(ln(
+      |    CAST(4 * c12.c12 - 3 AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE)
+      |    + (CAST(3 * st.n_succ AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE))
+      |      * (CAST(ct.n_prec AS DOUBLE) / CAST(ty.n_types AS DOUBLE))), 6)
+      |    AS DECIMAL(18,6)) AS logp
+      |  FROM c12 JOIN st USING (w1) JOIN ct USING (w2), ty),
+      |agg AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_pairs,
+      |          sum(CAST(d.k AS DECIMAL(20,0)) * lm.logp) AS sum_logp
+      |        FROM dbg d JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+      |        GROUP BY 1)
+      |SELECT doc_id, n_pairs,
+      |  CAST(-sum_logp AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS cross_entropy
+      |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q204_lm_sidecar_$sf"
+    }
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val docs = Tables.documents(s, d)
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 1), "text", dir)
+    TextAnalysis.compactBigramSidecar(s, dir)
+    TextAnalysis.lmCrossEntropyFromSidecar(s, dir, docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** Round-11: per-document TF-IDF keyword extraction
     * ([[TextAnalysis.tfidfKeywords]]) — the top-3 terms per doc by
     * tf·idf with idf = round(ln(N/df), 6) as DECIMAL and exact
@@ -756,5 +811,5 @@ object CorpusQueries {
     q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
     q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve,
     q194BigramCoherence, q195BigramLm, q196LmCrossEntropy,
-    q199TfidfKeywords)
+    q199TfidfKeywords, q204LmSidecar)
 }

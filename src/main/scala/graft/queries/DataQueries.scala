@@ -580,11 +580,80 @@ object DataQueries {
       .orderBy(col("lang"))
   }
 
+  /** Round-11: per-frame audio features
+    * ([[graft.sources.Multimodal.audioFrameFeatures]]) — the VAD/
+    * segmentation front end: real pure-JDK WAV decode to canonical
+    * 16-bit PCM, then exact-INTEGER per-frame energy (Σ s²) and
+    * zero-crossing counts — no floats anywhere, so rows are
+    * bit-stable across layouts and retries by construction.
+    * Deterministic but engine-specific (javax.sound decode has no SQL
+    * oracle) → rows-only; semantics spec-proven against hand-built
+    * PCM in MultimodalSpec. */
+  val q202AudioFrames = QueryDef.rowsOnly("q202_audio_frames") { (s, _) =>
+    import graft.sources.Multimodal
+    Multimodal.audioFrameFeatures(Multimodal.syntheticMedia(s, 300),
+        frameSize = 64)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** Round-11: EXACT containment join ([[Dedup.containmentPairs]]) —
+    * the asymmetric companion of q192: C(src→dst) = |∩|/|S_src| ≥ 0.8
+    * catches sub-document copying that Jaccard structurally misses
+    * (a quote inside a long doc has near-zero Jaccard). Collapse
+    * first, probe-side-only prefixes, exact sorted-merge verification
+    * with the cross-multiplied integer threshold — the whole pipeline
+    * replays in DuckDB over string shingles (candidates differ by
+    * hash order, output doesn't). */
+  val q203ContainmentPairs = QueryDef(
+    "q203_containment_pairs",
+    """WITH sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |      generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1]))) AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+      |  WHERE len(ts) >= 2
+      |), grp AS (
+      |  SELECT s, min(doc_id) AS rep, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(len(s) AS BIGINT) AS ln
+      |  FROM sh WHERE len(s) >= 1 GROUP BY s
+      |), inv AS (
+      |  SELECT rep, ln, unnest(s) AS g FROM grp
+      |), dft AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS df FROM inv GROUP BY g
+      |), pos AS (
+      |  SELECT i.rep, i.ln, i.g,
+      |    row_number() OVER (PARTITION BY i.rep ORDER BY d.df, i.g) AS p
+      |  FROM inv i JOIN dft d ON i.g = d.g
+      |), pref AS (
+      |  SELECT rep, ln, g FROM pos
+      |  WHERE p <= ln - ((8 * ln + 9) // 10) + 1
+      |), cand AS (
+      |  SELECT DISTINCT x.rep AS id_src, y.rep AS id_dst
+      |  FROM pref x JOIN inv y ON x.g = y.g AND x.rep <> y.rep
+      |  WHERE 10 * y.ln >= 8 * x.ln
+      |), ver AS (
+      |  SELECT c.id_src, c.id_dst, a.n AS n_src, b.n AS n_dst,
+      |    CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+      |    a.ln AS ln_src
+      |  FROM cand c
+      |  JOIN grp a ON a.rep = c.id_src
+      |  JOIN grp b ON b.rep = c.id_dst
+      |)
+      |SELECT id_src, id_dst, n_src, n_dst,
+      |  CAST(inter AS DOUBLE) / ln_src AS containment
+      |FROM ver WHERE 10 * inter >= 8 * ln_src
+      |ORDER BY id_src, id_dst""".stripMargin) { (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "text", "doc_id",
+        shingleK = 2, thresholdNum = 8, thresholdDen = 10)
+      .orderBy(col("id_src"), col("id_dst"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20DedupExact, q21TokenStats, q22Quality, q23LangAgg, q24LangId,
     q25MinhashPairs, q26Simhash, q27NgramJaccard, q28Fingerprint,
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
     q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn,
     q102StratifiedSample, q184SplitLeakage, q192PrefixJaccard,
-    q193HardNegatives)
+    q193HardNegatives, q202AudioFrames, q203ContainmentPairs)
 }

@@ -104,6 +104,30 @@ object Multimodal {
       * parse (corrupt/truncated/unknown container) and for
       * zero-sample streams — dropped downstream, never faked. */
     def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+      pcm16leWithFormat(payload).flatMap { case (src, bytes) =>
+        val nSamples = bytes.length / 2
+        if (nSamples == 0) None
+        else {
+          val hist = new Array[Long](8)
+          var i = 0
+          while (i < nSamples * 2) {
+            // little-endian signed 16-bit
+            val s = (bytes(i) & 0xFF) | (bytes(i + 1).toInt << 8)
+            hist(math.min(math.abs(s) >> 12, 7)) += 1
+            i += 2
+          }
+          val n = nSamples.toFloat
+          Some((src.getSampleRate.toInt, src.getChannels,
+            nSamples / src.getChannels, hist.map(c => c / n)))
+        }
+      }
+
+    /** The decode half of [[decodeAudio]] alone: payload → (source
+      * format, canonical 16-bit signed little-endian PCM bytes) —
+      * shared with sample-level consumers ([[audioFrameFeatures]]).
+      * None for anything the JDK cannot parse. */
+    private[Multimodal] def pcm16leWithFormat(payload: Array[Byte])
+        : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
       try {
         val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
@@ -115,26 +139,12 @@ object Multimodal {
             src.getChannels * 2, src.getSampleRate, false)
           val pcm = javax.sound.sampled.AudioSystem
             .getAudioInputStream(target, in)
-          try {
-            val bytes = pcm.readAllBytes()
-            val nSamples = bytes.length / 2
-            if (nSamples == 0) None
-            else {
-              val hist = new Array[Long](8)
-              var i = 0
-              while (i < nSamples * 2) {
-                // little-endian signed 16-bit
-                val s = (bytes(i) & 0xFF) | (bytes(i + 1).toInt << 8)
-                hist(math.min(math.abs(s) >> 12, 7)) += 1
-                i += 2
-              }
-              val n = nSamples.toFloat
-              Some((src.getSampleRate.toInt, src.getChannels,
-                nSamples / src.getChannels, hist.map(c => c / n)))
-            }
-          } finally pcm.close()
+          try Some((src, pcm.readAllBytes())) finally pcm.close()
         } finally in.close()
       } catch { case _: Exception => None }
+
+    def pcm16le(payload: Array[Byte]): Option[Array[Byte]] =
+      pcm16leWithFormat(payload).map(_._2)
 
     // ---- video: REAL container-metadata parse (round 9) -------------
     // The JDK ships no video CODEC, so pixel-level frame decode stays
@@ -385,6 +395,62 @@ object Multimodal {
         MediaCodec.decodeBatch(batch.toArray)
       }
     }
+  }
+
+  /** One audio frame's features: exact-integer energy (Σ s² over the
+    * frame's 16-bit samples) and zero-crossing count — no floats
+    * anywhere, so the rows are bit-stable across layouts and retries
+    * by construction (derive RMS/rates downstream when needed). */
+  final case class AudioFrame(media_id: Long, frame_idx: Int,
+                              n_samples: Int, energy: Long,
+                              zero_crossings: Long)
+
+  /** Per-frame audio feature extraction — the VAD/segmentation front
+    * end of an audio curation pipeline (silence trimming, energy
+    * gating, speech/noise heuristics all read exactly these two
+    * features): decode the payload to canonical 16-bit PCM (the
+    * [[MediaCodec.decodeAudio]] pure-JDK path), split the interleaved
+    * sample stream into `frameSize`-sample frames, and emit one row
+    * per frame with Σ s² (fits a long: frameSize·(2^15)² overflows
+    * only past frameSize ≈ 2^33) and the sign-change count between consecutive
+    * samples within the frame. The last partial frame is kept with
+    * its true n_samples. Non-audio kinds, corrupt payloads, and
+    * zero-sample streams are dropped (the decode discipline), never
+    * faked. Partition-parallel `mapPartitions` (the sanctioned
+    * multimodal codec seam); per-row output is ⌈samples/frameSize⌉
+    * rows — linear in audio length, no shuffle. */
+  def audioFrameFeatures(media: Dataset[MediaRow],
+                         frameSize: Int = 256): Dataset[AudioFrame] = {
+    require(frameSize > 0 && frameSize < (1 << 20),
+      s"frameSize must be in (0, 2^20), got $frameSize")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.kind != "audio" || m.payload == null) Iterator.empty
+      else MediaCodec.pcm16le(m.payload) match {
+        case None => Iterator.empty
+        case Some(bytes) =>
+          val nSamples = bytes.length / 2
+          if (nSamples == 0) Iterator.empty
+          else (0 until (nSamples + frameSize - 1) / frameSize).iterator
+            .map { f =>
+              val start = f * frameSize
+              val end = math.min(start + frameSize, nSamples)
+              var energy = 0L
+              var zc = 0L
+              var prev = 0
+              var i = start
+              while (i < end) {
+                val s = ((bytes(2 * i) & 0xFF) |
+                  (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+                energy += s.toLong * s
+                if (i > start && ((s < 0) != (prev < 0))) zc += 1
+                prev = s
+                i += 1
+              }
+              AudioFrame(m.media_id, f, end - start, energy, zc)
+            }
+      }
+    })
   }
 
   /** Frame sampling plumbing: slice `n` evenly-spaced byte windows

@@ -82,9 +82,12 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.GraphQueries.q198SeedDistance, // iterative min-relaxation BFS
     CurationQueries.q200PercentileNorm, // rank/count division with id tiebreak
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
+    graft.queries.DataQueries.q202AudioFrames, // integer-only PCM frame features
+    graft.queries.DataQueries.q203ContainmentPairs, // collapse + probe-prefix join
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
+    CorpusQueries.q204LmSidecar,        // additive bigram counts + LM scoring
     RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank
     ScaleQueries.q136NearDupSidecar,    // band join + signature estimator
     ScaleQueries.q143StreamingCuration) // curation body + state plumbing

@@ -815,4 +815,42 @@ class DedupSpec extends SparkSpec {
       s"boundary pair missing from $got")
     assert(!got.exists(p => p._1 == 1L && p._2 == 3L), s"sub-threshold pair kept: $got")
   }
+
+  test("containmentPairs: finds the quote-inside-a-long-doc case Jaccard misses") {
+    // doc 1 = 5 tokens, fully contained in doc 2 (25 tokens):
+    // C(1→2) = 1.0 but Jaccard = 5/25 = 0.2 — q192 at t=0.3 drops it
+    val quote = "q1 q2 q3 q4 q5"
+    val long = quote + " " + (1 to 20).map(i => s"f$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, long), (3L, "zz1 zz2 zz3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+        shingleK = 1, thresholdNum = 8, thresholdDen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(got === Map((1L, 2L) -> 1.0), s"got $got")
+    // asymmetry: C(2→1) = 5/25 = 0.2 — absent; doc 3 unrelated — absent
+    val jac = Dedup.prefixJaccardPairs(df, "text", "doc_id",
+        shingleK = 1, thresholdNum = 3, thresholdDen = 10)
+      .collect()
+    assert(jac.isEmpty, "the same pair is invisible to a 0.3 Jaccard join")
+  }
+
+  test("containmentPairs: exact threshold boundary and collapse multiplicities") {
+    // src has 10 tokens, 8 shared with dst → C = 8/10 = exactly 0.8 kept;
+    // src2 has 10 tokens, 7 shared → 0.7 dropped at t = 8/10
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " a1 a2"),
+      (2L, shared + " b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"),
+      (3L, (1 to 7).map(i => s"s$i").mkString(" ") + " c1 c2 c3"),
+      (4L, shared + " a1 a2")) // duplicate of doc 1 → multiplicity 2
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+        shingleK = 1, thresholdNum = 8, thresholdDen = 10)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.contains((1L, 2L)), s"exact-boundary 0.8 pair must be kept: $got")
+    assert(got((1L, 2L)) === ((2L, 1L, 0.8)), "src multiplicity counts doc 4")
+    assert(!got.keySet.exists(p => p._1 == 3L), "0.7 < 0.8 dropped")
+  }
 }

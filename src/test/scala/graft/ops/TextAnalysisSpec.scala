@@ -293,6 +293,26 @@ class TextAnalysisSpec extends SparkSpec {
       s"salad ${got(99L)._2} must exceed template ${got(1L)._2}")
   }
 
+  test("bigram-LM sidecar: incremental appends + compaction score " +
+      "BIT-EQUAL to the from-scratch LM") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-sidecar").toString
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 1), "text", dir)
+    TextAnalysis.compactBigramSidecar(spark, dir)
+    val fromSidecar = TextAnalysis
+      .lmCrossEntropyFromSidecar(spark, dir, docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val fromScratch = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(fromSidecar.length > 0)
+    assert(fromSidecar.toSeq === fromScratch.toSeq)
+  }
+
   test("tfidfKeywords: hand-computed scores, rank cap, term tiebreak") {
     // 3 docs; "common" in all (idf = ln 1 = 0), "rare" only in doc 1
     val docs = Seq(

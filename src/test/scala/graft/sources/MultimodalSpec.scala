@@ -286,4 +286,53 @@ class MultimodalSpec extends SparkSpec {
     assert(scores.sameElements(scores.sorted.reverse), "descending cosine order")
     assert(!topk.map(_.getLong(0)).contains(0L), "query item excluded")
   }
+
+  private def wavOf(samples: Array[Short]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFrameFeatures: exact per-frame energy and zero crossings, " +
+      "partial last frame, non-audio dropped") {
+    // 6 samples, frameSize 4 → frames [0,100,-100,100] and [-2,0]
+    // frame 0: energy = 0+10000+10000+10000 = 30000,
+    //          zc: 0→100 no (both ≥0), 100→-100 yes, -100→100 yes → 2
+    // frame 1: energy = 4+0 = 4, zc: -2→0 yes (neg → ≥0) → 1
+    val wav = wavOf(Array[Short](0, 100, -100, 100, -2, 0))
+    val media = Seq(
+      Multimodal.MediaRow(7L, "audio", "audio/wav", wav, Map.empty),
+      Multimodal.MediaRow(8L, "image", "image/png",
+        Multimodal.syntheticPng(8L), Map.empty)).toDS()
+    val got = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().sortBy(_.frame_idx)
+    assert(got.length === 2, "image row dropped, audio yields 2 frames")
+    assert(got(0) === Multimodal.AudioFrame(7L, 0, 4, 30000L, 2L))
+    assert(got(1) === Multimodal.AudioFrame(7L, 1, 2, 4L, 1L))
+  }
+
+  test("audioFrameFeatures: frame rows tile the synthetic stream exactly") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.audioFrameFeatures(media, frameSize = 100)
+      .toDF().groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("n_samples")).as("tot"))
+      .collect()
+    // audio rows are i % 3 == 1; syntheticWav has 256 samples →
+    // 3 frames of (100, 100, 56)
+    assert(frames.length === 10)
+    frames.foreach { r =>
+      assert(r.getLong(1) === 3L && r.getLong(2) === 256L, r.toString)
+    }
+  }
 }
