@@ -336,4 +336,28 @@ class PlanQualitySpec extends SparkSpec {
     // per-query ranking is group-limited map-side before the shuffle
     assert(plan.contains("WindowGroupLimit"), plan.take(1200))
   }
+
+  test("TF-IDF keywords (q199): the per-doc rank <= k rides WindowGroupLimit; " +
+      "the only nested loop is the 1-row n_docs broadcast") {
+    val plan = executed(
+      graft.queries.CorpusQueries.q199TfidfKeywords.fn(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("containment join (q203): candidates come from a token EQUALITY " +
+      "join — no cartesian anywhere in the pair generation") {
+    val plan = executed(
+      graft.queries.DataQueries.q203ContainmentPairs.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("personalized PageRank (q197): every join is keyed (hash/sort-merge " +
+      "or broadcast) — no cartesian in the 5-iteration chain") {
+    val plan = executed(
+      graft.queries.GraphQueries.q197PersonalizedPagerank.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
 }
