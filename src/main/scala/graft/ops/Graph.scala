@@ -251,4 +251,133 @@ object Graph {
     }
     dist
   }
+
+  /** Exact triangle counting over an undirected edge list — the
+    * clustering-structure metric next to the walk family above
+    * (PageRank sees global centrality; triangles see local cohesion:
+    * a co-purchase pair embedded in many triangles is a genuine
+    * product community, one with none is a coincidence).
+    *
+    * Algorithm: the degree-ordered node-iterator (the standard
+    * distributed formulation). Canonicalize to undirected distinct
+    * edges `{a,b}`, a ≠ b; orient every edge from its lower endpoint
+    * to its higher endpoint **in the total order (degree, id)**; then
+    * a triangle {a ≺ b ≺ c} is found exactly once — as the wedge
+    * (b, c) at apex a closed by the oriented edge b→c. The wedge pair
+    * and the closing edge MUST use the same (degree, id) order: pairing
+    * wedges by raw id while orienting edges by degree silently drops
+    * every triangle whose id order disagrees with its degree order.
+    *
+    * Scale design (the 100 TB story):
+    *  - orientation bounds the blow-up: in the oriented graph every
+    *    out-degree is ≤ O(√m) (a node of degree d only keeps edges to
+    *    HIGHER-degree neighbors, and there are < 2√m nodes of degree
+    *    ≥ √m ≈ d), so the wedge count Σ outdeg² is ≤ O(m^1.5) —
+    *    the optimum for exact counting — instead of Σ deg², which a
+    *    single hub node makes quadratic.
+    *  - every step is a keyed shuffle: wedges are the self equi-join
+    *    of the oriented edges on `s`; closure is an equi-join on the
+    *    composite (s,t) key. No cartesian anywhere (PlanQualitySpec).
+    *  - per-node counts redistribute each triangle to its three
+    *    corners (union of three projections + one map-side-combined
+    *    agg); the result is node-sized.
+    *
+    * Determinism: the count depends only on the edge SET (distinct
+    * inside; ties in the degree order broken by id, so the
+    * orientation is a function of the set). Exact longs end-to-end.
+    *
+    * @return (node, tri) — per-node triangle membership counts,
+    *         nodes with ≥ 1 triangle only
+    */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // undirected degree; localCheckpoint: `und` may be an expensive
+    // derivation (a support-thresholded co-occurrence projection) and
+    // is read three times below
+    val e0 = und.repartition(col("a")).localCheckpoint(true)
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient by (degree, id); carry the target's order key for the
+    // wedge pairing below
+    val oe = e0
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("s"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("t"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("db"))
+          .otherwise(col("da")).as("dt"))
+      .repartition(col("s"))
+      .localCheckpoint(true)
+    val w1 = oe.select(col("s"), col("t").as("v"), col("dt").as("dv"))
+    val w2 = oe.select(col("s"), col("t").as("w"), col("dt").as("dw"))
+    val wedges = w1.join(w2, Seq("s"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+    val tris = wedges.join(
+      oe.select(col("s").as("v"), col("t").as("w")), Seq("v", "w"))
+      .select(col("s").as("x"), col("v").as("y"), col("w").as("z"))
+    tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
+  /** Incremental edge sidecar — the graph's corpus statistics in the
+    * sidecar discipline ([[TextAnalysis.writeBigramCountSidecar]],
+    * the postings/token-count family): each ingestion batch appends
+    * its distinct (src, dst) pairs under the dir lock, and centrality
+    * jobs read the materialized edge list instead of re-deriving it
+    * from the (100 TB) fact tables on every run — the "materialize
+    * the edge list once" production path [[pageRankFp]]'s scaladoc
+    * promises.
+    *
+    * The consistency contract is STRONGER than the additive-count
+    * sidecars': PageRank depends only on the edge SET and
+    * [[pageRankFp]] dedups internally, so set-union appends are
+    * IDEMPOTENT — a retried or double-appended batch changes nothing
+    * even before compaction (the at-least-once double-count caveat
+    * the count sidecars must document simply does not arise).
+    * Compaction is therefore purely a file-count/size optimization:
+    * distinct-collapse + sort by src, converging under the shared
+    * backup-swap protocol. q206 hash-proves sidecar-fed PageRank ==
+    * one-shot PageRank against q188's own oracle. */
+  def writeEdgeSidecar(batch: DataFrame, srcCol: String, dstCol: String,
+                       sidecarDir: String): Unit =
+    graft.sources.Sinks.withDirLock(
+      batch.sparkSession, sidecarDir, "writeEdgeSidecar") {
+      batch
+        .select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .distinct()
+        .write.mode("append").parquet(sidecarDir)
+    }
+
+  /** Distinct-collapse + src-sort compaction (idempotent — see
+    * [[writeEdgeSidecar]]). */
+  def compactEdgeSidecar(spark: org.apache.spark.sql.SparkSession,
+                         sidecarDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = Some("src"),
+      transform = Some(_.select(col("src"), col("dst")).distinct()))
+
+  /** [[pageRankFp]] over the sidecar's edge set — centrality without
+    * re-reading the corpus. */
+  def pageRankFromEdgeSidecar(spark: org.apache.spark.sql.SparkSession,
+                              sidecarDir: String,
+                              iters: Int = 5,
+                              checkpointEvery: Int = 0): DataFrame =
+    pageRankFp(spark.read.parquet(sidecarDir), "src", "dst",
+      iters = iters, checkpointEvery = checkpointEvery)
 }

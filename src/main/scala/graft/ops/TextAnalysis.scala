@@ -716,4 +716,71 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Windowed skip-gram co-occurrence with PMI association scoring —
+    * the GloVe/word2vec X-matrix primitive: which words appear within
+    * `window` positions of each other, weighted by proximity, and
+    * which of those co-occurrences are ABOVE-CHANCE (PMI > 0). The
+    * adjacency family ([[collocations]] lift, bigram LM) sees only
+    * distance-1 pairs; the skip-gram window is what embedding
+    * training and query-expansion actually consume.
+    *
+    * Semantics (every number externally replayable):
+    *  - pairs are DIRECTED left→right occurrences (w1 at position i,
+    *    w2 at i+d, 1 ≤ d ≤ window), never crossing a document
+    *    boundary;
+    *  - `c` — exact pair occurrence count; `xw` — the GloVe distance
+    *    weight Σ lcm(1..window)/d as an exact long (d divides the
+    *    lcm, so the division is integer-exact; for window=2 this is
+    *    2·c₁ + c₂ in half-units);
+    *  - `pmi` = round(ln((c·T)/(cl·cr)), 6) as DECIMAL(18,6), where
+    *    cl/cr are the left/right marginals and T the total pair
+    *    count — marginals over the FULL distribution (the `minCount`
+    *    report filter must not bias the probability model), one IEEE
+    *    expression tree shared with the oracle (the BM25-idf
+    *    discipline). Plain PMI over-scores rare pairs, which is why
+    *    reported pairs need `c ≥ minCount` — the standard guard; only
+    *    positive associations (PMI > 0 after rounding) are reported.
+    *
+    * Shape at scale: position explosion is len·window (window fixed
+    * and small); the first aggregation occurrence-compresses to the
+    * (w1, w2) table, which Zipf keeps far below vocab²; marginals
+    * roll up from it (map-side combine); T is a broadcast 1-row cross
+    * join; the per-w1 rank ≤ k rides WindowGroupLimit. No step is
+    * quadratic in corpus size. */
+  def skipgramPmi(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int = 2, minCount: Long = 3L,
+                  k: Int = 5): DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"skipgramPmi: window must be in [1, 8], got $window")
+    val lcmV = (1 to window).foldLeft(1L) { (a, b) =>
+      a / java.math.BigInteger.valueOf(a).gcd(
+        java.math.BigInteger.valueOf(b.toLong)).longValue() * b
+    }
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("i", "term")))
+    val left = pos.select(col("id"), col("i"), col("term").as("w1"),
+      explode(sequence(col("i") + lit(1), col("i") + lit(window))).as("j"))
+    val right = pos.select(col("id"), col("i").as("j"), col("term").as("w2"))
+    val cd = left.join(right, Seq("id", "j"))
+      .select(col("w1"), col("w2"), (col("j") - col("i")).as("d"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c"),
+        sum(expr(s"$lcmV div d")).as("xw"))
+    val lm = cd.groupBy("w1").agg(sum(col("c")).as("cl"))
+    val rm = cd.groupBy("w2").agg(sum(col("c")).as("cr"))
+    val tt = broadcast(cd.agg(coalesce(sum(col("c")), lit(0L)).as("t")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("pmi").desc, col("w2"))
+    cd.filter(col("c") >= minCount)
+      .join(lm, "w1").join(rm, "w2").crossJoin(tt)
+      .withColumn("pmi", round(log(
+          (col("c").cast("double") * col("t").cast("double")) /
+            (col("cl").cast("double") * col("cr").cast("double"))), 6)
+        .cast("decimal(18,6)"))
+      .filter(col("pmi") > 0)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select("w1", "w2", "c", "xw", "pmi", "rnk")
+  }
 }

@@ -804,6 +804,50 @@ object CorpusQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Round-11: windowed skip-gram PMI associations
+    * ([[TextAnalysis.skipgramPmi]]) — the GloVe/word2vec co-occurrence
+    * matrix with distance weighting (exact half-units) and PMI scored
+    * through the shared round-ln-DECIMAL discipline; top-5 positive
+    * associations per left word, min pair count 3. The oracle replays
+    * the window as a position range join and the identical IEEE
+    * expression tree. */
+  val q207SkipgramPmi = QueryDef(
+    "q207_skipgram_pmi",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pos AS (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, len(ts)),
+      |            i -> {'i': i, 'term': ts[i]})) AS p
+      |        FROM t),
+      |pairs AS (SELECT a.p.term AS w1, b.p.term AS w2, b.p.i - a.p.i AS d
+      |          FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+      |            AND b.p.i - a.p.i >= 1 AND b.p.i - a.p.i <= 2),
+      |cd AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c,
+      |              CAST(sum(2 // d) AS BIGINT) AS xw
+      |       FROM pairs GROUP BY 1, 2),
+      |lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cl FROM cd GROUP BY 1),
+      |rm AS (SELECT w2, CAST(sum(c) AS BIGINT) AS cr FROM cd GROUP BY 1),
+      |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cd),
+      |scored AS (SELECT w1, w2, c, xw,
+      |    CAST(round(ln(CAST(c AS DOUBLE) * CAST(t AS DOUBLE) /
+      |        (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS pmi
+      |  FROM cd JOIN lm USING (w1) JOIN rm USING (w2), tt
+      |  WHERE c >= 3)
+      |SELECT w1, w2, c, xw, CAST(pmi AS DOUBLE) AS pmi, rnk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY w1 ORDER BY pmi DESC, w2) AS INT) AS rnk
+      |  FROM scored WHERE pmi > 0)
+      |WHERE rnk <= 5 ORDER BY w1, w2""".stripMargin) { (s, d) =>
+    // ranking/tiebreaks run on the DECIMAL pmi (order-stable); only
+    // the OUTPUT column drops to double (the standing decimal-output
+    // rule — a decimal cell reaches pandas as Decimal on one side and
+    // float64 on the other and never hash-matches)
+    TextAnalysis.skipgramPmi(Tables.documents(s, d), "doc_id", "text",
+        window = 2, minCount = 3L, k = 5)
+      .withColumn("pmi", col("pmi").cast("double"))
+      .orderBy("w1", "w2")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q150SourceCap, q151TokenRarity, q152SemanticDecontam,
     q153NormalizedDedup, q154BpeMerges, q155BpeTokenCounts,
@@ -811,5 +855,5 @@ object CorpusQueries {
     q159KnnJoinIvfPqStored, q160DsirSelect, q167RemoveDupSpansByQuality,
     q168TokenRaritySidecar, q190Collocations, q191NoveltyCurve,
     q194BigramCoherence, q195BigramLm, q196LmCrossEntropy,
-    q199TfidfKeywords, q204LmSidecar)
+    q199TfidfKeywords, q204LmSidecar, q207SkipgramPmi)
 }

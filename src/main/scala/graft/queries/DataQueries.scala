@@ -597,6 +597,20 @@ object DataQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** Round-11: image near-duplicate pairs by banded perceptual hash
+    * ([[graft.sources.Multimodal.imageNearDupPairs]]) — real
+    * `javax.imageio` decode to a deterministic 64-bit dHash, 4×16-bit
+    * band equality join (exact recall at Hamming ≤ 3 by pigeonhole),
+    * exact popcount verification. Rows-only: the oracle cannot replay
+    * an imageio raster decode; MultimodalSpec pins the hash and the
+    * recall guarantee, and the corpus plants every-5th-id near-dups
+    * the query must recover. */
+  val q208ImageNearDups = QueryDef.rowsOnly("q208_image_near_dups") { (s, _) =>
+    import graft.sources.Multimodal
+    Multimodal.imageNearDupPairs(Multimodal.syntheticImageCorpus(s, 400))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Round-11: EXACT containment join ([[Dedup.containmentPairs]]) —
     * the asymmetric companion of q192: C(src→dst) = |∩|/|S_src| ≥ 0.8
     * catches sub-document copying that Jaccard structurally misses
@@ -655,5 +669,6 @@ object DataQueries {
     q29TokenExplode, q40CosineTopk, q41LshAnn, q47IvfAnn, q54EmbeddingDedup,
     q55Multimodal, q92HeavyHitters, q96PipelineE2e, q99MultimodalAnn,
     q102StratifiedSample, q184SplitLeakage, q192PrefixJaccard,
-    q193HardNegatives, q202AudioFrames, q203ContainmentPairs)
+    q193HardNegatives, q202AudioFrames, q203ContainmentPairs,
+    q208ImageNearDups)
 }

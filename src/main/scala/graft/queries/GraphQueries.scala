@@ -227,6 +227,122 @@ object GraphQueries {
       .orderBy("kind", "dist")
   }
 
+  /** Exact triangle counting ([[Graph.triangleCounts]]) over the
+    * support-thresholded co-purchase projection: parts are linked
+    * when they appear together in ≥ 2 distinct orders. The support
+    * threshold is the density guard — the RAW projection of a
+    * bipartite order⋈part graph is near-complete (1.2 M edges on
+    * 20 k parts at sf0.1) and any triangle count over it measures
+    * noise; support ≥ 2 keeps the repeat co-purchases (3.8 k edges),
+    * which is exactly the market-basket "minimum support" move.
+    *
+    * Per-order pair generation is bounded by order size (≤ 7 line
+    * items per order at any corpus scale — the blow-up adds ORDERS,
+    * not lines per order), so the projection is linear in lineitem;
+    * the (degree, id) orientation inside the operator bounds wedge
+    * generation at O(m^1.5). Output: top-10 parts by triangle
+    * membership plus the global triangle count — bounded at any
+    * scale. The oracle replays every step including the orientation
+    * tie-break, so the hash check covers the exact wedge order. */
+  val q205TriangleCounts = QueryDef(
+    "q205_triangle_counts",
+    """WITH lo AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |pe AS (
+      |  SELECT a.p AS p1, b.p AS p2
+      |  FROM lo a JOIN lo b ON a.o = b.o AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+      |        (SELECT p1 AS n FROM pe UNION ALL SELECT p2 AS n FROM pe)
+      |        GROUP BY n),
+      |oe AS (SELECT CASE WHEN (da.d, p1) < (db.d, p2) THEN p1 ELSE p2 END AS s,
+      |              CASE WHEN (da.d, p1) < (db.d, p2) THEN p2 ELSE p1 END AS t,
+      |              CASE WHEN (da.d, p1) < (db.d, p2) THEN db.d ELSE da.d END AS dt
+      |       FROM pe JOIN deg da ON da.n = pe.p1 JOIN deg db ON db.n = pe.p2),
+      |tri AS (SELECT e1.s AS x, e1.t AS y, e2.t AS z
+      |        FROM oe e1 JOIN oe e2 ON e1.s = e2.s
+      |          AND (e1.dt, e1.t) < (e2.dt, e2.t)
+      |        JOIN oe e3 ON e3.s = e1.t AND e3.t = e2.t),
+      |pn AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS tri FROM
+      |       (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+      |        UNION ALL SELECT z FROM tri) GROUP BY n)
+      |SELECT kind, node_key, tri, rnk FROM (
+      |  SELECT 'node' AS kind, node AS node_key, tri,
+      |         CAST(ROW_NUMBER() OVER (ORDER BY tri DESC, node) AS INT) AS rnk
+      |  FROM pn) WHERE rnk <= 10
+      |UNION ALL
+      |SELECT 'total', CAST(-1 AS BIGINT),
+      |       CAST(COALESCE((SELECT SUM(tri) FROM pn), 0) // 3 AS BIGINT),
+      |       CAST(0 AS INT)
+      |ORDER BY kind, rnk""".stripMargin) { (s, d) =>
+    val lo = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val pe = lo.as("x").join(lo.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+      .select("p1", "p2")
+    val tri = Graph.triangleCounts(pe, "p1", "p2")
+    val w = Window.orderBy(col("tri").desc, col("node"))
+    val top = tri
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 10)
+      .select(lit("node").as("kind"), col("node").as("node_key"),
+        col("tri"), col("rnk"))
+    val total = tri
+      .agg(coalesce(sum(col("tri")), lit(0L)).as("st"))
+      .select(lit("total").as("kind"), lit(-1L).as("node_key"),
+        expr("st div 3").as("tri"), lit(0).as("rnk"))
+    top.unionByName(total).orderBy("kind", "rnk")
+  }
+
+  /** Incremental edge sidecar → PageRank ([[Graph.writeEdgeSidecar]]
+    * family): the co-purchase edge list is ingested in three
+    * order-partitioned batches — with batch 0 deliberately appended
+    * TWICE to exercise the idempotence contract (PageRank depends
+    * only on the edge set; set-union appends make a duplicated batch
+    * a no-op even before compaction) — then compacted and fed to
+    * [[Graph.pageRankFromEdgeSidecar]]. The oracle is **q188's own
+    * SQL verbatim**, so the hash check proves incremental == one-shot
+    * bit-for-bit (the q204 discipline applied to the graph family). */
+  val q206PagerankSidecar = QueryDef(
+    "q206_pagerank_sidecar",
+    q188CopurchasePagerank.oracle.get) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q206_edge_sidecar_$sf"
+    }
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"),
+        col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    def batch(i: Int) = {
+      val p = pairs.filter(col("ok") % 3 === i)
+      p.select(col("cust").as("src"), (col("supp") + Off).as("dst"))
+        .unionByName(
+          p.select((col("supp") + Off).as("src"), col("cust").as("dst")))
+    }
+    Graph.writeEdgeSidecar(batch(0), "src", "dst", dir)
+    Graph.writeEdgeSidecar(batch(1), "src", "dst", dir)
+    Graph.writeEdgeSidecar(batch(2), "src", "dst", dir)
+    // the duplicated batch: must change NOTHING (set semantics)
+    Graph.writeEdgeSidecar(batch(0), "src", "dst", dir)
+    Graph.compactEdgeSidecar(s, dir)
+    val pr = Graph.pageRankFromEdgeSidecar(s, dir, iters = Iters)
+    val w = Window.partitionBy("kind").orderBy(col("rank_fp").desc, col("node"))
+    pr.select(
+        when(col("node") >= Off, lit("supp")).otherwise(lit("cust")).as("kind"),
+        when(col("node") >= Off, col("node") - Off).otherwise(col("node")).as("node_key"),
+        col("rank_fp"), col("degree"), col("node"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 10)
+      .select("kind", "node_key", "rank_fp", "degree", "rnk")
+      .orderBy("kind", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(q188CopurchasePagerank,
-    q197PersonalizedPagerank, q198SeedDistance)
+    q197PersonalizedPagerank, q198SeedDistance, q205TriangleCounts,
+    q206PagerankSidecar)
 }

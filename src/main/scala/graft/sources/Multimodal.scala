@@ -90,6 +90,66 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
+    /** 64-bit perceptual difference hash (dHash) over the decoded
+      * raster — the image analogue of the text family's SimHash: two
+      * images that differ by re-encoding, slight noise, or small
+      * edits land within a few bits; unrelated images are ~32 bits
+      * apart (each bit is an independent coin for random inputs).
+      *
+      * Fully deterministic, no interpolation library: integer luma
+      * per pixel (the [[decodeImage]] formula), an exact box-average
+      * downscale onto a 9×8 grid (pixel (x,y) belongs to cell
+      * (x·9/w, y·8/h) — every pixel in exactly one cell, every cell
+      * non-empty for w ≥ 9, h ≥ 8; cell value = integer mean), and
+      * bit (cy·8+cx) = 1 iff cell(cx+1) > cell(cx) in row cy — the
+      * horizontal gradient signature. Images below 9×8 return None
+      * (beneath hash resolution — a 2-px thumbnail has no perceptual
+      * content to compare; dropped, never faked). */
+    def dhash64(img: java.awt.image.BufferedImage): Option[Long] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 9 || h < 8) None
+      else {
+        val sum = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xFF) * 299 +
+              ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000
+            sum(cy)(x * 9 / w) += lum
+            cnt(cy)(x * 9 / w) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var bits = 0L
+        var cy = 0
+        while (cy < 8) {
+          var cx = 0
+          while (cx < 8) {
+            if (sum(cy)(cx + 1) / cnt(cy)(cx + 1) >
+                sum(cy)(cx) / cnt(cy)(cx))
+              bits |= 1L << (cy * 8 + cx)
+            cx += 1
+          }
+          cy += 1
+        }
+        Some(bits)
+      }
+    }
+
+    /** [[dhash64]] from encoded bytes: None for undecodable payloads
+      * AND sub-9×8 rasters. */
+    def imageDHash(payload: Array[Byte]): Option[Long] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))).flatMap(dhash64)
+      } catch { case _: Exception => None }
+
     /** REAL audio decode — pure-JDK `javax.sound.sampled` (WAV, AIFF,
       * AU file readers ship with the JRE): the payload parses through
       * `AudioSystem`, converts to canonical 16-bit signed
@@ -394,6 +454,88 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         MediaCodec.decodeBatch(batch.toArray)
       }
+    }
+  }
+
+  /** Image near-duplicate pairs by banded dHash — visual dedup for a
+    * multimodal corpus (re-encoded/re-scaled/lightly-edited copies of
+    * the same picture), the [[graft.ops.Dedup]] banding discipline
+    * applied to [[MediaCodec.dhash64]]:
+    *
+    *  - decode+hash is one partition-parallel pass at the codec seam
+    *    (64 bits per image out — the corpus-sized payload column never
+    *    shuffles);
+    *  - the 64-bit hash splits into four 16-bit bands; candidates
+    *    share ≥ 1 band via an EQUALITY join on (band, key) — never a
+    *    cross join — and verify by exact popcount on the two hashes.
+    *    Pigeonhole makes recall at `maxDist` ≤ 3 EXACT: ≤ 3 differing
+    *    bits touch ≤ 3 of the 4 bands, so one band always matches
+    *    (the q192 prefix-filter completeness argument); `maxDist` is
+    *    therefore capped at 3 — a larger radius would silently turn
+    *    the guarantee probabilistic.
+    *
+    * Scale: band keys are 16-bit, so a band-bucket's size tracks the
+    * corpus's true near-dup density (Zipf-benign for photos; a
+    * monoculture corpus of identical frames degenerates the same way
+    * every LSH does — the bucketCap treatment in [[graft.ops.Dedup]]
+    * is the escape hatch if needed). Output is id-ordered distinct
+    * pairs with their exact distance. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxDist: Int = 3)
+      : DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"imageNearDupPairs: 4x16-bit banding guarantees recall only to " +
+        s"Hamming distance 3, got maxDist=$maxDist")
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    val hashed = media
+      .filter(_.kind == "image")
+      .mapPartitions(_.flatMap(m =>
+        Option(m.payload).flatMap(MediaCodec.imageDHash)
+          .map(h => (m.media_id, h))))
+      .toDF("media_id", "h")
+    val bands = hashed.select(col("media_id"), col("h"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("h"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("media_id"), col("h"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("media_id").as("id_a"), col("h").as("h_a"),
+      col("band"), col("key"))
+    val b = bands.select(col("media_id").as("id_b"), col("h").as("h_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b")
+      .distinct()
+      .withColumn("dist", expr("CAST(bit_count(h_a ^ h_b) AS INT)"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Deterministic image corpus with PLANTED near-duplicates for the
+    * visual-dedup query: ids ≡ 0 (mod 5) in 1..n are originals
+    * (16×16 deterministic PNGs, distinct gradients); ids ≡ 1 (mod 5)
+    * re-encode their predecessor with ONE pixel nudged by +8 luma —
+    * a perturbation that moves at most two 9×8 grid-cell means, so
+    * the pair's dHash distance is ≤ 2 and [[imageNearDupPairs]] must
+    * recover every planted pair. Remaining ids are unrelated. */
+  def syntheticImageCorpus(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val payload =
+        if (i % 5 == 1) {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(syntheticPng(i - 1, side = 16)))
+          val rgb = img.getRGB(3, 3)
+          val r = math.min(255, ((rgb >> 16) & 0xFF) + 8)
+          img.setRGB(3, 3, (r << 16) | (rgb & 0xFFFF))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        } else syntheticPng(i, side = 16)
+      MediaRow(i, "image", "image/png", payload,
+        Map("src" -> s"synthetic/$i"))
     }
   }
 

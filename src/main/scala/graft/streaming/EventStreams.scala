@@ -612,6 +612,55 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming bigram-LM sidecar maintenance — the language-model
+    * twin of [[runPostingsToSidecar]] and the incremental feed for
+    * [[graft.ops.TextAnalysis.lmCrossEntropyFromSidecar]]: each
+    * micro-batch appends its (w1, w2, c12) partials
+    * ([[graft.ops.TextAnalysis.writeBigramCountSidecar]]). A bigram
+    * never spans documents and documents arrive whole within one
+    * micro-batch (file-source rows are docs), so summed counts — and
+    * the full LM derived from them (c1/n_succ/n_prec/n_types all
+    * DERIVE from the summed table) — equal a from-scratch train over
+    * everything ingested, however the stream micro-batched
+    * (EventStreamsSpec proves scoring equality). At-least-once
+    * replays double-count, the standing sidecar contract. */
+  def runBigramLmToSidecar(docs: DataFrame, textCol: String,
+                           sidecarDir: String,
+                           checkpointDir: String): Unit = {
+    val q = docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TextAnalysis.writeBigramCountSidecar(batch, textCol,
+          sidecarDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Streaming graph-edge sidecar maintenance — the edge-set feed for
+    * [[graft.ops.Graph.pageRankFromEdgeSidecar]]: each micro-batch
+    * appends its distinct (src, dst) pairs
+    * ([[graft.ops.Graph.writeEdgeSidecar]]). The contract here is
+    * STRONGER than every other sidecar's: centrality depends only on
+    * the edge SET and the reader dedups, so even an at-least-once
+    * REPLAY is a no-op — set-union appends are idempotent, not just
+    * additive (no double-count caveat at all). */
+  def runEdgesToSidecar(edges: DataFrame, srcCol: String, dstCol: String,
+                        sidecarDir: String,
+                        checkpointDir: String): Unit = {
+    val q = edges.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Graph.writeEdgeSidecar(batch, srcCol, dstCol, sidecarDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming histogram-sidecar maintenance — the exact-count
     * percentile feed ([[graft.ops.Sketches.writeHistSidecar]]): each
     * micro-batch appends its (group, bin, cnt) partials; additive

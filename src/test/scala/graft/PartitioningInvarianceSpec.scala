@@ -84,10 +84,14 @@ class PartitioningInvarianceSpec extends SparkSpec {
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
     graft.queries.DataQueries.q202AudioFrames, // integer-only PCM frame features
     graft.queries.DataQueries.q203ContainmentPairs, // collapse + probe-prefix join
+    graft.queries.GraphQueries.q205TriangleCounts, // (deg,id)-oriented wedge join
+    CorpusQueries.q207SkipgramPmi,      // windowed pairs + PMI IEEE tree
+    graft.queries.DataQueries.q208ImageNearDups, // dHash bands + exact popcount
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
     CorpusQueries.q204LmSidecar,        // additive bigram counts + LM scoring
+    graft.queries.GraphQueries.q206PagerankSidecar, // idempotent edge-set appends
     RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank
     ScaleQueries.q136NearDupSidecar,    // band join + signature estimator
     ScaleQueries.q143StreamingCuration) // curation body + state plumbing

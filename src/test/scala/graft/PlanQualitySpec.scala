@@ -360,4 +360,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
   }
+
+  test("triangle counting (q205): wedge generation and closure are keyed " +
+      "equi-joins — no cartesian anywhere") {
+    val plan = executed(
+      graft.queries.GraphQueries.q205TriangleCounts.fn(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
+  test("skip-gram PMI (q207): position pairing is an equality join; the " +
+      "per-word rank <= k rides WindowGroupLimit; the only nested loop is " +
+      "the 1-row total broadcast") {
+    val plan = executed(
+      graft.queries.CorpusQueries.q207SkipgramPmi.fn(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
 }

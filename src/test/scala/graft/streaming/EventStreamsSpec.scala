@@ -666,4 +666,51 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.subsetOf(batch))
   }
+
+  test("streaming bigram-LM sidecar: cross-entropy scored off the merged " +
+      "counts equals the one-shot self-trained scoring") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sbglm")
+    val sidecar = root.resolve("lm").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq((1L, "the cat sat on the mat"), (2L, "the dog sat here"))
+    val b2 = Seq((3L, "the cat ran far"), (4L, "mat cat the on sat the"))
+    val mem = MemoryStream[(Long, String)]
+    def run() = runBigramLmToSidecar(mem.toDF().toDF("doc_id", "text"),
+      "text", sidecar, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    graft.ops.TextAnalysis.compactBigramSidecar(spark, sidecar)
+    val union = (b1 ++ b2).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"doc_id").collect().map(_.toString).toSeq
+    assert(canon(graft.ops.TextAnalysis.lmCrossEntropyFromSidecar(
+        spark, sidecar, union, "doc_id", "text")) ===
+      canon(graft.ops.TextAnalysis.lmCrossEntropy(union, "doc_id", "text")))
+  }
+
+  test("streaming edge sidecar: PageRank off the merged edge set equals " +
+      "the direct build — including after an at-least-once REPLAY of a " +
+      "batch (set-union appends are idempotent)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sedges")
+    val sidecar = root.resolve("edges").toString
+    val ckpt = root.resolve("ckpt").toString
+    val b1 = Seq((1L, 2L), (2L, 1L))
+    val b2 = Seq((2L, 3L), (3L, 2L), (2L, 1L))
+    val mem = MemoryStream[(Long, Long)]
+    def run() = runEdgesToSidecar(mem.toDF().toDF("src", "dst"),
+      "src", "dst", sidecar, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    // simulate the at-least-once replay: append batch 2 again directly
+    graft.ops.Graph.writeEdgeSidecar(b2.toDF("src", "dst"),
+      "src", "dst", sidecar)
+    val direct = graft.ops.Graph.pageRankFp(
+        (b1 ++ b2).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val fromSidecar = graft.ops.Graph.pageRankFromEdgeSidecar(spark, sidecar)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(fromSidecar === direct)
+  }
 }
