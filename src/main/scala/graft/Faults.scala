@@ -138,6 +138,48 @@ object Faults {
         "vec_id", "embedding")
       Seq(s"$w/centroids", s"$w/vectors")
     }),
+    ("append_edge_sidecar", (s: SparkSession, d: String, w: String) => {
+      // the round-11 graph sidecar's idempotence claim under injected
+      // retries: set-union appends make a replayed (here: deliberately
+      // double-appended) batch a semantic no-op, and compaction's
+      // distinct-collapse must converge to the same edge SET whether
+      // or not every write task ran twice
+      val Off = 1L << 41
+      val c = org.apache.spark.sql.functions.col _
+      val pairs = graft.sources.Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey")
+        .join(graft.sources.Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey"),
+          c("l_orderkey") === c("o_orderkey"))
+        .select(c("l_orderkey").as("ok"),
+          c("o_custkey").as("cust"), c("l_suppkey").as("supp"))
+      def batch(i: Int) = {
+        val p = pairs.filter(c("ok") % 2 === i)
+        p.select(c("cust").as("src"), (c("supp") + Off).as("dst"))
+          .unionByName(
+            p.select((c("supp") + Off).as("src"), c("cust").as("dst")))
+      }
+      graft.ops.Graph.writeEdgeSidecar(batch(0), "src", "dst", w)
+      graft.ops.Graph.writeEdgeSidecar(batch(1), "src", "dst", w)
+      graft.ops.Graph.writeEdgeSidecar(batch(0), "src", "dst", w)
+      graft.ops.Graph.compactEdgeSidecar(s, w)
+      Seq(w)
+    }),
+    ("append_bigram_sidecar", (s: SparkSession, d: String, w: String) => {
+      // the round-11 LM sidecar: additive (w1, w2, c12) counts over
+      // doc-disjoint batches; a retried write must neither lose nor
+      // double a batch's counts, and compaction's (w1, w2) re-sum must
+      // land on the from-scratch totals
+      val docs = graft.sources.Tables.documents(s, d)
+      graft.ops.TextAnalysis.writeBigramCountSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        "text", w)
+      graft.ops.TextAnalysis.writeBigramCountSidecar(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+        "text", w)
+      graft.ops.TextAnalysis.compactBigramSidecar(s, w)
+      Seq(w)
+    }),
     ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
       // two curateBatch calls = two micro-batches through the SAME
       // pipelineDir: the second batch's dedup/budget/pack state

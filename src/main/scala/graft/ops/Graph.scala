@@ -214,23 +214,38 @@ object Graph {
     * and after `maxHops` iterations the table holds exactly the
     * nodes within `maxHops` hops with their true min distances (BFS
     * on unweighted edges needs no further refinement). Unreached
-    * nodes are ABSENT, not ∞.
+    * nodes are ABSENT, not ∞. Seeds are retained at d = 0 when they
+    * are graph MEMBERS — a node appearing as a source OR as a sink
+    * (a seed with no out-edges still anchors d = 0 and can be
+    * reached; only ids absent from the edge list entirely are
+    * dropped, matching [[personalizedPageRankFp]]'s documented
+    * inner-join gating).
     *
     * Scale shape: the edge list is partitioned by `src` once and
     * reused every relaxation (the [[pageRankFp]] layout); the
     * distance table is node-sized and only ever SHRINKS relative to
     * the node set. Each iteration is one co-partitioned join + one
-    * min-agg with map-side combine. The oracle replays it as a
-    * recursive CTE whose UNION-dedup keeps the frontier polynomial
-    * (≤ nodes × maxHops (node, d) pairs — never path enumeration,
-    * which is exponential on a dense bipartite graph). */
+    * min-agg with map-side combine. Unlike [[pageRankFp]] (whose rank
+    * table enters its loop body ONCE, so the lazy plan grows
+    * linearly), each relaxation references `dist` TWICE — the join
+    * and the union — so the uncheckpointed logical plan TREE doubles
+    * per hop: ~2^h nodes at h hops, and Catalyst never finishes
+    * planning a 30-hop chain. `checkpointEvery` therefore defaults ON
+    * (4 → ≤ 16× tree growth between cuts); it bounds plan size, never
+    * results (GraphSpec proves setting-independence), and 0 — lazy
+    * end-to-end — is only safe for shallow bounds like q198's 3 hops.
+    * The oracle replays it as a recursive CTE whose UNION-dedup keeps
+    * the frontier polynomial (≤ nodes × maxHops (node, d) pairs —
+    * never path enumeration, which is exponential on a dense
+    * bipartite graph). */
   def seedDistance(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxHops: Int): DataFrame = {
+      maxHops: Int,
+      checkpointEvery: Int = 4): DataFrame = {
     require(maxHops >= 0 && maxHops <= 64,
       s"seedDistance: maxHops must be in [0, 64], got $maxHops")
     val e = edges
@@ -238,16 +253,24 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node")).distinct()
+    // the full node universe — sources AND sinks: a directed seed
+    // with no out-edges must still enter the frontier at d = 0 (it
+    // can be REACHED even though it relaxes nothing), else the min
+    // distance reported for it is wrong, not just conservative
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
     var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .join(nodes, "node")
       .select(col("node"), lit(0).as("d"))
-    for (_ <- 1 to maxHops) {
+    for (i <- 1 to maxHops) {
       val relaxed = e
         .join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("d")).as("d"))
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
+        dist = dist.localCheckpoint(true)
     }
     dist
   }

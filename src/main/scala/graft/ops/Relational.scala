@@ -593,13 +593,22 @@ object Relational {
     * non-ANSI decimal overflow return a silent NULL.
     *
     * Shape at scale: ONE map-side-combined aggregation (five sums),
-    * group-keyed shuffle of one row per group. */
+    * group-keyed shuffle of one row per group.
+    *
+    * NULL contract: rows with a NULL x or y carry no fit evidence and
+    * are EXCLUDED up front — so n always equals the rows whose
+    * moments were actually summed (a silent n/Σ mismatch would
+    * produce a wrong slope without tripping the loud overflow guard,
+    * whose job is decimal-envelope breaches only). A group with no
+    * non-null (x, y) rows is consequently ABSENT from the output. */
   def groupedOls(df: DataFrame, groupCols: Seq[String],
                  xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val x = col(xCol).cast("long").cast(dec)
     val y = col(yCol).cast("long").cast(dec)
-    val agg = df.groupBy(groupCols.map(col): _*)
+    val agg = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))

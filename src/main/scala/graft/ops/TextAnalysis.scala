@@ -520,8 +520,16 @@ object TextAnalysis {
     * 1-row cross joins. Output is the full LM table — compose with
     * `minCount`/top-k at the call site ([[lmCrossEntropy]] joins it;
     * q195 registers the top slice). */
-  def bigramLmTable(docs: DataFrame, textCol: String): DataFrame = {
-    val c12 = corpusBigramCounts(docs, textCol)
+  def bigramLmTable(docs: DataFrame, textCol: String): DataFrame =
+    adSmoothedLm(corpusBigramCounts(docs, textCol))
+
+  /** The AD-smoothing rollups + probability, parameterized over the
+    * (w1, w2, c12) count source — THE single home of the smoothing
+    * arithmetic: [[bigramLmTable]] (corpus scan) and
+    * [[lmTableFromC12]] (sidecar counts → logp) both build on it, so
+    * the formula cannot drift between the q195 p_ad surface and the
+    * logp the cross-entropy family consumes. */
+  private def adSmoothedLm(c12: DataFrame): DataFrame = {
     val starts = c12.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
     val conts = c12.groupBy("w2").agg(count(lit(1)).as("n_prec"))
@@ -588,27 +596,14 @@ object TextAnalysis {
       .agg(count(lit(1)).as("c12"))
   }
 
-  /** AD-smoothed logp table from a (w1, w2, c12) count table — the
-    * [[bigramLmTable]] arithmetic, parameterized over where the
-    * counts came from (a corpus scan or a compacted sidecar; equal
-    * counts ⇒ bit-equal probabilities). */
-  private def lmTableFromC12(c12: DataFrame): DataFrame = {
-    val starts = c12.groupBy("w1")
-      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_succ"))
-    val conts = c12.groupBy("w2").agg(count(lit(1)).as("n_prec"))
-    val types = c12.agg(count(lit(1)).as("n_types"))
-    c12.join(starts, "w1")
-      .join(conts, "w2")
-      .crossJoin(broadcast(types))
+  /** AD-smoothed logp table from a (w1, w2, c12) count table — ONE
+    * `ln` of [[adSmoothedLm]]'s p_ad double, rounded into DECIMAL;
+    * sharing the smoothing tree (rather than duplicating it) is what
+    * keeps q195's p_ad and this logp bit-coupled by construction. */
+  private def lmTableFromC12(c12: DataFrame): DataFrame =
+    adSmoothedLm(c12)
       .select(col("w1"), col("w2"),
-        round(log(
-          (lit(4L) * col("c12") - lit(3L)).cast("double") /
-            (lit(4L) * col("c1")).cast("double") +
-            ((lit(3L) * col("n_succ")).cast("double") /
-              (lit(4L) * col("c1")).cast("double")) *
-              (col("n_prec").cast("double") / col("n_types").cast("double"))), 6)
-          .cast("decimal(18,6)").as("logp"))
-  }
+        round(log(col("p_ad")), 6).cast("decimal(18,6)").as("logp"))
 
   /** Per-doc cross-entropy of `docs` under a (w1, w2, logp) LM table.
     * Doc bigrams absent from the LM are INNER-JOIN dropped — when the

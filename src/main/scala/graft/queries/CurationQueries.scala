@@ -353,7 +353,188 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Round-12: the composed quality-signal FEATURE TABLE — the wide
+    * (doc, features…) frame a fastText-class quality classifier
+    * trains on, joining every independently-oracled per-doc signal
+    * the engine computes into ONE plan: q22's heuristic quality
+    * ratios, q114's Gopher repetition signals, q151's token rarity,
+    * q194's bigram coherence, q196's LM cross-entropy, and q200's
+    * within-source percentile calibration (over the stored n_chars,
+    * exactly q200's semantics; the q22-derived n_chars column is
+    * length(text) as always). The q131-style composition proof: each
+    * stage is already hash-oracled alone, so the oracle here is the
+    * CTE chain of the component SQLs and the hash certifies they
+    * compose without interference.
+    *
+    * Coverage contract: one row per document with ≥ 2 tokens (the
+    * coherence/LM features need a bigram; sub-2-token docs carry no
+    * usable quality evidence and fail any length cut anyway) — inner
+    * joins throughout, so no nullable feature columns reach the
+    * output. All joins are doc-keyed equality joins; each signal's
+    * internal shape (occurrence compression, map-side combine,
+    * broadcast 1-row totals) is unchanged from its standalone query,
+    * and the feature assembly adds only doc-keyed hash joins — the
+    * whole table is one DAG, no driver round-trips
+    * (PlanQualitySpec pins the shuffle budget). */
+  val q209QualityFeatures = QueryDef(
+    "q209_quality_features",
+    """WITH fq AS (
+      |  SELECT doc_id, source, n_chars, n_tokens,
+      |    CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS mean_tok_len,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |    (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |  FROM (
+      |    SELECT doc_id, source, length(text) AS n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |    FROM documents)
+      |), rtoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), rbr AS (
+      |  SELECT doc_id, ts,
+      |    CAST(len(list_transform(generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS BIGINT) AS nb,
+      |    CAST(len(list_distinct(list_transform(generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS nbd
+      |  FROM rtoks
+      |), rex AS (
+      |  SELECT doc_id, nb, nbd, unnest(ts) AS w FROM rbr
+      |), rwc AS (
+      |  SELECT doc_id, nb, nbd, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM rex GROUP BY 1, 2, 3, 4
+      |), ragg AS (
+      |  SELECT doc_id, nb, nbd, CAST(sum(c) AS BIGINT) AS n_toks,
+      |         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_cnt
+      |  FROM rwc GROUP BY 1, 2, 3
+      |), frep AS (
+      |  SELECT doc_id,
+      |    CAST(n_toks - n_distinct AS DOUBLE) / n_toks AS dup_word_frac,
+      |    CAST(top_cnt AS DOUBLE) / n_toks AS top_word_share,
+      |    CASE WHEN nb = 0 THEN 0.0
+      |         ELSE CAST(nb - nbd AS DOUBLE) / nb END AS dup_bigram_frac
+      |  FROM ragg
+      |), ktoks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |), ktf AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ktoks GROUP BY w
+      |), frar AS (
+      |  SELECT t.doc_id, min(f.cnt) AS min_cnt,
+      |         round(CAST(sum(f.cnt) AS DOUBLE) / count(*), 6) AS mean_cnt
+      |  FROM ktoks t JOIN ktf f ON t.w = f.w GROUP BY t.doc_id
+      |), ct0 AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), ccu AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS cw
+      |  FROM (SELECT unnest(ts) AS w FROM ct0) GROUP BY w
+      |), cbg0 AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1),
+      |    i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+      |  FROM ct0 WHERE len(ts) >= 2
+      |), cdbg AS (
+      |  SELECT doc_id, b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS k
+      |  FROM cbg0 GROUP BY 1, 2, 3
+      |), ccbg AS (
+      |  SELECT w1, w2, CAST(sum(k) AS BIGINT) AS cb FROM cdbg GROUP BY 1, 2
+      |), cagg AS (
+      |  SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_pairs,
+      |    CAST(sum(CASE WHEN c.cb >= 3 THEN d.k ELSE 0 END) AS BIGINT)
+      |      AS supported_pairs,
+      |    sum(CAST(d.k AS HUGEINT) * c.cb) AS sum_bg
+      |  FROM cdbg d JOIN ccbg c ON d.w1 = c.w1 AND d.w2 = c.w2 GROUP BY 1
+      |), cug AS (
+      |  SELECT d.doc_id, sum(CAST(d.k1 AS HUGEINT) * u.cw) AS sum_ug
+      |  FROM (SELECT doc_id, w1, CAST(sum(k) AS BIGINT) AS k1
+      |        FROM cdbg GROUP BY 1, 2) d
+      |  JOIN ccu u ON u.w = d.w1 GROUP BY 1
+      |), fcoh AS (
+      |  SELECT a.doc_id,
+      |    CAST(a.supported_pairs AS DOUBLE) / a.n_pairs AS support_ratio,
+      |    CAST(a.sum_bg AS DOUBLE) / CAST(g.sum_ug AS DOUBLE) AS cond_ratio
+      |  FROM cagg a JOIN cug g ON g.doc_id = a.doc_id
+      |), est AS (
+      |  SELECT w1, CAST(sum(cb) AS BIGINT) AS c1,
+      |         CAST(count(*) AS BIGINT) AS n_succ FROM ccbg GROUP BY 1
+      |), ect AS (
+      |  SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM ccbg GROUP BY 1
+      |), ety AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_types FROM ccbg
+      |), elm AS (
+      |  SELECT ccbg.w1, ccbg.w2,
+      |    CAST(round(ln(
+      |      CAST(4 * ccbg.cb - 3 AS DOUBLE) / CAST(4 * est.c1 AS DOUBLE)
+      |      + (CAST(3 * est.n_succ AS DOUBLE) / CAST(4 * est.c1 AS DOUBLE))
+      |        * (CAST(ect.n_prec AS DOUBLE) / CAST(ety.n_types AS DOUBLE))), 6)
+      |      AS DECIMAL(18,6)) AS logp
+      |  FROM ccbg JOIN est USING (w1) JOIN ect USING (w2), ety
+      |), eagg AS (
+      |  SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_pairs,
+      |    sum(CAST(d.k AS DECIMAL(20,0)) * elm.logp) AS sum_logp
+      |  FROM cdbg d JOIN elm ON elm.w1 = d.w1 AND elm.w2 = d.w2 GROUP BY 1
+      |), fce AS (
+      |  SELECT doc_id,
+      |    CAST(-sum_logp AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS cross_entropy
+      |  FROM eagg
+      |), pr AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents
+      |), fpct AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 1 THEN 0.5
+      |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS len_pct
+      |  FROM pr
+      |)
+      |SELECT fq.doc_id, fq.source, fq.n_chars, fq.n_tokens, fq.mean_tok_len,
+      |  fq.stop_ratio, fq.quality,
+      |  frep.dup_word_frac, frep.top_word_share, frep.dup_bigram_frac,
+      |  frar.min_cnt, frar.mean_cnt,
+      |  fcoh.support_ratio, fcoh.cond_ratio,
+      |  fce.cross_entropy, fpct.len_pct
+      |FROM fq JOIN frep USING (doc_id) JOIN frar USING (doc_id)
+      |JOIN fcoh USING (doc_id) JOIN fce USING (doc_id) JOIN fpct USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val t = col("text")
+    val nTokens = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val nStop = TextAnalysis.stopwordCount(t)
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    val stopRatio = nStop.cast("double") / nTokens
+    val lenOk = least(nTokens / 20.0, lit(1.0))
+    val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    val base = docs.select(col("doc_id"), col("source"),
+      nChars.as("n_chars"), nTokens.as("n_tokens"),
+      meanTokLen.as("mean_tok_len"), stopRatio.as("stop_ratio"),
+      (lenOk * tokOk * stopOk).as("quality"))
+    val rep = Curation.repetitionSignals(docs)
+      .select(col("doc_id"), col("dup_word_frac"), col("top_word_share"),
+        col("dup_bigram_frac"))
+    val rar = Curation.tokenRarity(docs)
+      .select(col("doc_id"), col("min_cnt"), col("mean_cnt"))
+    val coh = TextAnalysis.bigramCoherence(docs, "doc_id", "text")
+      .select(col("doc_id"), col("support_ratio"), col("cond_ratio"))
+    val ce = TextAnalysis.lmCrossEntropy(docs, "doc_id", "text")
+      .select(col("doc_id"), col("cross_entropy"))
+    val pct = Curation.percentileNormalize(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
+        keepAbove = 0.0)
+      .select(col("doc_id"), col("pct").as("len_pct"))
+    base.join(rep, "doc_id").join(rar, "doc_id").join(coh, "doc_id")
+      .join(ce, "doc_id").join(pct, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
-    q118MixtureWeights, q119CurationReport, q200PercentileNorm)
+    q118MixtureWeights, q119CurationReport, q200PercentileNorm,
+    q209QualityFeatures)
 }

@@ -551,16 +551,23 @@ object Multimodal {
     * end of an audio curation pipeline (silence trimming, energy
     * gating, speech/noise heuristics all read exactly these two
     * features): decode the payload to canonical 16-bit PCM (the
-    * [[MediaCodec.decodeAudio]] pure-JDK path), split the interleaved
-    * sample stream into `frameSize`-sample frames, and emit one row
-    * per frame with Σ s² (fits a long: frameSize·(2^15)² overflows
-    * only past frameSize ≈ 2^33) and the sign-change count between consecutive
-    * samples within the frame. The last partial frame is kept with
-    * its true n_samples. Non-audio kinds, corrupt payloads, and
-    * zero-sample streams are dropped (the decode discipline), never
-    * faked. Partition-parallel `mapPartitions` (the sanctioned
-    * multimodal codec seam); per-row output is ⌈samples/frameSize⌉
-    * rows — linear in audio length, no shuffle. */
+    * [[MediaCodec.decodeAudio]] pure-JDK path), DOWNMIX multi-channel
+    * audio to mono (per time step, the truncating integer mean of the
+    * interleaved channel samples — framing the raw interleaved stream
+    * would split frames mid-channel and count L/R alternation as
+    * zero-crossings, making zc meaningless as a VAD signal beyond
+    * mono), split the mono sample stream into `frameSize`-sample
+    * frames, and emit one row per frame with Σ s² (fits a long:
+    * frameSize·(2^15)² overflows only past frameSize ≈ 2^33) and the
+    * sign-change count between consecutive samples within the frame.
+    * Mono input is untouched by the downmix (mean of one sample), so
+    * single-channel corpora are byte-identical to the pre-downmix
+    * behavior. The last partial frame is kept with its true
+    * n_samples. Non-audio kinds, corrupt payloads, and zero-sample
+    * streams are dropped (the decode discipline), never faked.
+    * Partition-parallel `mapPartitions` (the sanctioned multimodal
+    * codec seam); per-row output is ⌈samples/frameSize⌉ rows — linear
+    * in audio length, no shuffle. */
   def audioFrameFeatures(media: Dataset[MediaRow],
                          frameSize: Int = 256): Dataset[AudioFrame] = {
     require(frameSize > 0 && frameSize < (1 << 20),
@@ -568,10 +575,13 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
       if (m.kind != "audio" || m.payload == null) Iterator.empty
-      else MediaCodec.pcm16le(m.payload) match {
+      else MediaCodec.pcm16leWithFormat(m.payload) match {
         case None => Iterator.empty
-        case Some(bytes) =>
-          val nSamples = bytes.length / 2
+        case Some((fmt, bytes)) =>
+          val ch = math.max(fmt.getChannels, 1)
+          // whole time steps only — a trailing torn multi-channel
+          // frame (truncated payload) is dropped, not averaged short
+          val nSamples = bytes.length / 2 / ch
           if (nSamples == 0) Iterator.empty
           else (0 until (nSamples + frameSize - 1) / frameSize).iterator
             .map { f =>
@@ -580,14 +590,21 @@ object Multimodal {
               var energy = 0L
               var zc = 0L
               var prev = 0
-              var i = start
-              while (i < end) {
-                val s = ((bytes(2 * i) & 0xFF) |
-                  (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+              var t = start
+              while (t < end) {
+                var sum = 0L
+                var c = 0
+                while (c < ch) {
+                  val i = t * ch + c
+                  sum += ((bytes(2 * i) & 0xFF) |
+                    (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+                  c += 1
+                }
+                val s = (sum / ch).toInt
                 energy += s.toLong * s
-                if (i > start && ((s < 0) != (prev < 0))) zc += 1
+                if (t > start && ((s < 0) != (prev < 0))) zc += 1
                 prev = s
-                i += 1
+                t += 1
               }
               AudioFrame(m.media_id, f, end - start, energy, zc)
             }

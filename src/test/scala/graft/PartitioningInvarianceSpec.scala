@@ -81,6 +81,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.GraphQueries.q197PersonalizedPagerank, // seeded integer power iteration
     graft.queries.GraphQueries.q198SeedDistance, // iterative min-relaxation BFS
     CurationQueries.q200PercentileNorm, // rank/count division with id tiebreak
+    CurationQueries.q209QualityFeatures, // composed wide feature join
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
     graft.queries.DataQueries.q202AudioFrames, // integer-only PCM frame features
     graft.queries.DataQueries.q203ContainmentPairs, // collapse + probe-prefix join

@@ -282,6 +282,51 @@ class PlanQualitySpec extends SparkSpec {
         s"stages across $jobs jobs")
   }
 
+  test("composed quality-feature table (q209): one DAG, bounded shuffle " +
+      "budget, no cartesians, every window partitioned") {
+    @volatile var shuffleWritingStages = 0
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleWritingStages += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val out = graft.queries.CurationQueries.q209QualityFeatures
+          .fn(spark, sf0001)
+        out.collect()
+        var prev = -1
+        while (prev != shuffleWritingStages + jobs) {
+          prev = shuffleWritingStages + jobs
+          Thread.sleep(300)
+        }
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the only windows are the per-source percentile rank (partitioned
+    // by source) — no global single-reducer window anywhere
+    assertNoUnpartitionedWindow(df)
+    // shuffle budget for the whole feature assembly: each signal's own
+    // aggs (doc-word/doc rollups ×2 for repetition, rarity's word
+    // repartition + tf + doc rollup, coherence's bigram/corpus/uni
+    // rollups + two doc aggs, the LM's c12/starts/conts rollups + doc
+    // agg, the source-partitioned percentile exchange) plus the final
+    // doc-keyed feature joins. An extra shuffle-writing stage here is
+    // a corpus-sized pass at 100 TB. Measured 26 at this SF; 32 leaves
+    // AQE-replan slack without letting a whole signal re-derive.
+    assert(shuffleWritingStages <= 32,
+      s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
+        s"stages across $jobs jobs")
+    info(s"q209 shuffle-writing stages: $shuffleWritingStages over $jobs jobs")
+  }
+
   test("cdcChunk and groupAwareSplit are pure projections: zero exchanges " +
       "in the executed plan") {
     import org.apache.spark.sql.functions.{col, md5}

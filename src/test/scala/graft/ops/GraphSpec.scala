@@ -171,6 +171,46 @@ class GraphSpec extends SparkSpec {
     assert(got === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 0))
   }
 
+  test("seedDistance: a directed SINK seed anchors d = 0 — seeds gate on " +
+      "the full node universe, not sources only") {
+    // edges {(1,2)}: seed 2 has no out-edges. A src-only node set would
+    // drop it from the d=0 frontier and then re-derive it as 1 hop from
+    // seed 1 — a WRONG min distance, not a conservative omission.
+    val got = Graph.seedDistance(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", Seq(1L, 2L).toDF("node"), "node", maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got === Map(1L -> 0, 2L -> 0))
+    // an id absent from the edge list entirely is still gated out
+    val gated = Graph.seedDistance(Seq((1L, 2L)).toDF("src", "dst"),
+        "src", "dst", Seq(2L, 9L).toDF("node"), "node", maxHops = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(gated === Map(2L -> 0))
+  }
+
+  test("seedDistance: checkpointEvery bounds the doubling loop lineage " +
+      "without changing results at deep hop counts") {
+    // 33-node directed line, seed at 1: the relaxation chain is 32
+    // joins deep — exactly the production case the knob exists for.
+    // Two different cut cadences must agree exactly with each other
+    // AND the closed form (ckpt=0 at 32 hops is the documented
+    // non-option: the uncut tree is ~2^32 nodes and never plans)
+    val line = (1L until 33L).map(i => (i, i + 1))
+    def run(ckpt: Int) = Graph.seedDistance(line.toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("node"), "node", maxHops = 32,
+        checkpointEvery = ckpt)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val deep = run(4)
+    assert(deep === (1L to 33L).map(i => i -> (i - 1).toInt).toMap)
+    assert(deep === run(7))
+    // fully-lazy (checkpointEvery = 0) equality at a PLANNABLE depth:
+    // the knob changes plan shape only, never the relaxation result
+    def shallow(ckpt: Int) = Graph.seedDistance(line.toDF("src", "dst"),
+        "src", "dst", Seq(1L).toDF("node"), "node", maxHops = 8,
+        checkpointEvery = ckpt)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(shallow(0) === shallow(4))
+  }
+
   test("triangleCounts: degree order disagreeing with id order still finds " +
       "every triangle (the wedge/orientation consistency case)") {
     // triangles {1,2,3} and {1,2,4}; extra edge (1,5) makes deg(1)=4 the

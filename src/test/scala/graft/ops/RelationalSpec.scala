@@ -327,6 +327,26 @@ class RelationalSpec extends SparkSpec {
     assert(g2.getDouble(3) === (8.0 - 2.0 * 6.0) / 3.0)
   }
 
+  test("groupedOls: NULL x/y rows are excluded so n matches the summed " +
+      "moments; an all-null group is absent") {
+    // group a: nulls interleaved with the exact line y = 2x — a count
+    // that included the null rows would skew slope/intercept silently
+    // (sum() skips nulls but count(1) wouldn't); group b carries no
+    // fit evidence at all and must be ABSENT, not a guard trip
+    val rows = Seq(
+      ("a", Some(1L), Some(2L)), ("a", Some(2L), Some(4L)),
+      ("a", Some(3L), Some(6L)),
+      ("a", None: Option[Long], Some(99L)), ("a", Some(4L), None: Option[Long]),
+      ("b", None: Option[Long], None: Option[Long]))
+    val got = groupedOls(rows.toDF("g", "x", "y"), Seq("g"), "x", "y")
+      .collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0) === "a")
+    assert(got(0).getLong(1) === 3L)
+    assert(got(0).getDouble(2) === 2.0)
+    assert(got(0).getDouble(3) === 0.0)
+  }
+
   test("groupedOls: DECIMAL(38,0) envelope breach raises, not nulls") {
     // two near-long-max products overflow the combined n·Σxy moment
     val big = 3000000000000000000L // 3e18; Σxy ≈ 1.8e37, n·Σxy ≈ 3.6e37 ok

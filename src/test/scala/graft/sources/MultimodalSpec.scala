@@ -322,6 +322,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1) === Multimodal.AudioFrame(7L, 1, 2, 4L, 1L))
   }
 
+  private def stereoWavOf(left: Array[Short], right: Array[Short])
+      : Array[Byte] = {
+    require(left.length == right.length)
+    val data = new Array[Byte](left.length * 4)
+    (0 until left.length).foreach { t =>
+      data(4 * t) = (left(t) & 0xFF).toByte
+      data(4 * t + 1) = ((left(t) >> 8) & 0xFF).toByte
+      data(4 * t + 2) = (right(t) & 0xFF).toByte
+      data(4 * t + 3) = ((right(t) >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 2, 4, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, left.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFrameFeatures: stereo downmixes to mono per time step — " +
+      "L == R equals the mono twin; frames never split mid-channel") {
+    val samples = Array[Short](0, 100, -100, 100, -2, 0)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", "audio/wav",
+        stereoWavOf(samples, samples), Map.empty),
+      Multimodal.MediaRow(2L, "audio", "audio/wav", wavOf(samples),
+        Map.empty),
+      // unequal channels: downmix is the truncating integer mean, so
+      // (100, -100) → 0 and (-5, -2) → -3 (toward zero)
+      Multimodal.MediaRow(3L, "audio", "audio/wav",
+        stereoWavOf(Array[Short](100, -5), Array[Short](-100, -2)),
+        Map.empty)).toDS()
+    val got = Multimodal.audioFrameFeatures(media, frameSize = 4)
+      .collect().groupBy(_.media_id)
+    // identical channels: bit-identical to the mono decode, and
+    // n_samples counts TIME STEPS (6), not interleaved samples (12)
+    assert(got(1L).sortBy(_.frame_idx).map(f =>
+        (f.frame_idx, f.n_samples, f.energy, f.zero_crossings)).toSeq ===
+      got(2L).sortBy(_.frame_idx).map(f =>
+        (f.frame_idx, f.n_samples, f.energy, f.zero_crossings)).toSeq)
+    assert(got(1L).map(_.n_samples).sum === 6)
+    // mono mix of id 3 is [0, -3]: energy 0+9=9, zc 0→-3 is ≥0→neg → 1
+    assert(got(3L).toSeq === Seq(Multimodal.AudioFrame(3L, 0, 2, 9L, 1L)))
+  }
+
   test("audioFrameFeatures: frame rows tile the synthetic stream exactly") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.audioFrameFeatures(media, frameSize = 100)
