@@ -108,7 +108,12 @@ object Bench {
       val floorQuery = ok && !spillSeen && times.map(_._1).min < 0.3
       if (!floorQuery) {
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // BLOCKING unpersist: at a constrained heap a heavy query's
+        // checkpoint blocks must actually be GONE before the next
+        // query allocates — async removal raced q206's aggregation
+        // into UNABLE_TO_ACQUIRE_MEMORY in the round-12 low-mem sweep
+        // (passed in isolation, failed only behind q205's residue)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
         // drain async task-end events so this query's spills don't
         // bleed into the next snapshot (summed over all `runs` runs)

@@ -199,9 +199,10 @@ object ScaleBench {
         Row(name, base, blown, ratio, None)
       }
       // hygiene between queries (see Bench): one query's checkpoint /
-      // broadcast residue must not be charged to the next
+      // broadcast residue must not be charged to the next; blocking
+      // unpersist so removal can't race the next query's allocations
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       row
     }

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph centrality over edge lists — the second graph-analytics
   * operator family next to [[Clustering.connectedComponents]].
@@ -85,12 +86,24 @@ object Graph {
       s"pageRankFp: scale=$scale times damping $dampNum/$dampDen exceeds 64-bit range")
     // materialize the (possibly expensive) edge derivation ONCE,
     // pre-partitioned by src so every iteration's edges⋈ranks join
-    // reuses the layout instead of re-shuffling the data-sized side
+    // reuses the layout instead of re-shuffling the data-sized side.
+    // DISK_ONLY: the edge table is the one DATA-sized frame this
+    // family checkpoints, and the default deserialized in-memory
+    // level inflates it ~30× over its wire bytes — the round-12
+    // low-mem sweep caught q206's 27 MB compacted edge file pinning
+    // ~950 MiB of a 2 GiB heap as row objects and starving the degree
+    // aggregation of pages. The 100 TB rule the fix encodes: NODE-
+    // sized loop state (deg, ranks, dist) may live in memory;
+    // DATA-sized state lives on disk like the shuffle files it
+    // rubs shoulders with (each iteration re-reads it sequentially —
+    // OS page cache makes that memory-speed at bench size, and at
+    // cluster scale the alternative is an executor OOM, not a faster
+    // join).
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
 
     val n = deg.count()
@@ -164,7 +177,8 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(true)
+      // disk-resident: data-sized edge frame (see pageRankFp's note)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .join(deg.select(col("src").as("node")), "node")
@@ -252,7 +266,8 @@ object Graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(true)
+      // disk-resident: data-sized edge frame (see pageRankFp's note)
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // the full node universe — sources AND sinks: a directed seed
     // with no out-edges must still enter the frontier at d = 0 (it
     // can be REACHED even though it relaxes nothing), else the min
@@ -323,8 +338,10 @@ object Graph {
       .distinct()
     // undirected degree; localCheckpoint: `und` may be an expensive
     // derivation (a support-thresholded co-occurrence projection) and
-    // is read three times below
-    val e0 = und.repartition(col("a")).localCheckpoint(true)
+    // is read three times below. Disk-resident — data-sized edge
+    // frame (see pageRankFp's note)
+    val e0 = und.repartition(col("a"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient by (degree, id); carry the target's order key for the
@@ -343,7 +360,8 @@ object Graph {
           (col("da") === col("db") && col("a") < col("b")), col("db"))
           .otherwise(col("da")).as("dt"))
       .repartition(col("s"))
-      .localCheckpoint(true)
+      // disk-resident: the oriented edge list is data-sized too
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val w1 = oe.select(col("s"), col("t").as("v"), col("dt").as("dv"))
     val w2 = oe.select(col("s"), col("t").as("w"), col("dt").as("dw"))
     val wedges = w1.join(w2, Seq("s"))
