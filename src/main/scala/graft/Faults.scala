@@ -180,6 +180,25 @@ object Faults {
       graft.ops.TextAnalysis.compactBigramSidecar(s, w)
       Seq(w)
     }),
+    ("append_gram_sidecar", (s: SparkSession, d: String, w: String) => {
+      // the round-12 probe trainer state: Gram moment rows are
+      // additive exact decimals over row-disjoint feature batches; a
+      // retried write must neither lose nor double a batch's moments,
+      // and compaction's re-sum must land on the from-scratch Gram
+      // (q212 proves the clean path against q210's oracle — this arms
+      // the write tasks)
+      val scaled = graft.queries.CurationQueries.probeScaled(s, d)
+      val c = org.apache.spark.sql.functions.col _
+      val pm = org.apache.spark.sql.functions.pmod _
+      graft.ops.LinearProbe.writeGramSidecar(
+        scaled.filter(pm(c("doc_id"),
+          org.apache.spark.sql.functions.lit(2L)) === 0L), 7, w)
+      graft.ops.LinearProbe.writeGramSidecar(
+        scaled.filter(pm(c("doc_id"),
+          org.apache.spark.sql.functions.lit(2L)) === 1L), 7, w)
+      graft.ops.LinearProbe.compactGramSidecar(s, w, 7)
+      Seq(w)
+    }),
     ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
       // two curateBatch calls = two micro-batches through the SAME
       // pipelineDir: the second batch's dedup/budget/pack state

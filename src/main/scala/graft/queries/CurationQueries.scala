@@ -1,9 +1,11 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Curation, TextAnalysis}
+import graft.ops.{Curation, LinearProbe, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 /** Round-4 corpus-curation queries: benchmark decontamination,
   * repetition quality signals, PII redaction, tokenizer vocabulary
@@ -533,8 +535,440 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared feature+fit+score chain for q210/q211: six of q209's
+    * ratio signals (all in [0,1] — the LinearProbe convergence
+    * contract) scaled to exact longs, ONE Gram aggregation to the
+    * driver, 24 exact integer GD iterations at lr=1/4, one scoring
+    * projection. The scaled feature frame is DISK_ONLY-checkpointed
+    * once (data-sized, read by both the Gram job and the scoring
+    * job). Weak label: lang = 'en' (the CCNet move — target-language
+    * docs as positives). */
+  /** The un-checkpointed probe feature plan — exposed separately so
+    * PlanQualitySpec can pin the pre-materialization plan shape (the
+    * checkpointed frame's plan is an opaque RDD scan). */
+  private[graft] def probeScaledLazy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val t = col("text")
+    val nTokens = TextAnalysis.tokenCount(t)
+    val nChars = length(t)
+    val nStop = TextAnalysis.stopwordCount(t)
+    val meanTokLen = (nChars - nTokens + 1).cast("double") / nTokens
+    val stopRatio = nStop.cast("double") / nTokens
+    val lenOk = least(nTokens / 20.0, lit(1.0))
+    val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
+    val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    val base = docs.select(col("doc_id"), stopRatio.as("stop_ratio"),
+      (lenOk * tokOk * stopOk).as("quality"))
+    val rep = Curation.repetitionSignals(docs)
+      .select(col("doc_id"), col("dup_word_frac"), col("top_word_share"),
+        col("dup_bigram_frac"))
+    val pct = Curation.percentileNormalize(
+        docs.select(col("doc_id"), col("source"), col("n_chars")),
+        groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
+        keepAbove = 0.0)
+      .select(col("doc_id"), col("pct").as("len_pct"))
+    val lbl = docs.select(col("doc_id"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val feats = base.join(rep, "doc_id").join(pct, "doc_id")
+      .join(lbl, "doc_id")
+    val fCols = Seq("quality", "stop_ratio", "dup_word_frac",
+      "top_word_share", "dup_bigram_frac", "len_pct")
+    LinearProbe.scaled(feats, fCols, col("y"))
+      .select(col("doc_id") +: (0 to 6).map(i => col(s"__f$i")) :+
+        col("__y"): _*)
+  }
+
+  private[graft] def probeScaled(s: SparkSession, d: String): DataFrame =
+    probeScaledLazy(s, d).localCheckpoint(true, StorageLevel.DISK_ONLY)
+
+  private def probeScored(s: SparkSession, d: String): DataFrame = {
+    val scaled = probeScaled(s, d)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    LinearProbe.scoreFp(scaled, 7, theta)
+      .select(col("doc_id"), col("__y").as("y"), col("score_fp"))
+  }
+
+  /** The q209 component CTEs the probe consumes (fq quality ratios,
+    * frep repetition, fpct length percentile) + exact-long feature
+    * scaling + the one-row Gram — shared text of the q210/q211
+    * oracles. */
+  private val ProbeOracleCtes: String =
+    """WITH RECURSIVE fq AS (
+      |  SELECT doc_id, source, n_chars, n_tokens,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |    (CASE WHEN n_tokens / 20.0 < 1.0 THEN n_tokens / 20.0 ELSE 1.0 END)
+      |      * (CASE WHEN CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+      |               BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+      |      * (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens
+      |               BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END) AS quality
+      |  FROM (
+      |    SELECT doc_id, source, length(text) AS n_chars,
+      |      len(string_split(text, ' ')) AS n_tokens,
+      |      len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      |    FROM documents)
+      |), rtoks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |), rbr AS (
+      |  SELECT doc_id, ts,
+      |    CAST(len(list_transform(generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1])) AS BIGINT) AS nb,
+      |    CAST(len(list_distinct(list_transform(generate_series(1, len(ts) - 1),
+      |      i -> ts[i] || ' ' || ts[i+1]))) AS BIGINT) AS nbd
+      |  FROM rtoks
+      |), rex AS (
+      |  SELECT doc_id, nb, nbd, unnest(ts) AS w FROM rbr
+      |), rwc AS (
+      |  SELECT doc_id, nb, nbd, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM rex GROUP BY 1, 2, 3, 4
+      |), ragg AS (
+      |  SELECT doc_id, nb, nbd, CAST(sum(c) AS BIGINT) AS n_toks,
+      |         CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_cnt
+      |  FROM rwc GROUP BY 1, 2, 3
+      |), frep AS (
+      |  SELECT doc_id,
+      |    CAST(n_toks - n_distinct AS DOUBLE) / n_toks AS dup_word_frac,
+      |    CAST(top_cnt AS DOUBLE) / n_toks AS top_word_share,
+      |    CASE WHEN nb = 0 THEN 0.0
+      |         ELSE CAST(nb - nbd AS DOUBLE) / nb END AS dup_bigram_frac
+      |  FROM ragg
+      |), pr AS (
+      |  SELECT doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM documents
+      |), fpct AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n = 1 THEN 0.5
+      |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS len_pct
+      |  FROM pr
+      |), feats AS (
+      |  SELECT fq.doc_id,
+      |    CAST(1000000 AS BIGINT) AS f0,
+      |    CAST(round(fq.quality * 1000000) AS BIGINT) AS f1,
+      |    CAST(round(fq.stop_ratio * 1000000) AS BIGINT) AS f2,
+      |    CAST(round(frep.dup_word_frac * 1000000) AS BIGINT) AS f3,
+      |    CAST(round(frep.top_word_share * 1000000) AS BIGINT) AS f4,
+      |    CAST(round(frep.dup_bigram_frac * 1000000) AS BIGINT) AS f5,
+      |    CAST(round(fpct.len_pct * 1000000) AS BIGINT) AS f6,
+      |    CASE WHEN d.lang = 'en' THEN CAST(1 AS BIGINT)
+      |         ELSE CAST(0 AS BIGINT) END AS y
+      |  FROM fq JOIN frep USING (doc_id) JOIN fpct USING (doc_id)
+      |  JOIN documents d USING (doc_id)
+      |), gram AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    sum(CAST(f0 AS HUGEINT)*f0) AS g_0_0,
+      |    sum(CAST(f0 AS HUGEINT)*f1) AS g_0_1,
+      |    sum(CAST(f0 AS HUGEINT)*f2) AS g_0_2,
+      |    sum(CAST(f0 AS HUGEINT)*f3) AS g_0_3,
+      |    sum(CAST(f0 AS HUGEINT)*f4) AS g_0_4,
+      |    sum(CAST(f0 AS HUGEINT)*f5) AS g_0_5,
+      |    sum(CAST(f0 AS HUGEINT)*f6) AS g_0_6,
+      |    sum(CAST(f1 AS HUGEINT)*f1) AS g_1_1,
+      |    sum(CAST(f1 AS HUGEINT)*f2) AS g_1_2,
+      |    sum(CAST(f1 AS HUGEINT)*f3) AS g_1_3,
+      |    sum(CAST(f1 AS HUGEINT)*f4) AS g_1_4,
+      |    sum(CAST(f1 AS HUGEINT)*f5) AS g_1_5,
+      |    sum(CAST(f1 AS HUGEINT)*f6) AS g_1_6,
+      |    sum(CAST(f2 AS HUGEINT)*f2) AS g_2_2,
+      |    sum(CAST(f2 AS HUGEINT)*f3) AS g_2_3,
+      |    sum(CAST(f2 AS HUGEINT)*f4) AS g_2_4,
+      |    sum(CAST(f2 AS HUGEINT)*f5) AS g_2_5,
+      |    sum(CAST(f2 AS HUGEINT)*f6) AS g_2_6,
+      |    sum(CAST(f3 AS HUGEINT)*f3) AS g_3_3,
+      |    sum(CAST(f3 AS HUGEINT)*f4) AS g_3_4,
+      |    sum(CAST(f3 AS HUGEINT)*f5) AS g_3_5,
+      |    sum(CAST(f3 AS HUGEINT)*f6) AS g_3_6,
+      |    sum(CAST(f4 AS HUGEINT)*f4) AS g_4_4,
+      |    sum(CAST(f4 AS HUGEINT)*f5) AS g_4_5,
+      |    sum(CAST(f4 AS HUGEINT)*f6) AS g_4_6,
+      |    sum(CAST(f5 AS HUGEINT)*f5) AS g_5_5,
+      |    sum(CAST(f5 AS HUGEINT)*f6) AS g_5_6,
+      |    sum(CAST(f6 AS HUGEINT)*f6) AS g_6_6,
+      |    sum(CAST(f0 AS HUGEINT)*y) AS b_0,
+      |    sum(CAST(f1 AS HUGEINT)*y) AS b_1,
+      |    sum(CAST(f2 AS HUGEINT)*y) AS b_2,
+      |    sum(CAST(f3 AS HUGEINT)*y) AS b_3,
+      |    sum(CAST(f4 AS HUGEINT)*y) AS b_4,
+      |    sum(CAST(f5 AS HUGEINT)*y) AS b_5,
+      |    sum(CAST(f6 AS HUGEINT)*y) AS b_6
+      |  FROM feats
+      |), gd AS (
+      |  SELECT 0 AS it, CAST(0 AS HUGEINT) AS t0, CAST(0 AS HUGEINT) AS t1,
+      |    CAST(0 AS HUGEINT) AS t2, CAST(0 AS HUGEINT) AS t3,
+      |    CAST(0 AS HUGEINT) AS t4, CAST(0 AS HUGEINT) AS t5,
+      |    CAST(0 AS HUGEINT) AS t6
+      |  UNION ALL
+      |  SELECT gd.it + 1,
+      |    t0 - (1*((g.g_0_0*t0 + g.g_0_1*t1 + g.g_0_2*t2 + g.g_0_3*t3 + g.g_0_4*t4 + g.g_0_5*t5 + g.g_0_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_0))//(4*g.n) AS t0,
+      |    t1 - (1*((g.g_0_1*t0 + g.g_1_1*t1 + g.g_1_2*t2 + g.g_1_3*t3 + g.g_1_4*t4 + g.g_1_5*t5 + g.g_1_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_1))//(4*g.n) AS t1,
+      |    t2 - (1*((g.g_0_2*t0 + g.g_1_2*t1 + g.g_2_2*t2 + g.g_2_3*t3 + g.g_2_4*t4 + g.g_2_5*t5 + g.g_2_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_2))//(4*g.n) AS t2,
+      |    t3 - (1*((g.g_0_3*t0 + g.g_1_3*t1 + g.g_2_3*t2 + g.g_3_3*t3 + g.g_3_4*t4 + g.g_3_5*t5 + g.g_3_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_3))//(4*g.n) AS t3,
+      |    t4 - (1*((g.g_0_4*t0 + g.g_1_4*t1 + g.g_2_4*t2 + g.g_3_4*t3 + g.g_4_4*t4 + g.g_4_5*t5 + g.g_4_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_4))//(4*g.n) AS t4,
+      |    t5 - (1*((g.g_0_5*t0 + g.g_1_5*t1 + g.g_2_5*t2 + g.g_3_5*t3 + g.g_4_5*t4 + g.g_5_5*t5 + g.g_5_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_5))//(4*g.n) AS t5,
+      |    t6 - (1*((g.g_0_6*t0 + g.g_1_6*t1 + g.g_2_6*t2 + g.g_3_6*t3 + g.g_4_6*t4 + g.g_5_6*t5 + g.g_6_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_6))//(4*g.n) AS t6
+      |  FROM gd, gram g WHERE gd.it < 24
+      |), theta AS (SELECT * FROM gd WHERE it = 24
+      |), scored AS (
+      |  SELECT f.doc_id, f.y,
+      |    (CAST(f.f0 AS HUGEINT)*t.t0 + CAST(f.f1 AS HUGEINT)*t.t1
+      |     + CAST(f.f2 AS HUGEINT)*t.t2 + CAST(f.f3 AS HUGEINT)*t.t3
+      |     + CAST(f.f4 AS HUGEINT)*t.t4 + CAST(f.f5 AS HUGEINT)*t.t5
+      |     + CAST(f.f6 AS HUGEINT)*t.t6)//1000000 AS sc
+      |  FROM feats f, theta t
+      |)""".stripMargin
+
+  /** Round-12: the TRAINED quality probe — close the loop the q209
+    * feature table opened: fit a least-squares linear classifier on
+    * six of its ratio signals against the CCNet-style weak label
+    * (lang = 'en'), then score every document with the learned
+    * weights. Everything is [[graft.ops.LinearProbe]]'s exact
+    * scaled-integer arithmetic — ONE distributed Gram aggregation
+    * (map-side combined, d² numbers to the driver at any corpus
+    * size), 24 integer GD iterations replayed verbatim by the
+    * oracle's recursive CTE (`//` and `div` both truncate toward
+    * zero), one codegen'd scoring projection — so the TRAINING, not
+    * just the scoring, is hash-certified. The reference fits this
+    * classifier family with MLlib LR (`spark.py:63-67`) whose solver
+    * state no external oracle can replay; this is the engine's
+    * deterministic counterpart. */
+  val q210QualityProbe = QueryDef(
+    "q210_quality_probe",
+    ProbeOracleCtes +
+      """
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, y,
+        |  CAST(sc AS BIGINT) AS score_fp
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    probeScored(s, d).orderBy(col("doc_id"))
+  }
+
+  /** Round-12: exact ranking ROC-AUC of the trained probe — the
+    * reference's BinaryClassificationEvaluator (`spark.py:71-73`)
+    * re-expressed as an EXACT relational computation: Mann-Whitney U
+    * over the deterministic (score_fp, doc_id) ranking, distributed
+    * rank via per-partition offsets (no single-partition window),
+    * one final map-side-combined aggregation. The whole chain —
+    * features, Gram, integer GD, scores, ranks, U — hash-replays. */
+  val q211ProbeAuc = QueryDef(
+    "q211_probe_auc",
+    ProbeOracleCtes +
+      """, ranked AS (
+        |  SELECT y, row_number() OVER (ORDER BY sc, doc_id) AS rnk
+        |  FROM scored
+        |)
+        |SELECT CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END)
+        |    - (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |       * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)) // 2
+        |    AS BIGINT) AS u_num,
+        |  CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) = 0
+        |         OR sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END)
+        |      - (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |         * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)) // 2 AS DOUBLE)
+        |      / CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |             * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS auc
+        |FROM ranked""".stripMargin) { (s, d) =>
+    LinearProbe.rankingAuc(probeScored(s, d), col("score_fp"),
+      col("doc_id"), col("y"))
+  }
+
+
+  /** Round-12: the CONTINUOUSLY-RETRAINED probe — q210's trainer
+    * state (the Gram moments, the probe's complete sufficient
+    * statistic) accumulated through the persisted sidecar in two
+    * row-disjoint feature batches, compacted, and fitted FROM the
+    * sidecar. Additivity of exact DECIMAL sums makes the incremental
+    * fit BIT-EQUAL to the from-scratch fit, so the oracle is q210's
+    * oracle verbatim — the hash certifies incremental == one-shot,
+    * the q204/q206 sidecar discipline applied to ML trainer state. */
+  val q212ProbeSidecar = QueryDef(
+    "q212_probe_sidecar",
+    ProbeOracleCtes +
+      """
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, y,
+        |  CAST(sc AS BIGINT) AS score_fp
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q212_gram_sidecar_$sf"
+    }
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val scaled = probeScaled(s, d)
+    LinearProbe.writeGramSidecar(
+      scaled.filter(pmod(col("doc_id"), lit(2L)) === 0L), 7, dir)
+    LinearProbe.writeGramSidecar(
+      scaled.filter(pmod(col("doc_id"), lit(2L)) === 1L), 7, dir)
+    LinearProbe.compactGramSidecar(s, dir, 7)
+    val theta = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
+    LinearProbe.scoreFp(scaled, 7, theta)
+      .select(col("doc_id"), col("__y").as("y"), col("score_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Round-12: k-fold cross-validated probe — the reference's
+    * train/test split + evaluator (L3/L4 + `spark.py:71-73`) done the
+    * way exact Gram algebra allows at scale: fold = doc_id % 5, ONE
+    * grouped Gram aggregation computes every fold's moments, and each
+    * leave-one-fold-out TRAINING Gram is total − fold — exact BigInt
+    * subtraction, no second data pass. Five integer GD fits (driver,
+    * Gram-only), held-out scoring via a broadcast (fold, θ) join, and
+    * per-fold exact ranking AUC through ONE offset-lifted distributed
+    * rank over (fold, score, id) — no PARTITION BY fold window (k = 5
+    * folds are giant groups by construction). The oracle replays all
+    * five GD loops in a single fold-keyed recursive CTE. */
+  val q213ProbeCv = QueryDef(
+    "q213_probe_cv",
+    ProbeOracleCtes +
+      """        |, fgram AS (
+        |  SELECT doc_id % 5 AS fold, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(f0 AS HUGEINT)*f0) AS g_0_0,
+        |    sum(CAST(f0 AS HUGEINT)*f1) AS g_0_1,
+        |    sum(CAST(f0 AS HUGEINT)*f2) AS g_0_2,
+        |    sum(CAST(f0 AS HUGEINT)*f3) AS g_0_3,
+        |    sum(CAST(f0 AS HUGEINT)*f4) AS g_0_4,
+        |    sum(CAST(f0 AS HUGEINT)*f5) AS g_0_5,
+        |    sum(CAST(f0 AS HUGEINT)*f6) AS g_0_6,
+        |    sum(CAST(f1 AS HUGEINT)*f1) AS g_1_1,
+        |    sum(CAST(f1 AS HUGEINT)*f2) AS g_1_2,
+        |    sum(CAST(f1 AS HUGEINT)*f3) AS g_1_3,
+        |    sum(CAST(f1 AS HUGEINT)*f4) AS g_1_4,
+        |    sum(CAST(f1 AS HUGEINT)*f5) AS g_1_5,
+        |    sum(CAST(f1 AS HUGEINT)*f6) AS g_1_6,
+        |    sum(CAST(f2 AS HUGEINT)*f2) AS g_2_2,
+        |    sum(CAST(f2 AS HUGEINT)*f3) AS g_2_3,
+        |    sum(CAST(f2 AS HUGEINT)*f4) AS g_2_4,
+        |    sum(CAST(f2 AS HUGEINT)*f5) AS g_2_5,
+        |    sum(CAST(f2 AS HUGEINT)*f6) AS g_2_6,
+        |    sum(CAST(f3 AS HUGEINT)*f3) AS g_3_3,
+        |    sum(CAST(f3 AS HUGEINT)*f4) AS g_3_4,
+        |    sum(CAST(f3 AS HUGEINT)*f5) AS g_3_5,
+        |    sum(CAST(f3 AS HUGEINT)*f6) AS g_3_6,
+        |    sum(CAST(f4 AS HUGEINT)*f4) AS g_4_4,
+        |    sum(CAST(f4 AS HUGEINT)*f5) AS g_4_5,
+        |    sum(CAST(f4 AS HUGEINT)*f6) AS g_4_6,
+        |    sum(CAST(f5 AS HUGEINT)*f5) AS g_5_5,
+        |    sum(CAST(f5 AS HUGEINT)*f6) AS g_5_6,
+        |    sum(CAST(f6 AS HUGEINT)*f6) AS g_6_6,
+        |    sum(CAST(f0 AS HUGEINT)*y) AS b_0,
+        |    sum(CAST(f1 AS HUGEINT)*y) AS b_1,
+        |    sum(CAST(f2 AS HUGEINT)*y) AS b_2,
+        |    sum(CAST(f3 AS HUGEINT)*y) AS b_3,
+        |    sum(CAST(f4 AS HUGEINT)*y) AS b_4,
+        |    sum(CAST(f5 AS HUGEINT)*y) AS b_5,
+        |    sum(CAST(f6 AS HUGEINT)*y) AS b_6
+        |  FROM feats GROUP BY 1
+        |), tgram AS (
+        |  SELECT sum(n) AS n, sum(g_0_0) AS g_0_0, sum(g_0_1) AS g_0_1, sum(g_0_2) AS g_0_2, sum(g_0_3) AS g_0_3, sum(g_0_4) AS g_0_4, sum(g_0_5) AS g_0_5, sum(g_0_6) AS g_0_6, sum(g_1_1) AS g_1_1, sum(g_1_2) AS g_1_2, sum(g_1_3) AS g_1_3, sum(g_1_4) AS g_1_4, sum(g_1_5) AS g_1_5, sum(g_1_6) AS g_1_6, sum(g_2_2) AS g_2_2, sum(g_2_3) AS g_2_3, sum(g_2_4) AS g_2_4, sum(g_2_5) AS g_2_5, sum(g_2_6) AS g_2_6, sum(g_3_3) AS g_3_3, sum(g_3_4) AS g_3_4, sum(g_3_5) AS g_3_5, sum(g_3_6) AS g_3_6, sum(g_4_4) AS g_4_4, sum(g_4_5) AS g_4_5, sum(g_4_6) AS g_4_6, sum(g_5_5) AS g_5_5, sum(g_5_6) AS g_5_6, sum(g_6_6) AS g_6_6, sum(b_0) AS b_0, sum(b_1) AS b_1, sum(b_2) AS b_2, sum(b_3) AS b_3, sum(b_4) AS b_4, sum(b_5) AS b_5, sum(b_6) AS b_6
+        |  FROM fgram
+        |), train AS (
+        |  SELECT f.fold, t.n - f.n AS n,
+        |    t.g_0_0 - f.g_0_0 AS g_0_0,
+        |    t.g_0_1 - f.g_0_1 AS g_0_1,
+        |    t.g_0_2 - f.g_0_2 AS g_0_2,
+        |    t.g_0_3 - f.g_0_3 AS g_0_3,
+        |    t.g_0_4 - f.g_0_4 AS g_0_4,
+        |    t.g_0_5 - f.g_0_5 AS g_0_5,
+        |    t.g_0_6 - f.g_0_6 AS g_0_6,
+        |    t.g_1_1 - f.g_1_1 AS g_1_1,
+        |    t.g_1_2 - f.g_1_2 AS g_1_2,
+        |    t.g_1_3 - f.g_1_3 AS g_1_3,
+        |    t.g_1_4 - f.g_1_4 AS g_1_4,
+        |    t.g_1_5 - f.g_1_5 AS g_1_5,
+        |    t.g_1_6 - f.g_1_6 AS g_1_6,
+        |    t.g_2_2 - f.g_2_2 AS g_2_2,
+        |    t.g_2_3 - f.g_2_3 AS g_2_3,
+        |    t.g_2_4 - f.g_2_4 AS g_2_4,
+        |    t.g_2_5 - f.g_2_5 AS g_2_5,
+        |    t.g_2_6 - f.g_2_6 AS g_2_6,
+        |    t.g_3_3 - f.g_3_3 AS g_3_3,
+        |    t.g_3_4 - f.g_3_4 AS g_3_4,
+        |    t.g_3_5 - f.g_3_5 AS g_3_5,
+        |    t.g_3_6 - f.g_3_6 AS g_3_6,
+        |    t.g_4_4 - f.g_4_4 AS g_4_4,
+        |    t.g_4_5 - f.g_4_5 AS g_4_5,
+        |    t.g_4_6 - f.g_4_6 AS g_4_6,
+        |    t.g_5_5 - f.g_5_5 AS g_5_5,
+        |    t.g_5_6 - f.g_5_6 AS g_5_6,
+        |    t.g_6_6 - f.g_6_6 AS g_6_6,
+        |    t.b_0 - f.b_0 AS b_0,
+        |    t.b_1 - f.b_1 AS b_1,
+        |    t.b_2 - f.b_2 AS b_2,
+        |    t.b_3 - f.b_3 AS b_3,
+        |    t.b_4 - f.b_4 AS b_4,
+        |    t.b_5 - f.b_5 AS b_5,
+        |    t.b_6 - f.b_6 AS b_6
+        |  FROM fgram f, tgram t
+        |), cvgd AS (
+        |  SELECT fold, 0 AS it, CAST(0 AS HUGEINT) AS t0, CAST(0 AS HUGEINT) AS t1, CAST(0 AS HUGEINT) AS t2, CAST(0 AS HUGEINT) AS t3, CAST(0 AS HUGEINT) AS t4, CAST(0 AS HUGEINT) AS t5, CAST(0 AS HUGEINT) AS t6 FROM train
+        |  UNION ALL
+        |  SELECT cvgd.fold, cvgd.it + 1,
+        |    t0 - (1*((g.g_0_0*t0 + g.g_0_1*t1 + g.g_0_2*t2 + g.g_0_3*t3 + g.g_0_4*t4 + g.g_0_5*t5 + g.g_0_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_0))//(4*g.n) AS t0,
+        |    t1 - (1*((g.g_0_1*t0 + g.g_1_1*t1 + g.g_1_2*t2 + g.g_1_3*t3 + g.g_1_4*t4 + g.g_1_5*t5 + g.g_1_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_1))//(4*g.n) AS t1,
+        |    t2 - (1*((g.g_0_2*t0 + g.g_1_2*t1 + g.g_2_2*t2 + g.g_2_3*t3 + g.g_2_4*t4 + g.g_2_5*t5 + g.g_2_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_2))//(4*g.n) AS t2,
+        |    t3 - (1*((g.g_0_3*t0 + g.g_1_3*t1 + g.g_2_3*t2 + g.g_3_3*t3 + g.g_3_4*t4 + g.g_3_5*t5 + g.g_3_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_3))//(4*g.n) AS t3,
+        |    t4 - (1*((g.g_0_4*t0 + g.g_1_4*t1 + g.g_2_4*t2 + g.g_3_4*t3 + g.g_4_4*t4 + g.g_4_5*t5 + g.g_4_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_4))//(4*g.n) AS t4,
+        |    t5 - (1*((g.g_0_5*t0 + g.g_1_5*t1 + g.g_2_5*t2 + g.g_3_5*t3 + g.g_4_5*t4 + g.g_5_5*t5 + g.g_5_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_5))//(4*g.n) AS t5,
+        |    t6 - (1*((g.g_0_6*t0 + g.g_1_6*t1 + g.g_2_6*t2 + g.g_3_6*t3 + g.g_4_6*t4 + g.g_5_6*t5 + g.g_6_6*t6)//CAST(1000000000000 AS HUGEINT) - 1000*g.b_6))//(4*g.n) AS t6
+        |  FROM cvgd JOIN train g ON g.fold = cvgd.fold WHERE cvgd.it < 24
+        |), cvtheta AS (SELECT * FROM cvgd WHERE it = 24
+        |), cvscored AS (
+        |  SELECT f.doc_id, f.doc_id % 5 AS fold, f.y,
+        |    (CAST(f.f0 AS HUGEINT)*t.t0 + CAST(f.f1 AS HUGEINT)*t.t1 + CAST(f.f2 AS HUGEINT)*t.t2 + CAST(f.f3 AS HUGEINT)*t.t3 + CAST(f.f4 AS HUGEINT)*t.t4 + CAST(f.f5 AS HUGEINT)*t.t5 + CAST(f.f6 AS HUGEINT)*t.t6)//1000000 AS sc
+        |  FROM feats f JOIN cvtheta t ON t.fold = f.doc_id % 5
+        |), cvranked AS (
+        |  SELECT fold, y, row_number() OVER (PARTITION BY fold ORDER BY sc, doc_id) AS rnk
+        |  FROM cvscored)
+        |SELECT CAST(fold AS BIGINT) AS fold,
+        |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+        |  CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END)
+        |    - (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |       * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)) // 2 AS BIGINT) AS u_num,
+        |  CASE WHEN sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) = 0
+        |         OR sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN y = 1 THEN rnk ELSE 0 END)
+        |      - (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |         * (sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)) // 2 AS DOUBLE)
+        |      / CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+        |             * sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS auc
+        |FROM cvranked GROUP BY fold ORDER BY fold""".stripMargin) { (s, d) =>
+    val scaled = probeScaled(s, d)
+      .withColumn("__fold", pmod(col("doc_id"), lit(5L)))
+    val grams = LinearProbe.gramByGroup(scaled, 7, col("__fold"))
+    val d7 = 7
+    val totG = Array.tabulate(d7, d7)((i, j) =>
+      grams.values.map(_._1(i)(j)).sum)
+    val totB = Array.tabulate(d7)(i => grams.values.map(_._2(i)).sum)
+    val totN = grams.values.map(_._3).sum
+    val thetaRows = (0L to 4L).map { f =>
+      val (gf, bf, nf) = grams(f)
+      val g = Array.tabulate(d7, d7)((i, j) => totG(i)(j) - gf(i)(j))
+      val b = Array.tabulate(d7)(i => totB(i) - bf(i))
+      val t = LinearProbe.fitFromGram(g, b, totN - nf, iters = 24)
+      (f, t(0).toLong, t(1).toLong, t(2).toLong, t(3).toLong,
+        t(4).toLong, t(5).toLong, t(6).toLong)
+    }
+    import s.implicits._
+    val thetaDf = thetaRows.toDF("__fold", "t0", "t1", "t2", "t3",
+      "t4", "t5", "t6")
+    val scored = scaled.join(broadcast(thetaDf), "__fold")
+      .withColumn("__num",
+        (0 until d7).map(j => col(s"__f$j") * col(s"t$j")).reduce(_ + _))
+      .withColumn("score_fp", expr("__num div 1000000"))
+    LinearProbe.groupedRankingAuc(scored, col("__fold"),
+      col("score_fp"), col("doc_id"), col("__y"))
+      .orderBy(col("fold"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
-    q209QualityFeatures)
+    q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
+    q213ProbeCv)
 }

@@ -639,6 +639,33 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming probe-trainer maintenance — the continuously-retrained
+    * quality classifier: each micro-batch of SCALED feature rows
+    * (`__f0..__f{d-1}`, `__y` — [[graft.ops.LinearProbe.scaled]]'s
+    * shape, produced by the upstream feature pipeline) appends ONE
+    * Gram moment row ([[graft.ops.LinearProbe.writeGramSidecar]]).
+    * Additivity of the exact decimal moments makes a fit from the
+    * accumulated sidecar BIT-EQUAL to a from-scratch fit over every
+    * row ingested (q212's hash proof) — so the serving weights can be
+    * refreshed at any micro-batch boundary by
+    * [[graft.ops.LinearProbe.fitFromSidecar]] without touching the
+    * corpus. Same at-least-once caveat as the LM sidecar: replays
+    * double-count; exactly-once feeds or externally-keyed batches
+    * where that matters. */
+  def runGramToSidecar(features: DataFrame, d: Int,
+                       sidecarDir: String,
+                       checkpointDir: String): Unit = {
+    val q = features.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.LinearProbe.writeGramSidecar(batch, d, sidecarDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming graph-edge sidecar maintenance — the edge-set feed for
     * [[graft.ops.Graph.pageRankFromEdgeSidecar]]: each micro-batch
     * appends its distinct (src, dst) pairs

@@ -82,6 +82,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.GraphQueries.q198SeedDistance, // iterative min-relaxation BFS
     CurationQueries.q200PercentileNorm, // rank/count division with id tiebreak
     CurationQueries.q209QualityFeatures, // composed wide feature join
+    CurationQueries.q210QualityProbe,   // exact Gram + integer GD + scoring
+    CurationQueries.q211ProbeAuc,       // offset-lifted ranks + exact U
+    CurationQueries.q213ProbeCv,        // grouped Gram + fold-keyed GD + AUC
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
     graft.queries.DataQueries.q202AudioFrames, // integer-only PCM frame features
     graft.queries.DataQueries.q203ContainmentPairs, // collapse + probe-prefix join
@@ -91,6 +94,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
+    CurationQueries.q212ProbeSidecar,   // additive Gram moment appends
     CorpusQueries.q204LmSidecar,        // additive bigram counts + LM scoring
     graft.queries.GraphQueries.q206PagerankSidecar, // idempotent edge-set appends
     RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank

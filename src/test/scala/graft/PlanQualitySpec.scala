@@ -282,6 +282,28 @@ class PlanQualitySpec extends SparkSpec {
         s"stages across $jobs jobs")
   }
 
+  test("probe feature scaling (q210): no computed-expression DataFilter " +
+      "reaches the documents scan (the 9x interpreted-filter regression)") {
+    // LinearProbe.scaled enforces its NULL contract inside the
+    // projection precisely so Catalyst cannot push inferred
+    // isnotnull(<expression tree>) constraints into the parquet scan,
+    // where they would re-run tokenization per row in interpreted
+    // mode (measured 9x on this chain). Pin it: every FileScan's
+    // DataFilters must stay free of the tokenization expressions.
+    val scaled = graft.queries.CurationQueries.probeScaledLazy(spark, sf0001)
+    val plan = scaled.queryExecution.executedPlan.toString
+    // the benign pre-existing explode guard (size(split(text)) > 0,
+    // one split per row) is allowed; the pathology is the DERIVED
+    // trees — bigram construction (transform over sequence) and
+    // stopword counting (tokens_in_set) evaluated interpreted at the
+    // scan
+    val scanFilters = plan.split("\n").filter(_.contains("DataFilters:"))
+    scanFilters.foreach { l =>
+      assert(!l.contains("transform(") && !l.contains("tokens_in_set("),
+        s"derived-expression filter reached a scan: ${l.trim.take(200)}")
+    }
+  }
+
   test("composed quality-feature table (q209): one DAG, bounded shuffle " +
       "budget, no cartesians, every window partitioned") {
     @volatile var shuffleWritingStages = 0

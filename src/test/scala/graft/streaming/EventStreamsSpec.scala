@@ -689,6 +689,33 @@ class EventStreamsSpec extends SparkSpec {
       canon(graft.ops.TextAnalysis.lmCrossEntropy(union, "doc_id", "text")))
   }
 
+  test("streaming gram sidecar: a probe fitted from two streamed " +
+      "feature micro-batches equals the one-shot fit bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sgram")
+    val sidecar = root.resolve("gram").toString
+    val ckpt = root.resolve("ckpt").toString
+    // scaled shape: (__f0 intercept, __f1 feature, __y label)
+    val b1 = Seq((1000000L, 0L, 0L), (1000000L, 500000L, 1L))
+    val b2 = Seq((1000000L, 1000000L, 1L))
+    val mem = MemoryStream[(Long, Long, Long)]
+    def run() = runGramToSidecar(mem.toDF().toDF("__f0", "__f1", "__y"),
+      2, sidecar, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    graft.ops.LinearProbe.compactGramSidecar(spark, sidecar, 2)
+    val streamed = graft.ops.LinearProbe.fitFromSidecar(
+      spark, sidecar, 2, iters = 2)
+    val oneShot = {
+      val df = (b1 ++ b2).toDF("__f0", "__f1", "__y")
+      val (g, b, n) = graft.ops.LinearProbe.gram(df, 2)
+      graft.ops.LinearProbe.fitFromGram(g, b, n, iters = 2)
+    }
+    assert(streamed.toSeq === oneShot.toSeq)
+    // and both equal the hand-worked recurrence (LinearProbeSpec)
+    assert(streamed.toSeq === Seq(BigInt(276041666), BigInt(216145833)))
+  }
+
   test("streaming edge sidecar: PageRank off the merged edge set equals " +
       "the direct build — including after an at-least-once REPLAY of a " +
       "batch (set-union appends are idempotent)") {
