@@ -394,6 +394,58 @@ object Graph {
     * distinct-collapse + sort by src, converging under the shared
     * backup-swap protocol. q206 hash-proves sidecar-fed PageRank ==
     * one-shot PageRank against q188's own oracle. */
+  /** k-core decomposition by synchronous peel — the graph-side
+    * "prune the weakly-connected fringe" move (keep only nodes with
+    * ≥ k neighbors that THEMSELVES survive): the standard filter for
+    * a link/co-occurrence graph before expensive downstream work
+    * (community detection, embedding training), and the graph twin of
+    * quality-threshold curation. Semantics per round (simultaneous,
+    * not sequential):
+    *
+    *   surv₀    = all nodes (distinct srcs)
+    *   surv_t+1 = { v ∈ surv_t : |{(v,u) ∈ E : u ∈ surv_t}| ≥ k }
+    *
+    * which is monotone decreasing and converges to the k-core; a
+    * FIXED round budget keeps the computation deterministic and
+    * externally replayable even when not yet converged (Spark and
+    * the recursive-CTE oracle run the same bounded recurrence, q214).
+    * Cascades longer than `rounds` are possible on pathological
+    * graphs (a path peels one end per round — GraphSpec pins that
+    * case); size `rounds` to the graph or check the fixpoint by
+    * comparing two budgets.
+    *
+    * Scale shape (the q188 disciplines): edges deduped, partitioned
+    * once on src, DISK_ONLY-checkpointed — every round's membership
+    * join and degree agg reuse the layout; loop state is NODE-sized
+    * (the survivor set) and localCheckpoints every `checkpointEvery`
+    * rounds so plan depth stays O(rounds / cadence). Undirected
+    * graphs must pass symmetrized edges (the standing convention). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int = 8, checkpointEvery: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1 && rounds <= 64,
+      s"kCore: need k >= 1 and 1 <= rounds <= 64, got k=$k rounds=$rounds")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var surv = e.select(col("src").as("node")).distinct()
+    for (r <- 1 to rounds) {
+      val deg = e.join(surv.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+      surv = surv
+        .join(deg.filter(col("__deg") >= k).select(col("src").as("node")),
+          "node")
+      if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
+        surv = surv.localCheckpoint(true)
+    }
+    val coreDeg = e.join(surv.select(col("node").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+    surv.join(coreDeg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), col("core_deg"))
+  }
+
   def writeEdgeSidecar(batch: DataFrame, srcCol: String, dstCol: String,
                        sidecarDir: String): Unit =
     graft.sources.Sinks.withDirLock(

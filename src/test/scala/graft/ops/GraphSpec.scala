@@ -267,4 +267,30 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(afterCompact === direct)
   }
+
+  test("kCore: triangle + pendant — the 2-core is exactly the triangle " +
+      "with in-core degrees 2") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: a path peels one node per end per round — the bounded " +
+      "budget is honored and the converged 2-core is empty") {
+    import spark.implicits._
+    val und = (1L to 7L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    // after 2 rounds: ends {1,8} then {2,7} have peeled
+    val partial = Graph.kCore(edges, "src", "dst", k = 2, rounds = 2)
+      .select("node").as[Long].collect().toSet
+    assert(partial === Set(3L, 4L, 5L, 6L))
+    // the path has no 2-core: 8 rounds reach the (empty) fixpoint,
+    // and the checkpoint cadence cannot change the answer
+    assert(Graph.kCore(edges, "src", "dst", k = 2, rounds = 8).count() === 0L)
+    assert(Graph.kCore(edges, "src", "dst", k = 2, rounds = 8,
+      checkpointEvery = 0).count() === 0L)
+  }
 }
