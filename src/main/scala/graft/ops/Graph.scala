@@ -232,8 +232,11 @@ object Graph {
     * are graph MEMBERS — a node appearing as a source OR as a sink
     * (a seed with no out-edges still anchors d = 0 and can be
     * reached; only ids absent from the edge list entirely are
-    * dropped, matching [[personalizedPageRankFp]]'s documented
-    * inner-join gating).
+    * dropped). Note this gates seeds on the FULL src ∪ dst node
+    * universe, deliberately UNLIKE [[personalizedPageRankFp]]'s
+    * src-only seed gating: a sink-only seed contributes no rank mass
+    * (it has no out-edges, so dropping it there is correct for rank)
+    * but it IS reachable, so reachability must keep it.
     *
     * Scale shape: the edge list is partitioned by `src` once and
     * reused every relaxation (the [[pageRankFp]] layout); the
@@ -411,8 +414,18 @@ object Graph {
     * the recursive-CTE oracle run the same bounded recurrence, q214).
     * Cascades longer than `rounds` are possible on pathological
     * graphs (a path peels one end per round — GraphSpec pins that
-    * case); size `rounds` to the graph or check the fixpoint by
-    * comparing two budgets.
+    * case); size `rounds` to the graph, check the fixpoint by
+    * comparing two budgets, or use [[kCoreConverged]] which runs to
+    * the fixpoint and asserts it.
+    *
+    * Output contract under a NON-converged budget: the final
+    * core_deg join is INNER, so a survivor whose last-round
+    * neighbors were ALL peeled in the final round (in-core degree 0
+    * at cutoff) is absent from the output — it would have been
+    * peeled next round anyway, and the oracle's recurrence mirrors
+    * the same cutoff. At the fixpoint this cannot happen (every
+    * survivor has ≥ k ≥ 1 in-core neighbors by definition), so
+    * [[kCoreConverged]] never drops a survivor this way.
     *
     * Scale shape (the q188 disciplines): edges deduped, partitioned
     * once on src, DISK_ONLY-checkpointed — every round's membership
@@ -440,6 +453,71 @@ object Graph {
       if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
         surv = surv.localCheckpoint(true)
     }
+    val coreDeg = e.join(surv.select(col("node").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("core_deg"))
+    surv.join(coreDeg.withColumnRenamed("src", "node"), "node")
+      .select(col("node"), col("core_deg"))
+  }
+
+  /** [[kCore]] run to the FIXPOINT, asserted — the production entry
+    * point: a caller who wants "the k-core, period" should not have
+    * to size a round budget to an unknown peel depth. Same per-round
+    * plan as [[kCore]] (deduped/partitioned-once/DISK_ONLY edges,
+    * node-sized survivor state); every `checkpointEvery` rounds the
+    * survivor frame is localCheckpointed anyway, so the convergence
+    * check is ONE count on the already-materialized frame, and
+    * because the survivor set is MONOTONE DECREASING, an unchanged
+    * count across a full cadence proves no node was peeled in any
+    * intermediate round — i.e. the fixpoint was already reached at
+    * the cadence's start. Fails LOUD past `maxRounds` (the standing
+    * guard discipline) rather than returning a silently-unconverged
+    * set. At the fixpoint every survivor has in-core degree ≥ k, so
+    * the final inner core_deg join provably drops nothing (the
+    * [[kCore]] cutoff caveat does not apply); result equals
+    * `kCore(rounds = R)` for any R ≥ the peel depth — GraphSpec pins
+    * the equality. */
+  def kCoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 32,
+                     checkpointEvery: Int = 4): DataFrame = {
+    require(k >= 1 && maxRounds >= 1 && maxRounds <= 256,
+      s"kCoreConverged: need k >= 1, 1 <= maxRounds <= 256, " +
+        s"got k=$k maxRounds=$maxRounds")
+    // the cadence doubles as the convergence-check interval, so —
+    // unlike kCore's opt-out 0 — it must be >= 1 here; a cadence
+    // longer than maxRounds just clamps to one final check
+    require(checkpointEvery >= 1,
+      s"kCoreConverged: need checkpointEvery >= 1, got $checkpointEvery")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    var surv = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var prev = surv.count()
+    var converged = prev == 0L // an empty edge set is trivially done
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val steps = math.min(checkpointEvery, maxRounds - round)
+      for (_ <- 1 to steps) {
+        val deg = e.join(surv.select(col("node").as("dst")), "dst")
+          .groupBy("src").agg(count(lit(1)).as("__deg"))
+        surv = surv.join(
+          deg.filter(col("__deg") >= k).select(col("src").as("node")),
+          "node")
+      }
+      round += steps
+      surv = surv.localCheckpoint(true)
+      val n = surv.count()
+      // monotone survivor set: an unchanged cadence count means zero
+      // peels this cadence, hence the fixpoint held at its start
+      if (n == prev || n == 0L) converged = true
+      prev = n
+    }
+    require(converged,
+      s"kCoreConverged: not converged after $maxRounds rounds " +
+        s"($prev survivors still peeling) — raise maxRounds")
     val coreDeg = e.join(surv.select(col("node").as("dst")), "dst")
       .groupBy("src").agg(count(lit(1)).as("core_deg"))
     surv.join(coreDeg.withColumnRenamed("src", "node"), "node")

@@ -83,6 +83,14 @@ object LinearProbe {
     require(featureCols.nonEmpty && featureCols.size <= 7,
       s"LinearProbe: 1..7 features (+intercept) keep the decimal " +
         s"envelope provable, got ${featureCols.size}")
+    // reserved-name guard: appending __f*/__y onto a frame that
+    // already carries them would produce ambiguous duplicate columns
+    // that surface only as a confusing downstream resolution error
+    val reserved = df.schema.fieldNames
+      .filter(n => n == "__y" || n.matches("__f\\d+"))
+    require(reserved.isEmpty,
+      s"LinearProbe: input already contains reserved column(s) " +
+        s"${reserved.mkString(", ")} — rename or drop them first")
     val valid = featureCols.map(col(_).isNotNull)
       .reduce(_ && _) && labelCol.isNotNull
     val fs = when(valid, lit(featScale)).as("__f0") +:
@@ -241,6 +249,9 @@ object LinearProbe {
     * exact longs; a Column `/` would silently go double. */
   def scoreFp(scaledDf: DataFrame, d: Int, theta: Array[BigInt],
               featScale: Long = FeatScale): DataFrame = {
+    require(!scaledDf.schema.fieldNames.contains("__num"),
+      "LinearProbe: input already contains reserved column __num — " +
+        "rename or drop it first")
     val num = (0 until d).map(j =>
       col(s"__f$j") * lit(theta(j).toLong)).reduce(_ + _)
     scaledDf

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Curation, LinearProbe, TextAnalysis}
+import graft.ops.{Curation, LinearProbe, Relational, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -947,6 +947,12 @@ object CurationQueries {
     val totB = Array.tabulate(d7)(i => grams.values.map(_._2(i)).sum)
     val totN = grams.values.map(_._3).sum
     val thetaRows = (0L to 4L).map { f =>
+      // loud guard: a doc_id residue class with zero rows (tiny or
+      // adversarially-keyed corpus) must not surface as a bare
+      // NoSuchElementException from the Map lookup
+      require(grams.contains(f),
+        s"q213: fold $f is empty — need >= 1 document per doc_id % 5 " +
+          "residue class to cross-validate")
       val (gf, bf, nf) = grams(f)
       val g = Array.tabulate(d7, d7)((i, j) => totG(i)(j) - gf(i)(j))
       val b = Array.tabulate(d7)(i => totB(i) - bf(i))
@@ -966,9 +972,58 @@ object CurationQueries {
       .orderBy(col("fold"))
   }
 
+  /** Round-13: the probe fed BACK into curation — the end-to-end
+    * "train a quality filter, then filter the corpus with it" loop
+    * every LLM-data pipeline runs, as ONE composed computation: q209's
+    * feature signals → q210's exact integer-GD fit (ONE Gram
+    * aggregation, d² driver numbers) → one codegen'd scoring
+    * projection → a q140-style token-budget cut at the top HALF of
+    * the corpus by score (budget = total_tokens/2, exact integer
+    * comparison 2·cum ≤ total, so the cut replays bit-for-bit — no
+    * IEEE fraction ever decides membership). The running token total
+    * over the (score DESC, doc_id) order runs through
+    * [[graft.ops.Relational.globalRankAndRunningSum]] — range
+    * partition + per-partition offsets, NO single-partition window,
+    * so the cut ranks a 100 TB corpus at shuffle speed. Every stage
+    * is already hash-oracled alone (q209/q210/q140); the oracle here
+    * is their CTE chain and the hash certifies the composition. */
+  val q215ProbeQualityCut = QueryDef(
+    "q215_probe_quality_cut",
+    ProbeOracleCtes +
+      """, cut AS (
+        |  SELECT s.doc_id, s.y, s.sc, f.n_tokens,
+        |    CAST(SUM(f.n_tokens) OVER (ORDER BY s.sc DESC, s.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens,
+        |    CAST(SUM(f.n_tokens) OVER () AS BIGINT) AS total
+        |  FROM scored s JOIN fq f USING (doc_id)
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, y,
+        |  CAST(sc AS BIGINT) AS score_fp,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+        |FROM cut WHERE cum_tokens * 2 <= total
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scaled = probeScaled(s, d)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val scored = LinearProbe.scoreFp(scaled, 7, theta)
+      .select(col("doc_id"), col("__y").as("y"), col("score_fp"))
+      .join(toks, "doc_id")
+    val (ranked, total) = Relational.globalRankAndRunningSum(scored,
+      Seq(col("score_fp").desc, col("doc_id")), col("n_tokens"),
+      "__rank", "cum_tokens")
+    ranked.drop("__rank")
+      .filter(col("cum_tokens") * 2 <= lit(total))
+      .select(col("doc_id"), col("y"), col("score_fp"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
-    q213ProbeCv)
+    q213ProbeCv, q215ProbeQualityCut)
 }

@@ -403,7 +403,68 @@ object GraphQueries {
       .orderBy("kind", "node_key")
   }
 
+  /** Round-13: [[Graph.kCoreConverged]] — q214's peel run to the
+    * FIXPOINT with the convergence asserted (the production "give me
+    * the k-core, period" entry point; q214 remains the bounded-budget
+    * replay-honest variant). The oracle runs the same recurrence with
+    * a 32-round budget: the Spark side REQUIREs convergence within
+    * 32, and the survivor set is monotone decreasing, so the
+    * 32-round bounded recurrence equals the fixpoint whenever the
+    * assertion passes — bounded-oracle replay of an unbounded loop.
+    * At the fixpoint every survivor has ≥ k in-core neighbors, so
+    * the final inner core_deg join provably drops nothing (q214's
+    * cutoff caveat is structurally absent here). */
+  val q216KCoreConverged = QueryDef(
+    "q216_kcore_converged",
+    s"""WITH RECURSIVE e0 AS (
+       |  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE l.l_quantity > 48
+       |), edges AS (
+       |  SELECT cust AS src, supp + $Off AS dst FROM e0
+       |  UNION ALL
+       |  SELECT supp + $Off AS src, cust AS dst FROM e0
+       |), nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |surv AS (
+       |  SELECT 0 AS it, node FROM nodes
+       |  UNION ALL
+       |  SELECT s.it + 1, s.node FROM surv s
+       |  JOIN (SELECT e.src, count(*) AS c
+       |        FROM edges e JOIN surv s2 ON s2.node = e.dst
+       |        GROUP BY e.src) d ON d.src = s.node
+       |  WHERE d.c >= 3 AND s.it < 32
+       |), core AS (SELECT node FROM surv WHERE it = 32),
+       |cdeg AS (
+       |  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM edges e
+       |  JOIN core c1 ON c1.node = e.src
+       |  JOIN core c2 ON c2.node = e.dst
+       |  GROUP BY e.src)
+       |SELECT CASE WHEN node >= $Off THEN 'supp' ELSE 'cust' END AS kind,
+       |  CASE WHEN node >= $Off THEN node - $Off ELSE node END AS node_key,
+       |  core_deg
+       |FROM cdeg ORDER BY kind, node_key""".stripMargin) { (s, d) =>
+    val pairs = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 48)
+      .select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+    val edges = pairs
+      .select(col("cust").as("src"), (col("supp") + Off).as("dst"))
+      .unionByName(
+        pairs.select((col("supp") + Off).as("src"), col("cust").as("dst")))
+    Graph.kCoreConverged(edges, "src", "dst", k = 3, maxRounds = 32)
+      .select(
+        when(col("node") >= Off, lit("supp")).otherwise(lit("cust"))
+          .as("kind"),
+        when(col("node") >= Off, col("node") - Off).otherwise(col("node"))
+          .as("node_key"),
+        col("core_deg"))
+      .orderBy("kind", "node_key")
+  }
+
   val all: Seq[QueryDef] = Seq(q188CopurchasePagerank,
     q197PersonalizedPagerank, q198SeedDistance, q205TriangleCounts,
-    q206PagerankSidecar, q214KCore)
+    q206PagerankSidecar, q214KCore, q216KCoreConverged)
 }

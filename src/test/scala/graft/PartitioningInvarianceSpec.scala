@@ -85,6 +85,9 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CurationQueries.q210QualityProbe,   // exact Gram + integer GD + scoring
     CurationQueries.q211ProbeAuc,       // offset-lifted ranks + exact U
     CurationQueries.q213ProbeCv,        // grouped Gram + fold-keyed GD + AUC
+    CurationQueries.q215ProbeQualityCut, // probe scores + offset-lifted budget cut
+    graft.queries.GraphQueries.q214KCore, // bounded integer peel + core degrees
+    graft.queries.GraphQueries.q216KCoreConverged, // fixpoint peel, asserted
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
     graft.queries.DataQueries.q202AudioFrames, // integer-only PCM frame features
     graft.queries.DataQueries.q203ContainmentPairs, // collapse + probe-prefix join

@@ -349,6 +349,51 @@ class PlanQualitySpec extends SparkSpec {
     info(s"q209 shuffle-writing stages: $shuffleWritingStages over $jobs jobs")
   }
 
+  test("probe quality cut (q215): bounded shuffle budget, no cartesians, " +
+      "no unpartitioned window in the budget-cut rank") {
+    @volatile var shuffleWritingStages = 0
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleWritingStages += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df =
+      try {
+        val out = graft.queries.CurationQueries.q215ProbeQualityCut
+          .fn(spark, sf0001)
+        out.collect()
+        var prev = -1
+        while (prev != shuffleWritingStages + jobs) {
+          prev = shuffleWritingStages + jobs
+          Thread.sleep(300)
+        }
+        out
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    // the only windows: the per-source percentile (partitioned by
+    // source) inside the feature chain, and the per-__pid local
+    // rank/cumsum of globalRankAndRunningSum — never a global
+    // single-reducer ORDER BY window over the corpus
+    assertNoUnpartitionedWindow(df)
+    // budget: the q210 feature+Gram chain (its signals' own aggs +
+    // doc-keyed feature joins — mostly broadcast at this SF), the
+    // n_tokens join, the budget cut's ONE range exchange + offsets
+    // pass. Measured 8 at this SF (AQE broadcasts the doc-keyed
+    // joins); 24 admits the sort-merge shapes those joins take at
+    // cluster scale without letting an extra corpus-sized pass in.
+    assert(shuffleWritingStages <= 24,
+      s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
+        s"stages across $jobs jobs")
+    info(s"q215 shuffle-writing stages: $shuffleWritingStages over $jobs jobs")
+  }
+
   test("cdcChunk and groupAwareSplit are pure projections: zero exchanges " +
       "in the executed plan") {
     import org.apache.spark.sql.functions.{col, md5}

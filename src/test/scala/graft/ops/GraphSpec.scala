@@ -293,4 +293,35 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, "src", "dst", k = 2, rounds = 8,
       checkpointEvery = 0).count() === 0L)
   }
+
+  test("kCoreConverged: equals the big-budget kCore at the fixpoint, " +
+      "handles the empty core, and fails LOUD past maxRounds") {
+    import spark.implicits._
+    // triangle + pendant: fixpoint = the triangle, in-core degrees 2;
+    // must equal kCore with any budget >= the peel depth
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+    val tri = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val conv = Graph.kCoreConverged(tri, "src", "dst", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    val bounded = Graph.kCore(tri, "src", "dst", k = 2, rounds = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(conv === bounded)
+    // a cadence of 1 checks every round and cannot change the answer
+    assert(Graph.kCoreConverged(tri, "src", "dst", k = 2,
+        checkpointEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap === conv)
+    // 8-node path: the 2-core is EMPTY and the peel takes 4 rounds —
+    // convergence to the empty set must terminate cleanly
+    val p = (1L to 7L).map(i => (i, i + 1))
+    val path = (p ++ p.map(_.swap)).toDF("src", "dst")
+    assert(Graph.kCoreConverged(path, "src", "dst", k = 2).count() === 0L)
+    // ... and a budget SHORTER than the peel depth must fail loud,
+    // never return a silently-unconverged survivor set
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCoreConverged(path, "src", "dst", k = 2, maxRounds = 2,
+        checkpointEvery = 2).count()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
 }

@@ -105,4 +105,25 @@ class LinearProbeSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("auc")))
     assert(r.getAs[Long]("u_num") === 0L) // ranks 1+2 minus 2*3/2
   }
+
+  test("reserved-name guard: inputs already carrying __f*/__y/__num " +
+      "are rejected loudly, never silently duplicated") {
+    val clash1 = Seq((1L, 0.5, 1L, 7L)).toDF("id", "x", "y", "__f1")
+    val e1 = intercept[IllegalArgumentException] {
+      LinearProbe.scaled(clash1, Seq("x"), col("y"))
+    }
+    assert(e1.getMessage.contains("__f1"))
+    val clash2 = Seq((1L, 0.5, 1L, 7L)).toDF("id", "x", "y", "__y")
+    val e2 = intercept[IllegalArgumentException] {
+      LinearProbe.scaled(clash2, Seq("x"), col("y"))
+    }
+    assert(e2.getMessage.contains("__y"))
+    val ok = LinearProbe.scaled(
+      Seq((1L, 0.5, 1L)).toDF("id", "x", "y"), Seq("x"), col("y"))
+    val e3 = intercept[IllegalArgumentException] {
+      LinearProbe.scoreFp(ok.withColumn("__num", lit(1L)), 2,
+        Array(BigInt(1), BigInt(1)))
+    }
+    assert(e3.getMessage.contains("__num"))
+  }
 }
