@@ -1021,9 +1021,59 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Round-13: the probe cut CALIBRATED PER SOURCE — q215's global
+    * cut lets one domain whose score distribution sits high crowd out
+    * every other domain (the classic quality-filter failure: a
+    * fastText score is not comparable across a curated encyclopedia
+    * and a web crawl). The standard fix is rank-based per-domain
+    * calibration, and the engine already owns both halves: score with
+    * q210's trained probe, then [[Curation.percentileNormalize]] the
+    * scores WITHIN each source ((rank−1)/(n−1) over the deterministic
+    * (score_fp, doc_id) order — one exact-long division per row) and
+    * keep pct ≥ 0.5 — the top half of EVERY source, the q200 move
+    * applied to a learned score instead of raw length. Scale shape:
+    * the feature/Gram/scoring chain is q210's; calibration adds one
+    * window per source partition (sources number in the thousands at
+    * 100 TB — the q200-documented parallelism floor) and the cut is a
+    * per-row filter. Oracle = the probe CTE chain + the same window,
+    * so the calibrated membership hash-replays end to end. */
+  val q217ProbeCalibratedCut = QueryDef(
+    "q217_probe_calibrated_cut",
+    ProbeOracleCtes +
+      """, src AS (
+        |  SELECT doc_id, source FROM documents
+        |), ranked AS (
+        |  SELECT s.doc_id, d.source, s.y, s.sc,
+        |    CAST(row_number() OVER (PARTITION BY d.source
+        |      ORDER BY s.sc, s.doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY d.source) AS BIGINT) AS n
+        |  FROM scored s JOIN src d USING (doc_id)
+        |), pctd AS (
+        |  SELECT doc_id, source, y, sc,
+        |    CASE WHEN n = 1 THEN 0.5
+        |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+        |  FROM ranked
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source, y,
+        |  CAST(sc AS BIGINT) AS score_fp, pct
+        |FROM pctd WHERE pct >= 0.5 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val scaled = probeScaled(s, d)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    val scored = LinearProbe.scoreFp(scaled, 7, theta)
+      .select(col("doc_id"), col("__y").as("y"), col("score_fp"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id")
+    Curation.percentileNormalize(scored, groupCol = "source",
+        valueCol = "score_fp", idCol = "doc_id", keepAbove = 0.5)
+      .select(col("doc_id"), col("source"), col("y"), col("score_fp"),
+        col("pct"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
-    q213ProbeCv, q215ProbeQualityCut)
+    q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut)
 }

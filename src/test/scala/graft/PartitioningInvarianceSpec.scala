@@ -86,6 +86,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CurationQueries.q211ProbeAuc,       // offset-lifted ranks + exact U
     CurationQueries.q213ProbeCv,        // grouped Gram + fold-keyed GD + AUC
     CurationQueries.q215ProbeQualityCut, // probe scores + offset-lifted budget cut
+    CurationQueries.q217ProbeCalibratedCut, // per-source percentile of probe scores
     graft.queries.GraphQueries.q214KCore, // bounded integer peel + core degrees
     graft.queries.GraphQueries.q216KCoreConverged, // fixpoint peel, asserted
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
