@@ -447,9 +447,16 @@ object Graph {
     for (r <- 1 to rounds) {
       val deg = e.join(surv.select(col("node").as("dst")), "dst")
         .groupBy("src").agg(count(lit(1)).as("__deg"))
-      surv = surv
-        .join(deg.filter(col("__deg") >= k).select(col("src").as("node")),
-          "node")
+      // surv_{t+1} = {v : deg_t(v) >= k} needs NO membership join with
+      // surv_t: a node peeled at round s had deg_{s-1} < k, and its
+      // degree INTO the monotone-shrinking survivor set can only have
+      // decreased since (deg_t <= deg_{s-1} < k), so resurrection is
+      // impossible. Beyond saving a join per round, this keeps the
+      // loop's plan LINEAR in rounds — the two-reference form doubles
+      // the logical plan every round (2^cadence nodes per checkpoint
+      // segment: cadence 16 = a 65k-node plan that stalls Catalyst for
+      // hours — caught by the round-14 deep-peel harness).
+      surv = deg.filter(col("__deg") >= k).select(col("src").as("node"))
       if (checkpointEvery > 0 && r % checkpointEvery == 0 && r < rounds)
         surv = surv.localCheckpoint(true)
     }
@@ -469,9 +476,12 @@ object Graph {
     * because the survivor set is MONOTONE DECREASING, an unchanged
     * count across a full cadence proves no node was peeled in any
     * intermediate round — i.e. the fixpoint was already reached at
-    * the cadence's start. Fails LOUD past `maxRounds` (the standing
-    * guard discipline) rather than returning a silently-unconverged
-    * set. At the fixpoint every survivor has in-core degree ≥ k, so
+    * the cadence's start. A peel depth landing INSIDE the final
+    * cadence is certified by one extra no-change probe round after
+    * the loop, so the effective peel-depth budget is exactly
+    * `maxRounds` (not `maxRounds − checkpointEvery`). Fails LOUD
+    * past `maxRounds` (the standing guard discipline) rather than
+    * returning a silently-unconverged set. At the fixpoint every survivor has in-core degree ≥ k, so
     * the final inner core_deg join provably drops nothing (the
     * [[kCore]] cutoff caveat does not apply); result equals
     * `kCore(rounds = R)` for any R ≥ the peel depth — GraphSpec pins
@@ -503,9 +513,10 @@ object Graph {
       for (_ <- 1 to steps) {
         val deg = e.join(surv.select(col("node").as("dst")), "dst")
           .groupBy("src").agg(count(lit(1)).as("__deg"))
-        surv = surv.join(
-          deg.filter(col("__deg") >= k).select(col("src").as("node")),
-          "node")
+        // no membership join — see the [[kCore]] loop's monotonicity
+        // argument (resurrection impossible; plan stays linear in the
+        // cadence instead of doubling per round)
+        surv = deg.filter(col("__deg") >= k).select(col("src").as("node"))
       }
       round += steps
       surv = surv.localCheckpoint(true)
@@ -514,6 +525,22 @@ object Graph {
       // peels this cadence, hence the fixpoint held at its start
       if (n == prev || n == 0L) converged = true
       prev = n
+    }
+    if (!converged) {
+      // the cadence check can only certify a fixpoint observed at a
+      // cadence BOUNDARY, so a peel depth inside the final cadence
+      // (in (maxRounds − checkpointEvery, maxRounds]) would converge
+      // within budget yet never be observed unchanged. ONE no-change
+      // probe round past maxRounds closes that gap — the effective
+      // peel-depth budget is exactly maxRounds (round-13 ADVICE). The
+      // probe peels nothing when it certifies, so reusing its frame
+      // as the survivor set is a semantic no-op.
+      val deg = e.join(surv.select(col("node").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("__deg"))
+      val probe = deg.filter(col("__deg") >= k)
+        .select(col("src").as("node"))
+        .localCheckpoint(true)
+      if (probe.count() == prev) { converged = true; surv = probe }
     }
     require(converged,
       s"kCoreConverged: not converged after $maxRounds rounds " +

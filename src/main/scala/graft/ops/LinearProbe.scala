@@ -249,9 +249,12 @@ object LinearProbe {
     * exact longs; a Column `/` would silently go double. */
   def scoreFp(scaledDf: DataFrame, d: Int, theta: Array[BigInt],
               featScale: Long = FeatScale): DataFrame = {
-    require(!scaledDf.schema.fieldNames.contains("__num"),
-      "LinearProbe: input already contains reserved column __num — " +
-        "rename or drop it first")
+    val reserved = scaledDf.schema.fieldNames
+      .filter(n => n == "__num" || n == "score_fp")
+    require(reserved.isEmpty,
+      s"LinearProbe: input already contains reserved column(s) " +
+        s"${reserved.mkString(", ")} — rename or drop them first " +
+        "(an existing score_fp would be silently replaced otherwise)")
     val num = (0 until d).map(j =>
       col(s"__f$j") * lit(theta(j).toLong)).reduce(_ + _)
     scaledDf

@@ -323,5 +323,17 @@ class GraphSpec extends SparkSpec {
         checkpointEvery = 2).count()
     }
     assert(ex.getMessage.contains("not converged"))
+    // round-13 ADVICE boundary: a peel depth landing INSIDE the final
+    // cadence (here depth 4 with maxRounds = 4, cadence 3 — the last
+    // cadence covers only round 4, whose count still changes) must be
+    // certified by the post-loop probe round, not fail spuriously —
+    // the effective budget is exactly maxRounds
+    val pend = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (1L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val lolly = (pend ++ pend.map(_.swap)).toDF("src", "dst")
+    val boundary = Graph.kCoreConverged(lolly, "src", "dst", k = 2,
+        maxRounds = 4, checkpointEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(boundary === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 }

@@ -125,5 +125,12 @@ class LinearProbeSpec extends SparkSpec {
         Array(BigInt(1), BigInt(1)))
     }
     assert(e3.getMessage.contains("__num"))
+    // round-13 ADVICE: an existing score_fp must be rejected too, not
+    // silently REPLACED by the withColumn
+    val e4 = intercept[IllegalArgumentException] {
+      LinearProbe.scoreFp(ok.withColumn("score_fp", lit(1L)), 2,
+        Array(BigInt(1), BigInt(1)))
+    }
+    assert(e4.getMessage.contains("score_fp"))
   }
 }
