@@ -82,7 +82,16 @@ object Faults {
     "q182_ivf_append_seeded", "q123_incremental_dedup",
     "q133_incremental_dedup_bloom", "q135_sketch_sidecar",
     "q136_neardup_sidecar", "q168_token_rarity_sidecar",
-    "q179_bm25_sidecar", "q143_streaming_curation")
+    "q179_bm25_sidecar", "q143_streaming_curation",
+    // round-13/14 additions, pinned in code so the default sweep IS
+    // the full deterministic-operator set (round-13 verdict #2: a
+    // query that lands after the round's sweeps either re-runs the
+    // cheap sweeps or waits — keeping the list here makes the sweep
+    // registry-synchronized by construction): the k-core peels, the
+    // probe-driven cuts, the composed pipeline, the probe lifecycle
+    "q214_kcore", "q215_probe_quality_cut", "q216_kcore_converged",
+    "q217_probe_calibrated_cut", "q218_curation_pipeline",
+    "q219_probe_lifecycle")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Curation, LinearProbe, Relational, TextAnalysis}
+import graft.ops.{Curation, Dedup, LinearProbe, Relational, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1029,7 +1029,10 @@ object CurationQueries {
     * calibration, and the engine already owns both halves: score with
     * q210's trained probe, then [[Curation.percentileNormalize]] the
     * scores WITHIN each source ((rank−1)/(n−1) over the deterministic
-    * (score_fp, doc_id) order — one exact-long division per row) and
+    * (score_fp, doc_id) order — one IEEE division of exact longs per
+    * row, deterministic and oracle-replayed; unlike q215 the keep
+    * decision compares that double against 0.5, not an exact integer
+    * predicate) and
     * keep pct ≥ 0.5 — the top half of EVERY source, the q200 move
     * applied to a learned score instead of raw length. Scale shape:
     * the feature/Gram/scoring chain is q210's; calibration adds one
@@ -1071,9 +1074,332 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** A gram + integer-GD + theta CTE block over `feats` restricted by
+    * `where`, names suffixed `sfx` — the q210 training loop replayed
+    * over a sub-corpus (q219 fits the pre-append batch). Generated,
+    * not hand-copied: the 28 Gram products, 7 label moments, and 7 GD
+    * update rows are textually identical to [[ProbeOracleCtes]]'s
+    * main loop modulo the CTE names and the WHERE. */
+  private def gramGdCtes(sfx: String, where: String): String = {
+    val prods = (for (i <- 0 to 6; j <- i to 6) yield
+      s"    sum(CAST(f$i AS HUGEINT)*f$j) AS g_${i}_$j").mkString(",\n")
+    val bs = (0 to 6).map(i =>
+      s"    sum(CAST(f$i AS HUGEINT)*y) AS b_$i").mkString(",\n")
+    def urow(i: Int) = {
+      val terms = (0 to 6).map { j =>
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        s"g.g_${a}_$b*t$j"
+      }.mkString(" + ")
+      s"    t$i - (1*(($terms)//CAST(1000000000000 AS HUGEINT) - " +
+        s"1000*g.b_$i))//(4*g.n) AS t$i"
+    }
+    val zeros = (0 to 6).map(i => s"CAST(0 AS HUGEINT) AS t$i").mkString(", ")
+    s""", gram$sfx AS (
+       |  SELECT CAST(count(*) AS HUGEINT) AS n,
+       |$prods,
+       |$bs
+       |  FROM feats WHERE $where
+       |), gd$sfx AS (
+       |  SELECT 0 AS it, $zeros
+       |  UNION ALL
+       |  SELECT gd$sfx.it + 1,
+       |${(0 to 6).map(urow).mkString(",\n")}
+       |  FROM gd$sfx, gram$sfx g WHERE gd$sfx.it < 24
+       |), theta$sfx AS (SELECT * FROM gd$sfx WHERE it = 24
+       |)""".stripMargin
+  }
+
+  /** Round-14 (the round-13 verdict's #1 ask): the FULL pre-training
+    * curation pipeline as ONE composed, hash-oracled plan — the
+    * artifact an LLM-data team actually runs, chaining six stages the
+    * engine has individually proven:
+    *
+    *   1. normalized exact dedup (q153's op on the real corpus —
+    *      [[TextAnalysis.normalizeText]] + [[Dedup.exactDedup]], keep
+    *      the min doc_id per normalized digest; the eval holdout
+    *      `doc_id % 19 = 0` never enters the corpus),
+    *   2. duplicated-span removal (q157 — 10-token chunks, corpus-wide
+    *      keep-first on the replayable md5 chunk key, docs reassembled
+    *      from surviving chunks; empty rewrites drop),
+    *   3. benchmark decontamination of the CLEAN text vs the holdout
+    *      (q113's op; the drop threshold is 0.5 — "half the doc's
+    *      distinct 3-grams leak" — because the ~30-word synthetic
+    *      vocabulary makes incidental 3-gram overlap ubiquitous
+    *      (median 0.39 at sf0.1); real text at the production 8-gram
+    *      order would pin the usual low threshold;
+    *      sub-3-token rewrites carry no gram evidence and pass),
+    *   4. probe-scored per-source calibrated cut (q217 — q210's
+    *      trained probe scores, rank-calibrated WITHIN each source,
+    *      keep the top half of every domain; the probe is q210's,
+    *      trained ONCE on the raw corpus — the fastText convention:
+    *      the filter model predates the holdout split, and eval
+    *      integrity is decontam's job, enforced on the corpus itself),
+    *   5. temperature mixture budget (q118/q126 — per-source sqrt
+    *      weights over KEPT tokens, total budget = half the surviving
+    *      token mass; budget_s = ((T div 2)·iw_s) div Σiw in EXACT
+    *      decimal integer arithmetic — no IEEE fraction decides a
+    *      budget; admission by per-source md5-seeded running sum),
+    *   6. sequence packing (q125 — [[Relational.packSequences]] at 512
+    *      tokens over the final kept set in doc_id order, through the
+    *      distributed rank — no single-partition window).
+    *
+    * Every inter-stage handoff is a doc_id equality join; the only
+    * unpartitioned window is the budget share over the per-SOURCE
+    * aggregate (rows = source count, bounded by design — the q126
+    * precedent). The oracle is the six stages' CTE chain and the hash
+    * certifies the COMPOSITION — survivor sets, scores, percentiles,
+    * budgets, and packing offsets — end to end at three SFs. */
+  val q218CurationPipeline = QueryDef(
+    "q218_curation_pipeline",
+    ProbeOracleCtes +
+      """, corpus AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 0
+        |), nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+        |  FROM corpus
+        |), d1 AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY md5(ntext)
+        |      ORDER BY doc_id) AS rn
+        |    FROM nrm) WHERE rn = 1
+        |), st AS (
+        |  SELECT c.doc_id, c.source, c.text FROM corpus c JOIN d1 USING (doc_id)
+        |), t2 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM st
+        |), tok2 AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+        |  FROM t2
+        |), chunks AS (
+        |  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk_idx,
+        |         CAST(count(*) AS BIGINT) AS chunk_tokens,
+        |         string_agg(tok, ' ' ORDER BY i) AS chunk_text
+        |  FROM tok2 GROUP BY doc_id, (i - 1) // 10
+        |), flagged AS (
+        |  SELECT doc_id, chunk_idx, chunk_tokens, chunk_text,
+        |    (ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+        |       ORDER BY doc_id, chunk_idx) = 1) AS keep
+        |  FROM chunks
+        |), cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+        |      ORDER BY chunk_idx), '') AS clean_text,
+        |    CAST(sum(CASE WHEN keep THEN chunk_tokens ELSE 0 END) AS BIGINT)
+        |      AS kept_toks
+        |  FROM flagged GROUP BY doc_id
+        |), ctoks AS (
+        |  SELECT doc_id, string_split(clean_text, ' ') AS ts
+        |  FROM cleaned WHERE kept_toks >= 1
+        |), cgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+        |  FROM ctoks WHERE len(ts) >= 3
+        |), eval_t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |  WHERE doc_id % 19 = 0
+        |), eval_g AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |      generate_series(1, len(ts) - 2),
+        |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+        |  FROM eval_t WHERE len(ts) >= 3
+        |), contam AS (
+        |  SELECT t.doc_id,
+        |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) >= 0.5 AS contaminated
+        |  FROM cgrams t LEFT JOIN eval_g e ON t.g = e.g
+        |  GROUP BY t.doc_id
+        |), surv3 AS (
+        |  SELECT c.doc_id, s.source, c.kept_toks
+        |  FROM cleaned c JOIN st s USING (doc_id)
+        |  LEFT JOIN contam ct USING (doc_id)
+        |  WHERE c.kept_toks >= 1 AND NOT coalesce(ct.contaminated, false)
+        |), pranked AS (
+        |  SELECT sv.doc_id, sv.source, sv.kept_toks, sc.sc,
+        |    CAST(row_number() OVER (PARTITION BY sv.source
+        |      ORDER BY sc.sc, sv.doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY sv.source) AS BIGINT) AS n
+        |  FROM surv3 sv JOIN scored sc USING (doc_id)
+        |), kept4 AS (
+        |  SELECT doc_id, source, kept_toks, sc,
+        |    CASE WHEN n = 1 THEN 0.5
+        |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+        |  FROM pranked
+        |  WHERE (CASE WHEN n = 1 THEN 0.5
+        |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END) >= 0.5
+        |), iws AS (
+        |  SELECT source, CAST(sum(kept_toks) AS BIGINT) AS t_src,
+        |    CAST(floor(sqrt(CAST(sum(kept_toks) AS DOUBLE))) AS BIGINT) AS iw
+        |  FROM kept4 GROUP BY source
+        |), tot AS (
+        |  SELECT CAST(sum(t_src) AS BIGINT) AS total,
+        |         CAST(sum(iw) AS BIGINT) AS sum_iw FROM iws
+        |), budgets AS (
+        |  SELECT i.source,
+        |    CAST((CAST(t.total // 2 AS HUGEINT) * i.iw) // t.sum_iw AS BIGINT)
+        |      AS token_budget
+        |  FROM iws i, tot t
+        |), mranked AS (
+        |  SELECT k.doc_id, k.source, k.kept_toks, k.sc, k.pct,
+        |    CAST(SUM(k.kept_toks) OVER (PARTITION BY k.source
+        |      ORDER BY md5(CAST(k.doc_id AS VARCHAR) || '|42'), k.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_src
+        |  FROM kept4 k
+        |), kept5 AS (
+        |  SELECT m.doc_id, m.source, m.sc, m.pct, m.kept_toks
+        |  FROM mranked m JOIN budgets b USING (source)
+        |  WHERE m.cum_src <= b.token_budget
+        |), packed AS (
+        |  SELECT doc_id, source, sc, pct, kept_toks,
+        |    CAST(SUM(kept_toks) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM kept5
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(sc AS BIGINT) AS score_fp, pct,
+        |  CAST(kept_toks AS BIGINT) AS n_toks, cum_tokens,
+        |  CAST((cum_tokens - kept_toks) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum_tokens - kept_toks) % 512 AS BIGINT) AS start_offset,
+        |  CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+        |FROM packed ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 19 =!= 0)
+      .select(col("doc_id"), col("source"), col("text"))
+    // 1. normalized exact dedup — survivors keep their ORIGINAL text
+    val survivors1 = Dedup.exactDedup(
+        corpus.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("text")),
+        "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val st = corpus.join(survivors1, "doc_id")
+    // 2. duplicated-span removal over the deduped corpus
+    val cleaned = Dedup.removeDuplicateSpans(st, "text", "doc_id",
+        chunkTokens = 10, replayableKeys = true)
+      .select(col("doc_id"), col("clean_text"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_toks"))
+      .filter(col("kept_toks") >= 1L)
+    // 3. decontamination of the CLEAN text vs the eval holdout;
+    //    docs too short to carry a 3-gram pass as uncontaminated
+    val contam = Curation.decontaminate(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        docs.filter(col("doc_id") % 19 === 0),
+        n = 3, threshold = 0.5)
+      .select(col("doc_id"), col("contaminated"))
+    val surv3 = cleaned.select(col("doc_id"), col("kept_toks"))
+      .join(st.select(col("doc_id"), col("source")), "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .filter(!coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("source"), col("kept_toks"))
+    // 4. probe-scored per-source calibrated cut (q210's exact θ)
+    val scaled = probeScaled(s, d)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    val scored = LinearProbe.scoreFp(scaled, 7, theta)
+      .select(col("doc_id"), col("score_fp"))
+    val kept4 = Curation.percentileNormalize(
+        surv3.join(scored, "doc_id"),
+        groupCol = "source", valueCol = "score_fp", idCol = "doc_id",
+        keepAbove = 0.5)
+    // 5. temperature mixture budget — exact decimal integer arithmetic
+    //    (budget_s = ((T div 2)·iw_s) div Σiw; a long product would
+    //    overflow at real corpus token masses, decimal(38,0) cannot);
+    //    the share window runs over the per-SOURCE aggregate only
+    val budgets = kept4.groupBy(col("source"))
+      .agg(sum(col("kept_toks")).as("t_src"))
+      .withColumn("iw", floor(sqrt(col("t_src").cast("double"))).cast("long"))
+      .withColumn("total",
+        sum(col("t_src")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("sum_iw",
+        sum(col("iw")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("token_budget",
+        expr("cast((cast(total div 2 as decimal(38,0)) * cast(iw as decimal(38,0)))" +
+          " div cast(sum_iw as decimal(38,0)) as bigint)"))
+      .select(col("source"), col("token_budget"))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat_ws("|", col("doc_id"), lit(42L))), col("doc_id"))
+    val kept5 = kept4
+      .withColumn("cum_src", sum(col("kept_toks")).over(
+        wSrc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum_src") <= col("token_budget"))
+      .select(col("doc_id"), col("source"), col("score_fp"), col("pct"),
+        col("kept_toks"))
+    // 6. sequence packing at 512 tokens through the distributed rank
+    Relational.packSequences(kept5, order = Seq(col("doc_id")),
+        nTokens = col("kept_toks"), seqTokens = 512L)
+      .select(col("doc_id"), col("source"), col("score_fp"), col("pct"),
+        col("n_toks"), col("cum_tokens"), col("start_seq"),
+        col("start_offset"), col("end_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Round-14 (the round-13 verdict's #5 ask): the INCREMENTAL probe
+    * lifecycle — the maintenance operation the Gram sidecar exists
+    * for, as one oracled computation: ingest batch A (docs with
+    * `doc_id % 3 ≠ 2`) into the sidecar and fit θ_old from the
+    * UNCOMPACTED partial state; append batch B, compact, and re-fit
+    * θ_new from the compacted sidecar — by Gram additivity θ_new is
+    * BIT-EQUAL to the from-scratch q210 fit, which is exactly what
+    * the oracle's main `scored` CTE certifies; then score ONLY the
+    * new batch with both weight vectors and report the per-row score
+    * drift (score_new − score_old = x·Δθ in exact fixed-point — the
+    * q201 OLS-drift pattern applied to probe weights; a corpus owner
+    * alerts when the batch shifts the filter's decisions). Scale
+    * shape: two one-row sidecar appends + one compaction (IO ∝
+    * batches), two driver GD loops over d² numbers, scoring and
+    * drift are one codegen'd projection over the NEW batch only —
+    * the old corpus is never re-read or re-scored. The oracle
+    * replays batch A's training loop in a second recursive CTE
+    * ([[gramGdCtes]]) and the full-corpus loop is q210's verbatim. */
+  val q219ProbeLifecycle = QueryDef(
+    "q219_probe_lifecycle",
+    ProbeOracleCtes +
+      gramGdCtes("A", "doc_id % 3 <> 2") +
+      """
+        |, scoredA AS (
+        |  SELECT f.doc_id, f.y,
+        |    (CAST(f.f0 AS HUGEINT)*t.t0 + CAST(f.f1 AS HUGEINT)*t.t1
+        |     + CAST(f.f2 AS HUGEINT)*t.t2 + CAST(f.f3 AS HUGEINT)*t.t3
+        |     + CAST(f.f4 AS HUGEINT)*t.t4 + CAST(f.f5 AS HUGEINT)*t.t5
+        |     + CAST(f.f6 AS HUGEINT)*t.t6)//1000000 AS sc_old
+        |  FROM feats f, thetaA t WHERE f.doc_id % 3 = 2
+        |)
+        |SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.y,
+        |  CAST(a.sc_old AS BIGINT) AS score_old,
+        |  CAST(s.sc AS BIGINT) AS score_new,
+        |  CAST(s.sc - a.sc_old AS BIGINT) AS drift
+        |FROM scored s JOIN scoredA a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q219_gram_sidecar_$sf"
+    }
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val scaled = probeScaled(s, d)
+    val batchA = scaled.filter(pmod(col("doc_id"), lit(3L)) =!= 2L)
+    val batchB = scaled.filter(pmod(col("doc_id"), lit(3L)) === 2L)
+    LinearProbe.writeGramSidecar(batchA, 7, dir)
+    val thetaOld = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
+    LinearProbe.writeGramSidecar(batchB, 7, dir)
+    LinearProbe.compactGramSidecar(s, dir, 7)
+    val thetaNew = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
+    val oldScored = LinearProbe.scoreFp(batchB, 7, thetaOld)
+      .withColumnRenamed("score_fp", "score_old")
+    LinearProbe.scoreFp(oldScored, 7, thetaNew)
+      .select(col("doc_id"), col("__y").as("y"), col("score_old"),
+        col("score_fp").as("score_new"),
+        (col("score_fp") - col("score_old")).as("drift"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
-    q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut)
+    q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
+    q218CurationPipeline, q219ProbeLifecycle)
 }

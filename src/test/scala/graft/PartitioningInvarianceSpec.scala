@@ -87,6 +87,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CurationQueries.q213ProbeCv,        // grouped Gram + fold-keyed GD + AUC
     CurationQueries.q215ProbeQualityCut, // probe scores + offset-lifted budget cut
     CurationQueries.q217ProbeCalibratedCut, // per-source percentile of probe scores
+    CurationQueries.q218CurationPipeline, // six-stage composed pipeline
     graft.queries.GraphQueries.q214KCore, // bounded integer peel + core degrees
     graft.queries.GraphQueries.q216KCoreConverged, // fixpoint peel, asserted
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
@@ -99,6 +100,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
     CurationQueries.q212ProbeSidecar,   // additive Gram moment appends
+    CurationQueries.q219ProbeLifecycle, // partial-fit + append + drift scores
     CorpusQueries.q204LmSidecar,        // additive bigram counts + LM scoring
     graft.queries.GraphQueries.q206PagerankSidecar, // idempotent edge-set appends
     RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank

@@ -14,6 +14,40 @@ class PlanQualitySpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Run `body` under a SparkListener counting jobs and
+    * shuffle-writing stages (each is a full-data shuffle at 100 TB;
+    * skipped/reused stages never complete, so plan reuse counts as
+    * zero). AtomicInteger, not `@volatile var +=`: listener callbacks
+    * can fire concurrently and a volatile read-modify-write is a
+    * lost-update race that could let a blown budget pass undetected
+    * (round-13 ADVICE). Waits for the async listener bus to settle
+    * before returning (no public listenerBus.waitUntilEmpty). */
+  private def withShuffleCount[T](body: => T): (T, Int, Int) = {
+    val shuffleWritingStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          shuffleWritingStages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val r = body
+        var prev = -1
+        while (prev != shuffleWritingStages.get() + jobs.get()) {
+          prev = shuffleWritingStages.get() + jobs.get()
+          Thread.sleep(300)
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    (out, shuffleWritingStages.get(), jobs.get())
+  }
+
   test("q02: filters and column pruning reach the parquet scan") {
     val plan = executed(CoreQueries.q02FilterProject.fn(spark, sf0001))
     assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)") ||
@@ -215,45 +249,12 @@ class PlanQualitySpec extends SparkSpec {
     // actually WROTE shuffle data (each one is a full shuffle of its
     // output at 100 TB). Skipped / reused stages never complete, so
     // plan reuse correctly counts as zero.
-    @volatile var shuffleWritingStages = 0
-    @volatile var jobs = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
-          shuffleWritingStages += 1
+    val (df, shuffleWritingStages, jobs) = withShuffleCount {
+      val out = graft.queries.ScaleQueries.curationPipeline(docs, dir)
+      out.collect()
+      out
     }
-    spark.sparkContext.addSparkListener(listener)
-    val df =
-      try {
-        val out = graft.queries.ScaleQueries.curationPipeline(docs, dir)
-        out.collect()
-        // listener events are posted asynchronously; wait for the
-        // counters to stabilize (no public listenerBus.waitUntilEmpty)
-        var prev = -1
-        while (prev != shuffleWritingStages + jobs) {
-          prev = shuffleWritingStages + jobs
-          Thread.sleep(300)
-        }
-        out
-      } finally spark.sparkContext.removeSparkListener(listener)
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val next = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.executedPlan)
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(s.plan)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          Seq(r.child)
-        case other => other.children
-      }
-      p +: next.flatMap(flatten)
-    }
-    val nodes = flatten(df.queryExecution.executedPlan)
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
     assert(!nodes.exists(
       _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
     // every distributed ranking rides a partitioned window; the single
@@ -306,30 +307,12 @@ class PlanQualitySpec extends SparkSpec {
 
   test("composed quality-feature table (q209): one DAG, bounded shuffle " +
       "budget, no cartesians, every window partitioned") {
-    @volatile var shuffleWritingStages = 0
-    @volatile var jobs = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
-          shuffleWritingStages += 1
+    val (df, shuffleWritingStages, jobs) = withShuffleCount {
+      val out = graft.queries.CurationQueries.q209QualityFeatures
+        .fn(spark, sf0001)
+      out.collect()
+      out
     }
-    spark.sparkContext.addSparkListener(listener)
-    val df =
-      try {
-        val out = graft.queries.CurationQueries.q209QualityFeatures
-          .fn(spark, sf0001)
-        out.collect()
-        var prev = -1
-        while (prev != shuffleWritingStages + jobs) {
-          prev = shuffleWritingStages + jobs
-          Thread.sleep(300)
-        }
-        out
-      } finally spark.sparkContext.removeSparkListener(listener)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     // the only windows are the per-source percentile rank (partitioned
@@ -351,30 +334,12 @@ class PlanQualitySpec extends SparkSpec {
 
   test("probe quality cut (q215): bounded shuffle budget, no cartesians, " +
       "no unpartitioned window in the budget-cut rank") {
-    @volatile var shuffleWritingStages = 0
-    @volatile var jobs = 0
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
-      override def onStageCompleted(
-          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
-          shuffleWritingStages += 1
+    val (df, shuffleWritingStages, jobs) = withShuffleCount {
+      val out = graft.queries.CurationQueries.q215ProbeQualityCut
+        .fn(spark, sf0001)
+      out.collect()
+      out
     }
-    spark.sparkContext.addSparkListener(listener)
-    val df =
-      try {
-        val out = graft.queries.CurationQueries.q215ProbeQualityCut
-          .fn(spark, sf0001)
-        out.collect()
-        var prev = -1
-        while (prev != shuffleWritingStages + jobs) {
-          prev = shuffleWritingStages + jobs
-          Thread.sleep(300)
-        }
-        out
-      } finally spark.sparkContext.removeSparkListener(listener)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(1200))
     // the only windows: the per-source percentile (partitioned by
@@ -392,6 +357,45 @@ class PlanQualitySpec extends SparkSpec {
       s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
         s"stages across $jobs jobs")
     info(s"q215 shuffle-writing stages: $shuffleWritingStages over $jobs jobs")
+  }
+
+  test("full pre-training pipeline (q218): bounded shuffle budget, no " +
+      "cartesians, the only unpartitioned window is the per-source " +
+      "budget share") {
+    val (df, shuffleWritingStages, jobs) = withShuffleCount {
+      val out = graft.queries.CurationQueries.q218CurationPipeline
+        .fn(spark, sf0001)
+      out.collect()
+      out
+    }
+    val nodes = flattenPlan(df.queryExecution.executedPlan)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]))
+    // every corpus-sized ranking is partitioned (span-removal keep
+    // window by chunk md5, calibration window by source, admission
+    // window by source, pack's per-__pid local window); the single
+    // allowed empty partitionSpec is the budget share over the
+    // per-SOURCE aggregate (rows = source count, bounded by design —
+    // the q126/q131 precedent)
+    val unpartitioned = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.size <= 1,
+      s"unpartitioned windows:\n${unpartitioned.mkString("\n")}")
+    // shuffle budget across all six stages: dedup agg + survivor join,
+    // span-removal chunk window + doc rollup, decontam gram agg, the
+    // probe feature chain's aggs (checkpoint-materialized once), the
+    // calibration and admission source windows, budget agg, the pack
+    // range exchange + offsets pass, and the oracle-facing final sort.
+    // An extra shuffle-writing stage here is a corpus-sized pass at
+    // 100 TB. Measured 23 at this SF (AQE broadcasts the doc-keyed
+    // joins); 36 admits the sort-merge shapes those joins take at
+    // cluster scale without letting a whole extra stage sneak in.
+    assert(shuffleWritingStages <= 36,
+      s"shuffle budget blown: $shuffleWritingStages shuffle-writing " +
+        s"stages across $jobs jobs")
+    info(s"q218 shuffle-writing stages: $shuffleWritingStages over $jobs jobs")
   }
 
   test("cdcChunk and groupAwareSplit are pure projections: zero exchanges " +
