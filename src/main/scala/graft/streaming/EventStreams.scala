@@ -558,6 +558,42 @@ object EventStreams {
     q.stop()
   }
 
+  /** Streaming probe-trainer-state maintenance — the ML-trainer twin
+    * of [[runTokenCountsToSidecar]] and the continuous feed for the
+    * q219 lifecycle: each micro-batch scales its features
+    * ([[graft.ops.LinearProbe.scaled]]) and appends ONE Gram-moment
+    * row ([[graft.ops.LinearProbe.writeGramSidecar]] — ~d² decimals,
+    * so sidecar IO is ∝ micro-batches, never data-sized). Gram
+    * moments are additive exact decimals over row-disjoint batches,
+    * so the weights fitted from the sidecar are BIT-EQUAL to a
+    * from-scratch fit over everything ingested, however the stream
+    * micro-batched (EventStreamsSpec proves θ equality).
+    *
+    * Contract: `featureCols` must be PER-ROW-computable signals
+    * (ratios, lengths, flags in [0,1] — the LinearProbe convergence
+    * contract); corpus-relative signals (percentile calibration,
+    * rarity) are not micro-batch-stable — compute those in a batch
+    * feature pipeline and stream its OUTPUT (the standing
+    * [[graft.ops.LinearProbe.writeGramSidecar]] note). At-least-once
+    * replays double-count a batch's moments, the standing sidecar
+    * contract. */
+  def runGramToSidecar(rows: DataFrame, featureCols: Seq[String],
+                       labelCol: String, sidecarDir: String,
+                       checkpointDir: String): Unit = {
+    val d = featureCols.size + 1
+    val q = rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val scaled = graft.ops.LinearProbe.scaled(batch, featureCols,
+          org.apache.spark.sql.functions.col(labelCol))
+        graft.ops.LinearProbe.writeGramSidecar(scaled, d, sidecarDir)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming ANN-index ingest — continuous
     * [[graft.ops.SeededKMeans.appendToIvfIndexSeeded]]: each
     * micro-batch of new vectors lands in the stored seeded-IVF index

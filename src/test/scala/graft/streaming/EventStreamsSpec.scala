@@ -533,6 +533,36 @@ class EventStreamsSpec extends SparkSpec {
       .filter($"count" > 1).count() === 0L)
   }
 
+  test("streaming Gram sidecar: weights fitted after micro-batched appends " +
+      "are bit-equal to a from-scratch fit over everything ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("sgram")
+    val sidecar = root.resolve("gram").toString
+    val ckpt = root.resolve("ckpt").toString
+    // per-row [0,1] features (the LinearProbe convergence contract);
+    // deterministic synthetic rows so the fit is non-trivial
+    val rows = (1L to 60L).map { i =>
+      (i, (i % 7).toDouble / 7.0, (i % 3).toDouble / 3.0,
+        if (i % 2 == 0) 1L else 0L)
+    }
+    val (b1, b2) = rows.splitAt(25)
+    val mem = MemoryStream[(Long, Double, Double, Long)]
+    def run() = runGramToSidecar(
+      mem.toDF().toDF("id", "fa", "fb", "y"),
+      Seq("fa", "fb"), "y", sidecar, ckpt)
+    mem.addData(b1: _*); run()
+    mem.addData(b2: _*); run()
+    graft.ops.LinearProbe.compactGramSidecar(spark, sidecar, 3)
+    val streamed = graft.ops.LinearProbe.fitFromSidecar(
+      spark, sidecar, 3, iters = 24)
+    val oneShot = graft.ops.LinearProbe.fit(
+      rows.toDF("id", "fa", "fb", "y"), Seq("fa", "fb"),
+      $"y", iters = 24)
+    assert(streamed.toSeq === oneShot.toSeq)
+    // compaction left exactly one moment row
+    assert(spark.read.parquet(sidecar).count() === 1L)
+  }
+
   test("streaming seeded-IVF ingest: index state after micro-batched appends " +
       "equals one full assignment under the stored centroids") {
     implicit val sqlCtx = spark.sqlContext
