@@ -91,7 +91,7 @@ object Faults {
     // probe-driven cuts, the composed pipeline, the probe lifecycle
     "q214_kcore", "q215_probe_quality_cut", "q216_kcore_converged",
     "q217_probe_calibrated_cut", "q218_curation_pipeline",
-    "q219_probe_lifecycle")
+    "q219_probe_lifecycle", "q220_probe_weight_drift")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

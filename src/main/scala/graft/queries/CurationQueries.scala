@@ -1396,10 +1396,50 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Round-14: the θ-COEFFICIENT drift report — q219's companion at
+    * the weight level (q219 reports per-ROW score drift over the new
+    * batch; a corpus owner's alerting dashboard wants the d-row
+    * "which signal's weight moved" view — the q201 OLS-drift pattern
+    * applied literally to probe weights): fit θ_old on the pre-append
+    * corpus (doc_id % 3 ≠ 2, one Gram aggregation), θ_new on the full
+    * corpus, emit one row per coefficient with old/new/delta in exact
+    * fixed-point. Output is d+1 = 7 rows — driver-bounded by
+    * construction (the Gram d² class), never data-sized. The oracle
+    * replays BOTH training loops (the main q210 CTE + the
+    * [[gramGdCtes]]-generated batch-A loop) and unpivots the two
+    * θ vectors. */
+  val q220ProbeWeightDrift = QueryDef(
+    "q220_probe_weight_drift",
+    ProbeOracleCtes +
+      gramGdCtes("A", "doc_id % 3 <> 2") +
+      """
+        |, drift AS (
+        |""".stripMargin +
+      (0 to 6).map(j =>
+        s"  SELECT CAST($j AS BIGINT) AS j, CAST(a.t$j AS BIGINT) AS theta_old," +
+          s" CAST(t.t$j AS BIGINT) AS theta_new FROM thetaA a, theta t")
+        .mkString("", "\n  UNION ALL\n", "\n") +
+      """|)
+         |SELECT j, theta_old, theta_new,
+         |  theta_new - theta_old AS delta
+         |FROM drift ORDER BY j""".stripMargin) { (s, d) =>
+    val scaled = probeScaled(s, d)
+    val (gA, bA, nA) = LinearProbe.gram(
+      scaled.filter(pmod(col("doc_id"), lit(3L)) =!= 2L), 7)
+    val tOld = LinearProbe.fitFromGram(gA, bA, nA, iters = 24)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val tNew = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    import s.implicits._
+    (0 to 6).map(j => (j.toLong, tOld(j).toLong, tNew(j).toLong,
+        tNew(j).toLong - tOld(j).toLong))
+      .toDF("j", "theta_old", "theta_new", "delta")
+      .orderBy(col("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
     q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
-    q218CurationPipeline, q219ProbeLifecycle)
+    q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift)
 }

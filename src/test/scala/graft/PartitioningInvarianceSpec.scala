@@ -88,6 +88,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     CurationQueries.q215ProbeQualityCut, // probe scores + offset-lifted budget cut
     CurationQueries.q217ProbeCalibratedCut, // per-source percentile of probe scores
     CurationQueries.q218CurationPipeline, // six-stage composed pipeline
+    CurationQueries.q220ProbeWeightDrift, // two exact Gram fits + driver rows
     graft.queries.GraphQueries.q214KCore, // bounded integer peel + core degrees
     graft.queries.GraphQueries.q216KCoreConverged, // fixpoint peel, asserted
     AnalyticsQueries.q201OlsDrift,      // exact decimal moments + IEEE trees
