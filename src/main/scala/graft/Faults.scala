@@ -91,7 +91,10 @@ object Faults {
     // probe-driven cuts, the composed pipeline, the probe lifecycle
     "q214_kcore", "q215_probe_quality_cut", "q216_kcore_converged",
     "q217_probe_calibrated_cut", "q218_curation_pipeline",
-    "q219_probe_lifecycle", "q220_probe_weight_drift")
+    "q219_probe_lifecycle", "q220_probe_weight_drift",
+    // round 15: the incremental composed pipeline (four sidecar
+    // families written per shard under injection)
+    "q221_incremental_curation")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -207,6 +210,31 @@ object Faults {
           org.apache.spark.sql.functions.lit(2L)) === 1L), 7, w)
       graft.ops.LinearProbe.compactGramSidecar(s, w, 7)
       Seq(w)
+    }),
+    ("append_curation_shards", (s: SparkSession, d: String, w: String) => {
+      // the round-15 composed-incremental lifecycle: two shards
+      // through CurationPipeline.ingestShard — each shard writes FOUR
+      // sidecar families (Gram moments, digest set, chunk-key set,
+      // survivor metadata) whose cross-shard state the second shard's
+      // keep decisions depend on — then the Gram compaction; the
+      // hashed on-disk state is the full pipeline dir
+      val c = org.apache.spark.sql.functions.col _
+      val docs = graft.sources.Tables.documents(s, d)
+      val holdout = c("doc_id") % 19 === 0
+      val dirs = graft.ops.CurationPipeline.Dirs(w + "/pipeline")
+      graft.ops.CurationPipeline.init(s, dirs, docs.filter(holdout))
+      val withFeats = docs.select(c("doc_id"), c("source"), c("text"))
+        .join(graft.queries.CurationQueries.probeScaled(s, d), "doc_id")
+      val mid = docs.agg(org.apache.spark.sql.functions
+        .max(c("doc_id"))).collect()(0).getLong(0) / 2
+      graft.ops.CurationPipeline.ingestShard(
+        withFeats.filter(c("doc_id") <= mid), dirs, holdout)
+      graft.ops.CurationPipeline.ingestShard(
+        withFeats.filter(c("doc_id") > mid), dirs, holdout)
+      graft.ops.LinearProbe.compactGramSidecar(s, dirs.gram,
+        graft.ops.CurationPipeline.FeatureDim)
+      Seq(dirs.gram, dirs.digests, dirs.chunks, dirs.evalGrams,
+        dirs.shards)
     }),
     ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
       // two curateBatch calls = two micro-batches through the SAME

@@ -27,6 +27,13 @@ object KCoreDeepRun {
   def main(args: Array[String]): Unit = {
     val copies = sys.env.getOrElse("SPARK_GRAFT_KCORE_COPIES", "50000").toInt
     val tail = sys.env.getOrElse("SPARK_GRAFT_KCORE_TAIL", "48").toInt
+    // the bounded cross-check below runs kCore(rounds = min(64, tail+8));
+    // a tail deeper than 56 would leave that run unconverged and its
+    // divergent digest would read as a real engine bug — fail loudly
+    // here instead (ADVICE r14)
+    require(tail + 8 <= 64,
+      s"SPARK_GRAFT_KCORE_TAIL must be <= 56 so the bounded cross-check " +
+        s"(rounds = min(64, tail + 8)) can reach the peel depth; got $tail")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -978,6 +978,92 @@ object Dedup {
           .as("removed_tokens"))
   }
 
+  /** Incremental [[removeDuplicateSpans]] — the per-shard form of the
+    * span-removal rewrite, backed by a persisted CHUNK-KEY sidecar
+    * (one md5 hex string per distinct chunk ever seen; the replayable-
+    * keys variant is the only one offered because the whole point of
+    * the incremental form is cross-run reproducibility). A batch
+    * chunk is kept iff its key is absent from the sidecar (no earlier
+    * shard carried it) AND it is the first occurrence within this
+    * batch in (id, chunk_idx) order; after the keep decision the
+    * batch's NEW distinct keys are appended so the next shard sees
+    * them.
+    *
+    * Equivalence contract: when shards arrive in monotone id order
+    * (shard k's ids all below shard k+1's — the q221 arrangement),
+    * the union of per-shard outputs is ROW-IDENTICAL to one
+    * [[removeDuplicateSpans]] (`replayableKeys = true`) over the
+    * union: the global keep-first occurrence of every key lies in the
+    * earliest shard that carries it, where it is batch-rank-1 and
+    * unseen. Out-of-order arrival degrades gracefully to keep-FIRST-
+    * ARRIVED (the production semantics when shards are time-ordered),
+    * no longer keep-min-id. CurationPipelineSpec proves both the
+    * equality and the ordering sensitivity.
+    *
+    * Scale shape per shard: chunking is a per-row projection; the
+    * membership check is one left-anti-joinable hash lookup on md5
+    * keys (AQE broadcasts the sidecar while it is small, runtime
+    * bloom prunes the batch scan when it is not); the within-batch
+    * keep is one window over the chunk key; reassembly one per-doc
+    * aggregation. Sidecar rows are 32-byte hex keys — ∝ distinct
+    * chunks, never corpus text. Survivors are eagerly
+    * localCheckpointed BEFORE the key append (the
+    * [[sidecarSurvivors]] re-read trap: a later action re-running the
+    * anti-join against a sidecar that meanwhile contains this batch's
+    * own keys would drop everything). SINGLE-WRITER like every
+    * sidecar: serialize shard ingests per sidecarDir. */
+  def removeDuplicateSpansAgainstSidecar(batch: DataFrame, textCol: String,
+                                         idCol: String, sidecarDir: String,
+                                         chunkTokens: Int = 50): DataFrame = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val chunked = TextAnalysis.chunk(batch, textCol, chunkTokens, 0, idCol)
+      .withColumn("__k", md5(col("chunk_text")))
+    val withSeen =
+      if (!fs.exists(path)) chunked.withColumn("__seen", lit(false))
+      else chunked
+        .join(spark.read.parquet(sidecarDir).select(col("ck"))
+            .withColumn("__hit", lit(true)),
+          col("__k") === col("ck"), "left")
+        .withColumn("__seen", coalesce(col("__hit"), lit(false)))
+        .drop("ck", "__hit")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col(idCol).asc, col("chunk_idx").asc)
+    val decided = withSeen
+      .withColumn("__keep", !col("__seen") && row_number().over(w) === 1)
+      .localCheckpoint(true)
+    val out = decided
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(
+            when(col("__keep"), struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text"))).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept_chunks"),
+        sum(col("chunk_tokens")).as("n_tokens"),
+        sum(when(!col("__keep"), col("chunk_tokens")).otherwise(0L))
+          .as("removed_tokens"))
+      .localCheckpoint(true)
+    graft.sources.Sinks.withDirLock(
+      spark, sidecarDir, "removeDuplicateSpansAgainstSidecar") {
+      decided.filter(!col("__seen")).select(col("__k").as("ck")).distinct()
+        .sortWithinPartitions(col("ck"))
+        .write.mode("append").parquet(sidecarDir)
+    }
+    out
+  }
+
+  /** Distinct-collapse compaction of a chunk-key sidecar (the shared
+    * backup-swap protocol): many per-shard appends → one sorted key
+    * set. Idempotent over its own output; appends are already
+    * new-keys-only so replays cannot inflate it either. */
+  def compactChunkKeySidecar(spark: org.apache.spark.sql.SparkSession,
+                             sidecarDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = Some("ck"), transform = Some(_.distinct()))
+
   /** n-gram Jaccard pairs via a capped inverted index: explode
     * shingles, drop shingles appearing in more than `dfCap` docs (the
     * stop-shingles that would otherwise make candidate generation

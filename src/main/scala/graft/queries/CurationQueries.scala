@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ops.{Curation, Dedup, LinearProbe, Relational, TextAnalysis}
+import graft.ops.{Curation, CurationPipeline, Dedup, LinearProbe, Relational, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1298,43 +1298,16 @@ object CurationQueries {
     val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
     val scored = LinearProbe.scoreFp(scaled, 7, theta)
       .select(col("doc_id"), col("score_fp"))
-    val kept4 = Curation.percentileNormalize(
-        surv3.join(scored, "doc_id"),
-        groupCol = "source", valueCol = "score_fp", idCol = "doc_id",
-        keepAbove = 0.5)
-    // 5. temperature mixture budget — exact decimal integer arithmetic
-    //    (budget_s = ((T div 2)·iw_s) div Σiw; a long product would
-    //    overflow at real corpus token masses, decimal(38,0) cannot);
-    //    the share window runs over the per-SOURCE aggregate only
-    val budgets = kept4.groupBy(col("source"))
-      .agg(sum(col("kept_toks")).as("t_src"))
-      .withColumn("iw", floor(sqrt(col("t_src").cast("double"))).cast("long"))
-      .withColumn("total",
-        sum(col("t_src")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("sum_iw",
-        sum(col("iw")).over(org.apache.spark.sql.expressions.Window.partitionBy()))
-      .withColumn("token_budget",
-        expr("cast((cast(total div 2 as decimal(38,0)) * cast(iw as decimal(38,0)))" +
-          " div cast(sum_iw as decimal(38,0)) as bigint)"))
-      .select(col("source"), col("token_budget"))
-    val wSrc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(md5(concat_ws("|", col("doc_id"), lit(42L))), col("doc_id"))
-    val kept5 = kept4
-      .withColumn("cum_src", sum(col("kept_toks")).over(
-        wSrc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)))
-      .join(broadcast(budgets), "source")
-      .filter(col("cum_src") <= col("token_budget"))
-      .select(col("doc_id"), col("source"), col("score_fp"), col("pct"),
-        col("kept_toks"))
-    // 6. sequence packing at 512 tokens through the distributed rank
-    Relational.packSequences(kept5, order = Seq(col("doc_id")),
-        nTokens = col("kept_toks"), seqTokens = 512L)
-      .select(col("doc_id"), col("source"), col("score_fp"), col("pct"),
-        col("n_toks"), col("cum_tokens"), col("start_seq"),
-        col("start_offset"), col("end_seq"))
-      .orderBy(col("doc_id"))
+    // 4b–6. the corpus-relative tail — per-source calibrated cut,
+    //    exact-integer temperature mixture budget, 512-token packing —
+    //    is [[CurationPipeline.finalizeStages]], shared VERBATIM with
+    //    the incremental twin q221 so the two forms' tails cannot
+    //    drift apart (round 15; the stage semantics and scale notes
+    //    live at the shared op)
+    CurationPipeline.finalizeStages(
+      surv3.join(scored, "doc_id")
+        .select(col("doc_id"), col("source"), col("kept_toks"),
+          col("score_fp")))
   }
 
   /** Round-14 (the round-13 verdict's #5 ask): the INCREMENTAL probe
@@ -1436,10 +1409,64 @@ object CurationQueries {
       .orderBy(col("j"))
   }
 
+  /** Round-15 (the round-14 verdict's #1 ask): the INCREMENTAL twin of
+    * q218 — the six-stage curation pipeline run the way a 100 TB
+    * corpus team actually operates it: the corpus arrives as THREE
+    * monotone doc_id shards, each flowing through
+    * [[graft.ops.CurationPipeline.ingestShard]] — the SIDECAR-backed
+    * forms of stages 1–3 (digest sidecar exact dedup, chunk-key
+    * sidecar span removal, the FROZEN benchmark gram registry) plus
+    * the Gram trainer-state append — and emitting a curated-survivor
+    * metadata shard; then ONE
+    * [[graft.ops.CurationPipeline.finalizePipeline]] fits θ from the
+    * compacted sidecar (bit-equal to the one-shot fit by moment
+    * additivity) and runs the corpus-relative tail (calibrated cut,
+    * mixture budget, packing — [[graft.ops.CurationPipeline
+    * .finalizeStages]], shared verbatim with q218) over survivor
+    * METADATA only. The raw corpus is read exactly once, at ingest.
+    *
+    * The oracle is q218's VERBATIM — the certificate IS that
+    * incremental ≡ one-shot: DuckDB replays the one-shot six-stage
+    * composition and the hash must match the shard-by-shard run at
+    * three SFs. The cross-batch ordering traps this exercises that no
+    * per-stage test can see: dedup-before-decontam across shard
+    * boundaries (shard 2's span removal depends on what shards 0–1
+    * PERSISTED), keep-first-arrived ≡ keep-min-id under monotone
+    * arrival, and the frozen-registry rule (a late eval shard must
+    * never retroactively contaminate an already-emitted doc). */
+  val q221IncrementalCuration = QueryDef(
+    "q221_incremental_curation",
+    q218CurationPipeline.oracle.get) { (s, d) =>
+    val dirs = CurationPipeline.Dirs({
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q221_pipeline_$sf"
+    })
+    val docs = Tables.documents(s, d)
+    val holdout = col("doc_id") % 19 === 0
+    // freeze the benchmark gram registry BEFORE any shard arrives
+    CurationPipeline.init(s, dirs, docs.filter(holdout))
+    // the upstream feature pipeline's output rides with each shard
+    // (scaled exact longs — the writeGramSidecar contract: corpus-
+    // relative signals are the feature pipeline's job, not the
+    // ingest's)
+    val withFeats = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(probeScaled(s, d), "doc_id")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(Long.MinValue, (maxId + 1) / 3, 2 * ((maxId + 1) / 3),
+      Long.MaxValue)
+    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+      CurationPipeline.ingestShard(
+        withFeats.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        dirs, holdout)
+    }
+    CurationPipeline.finalizePipeline(s, dirs)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
     q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
-    q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift)
+    q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift,
+    q221IncrementalCuration)
 }

@@ -585,9 +585,48 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val scaled = graft.ops.LinearProbe.scaled(batch, featureCols,
-          org.apache.spark.sql.functions.col(labelCol))
-        graft.ops.LinearProbe.writeGramSidecar(scaled, d, sidecarDir)
+        // skip empty micro-batches: an n=0 moment row carries NULL
+        // decimal sums, and an all-empty sidecar would then fail
+        // parseGramRow's envelope check instead of fitFromSidecar's
+        // clearer empty-sidecar guard (ADVICE r14)
+        if (!batch.isEmpty) {
+          val scaled = graft.ops.LinearProbe.scaled(batch, featureCols,
+            org.apache.spark.sql.functions.col(labelCol))
+          graft.ops.LinearProbe.writeGramSidecar(scaled, d, sidecarDir)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  /** Streaming incremental-curation ingest — the six-stage pipeline's
+    * shard feed ([[graft.ops.CurationPipeline]]): each micro-batch is
+    * one arriving corpus shard flowing through
+    * [[graft.ops.CurationPipeline.ingestShard]] — the sidecar-backed
+    * forms of dedup / span removal / decontamination plus the Gram
+    * trainer-state append — emitting a curated-survivor metadata
+    * shard. [[graft.ops.CurationPipeline.finalizePipeline]] can then
+    * produce the packed corpus at ANY batch boundary without touching
+    * the raw corpus again; under monotone doc_id arrival its output
+    * is row-identical to the one-shot q218 over everything ingested
+    * (the q221 hash certificate; EventStreamsSpec proves the streamed
+    * path). Call [[graft.ops.CurationPipeline.init]] BEFORE the
+    * stream starts — the benchmark gram registry must be frozen
+    * first (the cross-batch contamination trap its scaladoc names).
+    * Rows must carry doc_id, source, text and the upstream feature
+    * pipeline's __f0..__f6, __y. At-least-once replays re-append a
+    * batch's Gram moments and shard rows — the standing sidecar
+    * contract; exactly-once feeds where that matters. */
+  def runCurationShards(shards: DataFrame,
+                        dirs: graft.ops.CurationPipeline.Dirs,
+                        holdout: org.apache.spark.sql.Column,
+                        checkpointDir: String): Unit = {
+    val q = shards.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.CurationPipeline.ingestShard(batch, dirs, holdout)
       }
       .start()
     q.processAllAvailable()
@@ -695,7 +734,12 @@ object EventStreams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.LinearProbe.writeGramSidecar(batch, d, sidecarDir)
+        // empty micro-batches append no moment row (ADVICE r14: an
+        // n=0 row has NULL sums and poisons an otherwise-empty
+        // sidecar with a misleading envelope error)
+        if (!batch.isEmpty) {
+          graft.ops.LinearProbe.writeGramSidecar(batch, d, sidecarDir)
+        }
       }
       .start()
     q.processAllAvailable()

@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The incremental curation pipeline (q221) and its sidecar-backed
+  * stage ops: per-shard ≡ one-shot equivalences, the arrival-order
+  * contract, and the frozen decontamination registry. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("incremental span removal over monotone shards equals one-shot " +
+      "removeDuplicateSpans(replayableKeys) over the union") {
+    // chunkTokens = 3; "x y z" is planted in docs 1 (shard A) and 5
+    // (shard B) — the cross-shard duplicate — and twice inside doc 2
+    // — the within-shard duplicate
+    val docsA = Seq(
+      (1L, "x y z a b c"),
+      (2L, "p q r x y z p q r"),
+      (3L, "m n o")).toDF("doc_id", "text")
+    val docsB = Seq(
+      (5L, "x y z d e f"),
+      (6L, "p q r g h i")).toDF("doc_id", "text")
+    val union = docsA.unionByName(docsB)
+    val dir = tmp("chunkside") + "/chunks"
+    val outA = Dedup.removeDuplicateSpansAgainstSidecar(
+      docsA, "text", "doc_id", dir, chunkTokens = 3)
+    val outB = Dedup.removeDuplicateSpansAgainstSidecar(
+      docsB, "text", "doc_id", dir, chunkTokens = 3)
+    val oneShot = Dedup.removeDuplicateSpans(
+      union, "text", "doc_id", chunkTokens = 3, replayableKeys = true)
+    assert(canon(outA.unionByName(outB)) === canon(oneShot))
+    // the planted duplicates were actually exercised: doc 5 lost its
+    // leading "x y z" (seen in shard A), doc 6 lost "p q r"
+    val b = outB.collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    assert(b(5L) === "d e f")
+    assert(b(6L) === "g h i")
+  }
+
+  test("incremental span removal compaction: distinct-collapse keeps the " +
+      "keep decisions identical for later shards") {
+    val dir = tmp("chunkcomp") + "/chunks"
+    Dedup.removeDuplicateSpansAgainstSidecar(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "text", "doc_id", dir,
+      chunkTokens = 3)
+    Dedup.removeDuplicateSpansAgainstSidecar(
+      Seq((2L, "a b c")).toDF("doc_id", "text"), "text", "doc_id", dir,
+      chunkTokens = 3)
+    Dedup.compactChunkKeySidecar(spark, dir)
+    assert(spark.read.parquet(dir).count() === 2L)
+    val out = Dedup.removeDuplicateSpansAgainstSidecar(
+      Seq((3L, "x y z a b c d e f")).toDF("doc_id", "text"),
+      "text", "doc_id", dir, chunkTokens = 3)
+    assert(out.collect()(0).getString(1) === "d e f")
+  }
+
+  test("out-of-order arrival degrades to keep-FIRST-ARRIVED, not " +
+      "keep-min-id (the documented ordering contract)") {
+    val dir = tmp("chunkooo") + "/chunks"
+    // the HIGH id arrives first and claims the chunk
+    Dedup.removeDuplicateSpansAgainstSidecar(
+      Seq((10L, "x y z")).toDF("doc_id", "text"), "text", "doc_id", dir,
+      chunkTokens = 3)
+    val late = Dedup.removeDuplicateSpansAgainstSidecar(
+      Seq((1L, "x y z")).toDF("doc_id", "text"), "text", "doc_id", dir,
+      chunkTokens = 3)
+    // min-id doc 1 arrived late and loses the chunk — differs from the
+    // one-shot (which would keep doc 1's copy); monotone arrival is
+    // what makes the q221 hash-equality hold
+    assert(late.collect()(0).getString(1) === "")
+  }
+
+  test("decontaminateAgainstGrams via a frozen registry equals the " +
+      "one-shot decontaminate") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val evalDocs = docs.filter($"doc_id" % 19 === 0)
+    val train = docs.filter($"doc_id" % 19 =!= 0)
+      .select($"doc_id", $"text")
+    val reg = tmp("evalreg") + "/grams"
+    Curation.writeEvalGramSidecar(evalDocs, 3, reg)
+    val viaRegistry = Curation.decontaminateAgainstGrams(
+      train, spark.read.parquet(reg), n = 3, threshold = 0.5)
+    val oneShot = Curation.decontaminate(train, evalDocs, n = 3,
+      threshold = 0.5)
+    assert(canon(viaRegistry) === canon(oneShot))
+  }
+
+  test("q221 incremental pipeline is row-identical to the one-shot q218 " +
+      "at sf0.001 (the composed-equivalence certificate, in-repo)") {
+    val inc = graft.queries.CurationQueries.q221IncrementalCuration
+      .fn(spark, sf0001)
+    val one = graft.queries.CurationQueries.q218CurationPipeline
+      .fn(spark, sf0001)
+    val (ci, co) = (canon(inc), canon(one))
+    assert(ci.nonEmpty && ci === co)
+  }
+
+  test("ingesting an EMPTY shard is a no-op (no null Gram row, no " +
+      "phantom survivors)") {
+    val dirs = CurationPipeline.Dirs(tmp("emptyshard"))
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val holdout = col("doc_id") % 19 === 0
+    CurationPipeline.init(spark, dirs, docs.filter(holdout))
+    val withFeats = docs.select($"doc_id", $"source", $"text")
+      .join(graft.queries.CurationQueries.probeScaled(spark, sf0001),
+        "doc_id")
+    CurationPipeline.ingestShard(withFeats, dirs, holdout)
+    val full = CurationPipeline.finalizePipeline(spark, dirs)
+    val before = canon(full)
+    CurationPipeline.ingestShard(withFeats.filter($"doc_id" < 0L),
+      dirs, holdout)
+    assert(canon(CurationPipeline.finalizePipeline(spark, dirs)) === before)
+  }
+}

@@ -6,6 +6,14 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+/** One arriving curation-shard row — the [[EventStreams
+  * .runCurationShards]] feed shape (docs + the upstream feature
+  * pipeline's scaled longs). Top-level so the product encoder derives
+  * cleanly. */
+final case class CurShardRow(doc_id: Long, source: String, text: String,
+    __f0: Long, __f1: Long, __f2: Long, __f3: Long, __f4: Long,
+    __f5: Long, __f6: Long, __y: Long)
+
 class EventStreamsSpec extends SparkSpec {
   import EventStreams._
   import spark.implicits._
@@ -769,5 +777,31 @@ class EventStreamsSpec extends SparkSpec {
     val fromSidecar = graft.ops.Graph.pageRankFromEdgeSidecar(spark, sidecar)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(fromSidecar === direct)
+  }
+
+  test("streaming curation shards: two foreachBatch-ingested monotone " +
+      "shards + one finalize equal the one-shot q218 pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("scur")
+    val dirs = graft.ops.CurationPipeline.Dirs(root.resolve("pipe").toString)
+    val ckpt = root.resolve("ckpt").toString
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val holdout = $"doc_id" % 19 === 0
+    // the registry freezes BEFORE the stream starts (the contract)
+    graft.ops.CurationPipeline.init(spark, dirs, docs.filter(holdout))
+    val rows = docs.select($"doc_id", $"source", $"text")
+      .join(graft.queries.CurationQueries.probeScaled(spark, sf), "doc_id")
+      .as[CurShardRow].collect().sortBy(_.doc_id)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[CurShardRow]
+    def run() = runCurationShards(mem.toDF(), dirs, holdout, ckpt)
+    mem.addData(b1.toSeq: _*); run()
+    mem.addData(b2.toSeq: _*); run()
+    val streamed = graft.ops.CurationPipeline.finalizePipeline(spark, dirs)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = graft.queries.CurationQueries.q218CurationPipeline
+      .fn(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed === oneShot)
   }
 }
