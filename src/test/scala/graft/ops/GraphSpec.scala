@@ -336,4 +336,35 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(boundary === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
+
+  test("memory model: every frame the graph family materializes is " +
+      "DISK_ONLY — zero pinned heap (the r14 weak-grade budget, " +
+      "asserted not documented)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val p = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L))
+    val edges = (p ++ p.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    Graph.pageRankFp(edges, "src", "dst", iters = 3,
+      checkpointEvery = 1).count()
+    Graph.personalizedPageRankFp(edges, "src", "dst", seeds, "node",
+      iters = 3, checkpointEvery = 1).count()
+    Graph.seedDistance(edges, "src", "dst", seeds, "node", maxHops = 3,
+      checkpointEvery = 1).count()
+    Graph.kCore(edges, "src", "dst", k = 2, rounds = 3,
+      checkpointEvery = 1).count()
+    Graph.kCoreConverged(edges, "src", "dst", k = 2,
+      checkpointEvery = 1).count()
+    val fresh = sc.getPersistentRDDs.filterNot(kv => before(kv._1))
+    // every op above checkpoints at least once → plenty of new blocks
+    assert(fresh.nonEmpty)
+    fresh.values.foreach { rdd =>
+      val l = rdd.getStorageLevel
+      assert(!l.useMemory,
+        s"graph-family checkpoint pinned on heap ($l) — the memory " +
+          "model promises DISK_ONLY for data- AND node-sized state")
+    }
+    fresh.values.foreach(_.unpersist(true))
+  }
 }
