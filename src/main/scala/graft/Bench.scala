@@ -70,15 +70,23 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val (memBefore, diskBefore) =
         (spillListener.mem.get(), spillListener.disk.get())
+      // the last successful run's frame is kept for the plan-shape
+      // guard — its optimizedPlan is already materialized by count(),
+      // so the node count is free
+      var lastDf: Option[org.apache.spark.sql.DataFrame] = None
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          try { val df = fn(spark, sfDir); df.count(); lastDf = Some(df); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      val planNodes = lastDf.map { df =>
+        try graft.plans.PlanGuard.nodeCount(df)
+        catch { case _: Throwable => -1 }
+      }.getOrElse(-1)
       val ok = times.forall(_._2)
       // neighborhood hygiene BETWEEN queries (never between a query's
       // own runs): round-5 showed the q58-q68 block "regressing"
@@ -122,24 +130,37 @@ object Bench {
       }
       val spillMem = spillListener.mem.get() - memBefore
       val spillDisk = spillListener.disk.get() - diskBefore
-      (name, times.map(_._1).min, ok, spillMem, spillDisk)
+      (name, times.map(_._1).min, ok, spillMem, spillDisk, planNodes)
     }
-    val qs = results.map { case (k, v, ok, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     // per-query spill deltas, nonzero only (empty at a roomy heap; the
     // low-mem sweep's whole point is which queries appear here)
-    val spills = results.collect { case (k, _, _, m, d) if m > 0 || d > 0 =>
+    val spills = results.collect { case (k, _, _, m, d, _) if m > 0 || d > 0 =>
       s""""$k":{"mem_bytes":$m,"disk_bytes":$d}"""
     }.mkString("{", ",", "}")
+    // plan-SHAPE regression guard (round-15; the r14 2^cadence find):
+    // per-query optimized-plan node counts vs the committed baseline —
+    // >2x unregistered growth fails the sweep AFTER both JSON lines
+    // print (the artifact must still record what happened)
+    val planCounts = results.collect {
+      case (k, _, true, _, _, p) if p > 0 => k -> p
+    }.toMap
+    val planJson = graft.plans.PlanGuard.render(planCounts)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/plan_sizes_current.json"),
+      planJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val planViolations = graft.plans.PlanGuard.check(
+      planCounts, graft.plans.PlanGuard.loadBaseline("PLAN_SIZES.json"))
     // Full per-query detail for humans/logs — this line is ~3k chars,
     // larger than the 2000-char stdout tail the driver keeps, so it
     // must NOT be the last line (rounds 1-3 recorded parsed:null
     // because the tail clipped the front of the one big JSON line).
-    println(s"""{"metric":"detail","queries":$qs,"errors":$errors,"spills":$spills}""")
+    println(s"""{"metric":"detail","queries":$qs,"errors":$errors,"spills":$spills,"plan_nodes":$planJson}""")
     // Compact line LAST: total + a stable headline subset (one per
     // operator family, 3-decimal rounding) — guaranteed < 1 KB so the
     // driver's tail always contains the complete parseable line.
@@ -150,14 +171,20 @@ object Bench {
       "q72_salted_join", "q96_pipeline_e2e", "q173_seeded_kmeans",
       "q177_bm25_topk")
     val hs = results.collect {
-      case (k, v, ok, _, _) if headline.contains(k) =>
+      case (k, v, ok, _, _, _) if headline.contains(k) =>
         "\"" + k + "\":" + (if (ok) f"$v%.3f" else "-1")
     }.mkString("{", ",", "}")
     val nOk = results.count(_._3)
     val (spillMemTot, spillDiskTot) =
       (results.map(_._4).sum, results.map(_._5).sum)
     val nSpilled = results.count(r => r._4 > 0 || r._5 > 0)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_ok":$nOk,"errors":$errors,"runs":$runs,"heap":"${Runtime.getRuntime.maxMemory() >> 20}m","shuffle_partitions":$shufflePartitions,"n_spilled":$nSpilled,"spill_mem_bytes":$spillMemTot,"spill_disk_bytes":$spillDiskTot,"sf":"$sfDir"}""")
+    val planRegs = planViolations.map(v =>
+      "\"" + v.takeWhile(_ != ':') + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_ok":$nOk,"errors":$errors,"runs":$runs,"heap":"${Runtime.getRuntime.maxMemory() >> 20}m","shuffle_partitions":$shufflePartitions,"n_spilled":$nSpilled,"spill_mem_bytes":$spillMemTot,"spill_disk_bytes":$spillDiskTot,"plan_regressions":$planRegs,"sf":"$sfDir"}""")
     spark.stop()
+    if (planViolations.nonEmpty) {
+      planViolations.foreach(v => System.err.println(s"[plan-guard] $v"))
+      sys.exit(1)
+    }
   }
 }
