@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-shot fixture generator (not part of the driver contract) —
+  * dumps the dHash of every image in the pinned q208 corpus
+  * ([[graft.sources.Multimodal.syntheticImageCorpus]], n = 400) to
+  * `fixtures/q208_dhash.csv`. The committed CSV is the "trust the
+  * decoder ONCE" seam that flips q208 from rows-only to hash-oracled:
+  * the DuckDB oracle replays everything AFTER the decode (banding,
+  * candidate join, popcount verification) in SQL over this fixture,
+  * and MultimodalSpec asserts the live decode still reproduces the
+  * fixture bit-for-bit, so an imageio drift fails a test instead of
+  * silently moving the answer. Regenerate only on a deliberate corpus
+  * or hash change, in the same commit that re-pins the oracle.
+  */
+object FixtureDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rows = graft.sources.Multimodal
+      .syntheticImageCorpus(spark, 400)
+      .collect() // 400 tiny PNGs — a fixture dump, not a data path
+      .flatMap(m => Option(m.payload)
+        .flatMap(graft.sources.Multimodal.MediaCodec.imageDHash)
+        .map(h => (m.media_id, h)))
+      .sortBy(_._1)
+    val out = new java.io.File("fixtures/q208_dhash.csv")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try {
+      w.println("media_id,h")
+      rows.foreach { case (id, h) => w.println(s"$id,$h") }
+    } finally w.close()
+    println(s"[fixture] wrote ${rows.length} rows to ${out.getPath}")
+    spark.stop()
+  }
+}

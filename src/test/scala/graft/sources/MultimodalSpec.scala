@@ -452,4 +452,26 @@ class MultimodalSpec extends SparkSpec {
       s"missing planted pairs: ${planted -- found}")
     pairs.filter(t => planted((t._1, t._2))).foreach(t => assert(t._3 <= 2))
   }
+
+  test("q208 fixture parity: the live imageio decode reproduces the " +
+      "committed fixtures/q208_dhash.csv bit-for-bit (the 'trust the " +
+      "decoder ONCE' seam — a JDK/imageio drift fails HERE, not " +
+      "silently in the oracle)") {
+    val f = new java.io.File("fixtures/q208_dhash.csv")
+    assert(f.exists(), s"missing ${f.getAbsolutePath} — regenerate " +
+      "with `sbt \"runMain graft.FixtureDump\"` and commit it with " +
+      "the oracle it pins")
+    val fixture = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .drop(1).filter(_.nonEmpty).map { line =>
+        val Array(id, h) = line.split(",")
+        id.toLong -> h.toLong
+      }.toMap
+    val live = Multimodal.syntheticImageCorpus(spark, 400)
+      .collect()
+      .flatMap(m => Option(m.payload)
+        .flatMap(Multimodal.MediaCodec.imageDHash)
+        .map(h => (m.media_id, h)))
+      .toMap
+    assert(live === fixture)
+  }
 }
