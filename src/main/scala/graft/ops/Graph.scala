@@ -101,7 +101,8 @@ object Graph {
       scale: Long = 1000000000000L,
       dampNum: Int = 17,
       dampDen: Int = 20,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      edgesDistinct: Boolean = false): DataFrame = {
     require(iters >= 1 && dampNum > 0 && dampDen > dampNum,
       s"need iters >= 1 and 0 < dampNum < dampDen, got $iters, $dampNum/$dampDen")
     // overflow guard: ranks and contribution sums are ≤ scale by the
@@ -125,9 +126,17 @@ object Graph {
     // OS page cache makes that memory-speed at bench size, and at
     // cluster scale the alternative is an executor OOM, not a faster
     // join).
-    val e = edges
+    // edgesDistinct=true skips the defensive set-collapse when the
+    // CALLER certifies the input is already a set (a just-compacted
+    // edge sidecar — see [[pageRankFromEdgeSidecar]]): the distinct is
+    // idempotent on distinct input but still costs one corpus-sized
+    // shuffle, and the ProfileQ206 decomposition measured it as ~40%
+    // of the PageRank setup at 10×. Passing true on multi-edge input
+    // is WRONG (duplicate edges would inflate degrees), which is why
+    // the default stays false.
+    val projected = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
+    val e = (if (edgesDistinct) projected else projected.distinct())
       .repartition(col("src"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true, StorageLevel.DISK_ONLY)
@@ -597,11 +606,21 @@ object Graph {
       transform = Some(_.select(col("src"), col("dst")).distinct()))
 
   /** [[pageRankFp]] over the sidecar's edge set — centrality without
-    * re-reading the corpus. */
+    * re-reading the corpus. `compacted = true` certifies the sidecar
+    * was compacted ([[compactEdgeSidecar]]) with NO appends since, so
+    * the files are already a distinct edge set and the reader's
+    * defensive set-collapse shuffle can be skipped (bit-identical
+    * result by set idempotence — GraphSpec pins it; the ProfileQ206
+    * decomposition measured the redundant distinct at ~40% of the
+    * PageRank setup at 10×). Leave false for a sidecar that may carry
+    * uncompacted appends — batches can overlap each other or the
+    * compacted base, and a duplicated edge would inflate degrees. */
   def pageRankFromEdgeSidecar(spark: org.apache.spark.sql.SparkSession,
                               sidecarDir: String,
                               iters: Int = 5,
-                              checkpointEvery: Int = 0): DataFrame =
+                              checkpointEvery: Int = 0,
+                              compacted: Boolean = false): DataFrame =
     pageRankFp(spark.read.parquet(sidecarDir), "src", "dst",
-      iters = iters, checkpointEvery = checkpointEvery)
+      iters = iters, checkpointEvery = checkpointEvery,
+      edgesDistinct = compacted)
 }

@@ -330,7 +330,11 @@ object GraphQueries {
     // the duplicated batch: must change NOTHING (set semantics)
     Graph.writeEdgeSidecar(batch(0), "src", "dst", dir)
     Graph.compactEdgeSidecar(s, dir)
-    val pr = Graph.pageRankFromEdgeSidecar(s, dir, iters = Iters)
+    // compacted = true: the read follows the compaction with no
+    // intervening appends, so the reader skips its defensive distinct
+    // (one corpus-sized shuffle — see the ProfileQ206 decomposition)
+    val pr = Graph.pageRankFromEdgeSidecar(s, dir, iters = Iters,
+      compacted = true)
     val w = Window.partitionBy("kind").orderBy(col("rank_fp").desc, col("node"))
     pr.select(
         when(col("node") >= Off, lit("supp")).otherwise(lit("cust")).as("kind"),

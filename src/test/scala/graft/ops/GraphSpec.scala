@@ -266,6 +266,13 @@ class GraphSpec extends SparkSpec {
     val afterCompact = Graph.pageRankFromEdgeSidecar(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(afterCompact === direct)
+    // compacted = true right after compaction: the reader's defensive
+    // distinct is skipped, the ranks are bit-identical (set idempotence
+    // — the shuffle it saves is the ProfileQ206 setup finding)
+    val compactedFast = Graph.pageRankFromEdgeSidecar(spark, dir,
+        compacted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(compactedFast === direct)
   }
 
   test("kCore: triangle + pendant — the 2-core is exactly the triangle " +
