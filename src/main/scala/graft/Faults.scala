@@ -93,8 +93,9 @@ object Faults {
     "q217_probe_calibrated_cut", "q218_curation_pipeline",
     "q219_probe_lifecycle", "q220_probe_weight_drift",
     // round 15: the incremental composed pipeline (four sidecar
-    // families written per shard under injection)
-    "q221_incremental_curation")
+    // families written per shard under injection) and its
+    // mid-boundary double-finalize twin
+    "q221_incremental_curation", "q222_boundary_finalize")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -1462,11 +1462,226 @@ object CurationQueries {
     CurationPipeline.finalizePipeline(s, dirs)
   }
 
+  /** The six-stage pipeline's CTE chain (q218's verbatim stage
+    * semantics) with suffixed CTE names, a parameterized corpus
+    * restriction, and a parameterized scored-CTE source — the
+    * generator q222 uses to replay the pipeline TWICE in one oracle
+    * (prefix-restricted and full). eval_t/eval_g are shared between
+    * instantiations (the frozen registry is corpus-independent) and
+    * therefore NOT emitted here. Semantic drift from q218's literal
+    * chain is self-catching: q222's full side must hash-match the
+    * Spark finalize that q221 already proves equal to one-shot q218. */
+  private def pipelineChainCtes(sfx: String, corpusWhere: String,
+                                scoredCte: String): String =
+    s""", corpus$sfx AS (
+       |  SELECT doc_id, source, text FROM documents WHERE $corpusWhere
+       |), nrm$sfx AS (
+       |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+       |  FROM corpus$sfx
+       |), d1$sfx AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY md5(ntext)
+       |      ORDER BY doc_id) AS rn
+       |    FROM nrm$sfx) WHERE rn = 1
+       |), st$sfx AS (
+       |  SELECT c.doc_id, c.source, c.text
+       |  FROM corpus$sfx c JOIN d1$sfx USING (doc_id)
+       |), t2$sfx AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM st$sfx
+       |), tok2$sfx AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok
+       |  FROM t2$sfx
+       |), chunks$sfx AS (
+       |  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk_idx,
+       |         CAST(count(*) AS BIGINT) AS chunk_tokens,
+       |         string_agg(tok, ' ' ORDER BY i) AS chunk_text
+       |  FROM tok2$sfx GROUP BY doc_id, (i - 1) // 10
+       |), flagged$sfx AS (
+       |  SELECT doc_id, chunk_idx, chunk_tokens, chunk_text,
+       |    (ROW_NUMBER() OVER (PARTITION BY md5(chunk_text)
+       |       ORDER BY doc_id, chunk_idx) = 1) AS keep
+       |  FROM chunks$sfx
+       |), cleaned$sfx AS (
+       |  SELECT doc_id,
+       |    coalesce(string_agg(CASE WHEN keep THEN chunk_text END, ' '
+       |      ORDER BY chunk_idx), '') AS clean_text,
+       |    CAST(sum(CASE WHEN keep THEN chunk_tokens ELSE 0 END) AS BIGINT)
+       |      AS kept_toks
+       |  FROM flagged$sfx GROUP BY doc_id
+       |), ctoks$sfx AS (
+       |  SELECT doc_id, string_split(clean_text, ' ') AS ts
+       |  FROM cleaned$sfx WHERE kept_toks >= 1
+       |), cgrams$sfx AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |      generate_series(1, len(ts) - 2),
+       |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+       |  FROM ctoks$sfx WHERE len(ts) >= 3
+       |), contam$sfx AS (
+       |  SELECT t.doc_id,
+       |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) >= 0.5 AS contaminated
+       |  FROM cgrams$sfx t LEFT JOIN eval_g e ON t.g = e.g
+       |  GROUP BY t.doc_id
+       |), surv3$sfx AS (
+       |  SELECT c.doc_id, s.source, c.kept_toks
+       |  FROM cleaned$sfx c JOIN st$sfx s USING (doc_id)
+       |  LEFT JOIN contam$sfx ct USING (doc_id)
+       |  WHERE c.kept_toks >= 1 AND NOT coalesce(ct.contaminated, false)
+       |), pranked$sfx AS (
+       |  SELECT sv.doc_id, sv.source, sv.kept_toks, sc.sc,
+       |    CAST(row_number() OVER (PARTITION BY sv.source
+       |      ORDER BY sc.sc, sv.doc_id) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY sv.source) AS BIGINT) AS n
+       |  FROM surv3$sfx sv JOIN $scoredCte sc USING (doc_id)
+       |), kept4$sfx AS (
+       |  SELECT doc_id, source, kept_toks, sc,
+       |    CASE WHEN n = 1 THEN 0.5
+       |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct
+       |  FROM pranked$sfx
+       |  WHERE (CASE WHEN n = 1 THEN 0.5
+       |         ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END) >= 0.5
+       |), iws$sfx AS (
+       |  SELECT source, CAST(sum(kept_toks) AS BIGINT) AS t_src,
+       |    CAST(floor(sqrt(CAST(sum(kept_toks) AS DOUBLE))) AS BIGINT) AS iw
+       |  FROM kept4$sfx GROUP BY source
+       |), tot$sfx AS (
+       |  SELECT CAST(sum(t_src) AS BIGINT) AS total,
+       |         CAST(sum(iw) AS BIGINT) AS sum_iw FROM iws$sfx
+       |), budgets$sfx AS (
+       |  SELECT i.source,
+       |    CAST((CAST(t.total // 2 AS HUGEINT) * i.iw) // t.sum_iw AS BIGINT)
+       |      AS token_budget
+       |  FROM iws$sfx i, tot$sfx t
+       |), mranked$sfx AS (
+       |  SELECT k.doc_id, k.source, k.kept_toks, k.sc, k.pct,
+       |    CAST(SUM(k.kept_toks) OVER (PARTITION BY k.source
+       |      ORDER BY md5(CAST(k.doc_id AS VARCHAR) || '|42'), k.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_src
+       |  FROM kept4$sfx k
+       |), kept5$sfx AS (
+       |  SELECT m.doc_id, m.source, m.sc, m.pct, m.kept_toks
+       |  FROM mranked$sfx m JOIN budgets$sfx b USING (source)
+       |  WHERE m.cum_src <= b.token_budget
+       |), packed$sfx AS (
+       |  SELECT doc_id, source, sc, pct, kept_toks,
+       |    CAST(SUM(kept_toks) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM kept5$sfx
+       |)""".stripMargin
+
+  /** One side of q222's final projection — q218's output columns off
+    * the suffixed packed CTE, tagged with the phase label. */
+  private def packedSelect(sfx: String, phase: String): String =
+    s"""SELECT '$phase' AS phase, CAST(doc_id AS BIGINT) AS doc_id, source,
+       |  CAST(sc AS BIGINT) AS score_fp, pct,
+       |  CAST(kept_toks AS BIGINT) AS n_toks, cum_tokens,
+       |  CAST((cum_tokens - kept_toks) // 512 AS BIGINT) AS start_seq,
+       |  CAST((cum_tokens - kept_toks) % 512 AS BIGINT) AS start_offset,
+       |  CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+       |FROM packed$sfx""".stripMargin
+
+  /** The prefix cut q222 finalizes at — shards 0 and 1 of q221's
+    * three monotone doc_id thirds, as one SQL scalar. */
+  private val BoundaryCutSql =
+    "2 * ((SELECT max(doc_id) + 1 FROM documents) // 3)"
+
+  /** Round-15: finalize-at-ANY-boundary — the operational property
+    * [[graft.streaming.EventStreams.runCurationShards]]'s scaladoc
+    * claims and q221 does NOT prove (q221 certifies only the FINAL
+    * boundary). The corpus arrives as q221's three monotone shards;
+    * after shard 1 the pipeline is finalized MID-STREAM (the curated
+    * corpus a team would train on while shards keep arriving), then
+    * shard 2 is ingested and the pipeline finalized again. Output is
+    * both finalizes, phase-tagged. The hash certifies TWO claims at
+    * once, per SF:
+    *
+    *  - the mid-stream finalize over shards 0–1 equals the ONE-SHOT
+    *    six-stage pipeline over the prefix corpus (the oracle replays
+    *    the chain prefix-restricted, with θ_P trained on exactly the
+    *    prefix rows the Gram sidecar has seen — [[pipelineChainCtes]]
+    *    + [[gramGdCtes]]);
+    *  - finalize is NON-DESTRUCTIVE: ingest continues after it
+    *    (compaction is file-layout only; the digest/chunk/registry
+    *    sidecars are untouched) and the SECOND finalize still equals
+    *    the one-shot pipeline over the full corpus.
+    *
+    * The prefix finalize is eagerly materialized (DISK_ONLY local
+    * checkpoint) BEFORE shard 2 lands — its plan reads the sidecar
+    * dirs, and a lazy frame re-evaluated after the append would see
+    * shard 2's rows (the exact read-after-append trap a mid-stream
+    * consumer must close; materializing the handoff is the
+    * documented contract). Feature columns ride with the shards,
+    * scaled over the FULL corpus by the upstream feature pipeline —
+    * the standing [[LinearProbe.writeGramSidecar]] contract (q221's
+    * note): a prefix-scaled re-derivation would be a DIFFERENT
+    * feature pipeline, not an incremental run of this one. */
+  val q222BoundaryFinalize = QueryDef(
+    "q222_boundary_finalize",
+    ProbeOracleCtes +
+      gramGdCtes("P", s"doc_id < $BoundaryCutSql") +
+      s"""
+         |, scoredP AS (
+         |  SELECT f.doc_id,
+         |    (CAST(f.f0 AS HUGEINT)*t.t0 + CAST(f.f1 AS HUGEINT)*t.t1
+         |     + CAST(f.f2 AS HUGEINT)*t.t2 + CAST(f.f3 AS HUGEINT)*t.t3
+         |     + CAST(f.f4 AS HUGEINT)*t.t4 + CAST(f.f5 AS HUGEINT)*t.t5
+         |     + CAST(f.f6 AS HUGEINT)*t.t6)//1000000 AS sc
+         |  FROM feats f, thetaP t
+         |  WHERE f.doc_id < $BoundaryCutSql
+         |), eval_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+         |  WHERE doc_id % 19 = 0
+         |), eval_g AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      generate_series(1, len(ts) - 2),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+         |  FROM eval_t WHERE len(ts) >= 3
+         |)""".stripMargin +
+      pipelineChainCtes("P",
+        s"doc_id % 19 <> 0 AND doc_id < $BoundaryCutSql", "scoredP") +
+      pipelineChainCtes("F", "doc_id % 19 <> 0", "scored") +
+      "\n" + packedSelect("F", "full") +
+      "\nUNION ALL\n" + packedSelect("P", "prefix") +
+      "\nORDER BY phase, doc_id") { (s, d) =>
+    val dirs = CurationPipeline.Dirs({
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q222_pipeline_$sf"
+    })
+    val docs = Tables.documents(s, d)
+    val holdout = col("doc_id") % 19 === 0
+    CurationPipeline.init(s, dirs, docs.filter(holdout))
+    val withFeats = docs.select(col("doc_id"), col("source"), col("text"))
+      .join(probeScaled(s, d), "doc_id")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val c1 = (maxId + 1) / 3
+    val c2 = 2 * c1
+    def shard(lo: Long, hi: Long) =
+      withFeats.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    CurationPipeline.ingestShard(shard(Long.MinValue, c1), dirs, holdout)
+    CurationPipeline.ingestShard(shard(c1, c2), dirs, holdout)
+    // the mid-stream finalize — materialized BEFORE the next shard
+    // lands (see scaladoc: the read-after-append trap)
+    val prefix = CurationPipeline.finalizePipeline(s, dirs)
+      .withColumn("phase", lit("prefix"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
+    CurationPipeline.ingestShard(shard(c2, Long.MaxValue), dirs, holdout)
+    val full = CurationPipeline.finalizePipeline(s, dirs)
+      .withColumn("phase", lit("full"))
+    full.unionByName(prefix)
+      .select(col("phase"), col("doc_id"), col("source"), col("score_fp"),
+        col("pct"), col("n_toks"), col("cum_tokens"), col("start_seq"),
+        col("start_offset"), col("end_seq"))
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
     q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
     q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift,
-    q221IncrementalCuration)
+    q221IncrementalCuration, q222BoundaryFinalize)
 }
