@@ -36,4 +36,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs 32 executor threads into ONE G1 JVM (a real
+  // cluster runs 4-8 cores per executor JVM): Tungsten's doubling
+  // pointer-array allocations are humongous objects, and G1's default
+  // GCLockerRetryAllocationCount=2 aborts them under concurrent
+  // JNI-critical sections — turning a graceful hash-agg spill into
+  // SparkOutOfMemoryError (the q197 100x failure mode, round 15). A
+  // deeper retry budget makes the allocation wait out the locker
+  // instead of dying; it costs nothing when memory is roomy.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

@@ -288,6 +288,9 @@ object Faults {
       .master(s"local[$cpus, 4]")
       .config("spark.plugins", "graft.FaultInjectionPlugin")
       .config("spark.sql.shuffle.partitions", cpus)
+      // page granularity ∝ memory-per-task — see GraftSession scaladoc
+      .config("spark.buffer.pageSize",
+        GraftSession.tungstenPageSize(cores = cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -20,6 +20,33 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Tungsten page size scaled to memory-per-TASK, not
+    * memory-per-executor — the round-15 100×-at-default-heap find.
+    * Spark's auto-computed page size tracks the heap (128 MB pages at
+    * an 8 GiB local[32] heap), but a page is the GRANULARITY of
+    * execution-memory accounting: every sorter/hash-map consumer
+    * holds at least one page or dies, so at 256 MB-per-task (8 GiB /
+    * 32 cores) the pool fits only ~36 live 128 MB pages while ~32
+    * tasks × 3–6 consumers each need one — the q188/q206 100× power
+    * iterations failed with UNABLE_TO_ACQUIRE_MEMORY (and G1's
+    * GCLocker thrashed on the humongous long[] allocations) INSTEAD
+    * of spilling, at any shuffle width. Sizing pages at
+    * execPool / (cores × 12) — ~12 one-page consumers per concurrent
+    * task before the pool is even half-committed — restores the
+    * spill-not-die contract the memory model promises
+    * ([[graft.ops.Graph]] scaladoc); floor 1 MiB, cap 64 MiB (Spark's
+    * own ceiling), power-of-two. On a real cluster at ≥ 1 GiB/core
+    * this computes the same 64 MiB Spark picks — the knob only moves
+    * where memory-per-task is tight, exactly where it must. */
+  def tungstenPageSize(heapBytes: Long = Runtime.getRuntime.maxMemory(),
+                       cores: Int =
+                         Runtime.getRuntime.availableProcessors): Long = {
+    val execPool = ((heapBytes - (300L << 20)) * 0.6).toLong max (64L << 20)
+    val raw = execPool / (cores.toLong * 12L)
+    val clamped = raw.max(1L << 20).min(64L << 20)
+    java.lang.Long.highestOneBit(clamped)
+  }
+
   def builder(master: String = "local[*]",
               shufflePartitions: Int =
                 Runtime.getRuntime.availableProcessors): SparkSession.Builder =
@@ -30,6 +57,7 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.buffer.pageSize", tungstenPageSize().toString)
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new GraftExtensions)
 

@@ -135,6 +135,9 @@ object ScaleBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // page granularity ∝ memory-per-task — see GraftSession scaladoc
+      .config("spark.buffer.pageSize",
+        GraftSession.tungstenPageSize(cores = cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

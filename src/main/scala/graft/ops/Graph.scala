@@ -148,11 +148,27 @@ object Graph {
 
     var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
     for (i <- 1 to iters) {
+      // co-locate contributions by dst BEFORE aggregating. A bare
+      // groupBy(dst) here plans partial-then-final hash aggregation,
+      // and the PARTIAL agg's per-task key space is the FULL node set
+      // (one src-partition's edges point everywhere), so every task
+      // grows a nodes-sized hash map — 32 tasks × (1.6 M keys × ~48 B
+      // + the 128 MB doubling pointer arrays) deadlocked the 8 GiB
+      // pool's execution memory at 100× (UNABLE_TO_ACQUIRE_MEMORY at
+      // ANY shuffle width; found round 15). The explicit dst exchange
+      // makes the aggregation run on co-located keys — per-task state
+      // = nodes/shufflePartitions, the bound the memory model
+      // promises — at the cost of shuffling raw contributions
+      // (≤ avg-in-degree× more bytes than partial-agg output; ~2.3×
+      // on the co-purchase graph, and the contribution row is 16 B).
       val contrib = e
         .join(deg, "src")
         .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
+        .repartition(col("dst"))
         .groupBy(col("dst"))
-        .agg(sum(expr(s"($dampNum * r) div ($dampDen * deg)")).as("s"))
+        .agg(sum(col("c")).as("s"))
       ranks = deg.select(col("src").as("node"))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
@@ -232,11 +248,17 @@ object Graph {
     var ranks = nodes.select(col("node"),
       (col("is_seed").cast("long") * lit(init)).as("r"))
     for (i <- 1 to iters) {
+      // dst-exchange before the aggregation — same bounded-per-task-
+      // state rationale as [[pageRankFp]]'s loop (see the comment
+      // there; found round 15 at 100× on the default heap)
       val contrib = e
         .join(deg, "src")
         .join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
+        .repartition(col("dst"))
         .groupBy(col("dst"))
-        .agg(sum(expr(s"($dampNum * r) div ($dampDen * deg)")).as("s"))
+        .agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
@@ -320,7 +342,11 @@ object Graph {
       val relaxed = e
         .join(dist, col("src") === col("node"))
         .select(col("dst").as("node"), (col("d") + 1).as("d"))
+      // node-exchange before the min-agg — the relaxed frontier's
+      // per-task key space spans the full node set (same bounded-
+      // state rationale as pageRankFp's loop, round 15)
       dist = dist.unionByName(relaxed)
+        .repartition(col("node"))
         .groupBy("node").agg(min(col("d")).as("d"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < maxHops)
         dist = dist.localCheckpoint(true, StorageLevel.DISK_ONLY)
