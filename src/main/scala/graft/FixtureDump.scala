@@ -5,8 +5,12 @@ import org.apache.spark.sql.SparkSession
 /** One-shot fixture generator (not part of the driver contract) —
   * dumps the dHash of every image in the pinned q208 corpus
   * ([[graft.sources.Multimodal.syntheticImageCorpus]], n = 400) to
-  * `fixtures/q208_dhash.csv`. The committed CSV is the "trust the
-  * decoder ONCE" seam that flips q208 from rows-only to hash-oracled:
+  * `fixtures/q208_dhash.csv`, and the decoded mono PCM stream of
+  * every audio item in the pinned q202 corpus
+  * ([[graft.sources.Multimodal.syntheticMedia]], n = 300) to
+  * `fixtures/q202_pcm.csv`. Each committed CSV is the "trust the
+  * decoder ONCE" seam that flips its query from rows-only to
+  * hash-oracled:
   * the DuckDB oracle replays everything AFTER the decode (banding,
   * candidate join, popcount verification) in SQL over this fixture,
   * and MultimodalSpec asserts the live decode still reproduces the
@@ -35,6 +39,27 @@ object FixtureDump {
       rows.foreach { case (id, h) => w.println(s"$id,$h") }
     } finally w.close()
     println(s"[fixture] wrote ${rows.length} rows to ${out.getPath}")
+
+    // q202's decode seam: the MONO 16-bit sample stream of every audio
+    // item in the pinned corpus (syntheticMedia(300), 100 WAVs × 256
+    // samples). The DuckDB oracle replays framing / energy / zero-
+    // crossings in SQL over these rows; MultimodalSpec re-decodes live
+    // and asserts bit-parity, so a javax.sound drift fails a test.
+    val pcm = graft.sources.Multimodal
+      .syntheticMedia(spark, 300)
+      .collect() // 100 tiny WAVs — a fixture dump, not a data path
+      .filter(m => m.kind == "audio" && m.payload != null)
+      .flatMap(m => graft.sources.Multimodal.MediaCodec.monoPcm16(m.payload)
+        .toSeq.flatMap(_.iterator.zipWithIndex
+          .map { case (s, t) => (m.media_id, t, s) }))
+      .sortBy(r => (r._1, r._2))
+    val out2 = new java.io.File("fixtures/q202_pcm.csv")
+    val w2 = new java.io.PrintWriter(out2, "UTF-8")
+    try {
+      w2.println("media_id,t,s")
+      pcm.foreach { case (id, t, s) => w2.println(s"$id,$t,$s") }
+    } finally w2.close()
+    println(s"[fixture] wrote ${pcm.length} rows to ${out2.getPath}")
     spark.stop()
   }
 }

@@ -586,10 +586,46 @@ object DataQueries {
     * 16-bit PCM, then exact-INTEGER per-frame energy (Σ s²) and
     * zero-crossing counts — no floats anywhere, so rows are
     * bit-stable across layouts and retries by construction.
-    * Deterministic but engine-specific (javax.sound decode has no SQL
-    * oracle) → rows-only; semantics spec-proven against hand-built
-    * PCM in MultimodalSpec. */
-  val q202AudioFrames = QueryDef.rowsOnly("q202_audio_frames") { (s, _) =>
+    * FIXTURE-ORACLED (round 15, the q208 pattern — formerly
+    * rows-only): the oracle cannot replay a javax.sound WAV decode,
+    * but the decode+downmix seam's OUTPUT
+    * ([[graft.sources.Multimodal.MediaCodec.monoPcm16]]) is a
+    * deterministic mono 16-bit sample stream — 100 audio items × 256
+    * samples — committed once as `fixtures/q202_pcm.csv` (generated
+    * by [[graft.FixtureDump]]); the DuckDB oracle replays every
+    * post-decode stage — 64-sample framing, exact-integer Σ s²
+    * energy, within-frame sign-change counting via `lag` — in SQL
+    * over the fixture. MultimodalSpec asserts the live decode still
+    * reproduces the fixture bit-for-bit, so a javax.sound drift fails
+    * a test, not silently the answer; the hash gate now proves the
+    * whole framing/feature pipeline. The zc rule is replayed exactly:
+    * only transitions BETWEEN consecutive samples of the SAME frame
+    * count (`t % 64 <> 0`), matching the Spark loop's `t > start`
+    * guard. */
+  val q202FixturePath: String =
+    new java.io.File("fixtures/q202_pcm.csv").getAbsolutePath
+  val q202AudioFrames = QueryDef(
+    "q202_audio_frames",
+    s"""WITH pcm AS (
+       |  SELECT media_id, t, s FROM read_csv('$q202FixturePath',
+       |    header = true,
+       |    columns = {'media_id': 'BIGINT', 't': 'BIGINT', 's': 'INTEGER'})
+       |), lagged AS (
+       |  SELECT media_id, t, s,
+       |         lag(s) OVER (PARTITION BY media_id ORDER BY t) AS prev
+       |  FROM pcm
+       |)
+       |SELECT media_id, CAST(t // 64 AS INT) AS frame_idx,
+       |       CAST(count(*) AS INT) AS n_samples,
+       |       CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+       |         AS energy,
+       |       CAST(coalesce(sum(CASE WHEN t % 64 <> 0
+       |                               AND ((s < 0) <> (prev < 0))
+       |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS zero_crossings
+       |FROM lagged
+       |GROUP BY media_id, t // 64
+       |ORDER BY media_id, frame_idx""".stripMargin) { (s, _) =>
     import graft.sources.Multimodal
     Multimodal.audioFrameFeatures(Multimodal.syntheticMedia(s, 300),
         frameSize = 64)

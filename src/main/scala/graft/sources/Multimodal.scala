@@ -206,6 +206,39 @@ object Multimodal {
     def pcm16le(payload: Array[Byte]): Option[Array[Byte]] =
       pcm16leWithFormat(payload).map(_._2)
 
+    /** Decode + downmix in one seam: payload → the canonical MONO
+      * 16-bit sample stream (per time step, the truncating integer
+      * mean of the interleaved channel samples; whole time steps
+      * only — a trailing torn multi-channel frame from a truncated
+      * payload is dropped, not averaged short). This is the exact
+      * stream [[Multimodal.audioFrameFeatures]] frames, factored out
+      * so the q202 fixture dump ([[graft.FixtureDump]]) and the live
+      * query share ONE decode path — the fixture certifies this
+      * function's output once, and everything after it is replayed
+      * by the DuckDB oracle in SQL. None for anything the JDK cannot
+      * parse; Some(empty) for zero-sample streams (dropped by
+      * callers, never faked). */
+    def monoPcm16(payload: Array[Byte]): Option[Array[Int]] =
+      pcm16leWithFormat(payload).map { case (fmt, bytes) =>
+        val ch = math.max(fmt.getChannels, 1)
+        val nSamples = bytes.length / 2 / ch
+        val mono = new Array[Int](nSamples)
+        var t = 0
+        while (t < nSamples) {
+          var sum = 0L
+          var c = 0
+          while (c < ch) {
+            val i = t * ch + c
+            sum += ((bytes(2 * i) & 0xFF) |
+              (bytes(2 * i + 1).toInt << 8)).toShort.toInt
+            c += 1
+          }
+          mono(t) = (sum / ch).toInt
+          t += 1
+        }
+        mono
+      }
+
     // ---- video: REAL container-metadata parse (round 9) -------------
     // The JDK ships no video CODEC, so pixel-level frame decode stays
     // out of reach without native bindings — but the container
@@ -575,15 +608,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
       if (m.kind != "audio" || m.payload == null) Iterator.empty
-      else MediaCodec.pcm16leWithFormat(m.payload) match {
+      else MediaCodec.monoPcm16(m.payload) match {
         case None => Iterator.empty
-        case Some((fmt, bytes)) =>
-          val ch = math.max(fmt.getChannels, 1)
-          // whole time steps only — a trailing torn multi-channel
-          // frame (truncated payload) is dropped, not averaged short
-          val nSamples = bytes.length / 2 / ch
-          if (nSamples == 0) Iterator.empty
-          else (0 until (nSamples + frameSize - 1) / frameSize).iterator
+        case Some(mono) if mono.length == 0 => Iterator.empty
+        case Some(mono) =>
+          val nSamples = mono.length
+          (0 until (nSamples + frameSize - 1) / frameSize).iterator
             .map { f =>
               val start = f * frameSize
               val end = math.min(start + frameSize, nSamples)
@@ -592,15 +622,7 @@ object Multimodal {
               var prev = 0
               var t = start
               while (t < end) {
-                var sum = 0L
-                var c = 0
-                while (c < ch) {
-                  val i = t * ch + c
-                  sum += ((bytes(2 * i) & 0xFF) |
-                    (bytes(2 * i + 1).toInt << 8)).toShort.toInt
-                  c += 1
-                }
-                val s = (sum / ch).toInt
+                val s = mono(t)
                 energy += s.toLong * s
                 if (t > start && ((s < 0) != (prev < 0))) zc += 1
                 prev = s

@@ -474,4 +474,52 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     assert(live === fixture)
   }
+
+  test("q202 fixture parity: the live javax.sound decode+downmix " +
+      "reproduces the committed fixtures/q202_pcm.csv bit-for-bit " +
+      "(the 'trust the decoder ONCE' seam for audio)") {
+    val f = new java.io.File("fixtures/q202_pcm.csv")
+    assert(f.exists(), s"missing ${f.getAbsolutePath} — regenerate " +
+      "with `sbt \"runMain graft.FixtureDump\"` and commit it with " +
+      "the oracle it pins")
+    val fixture = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .drop(1).filter(_.nonEmpty).map { line =>
+        val Array(id, t, s) = line.split(",")
+        (id.toLong, t.toInt) -> s.toInt
+      }.toMap
+    val live = Multimodal.syntheticMedia(spark, 300)
+      .collect()
+      .filter(m => m.kind == "audio" && m.payload != null)
+      .flatMap(m => Multimodal.MediaCodec.monoPcm16(m.payload)
+        .toSeq.flatMap(_.iterator.zipWithIndex
+          .map { case (s, t) => (m.media_id, t) -> s }))
+      .toMap
+    assert(live.size === fixture.size)
+    assert(live === fixture)
+  }
+
+  test("monoPcm16 downmix: interleaved stereo averages per time step " +
+      "with truncating integer mean; mono passes through untouched") {
+    // hand-built stereo WAV: L = [100, -200, 3], R = [300, -100, -8]
+    val l = Array[Short](100, -200, 3)
+    val r = Array[Short](300, -100, -8)
+    val data = new Array[Byte](12)
+    for (t <- 0 until 3; c <- 0 until 2) {
+      val s = if (c == 0) l(t) else r(t)
+      data(4 * t + 2 * c) = (s & 0xFF).toByte
+      data(4 * t + 2 * c + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 2, 4, 8000f, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 3L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val mono = Multimodal.MediaCodec.monoPcm16(bos.toByteArray).get
+    // (100+300)/2 = 200; (-200 + -100)/2 = -150; (3 + -8)/2 = -2
+    // (JVM integer division truncates toward zero: -5/2 = -2)
+    assert(mono.toSeq === Seq(200, -150, -2))
+  }
 }
