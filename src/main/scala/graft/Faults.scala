@@ -95,7 +95,10 @@ object Faults {
     // round 15: the incremental composed pipeline (four sidecar
     // families written per shard under injection) and its
     // mid-boundary double-finalize twin
-    "q221_incremental_curation", "q222_boundary_finalize")
+    "q221_incremental_curation", "q222_boundary_finalize",
+    // round 15: exact probe unlearning (a negated-moment deletion
+    // append + compaction under injection)
+    "q223_probe_unlearn")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -209,6 +212,26 @@ object Faults {
       graft.ops.LinearProbe.writeGramSidecar(
         scaled.filter(pm(c("doc_id"),
           org.apache.spark.sql.functions.lit(2L)) === 1L), 7, w)
+      graft.ops.LinearProbe.compactGramSidecar(s, w, 7)
+      Seq(w)
+    }),
+    ("delete_gram_sidecar", (s: SparkSession, d: String, w: String) => {
+      // the round-15 unlearning lifecycle: ingest two batches, FORGET
+      // a sub-batch by negated-moment append, compact. A retried
+      // deletion write must neither lose nor double the negation —
+      // otherwise the post-compaction state differs from the clean
+      // run's (q223 proves the clean path equals from-scratch
+      // training on the remaining corpus)
+      val scaled = graft.queries.CurationQueries.probeScaled(s, d)
+      val c = org.apache.spark.sql.functions.col _
+      val pm = org.apache.spark.sql.functions.pmod _
+      val l = org.apache.spark.sql.functions.lit _
+      graft.ops.LinearProbe.writeGramSidecar(
+        scaled.filter(pm(c("doc_id"), l(2L)) === 0L), 7, w)
+      graft.ops.LinearProbe.writeGramSidecar(
+        scaled.filter(pm(c("doc_id"), l(2L)) === 1L), 7, w)
+      graft.ops.LinearProbe.writeGramDeletion(
+        scaled.filter(pm(c("doc_id"), l(5L)) === 3L), 7, w)
       graft.ops.LinearProbe.compactGramSidecar(s, w, 7)
       Seq(w)
     }),

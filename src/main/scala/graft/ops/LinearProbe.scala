@@ -175,6 +175,45 @@ object LinearProbe {
       gramAggDf(scaledBatch, d).write.mode("append").parquet(sidecarDir)
     }
 
+  /** Exact unlearning append — the DELETION twin of
+    * [[writeGramSidecar]] (the takedown / right-to-erasure lifecycle
+    * a long-lived training corpus needs): appends the batch's moment
+    * row NEGATED, so every summed read of the sidecar (fit,
+    * compaction) sees total − batch from then on. Gram moments are
+    * additive over row-disjoint batches, so subtraction is EXACT in
+    * the decimal envelope: θ fitted from the sidecar after the
+    * deletion is BIT-EQUAL to a from-scratch fit over the remaining
+    * corpus (q223 hash-proves it against an oracle that replays the
+    * whole training loop on corpus-minus-batch) — the trainer state
+    * "forgets" the rows without the retained corpus ever being
+    * re-read. Contract: the deleted batch must be EXACTLY rows
+    * previously ingested, at the same feature values
+    * (delete-what-you-inserted; at-most-once per row — a double
+    * deletion double-subtracts, same discipline as the append side's
+    * at-least-once trap). Empty/all-invalid batches are a no-op (an
+    * n = 0 row carries NULL sums — the ADVICE-r14 trap — and deletes
+    * nothing anyway). Single writer via the dir lock; one ~d²-decimal
+    * row per deletion, IO never data-sized. */
+  def writeGramDeletion(scaledBatch: DataFrame, d: Int,
+                        sidecarDir: String): Unit =
+    graft.sources.Sinks.withDirLock(
+      scaledBatch.sparkSession, sidecarDir, "writeGramDeletion") {
+      val agg = gramAggDf(scaledBatch, d)
+      val neg = agg.schema.fieldNames.map {
+        case "n" => (-col("n")).cast("long").as("n")
+        case c => (-col(c)).cast("decimal(38,0)").as(c)
+      }
+      val negDf = agg.select(neg.toSeq: _*)
+      // ONE row by construction (a global aggregate) — collect it
+      // once, gate on n, and write the literal row back: one job,
+      // not an isEmpty probe plus a recompute
+      val row = negDf.collect()(0)
+      if (row.getAs[Long]("n") < 0L)
+        scaledBatch.sparkSession
+          .createDataFrame(java.util.List.of(row), negDf.schema)
+          .write.mode("append").parquet(sidecarDir)
+    }
+
   /** Many appended moment rows → one summed row via the shared
     * backup-swap compaction; summation makes compaction idempotent
     * over its own output (though NOT over a replayed append — see

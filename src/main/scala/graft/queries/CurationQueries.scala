@@ -1677,11 +1677,73 @@ object CurationQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** Round-15: EXACT UNLEARNING of the quality probe — the takedown /
+    * right-to-erasure lifecycle a long-lived 100 TB trainer state
+    * needs, as one oracled computation. A batch of previously-ingested
+    * rows (doc_id % 5 = 3) must be forgotten: the pipeline appends the
+    * batch's Gram moment row NEGATED
+    * ([[graft.ops.LinearProbe.writeGramDeletion]]) and compacts — the
+    * retained corpus is NEVER re-read, sidecar IO is one ~d²-decimal
+    * row, and because the Gram is the probe's complete sufficient
+    * statistic and additive over row-disjoint batches, exact decimal
+    * subtraction makes θ fitted from the post-deletion sidecar
+    * BIT-EQUAL to a from-scratch fit over corpus-minus-batch. That
+    * bit-equality is the certificate: the oracle replays the ENTIRE
+    * 24-iteration training loop on `doc_id % 5 <> 3` (a second
+    * [[gramGdCtes]] instantiation) plus the full-corpus loop, and the
+    * hash compares both weight vectors coefficient-by-coefficient —
+    * if the sidecar retained ANY influence of the deleted rows (or
+    * forgot too much), a coefficient moves and the hash breaks. The
+    * report is q220's shape: one row per coefficient with exact
+    * fixed-point kept/unlearned/delta (d+1 = 7 rows, driver-bounded
+    * by construction); delta ≠ 0 rows show exactly which signals the
+    * deleted batch was carrying. */
+  val q223ProbeUnlearn = QueryDef(
+    "q223_probe_unlearn",
+    ProbeOracleCtes +
+      gramGdCtes("R", "doc_id % 5 <> 3") +
+      """
+        |, drift AS (
+        |""".stripMargin +
+      (0 to 6).map(j =>
+        s"  SELECT CAST($j AS BIGINT) AS j, CAST(t.t$j AS BIGINT) AS theta_full," +
+          s" CAST(r.t$j AS BIGINT) AS theta_unlearned FROM theta t, thetaR r")
+        .mkString("", "\n  UNION ALL\n", "\n") +
+      """|)
+         |SELECT j, theta_full, theta_unlearned,
+         |  theta_unlearned - theta_full AS delta
+         |FROM drift ORDER BY j""".stripMargin) { (s, d) =>
+    val dir = {
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q223_gram_sidecar_$sf"
+    }
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val scaled = probeScaled(s, d)
+    // ingest the full corpus as two batches (the q219 lifecycle), fit
+    // the pre-deletion weights from the accumulated state
+    LinearProbe.writeGramSidecar(
+      scaled.filter(pmod(col("doc_id"), lit(3L)) =!= 2L), 7, dir)
+    LinearProbe.writeGramSidecar(
+      scaled.filter(pmod(col("doc_id"), lit(3L)) === 2L), 7, dir)
+    val thetaFull = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
+    // the takedown: forget doc_id % 5 = 3 by moment subtraction, then
+    // compact — state is one row again, the deletion is irreversible
+    LinearProbe.writeGramDeletion(
+      scaled.filter(pmod(col("doc_id"), lit(5L)) === 3L), 7, dir)
+    LinearProbe.compactGramSidecar(s, dir, 7)
+    val thetaUnlearned = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
+    import s.implicits._
+    (0 to 6).map(j => (j.toLong, thetaFull(j).toLong, thetaUnlearned(j).toLong,
+        thetaUnlearned(j).toLong - thetaFull(j).toLong))
+      .toDF("j", "theta_full", "theta_unlearned", "delta")
+      .orderBy(col("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q113Decontam, q114Repetition, q115PiiScrub, q116VocabCoverage, q117Funnel,
     q118MixtureWeights, q119CurationReport, q200PercentileNorm,
     q209QualityFeatures, q210QualityProbe, q211ProbeAuc, q212ProbeSidecar,
     q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
     q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift,
-    q221IncrementalCuration, q222BoundaryFinalize)
+    q221IncrementalCuration, q222BoundaryFinalize, q223ProbeUnlearn)
 }

@@ -73,6 +73,30 @@ class LinearProbeSpec extends SparkSpec {
     assert(!sc(0).isNullAt(0) && sc(1).isNullAt(0) && sc(2).isNullAt(0))
   }
 
+  test("writeGramDeletion: sidecar minus a batch fits BIT-EQUAL to a " +
+      "from-scratch fit over the remaining rows; empty deletion is a " +
+      "no-op append") {
+    val dir = s"target/tmp/probe_unlearn_spec_${System.nanoTime()}"
+    graft.sources.Sinks.wipeForRebuild(spark, dir)
+    val df = (1 to 40).map(i =>
+        (i.toLong, (i % 7) / 7.0, (i % 3) / 3.0, (i % 2).toLong))
+      .toDF("id", "x1", "x2", "y")
+    val s = LinearProbe.scaled(df, Seq("x1", "x2"), col("y"))
+    LinearProbe.writeGramSidecar(s.filter(col("id") <= 20L), 3, dir)
+    LinearProbe.writeGramSidecar(s.filter(col("id") > 20L), 3, dir)
+    // forget ids 1..10 by moment subtraction + compaction
+    LinearProbe.writeGramDeletion(s.filter(col("id") <= 10L), 3, dir)
+    LinearProbe.compactGramSidecar(spark, dir, 3)
+    val unlearned = LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8)
+    val (g, b, n) = LinearProbe.gram(s.filter(col("id") > 10L), 3)
+    val scratch = LinearProbe.fitFromGram(g, b, n, iters = 8)
+    assert(unlearned.toSeq === scratch.toSeq)
+    // exactly one compacted moment row; an empty deletion adds none
+    assert(spark.read.parquet(dir).count() === 1L)
+    LinearProbe.writeGramDeletion(s.filter(col("id") > 999L), 3, dir)
+    assert(spark.read.parquet(dir).count() === 1L)
+  }
+
   test("divergence is loud: out-of-contract feature magnitudes raise") {
     // features must be in [0,1]; constant 1000.0 gives Hessian trace
     // ~1e6 so lr=1/4 explodes — the |theta| <= 32 guard must fire,
