@@ -4,32 +4,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-shot deep-shard harness for the incremental curation pipeline
-  * (round 15 — the [[KCoreDeepRun]] discipline applied to q221): the
-  * registry's q221 certifies shard-by-shard ≡ one-shot at THREE
-  * shards and never compacts mid-stream; the operational regime a
-  * 100 TB corpus actually runs is MANY shards arriving over weeks
-  * with sidecar compaction on a cadence. This main blows the corpus
-  * up `SPARK_GRAFT_SCALE_COPIES`× (the [[ScaleBench]] construction —
-  * 10×-duplicated, deliberately adversarial for the dedup stages),
-  * splits it into `SPARK_GRAFT_INCR_SHARDS` monotone doc_id shards,
-  * ingests them one at a time through
-  * [[graft.ops.CurationPipeline.ingestShard]] — compacting the
-  * digest / chunk-key / Gram sidecars every
-  * `SPARK_GRAFT_INCR_COMPACT_EVERY` shards, the cadence q221 never
-  * exercises — finalizes once, and asserts the result digest equals
-  * the one-shot q218 plan over the same blown corpus.
+  * (round 15, extended round 16 — the [[KCoreDeepRun]] discipline
+  * applied to q221): the registry's q221 certifies shard-by-shard ≡
+  * one-shot at THREE shards and never compacts mid-stream; the
+  * operational regime a 100 TB corpus actually runs is MANY shards
+  * arriving over weeks with sidecar compaction on a cadence — and,
+  * eventually, a takedown that must forget an already-ingested shard.
+  * This main blows the corpus up `SPARK_GRAFT_SCALE_COPIES`× (the
+  * [[ScaleBench]] construction — 10×-duplicated, deliberately
+  * adversarial for the dedup stages), splits it into
+  * `SPARK_GRAFT_INCR_SHARDS` monotone doc_id shards, and runs:
   *
-  * What only this depth can expose (and q221's three shards cannot):
-  *  - per-shard ingest wall as the accumulated sidecars grow — the
-  *    100 TB property is "shard K's cost ∝ shard size + sidecar
-  *    probe", so the wall-vs-K series is the measured claim, not a
-  *    scaladoc one;
-  *  - mid-stream compaction being semantics-free across every
-  *    sidecar family at once (each compactor is unit-proven
-  *    idempotent, but q221 never interleaves them with ingests);
-  *  - keep-first-arrived ≡ keep-min-id and the frozen-registry rule
-  *    under 10×-duplication, where EVERY shard re-offers documents
-  *    that shards before it already admitted.
+  *  - RUN A (the r15 certificate): every shard through
+  *    [[graft.ops.CurationPipeline.ingestShard]], the guarded
+  *    [[graft.ops.CurationPipeline.compactState]] every
+  *    `SPARK_GRAFT_INCR_COMPACT_EVERY` shards INCLUDING the final
+  *    boundary (the r15 ADVICE gap: the last-shard compaction was
+  *    never exercised), one finalize — digest must equal the one-shot
+  *    q218 plan over the same blown corpus. Ingest and compaction
+  *    walls are timed SEPARATELY (the other r15 ADVICE item: the
+  *    flat-ingest claim is now measured clean of compaction cost).
+  *  - RUN B (round 16 — the interleaved-deletion certificate): ingest
+  *    shards 0..`FORGET_AFTER`, then forget shard `FORGET_SHARD` by
+  *    REWIND-AND-REPLAY ([[graft.ops.CurationPipeline.retractShard]]
+  *    on the target and every later shard — exact even though their
+  *    Gram rows were cadence-compacted away, because retraction
+  *    subtracts by negated-moment append — then re-ingest the later
+  *    shards under fresh ids), continue ingesting the remaining
+  *    shards, finalize.
+  *  - RUN C (comparator): a fresh pipeline over the surviving shards
+  *    in arrival order — same frozen registry, same full-corpus
+  *    feature frame (corpus-relative signals come from the upstream
+  *    feature pipeline ONCE; a re-derivation over the shrunken corpus
+  *    would be a DIFFERENT pipeline — the q222 note). Run B's digest
+  *    must equal run C's: the rewind left no trace of the forgotten
+  *    shard and resurrected the later shards' documents its digests
+  *    had suppressed.
+  *
+  * Rewind cost is ∝ data ingested since the deletion target — the
+  * standard unlearning recency tradeoff; the O(1) trainer-state-only
+  * forget is q223's path. What only this depth can expose: per-shard
+  * ingest walls flat as sidecars grow, cadenced compaction
+  * semantics-free across every sidecar family at once, and the
+  * retract/replay machinery composing with compaction (per-batch
+  * digest/chunk tags survive it; Gram identity is recovered by
+  * subtraction).
   *
   * Not part of the query registry: measurement harness, not an
   * operator. Prints one JSON line for the round artifact. */
@@ -40,6 +59,10 @@ object IncrementalDeepRun {
     val shards = sys.env.getOrElse("SPARK_GRAFT_INCR_SHARDS", "16").toInt
     val compactEvery =
       sys.env.getOrElse("SPARK_GRAFT_INCR_COMPACT_EVERY", "4").toInt
+    val forgetShard =
+      sys.env.getOrElse("SPARK_GRAFT_INCR_FORGET_SHARD", "7").toInt
+    val forgetAfter =
+      sys.env.getOrElse("SPARK_GRAFT_INCR_FORGET_AFTER", "12").toInt
     require(shards >= 2 && compactEvery >= 1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.getOrCreate(s"local[$cpus]")
@@ -83,11 +106,8 @@ object IncrementalDeepRun {
       SparkEntry.queries("q218_curation_pipeline")(spark, blownDir))
     val oneShotSec = (System.nanoTime() - t0) / 1e9
 
-    // ---- incremental side: N monotone shards + cadenced compaction
-    val dirs = CurationPipeline.Dirs(s"target/tmp/incrdeep_x$copies")
     val docs = Tables.documents(spark, blownDir)
     val holdout = col("doc_id") % 19 === 0
-    CurationPipeline.init(spark, dirs, docs.filter(holdout))
     // the upstream feature pipeline runs once over the full corpus
     // (corpus-relative signals are its job — the writeGramSidecar
     // contract q218/q221 document); shards carry its scaled longs
@@ -107,34 +127,87 @@ object IncrementalDeepRun {
         .map(_.toLong).toSeq.distinct.sorted ++
       Seq(Long.MaxValue)
     val nShards = cuts.size - 1
-    val shardWalls = cuts.sliding(2).zipWithIndex.map {
-      case (Seq(a, b), i) =>
-        val t = System.nanoTime()
-        CurationPipeline.ingestShard(
-          withFeats.filter(col("doc_id") >= a && col("doc_id") < b),
-          dirs, holdout)
-        if ((i + 1) % compactEvery == 0 && i + 1 < nShards) {
-          graft.ops.Dedup.compactSidecar(spark, dirs.digests)
-          graft.ops.Dedup.compactChunkKeySidecar(spark, dirs.chunks)
-          graft.ops.LinearProbe.compactGramSidecar(spark, dirs.gram,
-            CurationPipeline.FeatureDim)
-        }
-        (System.nanoTime() - t) / 1e9
-    }.toSeq
-    val tf = System.nanoTime()
-    val (dInc, nInc) = digestOf(CurationPipeline.finalizePipeline(spark, dirs))
-    val finalizeSec = (System.nanoTime() - tf) / 1e9
+    require(forgetShard >= 0 && forgetShard < forgetAfter &&
+      forgetAfter < nShards,
+      s"need 0 <= FORGET_SHARD < FORGET_AFTER < $nShards")
+    def shardFrame(k: Int): DataFrame =
+      withFeats.filter(col("doc_id") >= cuts(k) && col("doc_id") < cuts(k + 1))
 
+    // ---- RUN A: full corpus, cadenced GUARDED compaction including
+    // the final boundary; ingest and compaction timed separately
+    val dirsA = CurationPipeline.Dirs(s"target/tmp/incrdeep_x$copies")
+    CurationPipeline.init(spark, dirsA, docs.filter(holdout))
+    val ingestWalls = Array.fill(nShards)(0.0)
+    val compactWalls = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    (0 until nShards).foreach { k =>
+      val t = System.nanoTime()
+      CurationPipeline.ingestShard(shardFrame(k), dirsA, holdout, s"s$k")
+      ingestWalls(k) = (System.nanoTime() - t) / 1e9
+      if ((k + 1) % compactEvery == 0) {
+        val tc = System.nanoTime()
+        CurationPipeline.compactState(spark, dirsA)
+        compactWalls += ((k, (System.nanoTime() - tc) / 1e9))
+      }
+    }
+    val tf = System.nanoTime()
+    val (dInc, nInc) =
+      digestOf(CurationPipeline.finalizePipeline(spark, dirsA))
+    val finalizeSec = (System.nanoTime() - tf) / 1e9
     require(dInc == dOne && nInc == nOne,
       s"incremental deep run diverged from one-shot: " +
         s"incremental=($dInc,$nInc) oneshot=($dOne,$nOne)")
-    val wallsJson = shardWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
+
+    // ---- RUN B: interleaved deletion — ingest 0..forgetAfter, rewind
+    // out the forget target, replay, continue, finalize
+    val dirsB = CurationPipeline.Dirs(s"target/tmp/incrdeep_forget_x$copies")
+    CurationPipeline.init(spark, dirsB, docs.filter(holdout))
+    var ingestedB = 0
+    def ingestB(k: Int, id: String): Unit = {
+      CurationPipeline.ingestShard(shardFrame(k), dirsB, holdout, id)
+      ingestedB += 1
+      if (ingestedB % compactEvery == 0)
+        CurationPipeline.compactState(spark, dirsB)
+    }
+    (0 to forgetAfter).foreach(k => ingestB(k, s"s$k"))
+    val tr = System.nanoTime()
+    // rewind: retract the target and everything after it (their keep
+    // decisions may depend on the target's sidecar rows) ...
+    (forgetShard to forgetAfter).foreach(k =>
+      CurationPipeline.retractShard(spark, dirsB, s"s$k", shardFrame(k)))
+    val retractSec = (System.nanoTime() - tr) / 1e9
+    val tp = System.nanoTime()
+    // ... and replay the non-target tail in order, under fresh ids
+    // (ids are idempotence keys — never reused for a re-decision)
+    (forgetShard + 1 to forgetAfter).foreach(k => ingestB(k, s"s$k#2"))
+    val replaySec = (System.nanoTime() - tp) / 1e9
+    (forgetAfter + 1 until nShards).foreach(k => ingestB(k, s"s$k"))
+    val (dB, nB) = digestOf(CurationPipeline.finalizePipeline(spark, dirsB))
+
+    // ---- RUN C: from-scratch comparator over the surviving shards
+    val dirsC = CurationPipeline.Dirs(s"target/tmp/incrdeep_survivors_x$copies")
+    CurationPipeline.init(spark, dirsC, docs.filter(holdout))
+    (0 until nShards).filter(_ != forgetShard).foreach(k =>
+      CurationPipeline.ingestShard(shardFrame(k), dirsC, holdout, s"s$k"))
+    val (dC, nC) = digestOf(CurationPipeline.finalizePipeline(spark, dirsC))
+    require(dB == dC && nB == nC,
+      s"forget-and-rewind diverged from from-scratch over survivors: " +
+        s"rewound=($dB,$nB) fromscratch=($dC,$nC)")
+
+    val wallsJson = ingestWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
+    val compactJson = compactWalls
+      .map { case (k, w) => f"""{"after_shard":$k,"sec":$w%.3f}""" }
+      .mkString("[", ",", "]")
     println(f"""{"metric":"incremental_deep","copies":$copies,""" +
       f""""shards":$nShards,"compact_every":$compactEvery,""" +
       f""""output_rows":$nInc,"oneshot_sec":$oneShotSec%.3f,""" +
       f""""ingest_sec_per_shard":$wallsJson,""" +
-      f""""ingest_total_sec":${shardWalls.sum}%.3f,""" +
-      f""""finalize_sec":$finalizeSec%.3f,"identical":true}""")
+      f""""compact_sec":$compactJson,""" +
+      f""""ingest_total_sec":${ingestWalls.sum}%.3f,""" +
+      f""""finalize_sec":$finalizeSec%.3f,"identical":true,""" +
+      f""""deletions":1,"forget_shard":$forgetShard,""" +
+      f""""forget_after":$forgetAfter,"retract_sec":$retractSec%.3f,""" +
+      f""""replay_sec":$replaySec%.3f,""" +
+      f""""forget_rows":$nB,"forget_identical":true}""")
     spark.stop()
   }
 }

@@ -38,4 +38,25 @@ object QueryDef {
 
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
+
+  /** Resolve a committed oracle fixture (fixtures/<name>) for
+    * embedding in DuckDB oracle SQL. The ADVICE-r15 trap: resolving
+    * against the bare process CWD makes the oracle silently depend on
+    * launching the driver from the repo root, surfacing only as an
+    * opaque read_csv failure at oracle time. Resolution order:
+    * SPARK_GRAFT_REPO_ROOT env, graft.repo.root system property, CWD
+    * — and a MISSING fixture fails fast here, at registry
+    * construction, with the regeneration hint. */
+  def fixturePath(name: String): String = {
+    val roots = Seq(sys.env.get("SPARK_GRAFT_REPO_ROOT"),
+      sys.props.get("graft.repo.root"), Some(".")).flatten
+    val candidates = roots.map(r =>
+      new java.io.File(new java.io.File(r, "fixtures"), name))
+    candidates.find(_.isFile).map(_.getAbsolutePath).getOrElse(
+      throw new IllegalStateException(
+        s"oracle fixture fixtures/$name not found (tried " +
+          candidates.map(_.getAbsolutePath).mkString(", ") +
+          ") — launch from the repo root or set SPARK_GRAFT_REPO_ROOT; " +
+          "regenerate with `sbt \"runMain graft.FixtureDump\"`"))
+  }
 }

@@ -424,35 +424,74 @@ object Curation {
     * is one batch-local aggregation (map-side combine; the shuffle
     * moves the batch's distinct tokens, not occurrences) written as
     * (w, cnt) rows; single writer per sidecar via the dir lock, like
-    * every appender. At-least-once replays double-count — key batches
-    * externally (the sketch sidecar's documented contract) when
-    * exactness under replay matters. */
+    * every appender.
+    *
+    * Replay safety (round 16, the additive-sidecar family's
+    * representative flip): UNTAGGED appends keep the historical
+    * at-least-once caveat — a replayed batch double-counts. Passing
+    * `batchId` (unique per logical batch) retires it: rows carry a
+    * `batch_id` column and every read ([[mergedTokenCounts]],
+    * [[compactTokenCountSidecar]]) collapses duplicate
+    * (batch_id, w) rows first — replicas of a replayed append are
+    * bit-identical deterministic recomputes, so keeping one is exact
+    * and the contract becomes EXACTLY-ONCE by construction
+    * (CurationSpec's deliberate double-append proves counts no
+    * longer inflate). Tagged-ness is fixed at the first append;
+    * compacted rows carry the `__compacted__` sentinel, so compact
+    * only after in-flight batches are resolved (the
+    * [[graft.ops.CurationPipeline.compactState]] discipline where a
+    * manifest exists). */
   def writeTokenCountSidecar(batch: DataFrame, textCol: String,
-                             sidecarDir: String): Unit =
+                             sidecarDir: String,
+                             batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      batch.sparkSession, sidecarDir, batchId.isDefined,
+      "writeTokenCountSidecar")
     graft.sources.Sinks.withDirLock(
       batch.sparkSession, sidecarDir, "writeTokenCountSidecar") {
-      batch.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      val counts = batch
+        .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      batchId.foldLeft(counts)(
+          (df, id) => df.withColumn("batch_id", lit(id)))
         .write.mode("append").parquet(sidecarDir)
     }
+  }
+
+  /** Duplicate-replay collapse for tagged count sidecars: one
+    * (batch_id, w) row survives per key; untagged dirs pass through
+    * (the pre-round-16 at-least-once contract). */
+  private def dedupedCounts(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id", "w")
+    else raw
 
   /** Merged corpus token frequencies from a sidecar: one sum per
-    * token over the appended partials. Output (w, cnt) — exactly the
-    * `tf` table [[tokenRarity]] computes from raw text, without
-    * re-reading the corpus. */
+    * token over the appended partials (duplicate tagged appends
+    * collapsed first). Output (w, cnt) — exactly the `tf` table
+    * [[tokenRarity]] computes from raw text, without re-reading the
+    * corpus. */
   def mergedTokenCounts(spark: SparkSession, sidecarDir: String): DataFrame =
-    spark.read.parquet(sidecarDir)
+    dedupedCounts(spark.read.parquet(sidecarDir))
       .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
 
   /** Many small appends → one summed row per token, via the shared
     * backup-swap compaction ([[graft.sources.Sinks.compactParquetDir]]
     * — its lock and crash-restore; the merge rides as the transform).
-    * Counts are unchanged by construction (additive). */
+    * Counts are unchanged by construction (additive; duplicate tagged
+    * appends collapse before the sum). */
   def compactTokenCountSidecar(spark: SparkSession,
                                sidecarDir: String): Unit =
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
       sortCol = Some("w"),
-      transform = Some(_.groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))))
+      transform = Some { raw =>
+        val summed = dedupedCounts(raw)
+          .groupBy(col("w")).agg(sum(col("cnt")).as("cnt"))
+        if (raw.schema.fieldNames.contains("batch_id"))
+          summed.withColumn("batch_id",
+            lit(graft.ops.LinearProbe.CompactedBatchId))
+        else summed
+      })
 
   /** Score documents against a token-count SIDECAR instead of
     * re-aggregating the corpus — [[tokenRarity]] with the frequency

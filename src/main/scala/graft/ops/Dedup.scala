@@ -389,10 +389,19 @@ object Dedup {
     * of each other. Such rows have no content to fingerprint, so they
     * pass through as survivors untouched and are never written to the
     * sidecar. Output keeps the internal `__fp` column (null for
-    * null-text rows). */
+    * null-text rows).
+    *
+    * `excludeBatchId` (round 16 — the crash-replay contract): when the
+    * sidecar is batch-tagged, membership IGNORES rows whose `batch_id`
+    * equals the given id, so a replay of a crashed ingest that already
+    * appended (some of) its own fingerprints sees exactly the
+    * pre-append membership state and reproduces the first attempt's
+    * keep decisions instead of dropping the whole batch against its
+    * own digests. */
   private[graft] def sidecarSurvivors(batch: DataFrame, textCol: String,
                                       idCol: String, sidecarDir: String,
-                                      bloomPrefilter: Boolean = false)
+                                      bloomPrefilter: Boolean = false,
+                                      excludeBatchId: Option[String] = None)
       : DataFrame = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
@@ -401,6 +410,15 @@ object Dedup {
     val fpRows = withFp.filter(col("__fp").isNotNull)
     val bloom =
       if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir) else None
+    def sidecarFps: DataFrame = {
+      val raw = spark.read.parquet(sidecarDir)
+      val visible = excludeBatchId match {
+        case Some(id) if raw.schema.fieldNames.contains("batch_id") =>
+          raw.filter(!(col("batch_id") <=> lit(id)))
+        case _ => raw
+      }
+      visible.select(col("fp"))
+    }
     val unseen =
       if (!fs.exists(path)) fpRows
       else bloom match {
@@ -411,16 +429,16 @@ object Dedup {
           // true duplicates + fpp — pays the join against the full
           // sidecar. The outcome is identical to the plain anti-join
           // as long as the bloom covers every sidecar fingerprint (the
-          // single-writer refresh contract).
+          // single-writer refresh contract). A bloom that saw a crashed
+          // attempt's own-batch fingerprints only routes those rows to
+          // the exact join, where the batch-id exclusion readmits them.
           val might = graft.functions.GraftFunctions
             .bloom_might_contain(col("__fp"), bf)
           fpRows.filter(!might).unionByName(
             fpRows.filter(might)
-              .join(spark.read.parquet(sidecarDir).select(col("fp")),
-                col("__fp") === col("fp"), "left_anti"))
+              .join(sidecarFps, col("__fp") === col("fp"), "left_anti"))
         case None =>
-          fpRows.join(spark.read.parquet(sidecarDir).select(col("fp")),
-            col("__fp") === col("fp"), "left_anti")
+          fpRows.join(sidecarFps, col("__fp") === col("fp"), "left_anti")
       }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
@@ -467,27 +485,51 @@ object Dedup {
     * [[writeSidecarBloom]] rebuild reconverges. */
   def dedupAgainstSidecar(batch: DataFrame, textCol: String, idCol: String,
                           sidecarDir: String,
-                          bloomPrefilter: Boolean = false): DataFrame = {
+                          bloomPrefilter: Boolean = false,
+                          batchId: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
-    val survivors =
-      sidecarSurvivors(batch, textCol, idCol, sidecarDir, bloomPrefilter)
+    val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir,
+      bloomPrefilter, excludeBatchId = batchId)
     val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-    graft.sources.Sinks.withDirLock(
-      spark, sidecarDir, "dedupAgainstSidecar") {
-      newFps.sortWithinPartitions(col("fp"))
+    appendDigestFps(spark, newFps, sidecarDir, bloomPrefilter, batchId,
+      "dedupAgainstSidecar")
+    survivors.drop("__fp")
+  }
+
+  /** The digest sidecar's append half, shared by [[dedupAgainstSidecar]]
+    * and the crash-ordered callers that sink survivors FIRST (the
+    * [[graft.ops.CurationPipeline]] ingest protocol). When `batchId` is
+    * set the rows carry a `batch_id` column: a replayed append writes
+    * duplicate (fp, batch_id) rows — a semantic no-op for set
+    * membership, collapsed by [[compactSidecar]] — and the replay's
+    * OWN read excludes them ([[sidecarSurvivors]]'s `excludeBatchId`),
+    * so crash-at-any-point plus whole-batch retry converges on the
+    * no-crash state. Tagged-ness is fixed at the first append
+    * ([[graft.sources.Sinks.assertBatchTagConsistent]]). */
+  private[graft] def appendDigestFps(spark: org.apache.spark.sql.SparkSession,
+                                     newFps: DataFrame, sidecarDir: String,
+                                     bloomPrefilter: Boolean,
+                                     batchId: Option[String],
+                                     op: String): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      spark, sidecarDir, batchId.isDefined, op)
+    graft.sources.Sinks.withDirLock(spark, sidecarDir, op) {
+      val tagged = batchId.foldLeft(newFps)(
+        (df, id) => df.withColumn("batch_id", lit(id)))
+      tagged.sortWithinPartitions(col("fp"))
         .write.mode("append").parquet(sidecarDir)
       if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
         // zero = the loaded bloom: partitions OR their items into copies
         // of it and copies merge idempotently (bitmap union), so the
         // result is loaded ∪ batch fingerprints
-        val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
-          (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
-          (a, b) => { a.mergeInPlace(b); a })
+        val updated = newFps.select(col("fp")).rdd.map(_.getString(0))
+          .treeAggregate(loaded)(
+            (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
+            (a, b) => { a.mergeInPlace(b); a })
         saveSidecarBloom(spark, sidecarDir, updated)
       }
     }
-    survivors.drop("__fp")
   }
 
   /** Path of a sidecar's Bloom companion file. */
@@ -553,7 +595,14 @@ object Dedup {
   def compactSidecar(spark: org.apache.spark.sql.SparkSession,
                      sidecarDir: String, coalesceTo: Int = 1): Unit =
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
-      coalesceTo = coalesceTo, sortCol = Some("fp"))
+      coalesceTo = coalesceTo, sortCol = Some("fp"),
+      // distinct over ALL columns: appends are new-fps-only so the
+      // normal flow has nothing to collapse, but a crash-replayed
+      // tagged append duplicates its (fp, batch_id) rows — and the
+      // tag must SURVIVE compaction (per-batch identity is what
+      // [[graft.ops.CurationPipeline.retractShard]] filters on), so
+      // the collapse is distinct, never a drop of batch_id
+      transform = Some(_.distinct()))
 
   /** Incremental dedup straight into a parquet sink, with the two
     * writes ordered for crash safety: survivors are appended to
@@ -575,21 +624,11 @@ object Dedup {
     survivors.drop("__fp").write.mode("append").parquet(outDir)
     val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-    graft.sources.Sinks.withDirLock(
-      spark, sidecarDir, "dedupAgainstSidecarTo") {
-      newFps.sortWithinPartitions(col("fp"))
-        .write.mode("append").parquet(sidecarDir)
-      // fold the batch's fingerprints into the Bloom companion (the
-      // dedupAgainstSidecar parity); a crash before this point leaves
-      // the bloom stale, which only re-admits — never loses — and the
-      // next writeSidecarBloom rebuild reconverges
-      if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir).foreach { loaded =>
-        val updated = newFps.rdd.map(_.getString(0)).treeAggregate(loaded)(
-          (bf, s) => { graft.functions.BloomMightContain.put(bf, s); bf },
-          (a, b) => { a.mergeInPlace(b); a })
-        saveSidecarBloom(spark, sidecarDir, updated)
-      }
-    }
+    // sidecar (and Bloom companion) append AFTER the sink — a crash
+    // between the writes makes a replay re-emit duplicates, never lose
+    // documents (see scaladoc)
+    appendDigestFps(spark, newFps, sidecarDir, bloomPrefilter,
+      batchId = None, op = "dedupAgainstSidecarTo")
   }
 
   /** Guarded id→long cast for the minhash-sidecar family, whose
@@ -1014,17 +1053,48 @@ object Dedup {
     * sidecar: serialize shard ingests per sidecarDir. */
   def removeDuplicateSpansAgainstSidecar(batch: DataFrame, textCol: String,
                                          idCol: String, sidecarDir: String,
-                                         chunkTokens: Int = 50): DataFrame = {
+                                         chunkTokens: Int = 50,
+                                         batchId: Option[String] = None)
+      : DataFrame = {
+    val (out, newKeys) = spanRemovalDecide(batch, textCol, idCol,
+      sidecarDir, chunkTokens, excludeBatchId = batchId)
+    appendChunkKeys(batch.sparkSession, newKeys, sidecarDir, batchId,
+      "removeDuplicateSpansAgainstSidecar")
+    out
+  }
+
+  /** The span-removal DECISION half — all reads, no writes: chunk the
+    * batch, mark chunks already in the sidecar (rows tagged
+    * `excludeBatchId` are invisible — the crash-replay contract of
+    * [[sidecarSurvivors]], applied to chunk keys), keep first
+    * occurrence per key within the batch, reassemble. Returns the
+    * per-doc output AND the batch's new distinct keys, both eagerly
+    * materialized, so a caller can order its own durable writes
+    * around the sidecar append (sink-first — the
+    * [[graft.ops.CurationPipeline]] ingest protocol). */
+  private[graft] def spanRemovalDecide(batch: DataFrame, textCol: String,
+                                       idCol: String, sidecarDir: String,
+                                       chunkTokens: Int,
+                                       excludeBatchId: Option[String])
+      : (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val chunked = TextAnalysis.chunk(batch, textCol, chunkTokens, 0, idCol)
       .withColumn("__k", md5(col("chunk_text")))
+    def sidecarKeys: DataFrame = {
+      val raw = spark.read.parquet(sidecarDir)
+      val visible = excludeBatchId match {
+        case Some(id) if raw.schema.fieldNames.contains("batch_id") =>
+          raw.filter(!(col("batch_id") <=> lit(id)))
+        case _ => raw
+      }
+      visible.select(col("ck"))
+    }
     val withSeen =
       if (!fs.exists(path)) chunked.withColumn("__seen", lit(false))
       else chunked
-        .join(spark.read.parquet(sidecarDir).select(col("ck"))
-            .withColumn("__hit", lit(true)),
+        .join(sidecarKeys.withColumn("__hit", lit(true)),
           col("__k") === col("ck"), "left")
         .withColumn("__seen", coalesce(col("__hit"), lit(false)))
         .drop("ck", "__hit")
@@ -1046,13 +1116,29 @@ object Dedup {
         sum(when(!col("__keep"), col("chunk_tokens")).otherwise(0L))
           .as("removed_tokens"))
       .localCheckpoint(true)
-    graft.sources.Sinks.withDirLock(
-      spark, sidecarDir, "removeDuplicateSpansAgainstSidecar") {
-      decided.filter(!col("__seen")).select(col("__k").as("ck")).distinct()
+    val newKeys = decided.filter(!col("__seen"))
+      .select(col("__k").as("ck")).distinct()
+      .localCheckpoint(true)
+    (out, newKeys)
+  }
+
+  /** The chunk-key sidecar's append half (the [[appendDigestFps]]
+    * twin): tagged rows make crash-replayed appends detectable
+    * duplicates — set-semantics no-ops, collapsed by
+    * [[compactChunkKeySidecar]] — instead of silent poison for the
+    * replay's own keep decisions. */
+  private[graft] def appendChunkKeys(spark: org.apache.spark.sql.SparkSession,
+                                     newKeys: DataFrame, sidecarDir: String,
+                                     batchId: Option[String],
+                                     op: String): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      spark, sidecarDir, batchId.isDefined, op)
+    graft.sources.Sinks.withDirLock(spark, sidecarDir, op) {
+      batchId.foldLeft(newKeys)(
+          (df, id) => df.withColumn("batch_id", lit(id)))
         .sortWithinPartitions(col("ck"))
         .write.mode("append").parquet(sidecarDir)
     }
-    out
   }
 
   /** Distinct-collapse compaction of a chunk-key sidecar (the shared

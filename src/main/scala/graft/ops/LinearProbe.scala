@@ -167,13 +167,31 @@ object LinearProbe {
     * upstream feature pipeline; this sidecar accumulates the trainer
     * state over its output. Single writer via the dir lock. One row
     * (~d² decimals) per append — sidecar IO is O(batches), never
-    * data-sized. */
+    * data-sized.
+    *
+    * `batchId` (round 16) retires the at-least-once caveat above for
+    * callers that can name their batches: the moment row carries a
+    * `batch_id` column, and every summed read ([[fitFromSidecar]],
+    * [[compactGramSidecar]]) first collapses duplicate batch ids to
+    * one row — a crash-replayed append of the same batch (identical
+    * moments, deterministic recompute) becomes a detectable no-op, so
+    * the contract is EXACTLY-ONCE by construction. Ids must be unique
+    * per logical batch and never reused for different rows; a tagged
+    * sidecar is tagged from its first append
+    * ([[graft.sources.Sinks.assertBatchTagConsistent]]). */
   def writeGramSidecar(scaledBatch: DataFrame, d: Int,
-                       sidecarDir: String): Unit =
+                       sidecarDir: String,
+                       batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      scaledBatch.sparkSession, sidecarDir, batchId.isDefined,
+      "writeGramSidecar")
     graft.sources.Sinks.withDirLock(
       scaledBatch.sparkSession, sidecarDir, "writeGramSidecar") {
-      gramAggDf(scaledBatch, d).write.mode("append").parquet(sidecarDir)
+      batchId.foldLeft(gramAggDf(scaledBatch, d))(
+          (df, id) => df.withColumn("batch_id", lit(id)))
+        .write.mode("append").parquet(sidecarDir)
     }
+  }
 
   /** Exact unlearning append — the DELETION twin of
     * [[writeGramSidecar]] (the takedown / right-to-erasure lifecycle
@@ -188,14 +206,28 @@ object LinearProbe {
     * "forgets" the rows without the retained corpus ever being
     * re-read. Contract: the deleted batch must be EXACTLY rows
     * previously ingested, at the same feature values
-    * (delete-what-you-inserted; at-most-once per row — a double
-    * deletion double-subtracts, same discipline as the append side's
-    * at-least-once trap). Empty/all-invalid batches are a no-op (an
-    * n = 0 row carries NULL sums — the ADVICE-r14 trap — and deletes
-    * nothing anyway). Single writer via the dir lock; one ~d²-decimal
-    * row per deletion, IO never data-sized. */
+    * (delete-what-you-inserted). Empty/all-invalid batches are a
+    * no-op (an n = 0 row carries NULL sums — the ADVICE-r14 trap —
+    * and deletes nothing anyway). Single writer via the dir lock; one
+    * ~d²-decimal row per deletion, IO never data-sized.
+    *
+    * Retry safety (the ADVICE-r15 item — deletions are LIKELIER to be
+    * retried than appends; takedown tooling re-invokes on any
+    * ambiguous failure): untagged deletions are AT-MOST-ONCE by
+    * contract — a caller that re-invokes after a failure between the
+    * parquet write's partial commit and its acknowledgement appends
+    * the negation twice and silently over-forgets. Passing `batchId`
+    * (a unique id per LOGICAL deletion, conventionally
+    * `"__del__:<what>"` and distinct from every append id) retires
+    * the caveat: duplicate deletion rows collapse at read exactly
+    * like duplicate appends, so retrying the same deletion is a
+    * no-op and the lifecycle is exactly-once by construction. */
   def writeGramDeletion(scaledBatch: DataFrame, d: Int,
-                        sidecarDir: String): Unit =
+                        sidecarDir: String,
+                        batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      scaledBatch.sparkSession, sidecarDir, batchId.isDefined,
+      "writeGramDeletion")
     graft.sources.Sinks.withDirLock(
       scaledBatch.sparkSession, sidecarDir, "writeGramDeletion") {
       val agg = gramAggDf(scaledBatch, d)
@@ -203,7 +235,9 @@ object LinearProbe {
         case "n" => (-col("n")).cast("long").as("n")
         case c => (-col(c)).cast("decimal(38,0)").as(c)
       }
-      val negDf = agg.select(neg.toSeq: _*)
+      val negDf0 = agg.select(neg.toSeq: _*)
+      val negDf = batchId.foldLeft(negDf0)(
+        (df, id) => df.withColumn("batch_id", lit(id)))
       // ONE row by construction (a global aggregate) — collect it
       // once, gate on n, and write the literal row back: one job,
       // not an isEmpty probe plus a recompute
@@ -213,11 +247,50 @@ object LinearProbe {
           .createDataFrame(java.util.List.of(row), negDf.schema)
           .write.mode("append").parquet(sidecarDir)
     }
+  }
+
+  /** Sentinel batch id of a compacted moment row. There is at most
+    * one such row at a time (compaction rewrites the whole dir), so
+    * the duplicate-collapse at read never merges two generations. */
+  val CompactedBatchId = "__compacted__"
+
+  /** Duplicate-append collapse for TAGGED sidecars: one row per
+    * batch_id (replicas of a replayed append are bit-identical —
+    * deterministic decimal recompute — so keeping any one is exact).
+    * Untagged sidecars pass through unchanged (the pre-round-16
+    * at-least-once contract). */
+  private def dedupedMoments(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id")
+    else raw
+
+  /** Batch ids currently present in a TAGGED Gram sidecar (empty for
+    * untagged/missing dirs) — the in-flight-shard probe
+    * [[graft.ops.CurationPipeline.compactState]] guards compaction
+    * with: compacting an UNCOMMITTED batch's row would merge away the
+    * per-batch identity its crash-replay depends on. Bounded driver
+    * collect: one short string per append ever made. */
+  def gramBatchIds(spark: org.apache.spark.sql.SparkSession,
+                   sidecarDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val raw = spark.read.parquet(sidecarDir)
+    if (!raw.schema.fieldNames.contains("batch_id")) Nil
+    else raw.select(col("batch_id")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
 
   /** Many appended moment rows → one summed row via the shared
     * backup-swap compaction; summation makes compaction idempotent
-    * over its own output (though NOT over a replayed append — see
-    * the [[writeGramSidecar]] contract). */
+    * over its own output. Tagged sidecars collapse duplicate batch
+    * ids first and the output row carries [[CompactedBatchId]], so
+    * replayed appends stay harmless across compactions — PROVIDED no
+    * uncommitted batch is merged away (callers that can still replay
+    * a batch must gate on [[gramBatchIds]]; the pipeline's
+    * [[graft.ops.CurationPipeline.compactState]] does). Untagged
+    * sidecars keep the pre-round-16 contract: idempotent over
+    * compaction's own output, NOT over a replayed append. */
   def compactGramSidecar(spark: org.apache.spark.sql.SparkSession,
                          sidecarDir: String, d: Int): Unit = {
     val sums = (for (i <- 0 until d; j <- i until d)
@@ -225,15 +298,21 @@ object LinearProbe {
       (0 until d).map(i => sum(col(s"b_$i")).as(s"b_$i"))
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
       sortCol = None,
-      transform = Some(_.agg(sum(col("n")).as("n"), sums: _*)))
+      transform = Some { raw =>
+        val summed = dedupedMoments(raw).agg(sum(col("n")).as("n"), sums: _*)
+        if (raw.schema.fieldNames.contains("batch_id"))
+          summed.withColumn("batch_id", lit(CompactedBatchId))
+        else summed
+      })
   }
 
   /** Fit FROM the sidecar — the corpus is never re-read: the summed
-    * moment rows (compacted or not) are the exact total Gram. */
+    * moment rows (compacted or not, duplicate tagged appends
+    * collapsed) are the exact total Gram. */
   def fitFromSidecar(spark: org.apache.spark.sql.SparkSession,
                      sidecarDir: String, d: Int, iters: Int,
                      lrNum: Long = 1L, lrDen: Long = 4L): Array[BigInt] = {
-    val raw = spark.read.parquet(sidecarDir)
+    val raw = dedupedMoments(spark.read.parquet(sidecarDir))
     val sums = (for (i <- 0 until d; j <- i until d)
       yield sum(col(s"g_${i}_$j")).cast("decimal(38,0)").as(s"g_${i}_$j")) ++
       (0 until d).map(i =>
@@ -273,6 +352,20 @@ object LinearProbe {
     t
   }
 
+  /** Loud BigInt→Long conversion for fitted coefficients (the
+    * ADVICE-r15 asymmetry: `BigInt.toLong` silently WRAPS out-of-range
+    * values where the oracle's `CAST(... AS BIGINT)` errors — in
+    * practice [[fitFromGram]]'s |θ| ≤ ThetaBound·thetaScale guard
+    * bounds every coefficient well inside int64, so this keeps both
+    * sides loud rather than fixing an observed bug). */
+  def thetaLong(t: BigInt): Long = {
+    require(t.isValidLong,
+      s"LinearProbe: coefficient $t exceeds int64 — the |theta| <= " +
+        s"$ThetaBound*thetaScale fit guard should have made this " +
+        "unreachable")
+    t.toLong
+  }
+
   /** Fit end-to-end: scale → gram → integer GD. */
   def fit(df: DataFrame, featureCols: Seq[String], labelCol: Column,
           iters: Int, lrNum: Long = 1L, lrDen: Long = 4L): Array[BigInt] = {
@@ -295,7 +388,7 @@ object LinearProbe {
         s"${reserved.mkString(", ")} — rename or drop them first " +
         "(an existing score_fp would be silently replaced otherwise)")
     val num = (0 until d).map(j =>
-      col(s"__f$j") * lit(theta(j).toLong)).reduce(_ + _)
+      col(s"__f$j") * lit(thetaLong(theta(j)))).reduce(_ + _)
     scaledDf
       .withColumn("__num", num)
       .withColumn("score_fp", expr(s"__num div $featScale"))

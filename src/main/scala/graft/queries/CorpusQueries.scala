@@ -92,10 +92,14 @@ object CorpusQueries {
     // fresh sidecar per run (stale counts from an earlier corpus would
     // change scores — the q130/q159 wipe discipline)
     graft.sources.Sinks.wipeForRebuild(s, dir)
+    // batch-tagged appends (round 16): a replayed batch is a
+    // detectable no-op — the EXACTLY-ONCE form of the additive
+    // sidecar; the oracle is unchanged because reads collapse
+    // duplicates before summing
     Curation.writeTokenCountSidecar(
-      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+      docs.filter(col("doc_id") % 2 === 0), "text", dir, Some("even"))
     Curation.writeTokenCountSidecar(
-      docs.filter(col("doc_id") % 2 === 1), "text", dir)
+      docs.filter(col("doc_id") % 2 === 1), "text", dir, Some("odd"))
     Curation.compactTokenCountSidecar(s, dir)
     Curation.tokenRarityAgainstSidecar(docs, dir).orderBy(col("doc_id"))
   }

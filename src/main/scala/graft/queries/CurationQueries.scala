@@ -1403,8 +1403,9 @@ object CurationQueries {
     val (g, b, n) = LinearProbe.gram(scaled, 7)
     val tNew = LinearProbe.fitFromGram(g, b, n, iters = 24)
     import s.implicits._
-    (0 to 6).map(j => (j.toLong, tOld(j).toLong, tNew(j).toLong,
-        tNew(j).toLong - tOld(j).toLong))
+    import LinearProbe.thetaLong
+    (0 to 6).map(j => (j.toLong, thetaLong(tOld(j)), thetaLong(tNew(j)),
+        thetaLong(tNew(j)) - thetaLong(tOld(j))))
       .toDF("j", "theta_old", "theta_new", "delta")
       .orderBy(col("j"))
   }
@@ -1454,10 +1455,10 @@ object CurationQueries {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cuts = Seq(Long.MinValue, (maxId + 1) / 3, 2 * ((maxId + 1) / 3),
       Long.MaxValue)
-    cuts.sliding(2).foreach { case Seq(lo, hi) =>
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
       CurationPipeline.ingestShard(
         withFeats.filter(col("doc_id") >= lo && col("doc_id") < hi),
-        dirs, holdout)
+        dirs, holdout, shardId = s"s$i")
     }
     CurationPipeline.finalizePipeline(s, dirs)
   }
@@ -1660,14 +1661,17 @@ object CurationQueries {
     val c2 = 2 * c1
     def shard(lo: Long, hi: Long) =
       withFeats.filter(col("doc_id") >= lo && col("doc_id") < hi)
-    CurationPipeline.ingestShard(shard(Long.MinValue, c1), dirs, holdout)
-    CurationPipeline.ingestShard(shard(c1, c2), dirs, holdout)
+    CurationPipeline.ingestShard(shard(Long.MinValue, c1), dirs, holdout,
+      shardId = "s0")
+    CurationPipeline.ingestShard(shard(c1, c2), dirs, holdout,
+      shardId = "s1")
     // the mid-stream finalize — materialized BEFORE the next shard
     // lands (see scaladoc: the read-after-append trap)
     val prefix = CurationPipeline.finalizePipeline(s, dirs)
       .withColumn("phase", lit("prefix"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    CurationPipeline.ingestShard(shard(c2, Long.MaxValue), dirs, holdout)
+    CurationPipeline.ingestShard(shard(c2, Long.MaxValue), dirs, holdout,
+      shardId = "s2")
     val full = CurationPipeline.finalizePipeline(s, dirs)
       .withColumn("phase", lit("full"))
     full.unionByName(prefix)
@@ -1733,8 +1737,10 @@ object CurationQueries {
     LinearProbe.compactGramSidecar(s, dir, 7)
     val thetaUnlearned = LinearProbe.fitFromSidecar(s, dir, 7, iters = 24)
     import s.implicits._
-    (0 to 6).map(j => (j.toLong, thetaFull(j).toLong, thetaUnlearned(j).toLong,
-        thetaUnlearned(j).toLong - thetaFull(j).toLong))
+    import LinearProbe.thetaLong
+    (0 to 6).map(j => (j.toLong, thetaLong(thetaFull(j)),
+        thetaLong(thetaUnlearned(j)),
+        thetaLong(thetaUnlearned(j)) - thetaLong(thetaFull(j))))
       .toDF("j", "theta_full", "theta_unlearned", "delta")
       .orderBy(col("j"))
   }

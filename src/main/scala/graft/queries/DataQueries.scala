@@ -603,7 +603,7 @@ object DataQueries {
     * count (`t % 64 <> 0`), matching the Spark loop's `t > start`
     * guard. */
   val q202FixturePath: String =
-    new java.io.File("fixtures/q202_pcm.csv").getAbsolutePath
+    graft.QueryDef.fixturePath("q202_pcm.csv")
   val q202AudioFrames = QueryDef(
     "q202_audio_frames",
     s"""WITH pcm AS (
@@ -654,7 +654,7 @@ object DataQueries {
     * `shiftrightunsigned` for s ≤ 48 (the sign-fill bits are masked),
     * and `bit_count(xor(...))` is the same exact popcount. */
   val q208FixturePath: String =
-    new java.io.File("fixtures/q208_dhash.csv").getAbsolutePath
+    graft.QueryDef.fixturePath("q208_dhash.csv")
   val q208ImageNearDups = QueryDef(
     "q208_image_near_dups",
     s"""WITH hashed AS (

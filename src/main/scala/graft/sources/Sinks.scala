@@ -166,6 +166,33 @@ object Sinks {
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Guard for BATCH-TAGGED sidecars (round 16): a sidecar is tagged
+    * with a `batch_id` column from its FIRST append or never. Mixing
+    * tagged and untagged appends in one directory is the silent
+    * failure this check turns loud: parquet readers infer the schema
+    * from a sample of files, so a mixed dir can drop the `batch_id`
+    * column on read — and with it every replay-exclusion and
+    * duplicate-append defense the tag exists for. One footer read per
+    * append (the appenders already pay a listing for the dir lock). */
+  private[graft] def assertBatchTagConsistent(spark: SparkSession,
+      dir: String, tagged: Boolean, op: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return
+    val existingTagged =
+      try spark.read.parquet(dir).schema.fieldNames.contains("batch_id")
+      catch {
+        // dir exists but holds no readable parquet (e.g. only a
+        // _SUCCESS marker) — the next append defines the schema
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    require(existingTagged == tagged,
+      s"$op: $dir is ${if (existingTagged) "batch-tagged" else "untagged"} " +
+        s"but this append is ${if (tagged) "tagged" else "untagged"} — " +
+        "a sidecar carries batch_id from its first append or never " +
+        "(mixed parquet schemas can silently drop the tag on read)")
+  }
+
   /** Clear a stale writer marker left by a crashed appender — call
     * only after verifying the directory's last append isn't torn (each
     * appender's scaladoc states its crash ordering and the recoverable

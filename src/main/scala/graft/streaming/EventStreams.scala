@@ -615,9 +615,13 @@ object EventStreams {
     * stream starts — the benchmark gram registry must be frozen
     * first (the cross-batch contamination trap its scaladoc names).
     * Rows must carry doc_id, source, text and the upstream feature
-    * pipeline's __f0..__f6, __y. At-least-once replays re-append a
-    * batch's Gram moments and shard rows — the standing sidecar
-    * contract; exactly-once feeds where that matters. */
+    * pipeline's __f0..__f6, __y. EXACTLY-ONCE (round 16): the
+    * micro-batch id — stable across checkpoint-recovery replays, the
+    * standard foreachBatch idempotence key — is passed through as the
+    * ingest's shard id, so a replayed micro-batch is a committed
+    * no-op and a crash ANYWHERE inside the ingest converges on
+    * replay ([[graft.ops.CurationPipeline.ingestShard]]'s protocol);
+    * the at-least-once caveat this family used to carry is retired. */
   def runCurationShards(shards: DataFrame,
                         dirs: graft.ops.CurationPipeline.Dirs,
                         holdout: org.apache.spark.sql.Column,
@@ -625,8 +629,9 @@ object EventStreams {
     val q = shards.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.CurationPipeline.ingestShard(batch, dirs, holdout)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.CurationPipeline.ingestShard(batch, dirs, holdout,
+          shardId = s"b$batchId")
       }
       .start()
     q.processAllAvailable()

@@ -304,4 +304,37 @@ class CurationSpec extends SparkSpec {
     // b: pct = (rn-1)/3 ≥ 0.5 → rn ≥ 2.5 → rn 3..4 (2 rows)
     assert(kept === Map("a" -> 5L, "b" -> 2L))
   }
+
+  test("batch-tagged token-count sidecar: a deliberately double-appended " +
+      "batch no longer inflates counts (exactly-once by construction)") {
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val dir = s"target/tmp/tokcnt_tagged_spec_${System.nanoTime()}"
+    graft.sources.Sinks.wipeForRebuild(spark, dir)
+    Curation.writeTokenCountSidecar(docs.filter($"doc_id" === 1L),
+      "text", dir, Some("b1"))
+    Curation.writeTokenCountSidecar(docs.filter($"doc_id" === 2L),
+      "text", dir, Some("b2"))
+    def counts = Curation.mergedTokenCounts(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val clean = counts
+    assert(clean === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // the at-least-once replay that used to double-count
+    Curation.writeTokenCountSidecar(docs.filter($"doc_id" === 1L),
+      "text", dir, Some("b1"))
+    assert(counts === clean)
+    // compaction collapses the duplicate rows too and keeps the merge
+    Curation.compactTokenCountSidecar(spark, dir)
+    assert(counts === clean)
+    // the legacy untagged sidecar still double-counts (the documented
+    // contract this flip retires for tagged callers)
+    val legacy = s"target/tmp/tokcnt_untagged_spec_${System.nanoTime()}"
+    graft.sources.Sinks.wipeForRebuild(spark, legacy)
+    Curation.writeTokenCountSidecar(docs.filter($"doc_id" === 1L),
+      "text", legacy)
+    Curation.writeTokenCountSidecar(docs.filter($"doc_id" === 1L),
+      "text", legacy)
+    assert(Curation.mergedTokenCounts(spark, legacy)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("a" -> 4L, "b" -> 2L))
+  }
 }

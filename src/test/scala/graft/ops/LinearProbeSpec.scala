@@ -97,6 +97,46 @@ class LinearProbeSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 1L)
   }
 
+  test("batch-tagged Gram sidecar: replayed appends and retried " +
+      "deletions collapse at read — the exactly-once contract") {
+    val dir = s"target/tmp/probe_tagged_spec_${System.nanoTime()}"
+    graft.sources.Sinks.wipeForRebuild(spark, dir)
+    val df = (1 to 40).map(i =>
+        (i.toLong, (i % 7) / 7.0, (i % 3) / 3.0, (i % 2).toLong))
+      .toDF("id", "x1", "x2", "y")
+    val s = LinearProbe.scaled(df, Seq("x1", "x2"), col("y"))
+    val (lo, hi) = (s.filter(col("id") <= 20L), s.filter(col("id") > 20L))
+    LinearProbe.writeGramSidecar(lo, 3, dir, Some("b0"))
+    LinearProbe.writeGramSidecar(hi, 3, dir, Some("b1"))
+    val theta = LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8)
+    // crash-replayed append of b1: identical moments, same id — a
+    // no-op at every read (the untagged contract would double-count)
+    LinearProbe.writeGramSidecar(hi, 3, dir, Some("b1"))
+    assert(LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8).toSeq
+      === theta.toSeq)
+    // retried deletion (the ADVICE-r15 takedown-tooling trap): the
+    // same deletion id subtracts AT MOST ONCE however often retried
+    LinearProbe.writeGramDeletion(lo, 3, dir, Some("__del__:b0"))
+    LinearProbe.writeGramDeletion(lo, 3, dir, Some("__del__:b0"))
+    val afterDel = LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8)
+    val (g, b, n) = LinearProbe.gram(hi, 3)
+    assert(afterDel.toSeq ===
+      LinearProbe.fitFromGram(g, b, n, iters = 8).toSeq)
+    // compaction collapses duplicates BEFORE summing and keeps the
+    // sentinel tag; fit is unchanged
+    LinearProbe.compactGramSidecar(spark, dir, 3)
+    assert(spark.read.parquet(dir).count() === 1L)
+    assert(spark.read.parquet(dir).select("batch_id").head().getString(0)
+      === LinearProbe.CompactedBatchId)
+    assert(LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8).toSeq
+      === afterDel.toSeq)
+    // mixed tagged/untagged appends fail loud, not silently drop tags
+    val e = intercept[IllegalArgumentException] {
+      LinearProbe.writeGramSidecar(hi, 3, dir)
+    }
+    assert(e.getMessage.contains("batch-tagged"))
+  }
+
   test("divergence is loud: out-of-contract feature magnitudes raise") {
     // features must be in [0,1]; constant 1000.0 gives Hessian trace
     // ~1e6 so lr=1/4 explodes — the |theta| <= 32 guard must fire,
