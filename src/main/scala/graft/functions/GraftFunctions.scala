@@ -52,6 +52,10 @@ object GraftFunctions {
   def tokens_in_set(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokensInSet(ColumnBridge.expression(text), words))
 
+  /** Unicode-aware canonical normalization (see [[NfkcNormalize]]). */
+  def nfkc_normalize(text: Column): Column =
+    ColumnBridge.column(NfkcNormalize(ColumnBridge.expression(text)))
+
   /** Fused character-n-gram counter (see [[NgramsInSet]]). */
   def ngrams_in_set(text: Column, grams: Seq[String]): Column =
     ColumnBridge.column(NgramsInSet(ColumnBridge.expression(text), grams))
@@ -178,6 +182,7 @@ object GraftFunctions {
       MisraGriesCandidates(exprs(0), intArg("mg_candidates", exprs(1)))),
     "tokens_in_set" -> (exprs =>
       TokensInSet(exprs(0), stringArrayArg("tokens_in_set", exprs(1)))),
+    "nfkc_normalize" -> (exprs => NfkcNormalize(exprs(0))),
     "ngrams_in_set" -> (exprs =>
       NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),
     "sorted_intersect_count" -> (exprs =>

@@ -50,10 +50,47 @@ object TextAnalysis {
     * similarity threshold to tune, no false positives beyond the
     * normalization's own equivalence class). Patterns are
     * RE2/Java-compatible so an external oracle replays the bytes.
-    * Pure per-row projection — codegen'd regexes, no shuffle. */
+    * Pure per-row projection — codegen'd regexes, no shuffle.
+    *
+    * LATIN-ONLY BY CONSTRUCTION: the `[a-z0-9 ]` class normalizes
+    * every non-Latin document to the empty string, so on a
+    * multilingual corpus — the normal 100 TB input — dedup on this
+    * form collapses all CJK/Cyrillic/Arabic docs into one "duplicate"
+    * cluster and silently deletes entire languages. Point
+    * multilingual corpora at [[normalizeTextUnicode]] (NFKC +
+    * case-fold + any-script `\p{L}\p{N}` classes — q224's certificate;
+    * identical to this form on pure `[a-z0-9 ]` input). */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Unicode-aware canonical normalization — the multilingual twin of
+    * [[normalizeText]]: NFKC compatibility folding (fullwidth→ASCII,
+    * ligatures, ideographic space), ROOT-locale case fold, keep
+    * letters/digits of ANY script, drop combining marks in place,
+    * collapse separators. One codegen'd native expression
+    * ([[graft.functions.NfkcNormalize]] — semantics, determinism and
+    * the mark-handling rationale live there); q224 hash-certifies the
+    * fold/survive behavior at three SFs via constructed fullwidth and
+    * Cyrillic variants. */
+  def normalizeTextUnicode(text: Column): Column =
+    graft.functions.GraftFunctions.nfkc_normalize(text)
+
+  /** Segmentation-safe tokens for mixed-script text: unicode-normalize
+    * ([[normalizeTextUnicode]]), then give each CJK ideograph /
+    * kana / hangul syllable its own token (the character-unigram
+    * convention — CJK has no whitespace word boundaries, and
+    * whitespace-splitting an unsegmented sentence yields one giant
+    * pseudo-token that defeats every token-level op downstream), then
+    * split on spaces. Latin/Cyrillic/etc. words keep whitespace
+    * tokenization; `split` with a trailing-empty filter matches
+    * [[tokens]]' conventions. Pure projection, codegen'd regex. */
+  def tokensUnicode(text: Column): Column =
+    filter(
+      split(regexp_replace(normalizeTextUnicode(text),
+        "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}])",
+        " $1 "), " +"),
+      t => length(t) > 0)
 
   /** English-ish stopword set used by the quality heuristics. */
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -371,4 +371,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.skipgramPmi(docs, "doc_id", "text",
       window = 2, minCount = 2L, k = 5).count() === 0L)
   }
+
+  test("normalizeTextUnicode: NFKC folds, any-script survival, mark " +
+      "handling — the multilingual fixtures q224's ASCII corpus can't " +
+      "carry") {
+    def norm(s: String): String =
+      Seq(Tuple1(s)).toDF("text")
+        .select(TextAnalysis.normalizeTextUnicode($"text"))
+        .as[String].collect()(0)
+    // fullwidth letters/digits + ideographic space fold to ASCII
+    assert(norm("ｈｅｌｌｏ　ｗｏ" +
+      "ｒｌｄ０９") === "hello world09")
+    // ligature compatibility-decomposes
+    assert(norm("ﬁle") === "file")
+    // accents (precomposed under NFKC) survive; case folds; punct drops
+    assert(norm("Café au LAIT!") === "café au lait")
+    // CJK survives the unicode form but the legacy Latin-only form
+    // erases it — the exact bug q224 certifies the fix for
+    val cjk = "日本語のテキスト"
+    assert(norm(cjk) === cjk)
+    assert(Seq(Tuple1(cjk)).toDF("text")
+      .select(TextAnalysis.normalizeText($"text"))
+      .as[String].collect()(0) === "")
+    // Cyrillic survives, distinct from any Latin form
+    assert(norm("Привет, мир!")
+      === "привет мир")
+    // case-folding that emits a combining mark must not tear the word:
+    // Turkish dotted capital I lowercases to i + U+0307 in ROOT locale
+    assert(norm("İstanbul") === "istanbul")
+    // pure ASCII input degenerates to normalizeText byte-for-byte
+    val ascii = "  The  quick,  brown FOX!  "
+    assert(norm(ascii) === Seq(Tuple1(ascii)).toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).as[String].collect()(0))
+  }
+
+  test("tokensUnicode: CJK ideographs tokenize per character, Latin " +
+      "words by whitespace, in one pass") {
+    val toks = Seq(Tuple1("我爱spark 日本 hello"))
+      .toDF("text")
+      .select(TextAnalysis.tokensUnicode($"text").as("t"))
+      .as[Seq[String]].collect()(0)
+    assert(toks === Seq("我", "爱", "spark", "日", "本",
+      "hello"))
+  }
 }
