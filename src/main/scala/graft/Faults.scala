@@ -98,7 +98,12 @@ object Faults {
     "q221_incremental_curation", "q222_boundary_finalize",
     // round 15: exact probe unlearning (a negated-moment deletion
     // append + compaction under injection)
-    "q223_probe_unlearn")
+    "q223_probe_unlearn",
+    // round 16: unicode normalization — a stateless projection (retry
+    // safety is Spark-native), in the sweep as the first-round
+    // measurement convention rather than for a retry-corruptible
+    // guarantee
+    "q224_unicode_normalize")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
