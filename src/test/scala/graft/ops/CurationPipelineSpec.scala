@@ -222,4 +222,32 @@ class CurationPipelineSpec extends SparkSpec {
     assert(canon(CurationPipeline.finalizePipeline(spark, dirs))
       === canon(CurationPipeline.finalizePipeline(spark, ref)))
   }
+
+  test("rewind-and-replay forgetting: retract a MIDDLE shard and every " +
+      "later shard, replay the tail under fresh ids — equals a " +
+      "from-scratch run over the surviving shards (the INCRDEEP " +
+      "certificate at spec scale, with cadenced compaction in between)") {
+    val (holdout, evalDocs, sh) = crashFixture
+    val dirs = CurationPipeline.Dirs(tmp("rewind"))
+    CurationPipeline.init(spark, dirs, evalDocs)
+    CurationPipeline.ingestShard(sh(0), dirs, holdout, "s0")
+    CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1")
+    // cadenced compaction merges s0/s1's Gram rows away BEFORE the
+    // retraction — the rewind must recover per-batch Gram identity by
+    // negated-moment subtraction, and batch tags must have survived
+    // the digest/chunk compaction
+    CurationPipeline.compactState(spark, dirs)
+    CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2")
+    // forget shard 1: retract it and the later shard, replay the tail
+    CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
+    CurationPipeline.retractShard(spark, dirs, "s2", sh(2))
+    CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2#2")
+    val rewound = canon(CurationPipeline.finalizePipeline(spark, dirs))
+    val ref = CurationPipeline.Dirs(tmp("rewindref"))
+    CurationPipeline.init(spark, ref, evalDocs)
+    CurationPipeline.ingestShard(sh(0), ref, holdout, "s0")
+    CurationPipeline.ingestShard(sh(2), ref, holdout, "s2")
+    assert(rewound === canon(CurationPipeline.finalizePipeline(spark, ref)))
+    assert(rewound.nonEmpty)
+  }
 }
