@@ -97,6 +97,7 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.GraphQueries.q205TriangleCounts, // (deg,id)-oriented wedge join
     CorpusQueries.q207SkipgramPmi,      // windowed pairs + PMI IEEE tree
     graft.queries.DataQueries.q208ImageNearDups, // dHash bands + exact popcount
+    CorpusQueries.q224UnicodeNormalize, // NFKC fold/survive projections
     // file-state-dependent: each run wipes + reseeds its sidecar, so
     // the survivor set must be a pure function of the data
     ScaleQueries.q123IncrementalDedup,  // digest anti-join + min-id window
@@ -106,7 +107,14 @@ class PartitioningInvarianceSpec extends SparkSpec {
     graft.queries.GraphQueries.q206PagerankSidecar, // idempotent edge-set appends
     RetrievalQueries.q179Bm25Sidecar,   // postings append+compact+rank
     ScaleQueries.q136NearDupSidecar,    // band join + signature estimator
-    ScaleQueries.q143StreamingCuration) // curation body + state plumbing
+    ScaleQueries.q143StreamingCuration, // curation body + state plumbing
+    // round 16: the crash-replay ingest protocol (manifest check,
+    // own-tag-excluded membership reads, sink-first partition write,
+    // tagged appends, dedupe-by-batch Gram reads) must itself be
+    // parallelism-independent — shard decisions are md5/id-keyed joins
+    // and windows, never order-of-arrival within a shard
+    CurationQueries.q221IncrementalCuration, // three-shard tagged ingest + finalize
+    CurationQueries.q222BoundaryFinalize) // mid-stream finalize, twice
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {
