@@ -675,39 +675,82 @@ object TextAnalysis {
     * the compacted sidecar equals a from-scratch count over
     * everything ingested, and the LM derived from it is BIT-EQUAL to
     * the from-scratch LM (q204 proves it against q196's oracle).
-    * Batches must partition the corpus by DOCUMENT; at-least-once
-    * replays double-count — key batches externally when that matters
-    * (the standing sidecar contract). Single writer via the dir
-    * lock. */
+    * Batches must partition the corpus by DOCUMENT. Single writer via
+    * the dir lock.
+    *
+    * Replay safety (round 16, the batch-key discipline): untagged
+    * appends keep the historical at-least-once caveat — a replayed
+    * batch double-counts. Passing `batchId` (unique per logical
+    * batch) retires it: rows carry `batch_id` and every read
+    * ([[mergedBigramCounts]], [[compactBigramSidecar]]) collapses
+    * duplicate (batch_id, w1, w2) rows before summing — replicas of a
+    * replayed append are bit-identical deterministic recomputes, so
+    * the contract becomes exactly-once by construction (the
+    * token-count sidecar's q168 pattern; TextAnalysisSpec's
+    * deliberate double-append proves the LM no longer moves). */
   def writeBigramCountSidecar(batch: DataFrame, textCol: String,
-                              sidecarDir: String): Unit =
+                              sidecarDir: String,
+                              batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      batch.sparkSession, sidecarDir, batchId.isDefined,
+      "writeBigramCountSidecar")
     graft.sources.Sinks.withDirLock(
       batch.sparkSession, sidecarDir, "writeBigramCountSidecar") {
-      corpusBigramCounts(batch, textCol)
+      batchId.foldLeft(corpusBigramCounts(batch, textCol))(
+          (df, id) => df.withColumn("batch_id", lit(id)))
         .write.mode("append").parquet(sidecarDir)
     }
+  }
+
+  /** Duplicate-replay collapse for tagged bigram sidecars (untagged
+    * dirs pass through — the pre-round-16 contract). */
+  private def dedupedC12(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id", "w1", "w2")
+    else raw
+
+  /** Merged corpus bigram counts from the sidecar — one summed row
+    * per (w1, w2) over the appended partials, duplicates of tagged
+    * replays collapsed first. Safe on compacted AND uncompacted
+    * sidecars (the sum is the identity after compaction). */
+  def mergedBigramCounts(spark: org.apache.spark.sql.SparkSession,
+                         sidecarDir: String): DataFrame =
+    dedupedC12(spark.read.parquet(sidecarDir))
+      .select(col("w1"), col("w2"), col("c12"))
+      .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
 
   /** Many small appends → one summed table via the shared backup-swap
     * compaction; re-aggregation by (w1, w2) makes compaction converge
-    * even after an accidental double-append of the same batch. */
+    * even after an accidental double-append of the same batch (and
+    * tagged duplicates collapse BEFORE the sum — the exactly-once
+    * read discipline; compacted rows carry the sentinel tag). */
   def compactBigramSidecar(spark: org.apache.spark.sql.SparkSession,
                            sidecarDir: String): Unit =
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
       sortCol = Some("w1"),
-      transform = Some(_.groupBy(col("w1"), col("w2"))
-        .agg(sum(col("c12")).as("c12"))))
+      transform = Some { raw =>
+        val summed = dedupedC12(raw)
+          .groupBy(col("w1"), col("w2")).agg(sum(col("c12")).as("c12"))
+        if (raw.schema.fieldNames.contains("batch_id"))
+          summed.withColumn("batch_id",
+            lit(graft.ops.LinearProbe.CompactedBatchId))
+        else summed
+      })
 
   /** Cross-entropy scoring FROM the sidecar — the corpus text is
     * never re-read to build the LM; only the docs being scored are
     * scanned. The sidecar's summed counts equal the from-scratch
     * counts under the doc-disjoint contract, so this path is
     * IDENTICAL to [[lmCrossEntropy]] (q204 hash-proves it against the
-    * same oracle as q196). */
+    * same oracle as q196). Reads through [[mergedBigramCounts]], so
+    * it is also correct on an UNCOMPACTED sidecar (pre-round-16 this
+    * silently required compaction first: duplicate (w1, w2) partials
+    * would have fed the smoothing tree as separate rows). */
   def lmCrossEntropyFromSidecar(spark: org.apache.spark.sql.SparkSession,
                                 sidecarDir: String, docs: DataFrame,
                                 idCol: String, textCol: String): DataFrame =
     scoreAgainstLm(docs, idCol, textCol,
-      lmTableFromC12(spark.read.parquet(sidecarDir)))
+      lmTableFromC12(mergedBigramCounts(spark, sidecarDir)))
 
   /** Per-document TF-IDF keyword extraction: the top-k terms of each
     * document by tf·idf — the summarization/indexing primitive

@@ -849,10 +849,13 @@ object CorpusQueries {
     }
     graft.sources.Sinks.wipeForRebuild(s, dir)
     val docs = Tables.documents(s, d)
+    // batch-tagged appends (round 16, the q168 discipline): a
+    // replayed batch is a detectable no-op; the oracle is unchanged
+    // because reads collapse duplicates before summing
     TextAnalysis.writeBigramCountSidecar(
-      docs.filter(col("doc_id") % 2 === 0), "text", dir)
+      docs.filter(col("doc_id") % 2 === 0), "text", dir, Some("even"))
     TextAnalysis.writeBigramCountSidecar(
-      docs.filter(col("doc_id") % 2 === 1), "text", dir)
+      docs.filter(col("doc_id") % 2 === 1), "text", dir, Some("odd"))
     TextAnalysis.compactBigramSidecar(s, dir)
     TextAnalysis.lmCrossEntropyFromSidecar(s, dir, docs, "doc_id", "text")
       .orderBy(col("doc_id"))

@@ -702,17 +702,20 @@ object EventStreams {
     * the full LM derived from them (c1/n_succ/n_prec/n_types all
     * DERIVE from the summed table) — equal a from-scratch train over
     * everything ingested, however the stream micro-batched
-    * (EventStreamsSpec proves scoring equality). At-least-once
-    * replays double-count, the standing sidecar contract. */
+    * (EventStreamsSpec proves scoring equality). EXACTLY-ONCE (round
+    * 16): the stable micro-batch id rides as the append's batch tag,
+    * so a checkpoint-recovery replay of a micro-batch collapses at
+    * every read instead of double-counting — the
+    * [[runCurationShards]] upgrade applied to the LM family. */
   def runBigramLmToSidecar(docs: DataFrame, textCol: String,
                            sidecarDir: String,
                            checkpointDir: String): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.TextAnalysis.writeBigramCountSidecar(batch, textCol,
-          sidecarDir)
+          sidecarDir, batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()

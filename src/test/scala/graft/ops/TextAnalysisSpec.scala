@@ -313,6 +313,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fromSidecar.toSeq === fromScratch.toSeq)
   }
 
+  test("batch-tagged bigram sidecar: a double-appended batch no longer " +
+      "moves the LM, scoring works UNCOMPACTED, and compaction keeps " +
+      "the exactly-once collapse") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lm-tagged").toString + "/bg"
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir, Some("even"))
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 1), "text", dir, Some("odd"))
+    def score = TextAnalysis
+      .lmCrossEntropyFromSidecar(spark, dir, docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    // UNCOMPACTED scoring now merges partials at read (pre-round-16
+    // this silently required compaction first)
+    val clean = score
+    assert(clean === TextAnalysis.lmCrossEntropy(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq)
+    // the at-least-once replay that used to double-count
+    TextAnalysis.writeBigramCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir, Some("even"))
+    assert(score === clean)
+    TextAnalysis.compactBigramSidecar(spark, dir)
+    assert(score === clean)
+  }
+
   test("tfidfKeywords: hand-computed scores, rank cap, term tiebreak") {
     // 3 docs; "common" in all (idf = ln 1 = 0), "rare" only in doc 1
     val docs = Seq(
