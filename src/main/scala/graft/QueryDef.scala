@@ -26,18 +26,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - every new oracle is validated at BOTH sf0.001 and sf0.01
   *    (order-dependence can hash-match by luck at a single SF).
   */
-final case class QueryDef(
-    name: String,
-    fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+final class QueryDef(
+    val name: String,
+    val fn: (SparkSession, String) => DataFrame,
+    oracleThunk: Option[() => String]) {
+  /** Oracle SQL, built ON ACCESS (ADVICE r16): the SQL string is a
+    * thunk, so an oracle whose construction can throw — the
+    * fixture-backed queries resolve committed fixture files into
+    * `read_csv` paths — fails when ITS oracle is requested, not at
+    * registry construction (where it would take every unrelated
+    * query down with an ExceptionInInitializerError). */
+  def oracle: Option[String] = oracleThunk.map(_())
+}
 
 object QueryDef {
-  def apply(name: String, oracle: String)(
+  /** `oracle` is BY-NAME: evaluated per [[QueryDef.oracle]] access. */
+  def apply(name: String, oracle: => String)(
       fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, Some(oracle))
+    new QueryDef(name, fn, Some(() => oracle))
 
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, fn, None)
+    new QueryDef(name, fn, None)
 
   /** Resolve a committed oracle fixture (fixtures/<name>) for
     * embedding in DuckDB oracle SQL. The ADVICE-r15 trap: resolving
@@ -45,8 +54,9 @@ object QueryDef {
     * launching the driver from the repo root, surfacing only as an
     * opaque read_csv failure at oracle time. Resolution order:
     * SPARK_GRAFT_REPO_ROOT env, graft.repo.root system property, CWD
-    * — and a MISSING fixture fails fast here, at registry
-    * construction, with the regeneration hint. */
+    * — and a MISSING fixture fails loud here with the regeneration
+    * hint, scoped to the requesting query's oracle access (call this
+    * only inside a by-name oracle argument — the ADVICE-r16 rule). */
   def fixturePath(name: String): String = {
     val roots = Seq(sys.env.get("SPARK_GRAFT_REPO_ROOT"),
       sys.props.get("graft.repo.root"), Some(".")).flatten

@@ -55,7 +55,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the oracle dump honors the same filter: oracle SQL is built on
+    // access (QueryDef's lazy-oracle contract), so a fixture-backed
+    // query's missing fixture must not fail a VERIFY_ONLY run of an
+    // unrelated query here either
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

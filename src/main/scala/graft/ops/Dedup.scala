@@ -391,17 +391,23 @@ object Dedup {
     * sidecar. Output keeps the internal `__fp` column (null for
     * null-text rows).
     *
-    * `excludeBatchId` (round 16 — the crash-replay contract): when the
-    * sidecar is batch-tagged, membership IGNORES rows whose `batch_id`
-    * equals the given id, so a replay of a crashed ingest that already
-    * appended (some of) its own fingerprints sees exactly the
-    * pre-append membership state and reproduces the first attempt's
-    * keep decisions instead of dropping the whole batch against its
-    * own digests. */
+    * `excludeBatchIds` (round 16 — the crash-replay contract; round
+    * 17 — a SET, the retraction-tombstone contract): when the sidecar
+    * is batch-tagged, membership IGNORES rows whose `batch_id` is in
+    * the given set. Two callers rely on it: a replay of a crashed
+    * ingest excludes ITS OWN id, so a crashed attempt's partial
+    * appends are invisible and the replay reproduces the first
+    * attempt's keep decisions instead of dropping the whole batch
+    * against its own digests; and the composed pipeline excludes the
+    * RETRACTED shard tags ([[graft.ops.CurationPipeline
+    * .retractShard]]'s O(1) tombstones), whose physical rows are
+    * dropped only at the next cadenced compaction. The set is
+    * bounded by retractions-ever + 1, and an already-dropped tag's
+    * exclusion is a no-op, so the filter never needs trimming. */
   private[graft] def sidecarSurvivors(batch: DataFrame, textCol: String,
                                       idCol: String, sidecarDir: String,
                                       bloomPrefilter: Boolean = false,
-                                      excludeBatchId: Option[String] = None)
+                                      excludeBatchIds: Set[String] = Set.empty)
       : DataFrame = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
@@ -412,11 +418,12 @@ object Dedup {
       if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir) else None
     def sidecarFps: DataFrame = {
       val raw = spark.read.parquet(sidecarDir)
-      val visible = excludeBatchId match {
-        case Some(id) if raw.schema.fieldNames.contains("batch_id") =>
-          raw.filter(!(col("batch_id") <=> lit(id)))
-        case _ => raw
-      }
+      val visible =
+        if (excludeBatchIds.nonEmpty &&
+            raw.schema.fieldNames.contains("batch_id"))
+          raw.filter(!coalesce(
+            col("batch_id").isin(excludeBatchIds.toSeq: _*), lit(false)))
+        else raw
       visible.select(col("fp"))
     }
     val unseen =
@@ -489,7 +496,7 @@ object Dedup {
                           batchId: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     val survivors = sidecarSurvivors(batch, textCol, idCol, sidecarDir,
-      bloomPrefilter, excludeBatchId = batchId)
+      bloomPrefilter, excludeBatchIds = batchId.toSet)
     val newFps = survivors.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
     appendDigestFps(spark, newFps, sidecarDir, bloomPrefilter, batchId,
@@ -592,17 +599,35 @@ object Dedup {
     * prune later merge reads) via [[graft.sources.Sinks
     * .compactParquetDir]]'s backup-swap; run between ingests under the
     * same single-writer contract as [[dedupAgainstSidecar]]. */
+  /** `dropBatchIds` (round 17 — the retraction-tombstone drop): tags
+    * whose rows are physically removed during the rewrite.
+    * [[graft.ops.CurationPipeline.retractShard]] tombstones a shard
+    * in O(1) (reads exclude the tag) and defers the physical drop to
+    * HERE — the cadenced compaction that rewrites the directory
+    * anyway — so a takedown never pays a corpus-proportional rewrite
+    * of its own. */
   def compactSidecar(spark: org.apache.spark.sql.SparkSession,
-                     sidecarDir: String, coalesceTo: Int = 1): Unit =
+                     sidecarDir: String, coalesceTo: Int = 1,
+                     dropBatchIds: Set[String] = Set.empty): Unit =
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
       coalesceTo = coalesceTo, sortCol = Some("fp"),
       // distinct over ALL columns: appends are new-fps-only so the
       // normal flow has nothing to collapse, but a crash-replayed
       // tagged append duplicates its (fp, batch_id) rows — and the
       // tag must SURVIVE compaction (per-batch identity is what
-      // [[graft.ops.CurationPipeline.retractShard]] filters on), so
-      // the collapse is distinct, never a drop of batch_id
-      transform = Some(_.distinct()))
+      // the retraction tombstones filter on), so the collapse is
+      // distinct, never a drop of batch_id
+      transform = Some(raw => dropTagged(raw, dropBatchIds).distinct()))
+
+  /** Physical drop of tombstoned tags during a compaction rewrite —
+    * the shared half of [[compactSidecar]] /
+    * [[compactChunkKeySidecar]]. Untagged sidecars pass through. */
+  private def dropTagged(raw: DataFrame, dropBatchIds: Set[String])
+      : DataFrame =
+    if (dropBatchIds.nonEmpty && raw.schema.fieldNames.contains("batch_id"))
+      raw.filter(!coalesce(
+        col("batch_id").isin(dropBatchIds.toSeq: _*), lit(false)))
+    else raw
 
   /** Incremental dedup straight into a parquet sink, with the two
     * writes ordered for crash safety: survivors are appended to
@@ -1057,25 +1082,25 @@ object Dedup {
                                          batchId: Option[String] = None)
       : DataFrame = {
     val (out, newKeys) = spanRemovalDecide(batch, textCol, idCol,
-      sidecarDir, chunkTokens, excludeBatchId = batchId)
+      sidecarDir, chunkTokens, excludeBatchIds = batchId.toSet)
     appendChunkKeys(batch.sparkSession, newKeys, sidecarDir, batchId,
       "removeDuplicateSpansAgainstSidecar")
     out
   }
 
   /** The span-removal DECISION half — all reads, no writes: chunk the
-    * batch, mark chunks already in the sidecar (rows tagged
-    * `excludeBatchId` are invisible — the crash-replay contract of
-    * [[sidecarSurvivors]], applied to chunk keys), keep first
-    * occurrence per key within the batch, reassemble. Returns the
-    * per-doc output AND the batch's new distinct keys, both eagerly
-    * materialized, so a caller can order its own durable writes
-    * around the sidecar append (sink-first — the
-    * [[graft.ops.CurationPipeline]] ingest protocol). */
+    * batch, mark chunks already in the sidecar (rows whose tag is in
+    * `excludeBatchIds` are invisible — the crash-replay + retraction-
+    * tombstone contract of [[sidecarSurvivors]], applied to chunk
+    * keys), keep first occurrence per key within the batch,
+    * reassemble. Returns the per-doc output AND the batch's new
+    * distinct keys, both eagerly materialized, so a caller can order
+    * its own durable writes around the sidecar append (sink-first —
+    * the [[graft.ops.CurationPipeline]] ingest protocol). */
   private[graft] def spanRemovalDecide(batch: DataFrame, textCol: String,
                                        idCol: String, sidecarDir: String,
                                        chunkTokens: Int,
-                                       excludeBatchId: Option[String])
+                                       excludeBatchIds: Set[String])
       : (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
@@ -1084,11 +1109,12 @@ object Dedup {
       .withColumn("__k", md5(col("chunk_text")))
     def sidecarKeys: DataFrame = {
       val raw = spark.read.parquet(sidecarDir)
-      val visible = excludeBatchId match {
-        case Some(id) if raw.schema.fieldNames.contains("batch_id") =>
-          raw.filter(!(col("batch_id") <=> lit(id)))
-        case _ => raw
-      }
+      val visible =
+        if (excludeBatchIds.nonEmpty &&
+            raw.schema.fieldNames.contains("batch_id"))
+          raw.filter(!coalesce(
+            col("batch_id").isin(excludeBatchIds.toSeq: _*), lit(false)))
+        else raw
       visible.select(col("ck"))
     }
     val withSeen =
@@ -1144,11 +1170,15 @@ object Dedup {
   /** Distinct-collapse compaction of a chunk-key sidecar (the shared
     * backup-swap protocol): many per-shard appends → one sorted key
     * set. Idempotent over its own output; appends are already
-    * new-keys-only so replays cannot inflate it either. */
+    * new-keys-only so replays cannot inflate it either.
+    * `dropBatchIds` physically removes tombstoned retraction tags
+    * during the rewrite ([[compactSidecar]]'s contract). */
   def compactChunkKeySidecar(spark: org.apache.spark.sql.SparkSession,
-                             sidecarDir: String): Unit =
+                             sidecarDir: String,
+                             dropBatchIds: Set[String] = Set.empty): Unit =
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
-      sortCol = Some("ck"), transform = Some(_.distinct()))
+      sortCol = Some("ck"),
+      transform = Some(raw => dropTagged(raw, dropBatchIds).distinct()))
 
   /** n-gram Jaccard pairs via a capped inverted index: explode
     * shingles, drop shingles appearing in more than `dfCap` docs (the

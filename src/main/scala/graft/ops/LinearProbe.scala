@@ -281,6 +281,11 @@ object LinearProbe {
       .collect().map(_.getString(0)).toSeq
   }
 
+  /** Sentinel prefix of a DELETION append's batch id (the
+    * [[writeGramDeletion]] convention, shared with
+    * [[graft.ops.CurationPipeline]]'s manifest markers). */
+  val DeletionBatchPrefix = "__del__:"
+
   /** Many appended moment rows → one summed row via the shared
     * backup-swap compaction; summation makes compaction idempotent
     * over its own output. Tagged sidecars collapse duplicate batch
@@ -290,7 +295,19 @@ object LinearProbe {
     * a batch must gate on [[gramBatchIds]]; the pipeline's
     * [[graft.ops.CurationPipeline.compactState]] does). Untagged
     * sidecars keep the pre-round-16 contract: idempotent over
-    * compaction's own output, NOT over a replayed append. */
+    * compaction's own output, NOT over a replayed append.
+    *
+    * `__del__:`-tagged DELETION rows are preserved UNMERGED (ADVICE
+    * r16): a retraction's advertised idempotency is "run it again
+    * after a crash", and deletions are exactly the appends retries
+    * are LIKELIEST to follow a cadenced compaction (takedown tooling
+    * re-invokes on any ambiguous failure). Merging a negation into
+    * the [[CompactedBatchId]] sentinel would destroy the batch-id
+    * evidence a retried [[writeGramDeletion]] collapses against —
+    * silent double-subtraction. Kept rows are bounded at ONE ~d²-
+    * decimal row per deletion ever made; the summed READ is unchanged
+    * (compacted row = Σ non-deletion rows, deletions ride beside it,
+    * total identical by additivity). */
   def compactGramSidecar(spark: org.apache.spark.sql.SparkSession,
                          sidecarDir: String, d: Int): Unit = {
     val sums = (for (i <- 0 until d; j <- i until d)
@@ -299,10 +316,17 @@ object LinearProbe {
     graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
       sortCol = None,
       transform = Some { raw =>
-        val summed = dedupedMoments(raw).agg(sum(col("n")).as("n"), sums: _*)
-        if (raw.schema.fieldNames.contains("batch_id"))
-          summed.withColumn("batch_id", lit(CompactedBatchId))
-        else summed
+        if (raw.schema.fieldNames.contains("batch_id")) {
+          val deduped = dedupedMoments(raw)
+          val isDel = col("batch_id").startsWith(DeletionBatchPrefix)
+          val summed = deduped.filter(!isDel)
+            .agg(sum(col("n")).as("n"), sums: _*)
+            .withColumn("batch_id", lit(CompactedBatchId))
+          // column order must match for the union; deletions keep
+          // their own batch ids
+          summed.unionByName(
+            deduped.filter(isDel).select(summed.columns.map(col).toSeq: _*))
+        } else raw.agg(sum(col("n")).as("n"), sums: _*)
       })
   }
 

@@ -602,7 +602,7 @@ object DataQueries {
     * only transitions BETWEEN consecutive samples of the SAME frame
     * count (`t % 64 <> 0`), matching the Spark loop's `t > start`
     * guard. */
-  val q202FixturePath: String =
+  lazy val q202FixturePath: String =
     graft.QueryDef.fixturePath("q202_pcm.csv")
   val q202AudioFrames = QueryDef(
     "q202_audio_frames",
@@ -653,7 +653,7 @@ object DataQueries {
     * pairing pipeline. DuckDB's `(h >> s) & 65535` equals Spark's
     * `shiftrightunsigned` for s ≤ 48 (the sign-fill bits are masked),
     * and `bit_count(xor(...))` is the same exact popcount. */
-  val q208FixturePath: String =
+  lazy val q208FixturePath: String =
     graft.QueryDef.fixturePath("q208_dhash.csv")
   val q208ImageNearDups = QueryDef(
     "q208_image_near_dups",

@@ -620,8 +620,16 @@ object EventStreams {
     * standard foreachBatch idempotence key — is passed through as the
     * ingest's shard id, so a replayed micro-batch is a committed
     * no-op and a crash ANYWHERE inside the ingest converges on
-    * replay ([[graft.ops.CurationPipeline.ingestShard]]'s protocol);
-    * the at-least-once caveat this family used to carry is retired. */
+    * replay ([[graft.ops.CurationPipeline.ingestShard]]'s protocol).
+    * PRECONDITION (ADVICE r16): the guarantee needs maintenance
+    * compaction to run only after in-flight micro-batches are
+    * resolved — a [[graft.ops.CurationPipeline.compactState]] between
+    * a crashed ingest's partial appends and the recovery replay would
+    * merge away the per-batch identity the replay dedups on.
+    * [[graft.ops.CurationPipeline.compactState]] enforces exactly
+    * that mechanically (it fails loud on any Gram batch id missing
+    * from the manifest), so here the precondition is machine-checked,
+    * not operator discipline. */
   def runCurationShards(shards: DataFrame,
                         dirs: graft.ops.CurationPipeline.Dirs,
                         holdout: org.apache.spark.sql.Column,
@@ -706,7 +714,19 @@ object EventStreams {
     * 16): the stable micro-batch id rides as the append's batch tag,
     * so a checkpoint-recovery replay of a micro-batch collapses at
     * every read instead of double-counting — the
-    * [[runCurationShards]] upgrade applied to the LM family. */
+    * [[runCurationShards]] upgrade applied to the LM family.
+    * PRECONDITION (ADVICE r16): tag-dedup evidence lives in the
+    * sidecar rows, so
+    * [[graft.ops.TextAnalysis.compactBigramSidecar]] must run
+    * only after in-flight micro-batches are resolved (stream stopped
+    * at a checkpoint boundary, or the batch's checkpoint commit
+    * confirmed) — compacting between a landed append and its
+    * checkpoint commit merges the tag into the `__compacted__`
+    * sentinel and the recovery replay double-counts. Unlike
+    * [[runCurationShards]] (whose manifest lets
+    * [[graft.ops.CurationPipeline.compactState]] check this
+    * mechanically), here the precondition is the operator's
+    * compact-cadence discipline. */
   def runBigramLmToSidecar(docs: DataFrame, textCol: String,
                            sidecarDir: String,
                            checkpointDir: String): Unit = {

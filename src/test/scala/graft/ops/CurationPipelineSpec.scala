@@ -207,7 +207,8 @@ class CurationPipelineSpec extends SparkSpec {
 
   test("retractShard leaves a pipeline bit-identical to one that " +
       "never ingested the shard (no later-shard duplicates in play), " +
-      "and retraction is idempotent") {
+      "and retraction is idempotent — including retried AFTER a " +
+      "cadenced compaction (the ADVICE-r16 double-subtraction window)") {
     val (holdout, evalDocs, sh) = crashFixture
     val dirs = CurationPipeline.Dirs(tmp("retract"))
     CurationPipeline.init(spark, dirs, evalDocs)
@@ -216,9 +217,50 @@ class CurationPipelineSpec extends SparkSpec {
     CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
     // crashed retraction retried: nothing double-subtracts
     CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
+    // cadenced maintenance lands between retries — the preserved
+    // __del__ Gram row and the manifest marker must keep the NEXT
+    // retry a no-op even though live batches were merged away and the
+    // tombstoned digest/chunk rows were physically dropped
+    CurationPipeline.compactState(spark, dirs)
+    CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
     val ref = CurationPipeline.Dirs(tmp("retractref"))
     CurationPipeline.init(spark, ref, evalDocs)
     CurationPipeline.ingestShard(sh(0), ref, holdout, "s0")
+    assert(canon(CurationPipeline.finalizePipeline(spark, dirs))
+      === canon(CurationPipeline.finalizePipeline(spark, ref)))
+    // tombstones were DROPPED by the compaction: the digest sidecar
+    // holds only the surviving shard's tagged rows, bit-identical to
+    // the never-ingested pipeline's (retraction's corpus-touching
+    // half rides the rewrite that was happening anyway)
+    assert(canon(spark.read.parquet(dirs.digests))
+      === canon(spark.read.parquet(ref.digests)))
+    assert(canon(spark.read.parquet(dirs.chunks))
+      === canon(spark.read.parquet(ref.chunks)))
+  }
+
+  test("a retracted shard id is permanently retired: re-ingesting " +
+      "under it fails loud; a FRESH id re-admits the same documents " +
+      "through the tombstoned reads without waiting for compaction") {
+    val (holdout, evalDocs, sh) = crashFixture
+    val dirs = CurationPipeline.Dirs(tmp("retired"))
+    CurationPipeline.init(spark, dirs, evalDocs)
+    CurationPipeline.ingestShard(sh(0), dirs, holdout, "s0")
+    CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1")
+    CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
+    // the ADVICE-r16 trap: the old id would pass the committed check
+    // while the lingering negation still subtracts — must fail loud
+    val e = intercept[IllegalArgumentException] {
+      CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1")
+    }
+    assert(e.getMessage.contains("retired"))
+    // NO compaction ran: the retracted digest/chunk rows are still on
+    // disk as tombstoned tags — a fresh-id ingest of the same docs
+    // must see through them (exclusion at read) and re-admit
+    CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1b")
+    val ref = CurationPipeline.Dirs(tmp("retiredref"))
+    CurationPipeline.init(spark, ref, evalDocs)
+    CurationPipeline.ingestShard(sh(0), ref, holdout, "s0")
+    CurationPipeline.ingestShard(sh(1), ref, holdout, "s1b")
     assert(canon(CurationPipeline.finalizePipeline(spark, dirs))
       === canon(CurationPipeline.finalizePipeline(spark, ref)))
   }

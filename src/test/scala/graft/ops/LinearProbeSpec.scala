@@ -122,12 +122,24 @@ class LinearProbeSpec extends SparkSpec {
     val (g, b, n) = LinearProbe.gram(hi, 3)
     assert(afterDel.toSeq ===
       LinearProbe.fitFromGram(g, b, n, iters = 8).toSeq)
-    // compaction collapses duplicates BEFORE summing and keeps the
-    // sentinel tag; fit is unchanged
+    // compaction collapses duplicate tags BEFORE summing, merges live
+    // batches into the sentinel row, and PRESERVES the deletion row
+    // UNMERGED (ADVICE r16): the batch-id evidence a post-compaction
+    // deletion retry collapses against must survive the rewrite
     LinearProbe.compactGramSidecar(spark, dir, 3)
-    assert(spark.read.parquet(dir).count() === 1L)
-    assert(spark.read.parquet(dir).select("batch_id").head().getString(0)
-      === LinearProbe.CompactedBatchId)
+    assert(spark.read.parquet(dir).select("batch_id").collect()
+      .map(_.getString(0)).sorted.toSeq
+      === Seq(LinearProbe.CompactedBatchId, "__del__:b0"))
+    assert(LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8).toSeq
+      === afterDel.toSeq)
+    // the takedown retried AFTER the cadenced compaction — the ADVICE
+    // r16 silent-double-subtraction window: still a no-op, because the
+    // preserved deletion row is what the retry dedups against
+    LinearProbe.writeGramDeletion(lo, 3, dir, Some("__del__:b0"))
+    assert(LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8).toSeq
+      === afterDel.toSeq)
+    // and compaction stays idempotent over its own output
+    LinearProbe.compactGramSidecar(spark, dir, 3)
     assert(LinearProbe.fitFromSidecar(spark, dir, 3, iters = 8).toSeq
       === afterDel.toSeq)
     // mixed tagged/untagged appends fail loud, not silently drop tags
