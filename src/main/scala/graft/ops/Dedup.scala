@@ -30,7 +30,19 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup (survivor list): one row per distinct text, keeping
-    * the minimum id — a single hash aggregate on the digest. */
+    * the minimum id — a single hash aggregate on the digest.
+    *
+    * NORMALIZED dedup is this op over a normalized text column
+    * (q153). MULTILINGUAL corpora must normalize with
+    * [[TextAnalysis.normalizeTextUnicode]], NOT the legacy Latin-only
+    * [[TextAnalysis.normalizeText]] — the legacy `[a-z0-9 ]` class
+    * maps every non-Latin document to the empty string, so this
+    * aggregate collapses all of them into one "duplicate" group and
+    * silently deletes whole languages (q224's certificate; the
+    * composed pipeline's parameterized entry points —
+    * [[graft.ops.CurationPipeline.ingestShard]] /
+    * [[graft.ops.CurationPipeline.oneShotSurvivors]] `normalize` —
+    * are the production form, hash-proven end-to-end by q225). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))

@@ -103,6 +103,40 @@ class CurationPipelineSpec extends SparkSpec {
     assert(ci.nonEmpty && ci === co)
   }
 
+  test("q225 unicode incremental pipeline equals the one-shot unicode " +
+      "composition (oneShotSurvivors(normalizeTextUnicode) + the shared " +
+      "tail) at sf0.001, and differs from the legacy q218 output — the " +
+      "parameterized one-shot entry point exercised in-repo") {
+    val inc = graft.queries.CurationQueries.q225UnicodeCuration
+      .fn(spark, sf0001)
+    // the one-shot unicode composition over the SAME constructed
+    // multilingual corpus: variant text, unicode stage-1 normal form,
+    // variant-holdout registry, q210's verbatim θ (features from the
+    // upstream pipeline on the base corpus — the standing contract)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val vdocs = docs.select($"doc_id", $"source",
+      graft.queries.CurationQueries.variantText($"text", $"doc_id")
+        .as("text"))
+    val corpus = vdocs.filter($"doc_id" % 19 =!= 0)
+    val surv3 = CurationPipeline.oneShotSurvivors(corpus,
+      vdocs.filter($"doc_id" % 19 === 0),
+      normalize = TextAnalysis.normalizeTextUnicode(_))
+    val scaled = graft.queries.CurationQueries.probeScaled(spark, sf0001)
+    val (g, b, n) = LinearProbe.gram(scaled, 7)
+    val theta = LinearProbe.fitFromGram(g, b, n, iters = 24)
+    val scored = LinearProbe.scoreFp(scaled, 7, theta)
+      .select($"doc_id", $"score_fp")
+    val one = CurationPipeline.finalizeStages(
+      surv3.join(scored, "doc_id")
+        .select($"doc_id", $"source", $"kept_toks", $"score_fp"))
+    val (ci, co) = (canon(inc), canon(one))
+    assert(ci.nonEmpty && ci === co)
+    // and the unicode run is NOT the legacy run in disguise
+    val legacy = canon(graft.queries.CurationQueries.q218CurationPipeline
+      .fn(spark, sf0001))
+    assert(ci !== legacy)
+  }
+
   test("ingesting an EMPTY shard is a no-op (no null Gram row, no " +
       "phantom survivors)") {
     val dirs = CurationPipeline.Dirs(tmp("emptyshard"))
