@@ -106,8 +106,11 @@ object Faults {
     "q224_unicode_normalize",
     // round 17: the multilingual composed pipeline — four sidecar
     // families written per shard under injection, through the
-    // unicode-normalizer parameter
-    "q225_unicode_curation")
+    // unicode-normalizer parameter — and the unicode-tokenized
+    // postings/BM25 path (stateless projections + one deterministic
+    // aggregation; in the sweep as the first-round convention)
+    "q225_unicode_curation", "q226_unicode_postings",
+    "q227_bm25_unicode")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -50,19 +50,36 @@ object Retrieval {
 
   /** Inverted-index postings: one row per distinct (term, doc) with
     * the within-doc term frequency. One explode → one aggregation
-    * shuffle with map-side combine. */
+    * shuffle with map-side combine.
+    *
+    * `tokenizer` (round 17): the term segmentation, defaulting to the
+    * legacy whitespace split. CJK corpora MUST pass
+    * [[TextAnalysis.tokensUnicode]] — an unsegmented CJK sentence has
+    * no whitespace word boundaries, so the legacy split produces ONE
+    * giant pseudo-token per document: df ≈ tf ≈ 1 for every "term",
+    * and BM25 over such postings retrieves nothing (q226/q227 certify
+    * the per-character path). The choice must be FIXED per index
+    * (postings are postings OF a token stream — the histogram
+    * sidecar's parameter contract again), and queries must be
+    * tokenized with the SAME tokenizer ([[bm25Scores]] threads it to
+    * both sides). */
   def postings(docs: DataFrame, idCol: String = "doc_id",
-               textCol: String = "text"): DataFrame =
+               textCol: String = "text",
+               tokenizer: Column => Column =
+                 TextAnalysis.tokens(_)): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        explode(tokenizer(col(textCol))).as("term"))
       .groupBy(col("term"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
-  /** Per-document token counts (BM25's `dl`) — in-row, no shuffle. */
+  /** Per-document token counts (BM25's `dl`) — in-row, no shuffle.
+    * Same `tokenizer` contract as [[postings]]. */
   def docLengths(docs: DataFrame, idCol: String = "doc_id",
-                 textCol: String = "text"): DataFrame =
+                 textCol: String = "text",
+                 tokenizer: Column => Column =
+                   TextAnalysis.tokens(_)): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      size(tokenizer(col(textCol))).cast("long").as("dl"))
 
   /** BM25 idf as a rounded DECIMAL:
     * `round(ln((2N − 2·df + 1) / (2·df + 1)), 6)` — the standard
@@ -97,16 +114,20 @@ object Retrieval {
     * produce the exact-decimal (query, doc) scores. */
   private def scoreFrom(post: DataFrame, dls: DataFrame,
                         queries: DataFrame,
-                        dfCapRatio: Double): DataFrame = {
+                        dfCapRatio: Double,
+                        tokenizer: Column => Column =
+                          TextAnalysis.tokens(_)): DataFrame = {
     // bounded 1-row totals ride a broadcast cross join (the q160
     // totals pattern), never a collect
     val totals = broadcast(
       dls.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_tokens")))
     val dfs = post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // queries segment with the SAME tokenizer as the index — a CJK
+    // query against a per-character index must itself split to chars
     val qterms = broadcast(
       queries.select(col("query_id"),
-          explode(TextAnalysis.tokens(col("query_text"))).as("term"))
+          explode(tokenizer(col("query_text"))).as("term"))
         .distinct())
     post
       .join(qterms, Seq("term"))
@@ -132,19 +153,24 @@ object Retrieval {
     * DECIMAL, n_terms matched). */
   def bm25Scores(docs: DataFrame, queries: DataFrame,
                  idCol: String = "doc_id", textCol: String = "text",
-                 dfCapRatio: Double = 1.0): DataFrame =
-    scoreFrom(postings(docs, idCol, textCol),
-      docLengths(docs, idCol, textCol), queries, dfCapRatio)
+                 dfCapRatio: Double = 1.0,
+                 tokenizer: Column => Column =
+                   TextAnalysis.tokens(_)): DataFrame =
+    scoreFrom(postings(docs, idCol, textCol, tokenizer),
+      docLengths(docs, idCol, textCol, tokenizer), queries, dfCapRatio,
+      tokenizer)
 
   /** Per-query BM25 top-k: rank by (score DESC, doc_id) — doc_id as
     * the unique tiebreak makes the cut deterministic and
     * oracle-replayable. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text",
-               dfCapRatio: Double = 1.0): DataFrame = {
+               dfCapRatio: Double = 1.0,
+               tokenizer: Column => Column =
+                 TextAnalysis.tokens(_)): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    bm25Scores(docs, queries, idCol, textCol, dfCapRatio)
+    bm25Scores(docs, queries, idCol, textCol, dfCapRatio, tokenizer)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
   }

@@ -477,6 +477,174 @@ object RetrievalQueries {
       .orderBy(col("query_id"))
   }
 
+  // ------------------------------------------------------------------
+  // Round 17: the UNICODE token path (the r16 verdict's #6 ask). The
+  // legacy whitespace split gives an unsegmented CJK document ONE
+  // giant pseudo-token — df ≈ 1 per "term", BM25 retrieves nothing.
+  // [[graft.ops.Retrieval.postings]]' round-17 `tokenizer` parameter
+  // plugs [[graft.ops.TextAnalysis.tokensUnicode]] in (character-
+  // unigram segmentation for CJK, whitespace for everything else);
+  // q226/q227 hash-certify it on a constructed mixed-script corpus.
+
+  /** q224's construction pointed at CJK: a–z0–9 to 36 NFKC-stable CJK
+    * ideographs (basic unified block — NFKC preserves them; the
+    * compatibility block U+F900.. would be REMAPPED and break the
+    * construction). No space mapping: word boundaries survive, so the
+    * analytic oracle can replay per-character tokens by `translate`
+    * over the legacy norm. Shared literally with the oracle. */
+  private val Ascii36 = "abcdefghijklmnopqrstuvwxyz0123456789"
+  private val Han36 =
+    "一二三四五六七八九十百千万水火木金土日月山川田人口手目耳足車門馬魚鳥米貝"
+
+  /** DuckDB spelling of the legacy normal form (the analytic base). */
+  private val NormSql =
+    "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Han-variant corpus: odd doc_ids become CJK (every letter/digit
+    * an ideograph, spaces kept), even stay ASCII. */
+  private def hanVariantDocs(s: org.apache.spark.sql.SparkSession,
+                             d: String) =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 2 === 1,
+          translate(col("text"), Ascii36, Han36))
+        .otherwise(col("text")).as("text"))
+
+  /** The ANALYTIC replay of [[graft.ops.TextAnalysis.tokensUnicode]]
+    * over the variant corpus, as shared CTEs: ASCII docs tokenize to
+    * the nonempty words of the legacy norm (unicode normalization is
+    * byte-identical to legacy on ASCII — the q224 degeneracy); Han
+    * docs tokenize to ONE TOKEN PER IDEOGRAPH = the translate of each
+    * non-space char of the norm (normalization and `translate`
+    * commute on the letters/digits-only map). `post` is the postings
+    * table; `dl`/`tot`/`dfs` the BM25 sides. */
+  private val UniToksCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), toks AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(norm, ' '),
+       |    x -> x <> '')) AS term
+       |  FROM base WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, translate(ch, '$Ascii36', '$Han36') AS term
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(replace(norm, ' ', ''), ''))
+       |            AS ch
+       |        FROM base WHERE doc_id % 2 = 1)
+       |  WHERE ch <> ''
+       |), post AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY term, doc_id
+       |), dl AS (
+       |  SELECT doc_id, CAST(CASE WHEN doc_id % 2 = 1
+       |      THEN len(replace(norm, ' ', ''))
+       |      ELSE len(list_filter(string_split(norm, ' '), x -> x <> ''))
+       |    END AS BIGINT) AS dl
+       |  FROM base
+       |), tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl
+       |), dfs AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term
+       |)""".stripMargin
+
+  /** Per-term inverted-index stats over the mixed-script corpus
+    * through the unicode tokenizer: one row per term with its
+    * document frequency and total tf. The hash certifies the thing
+    * the legacy path cannot do: Han-class documents produce
+    * PER-CHARACTER postings — single-ideograph terms whose df/tf
+    * replay exactly from the analytic construction — while ASCII
+    * documents keep word postings, in ONE index. Vocabulary-bounded
+    * output (36 ideographs + the synthetic word vocab). */
+  val q226UnicodePostings = QueryDef(
+    "q226_unicode_postings",
+    s"""WITH $UniToksCtes
+       |SELECT term, CAST(count(*) AS BIGINT) AS df,
+       |       CAST(sum(tf) AS BIGINT) AS tf_total
+       |FROM post GROUP BY term ORDER BY term""".stripMargin) { (s, d) =>
+    graft.ops.Retrieval.postings(hanVariantDocs(s, d),
+        tokenizer = graft.ops.TextAnalysis.tokensUnicode(_))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+      .orderBy(col("term"))
+  }
+
+  /** The mixed-script query suite: a Latin query, its all-CJK
+    * translation, and a mixed-script query — each must retrieve in
+    * ITS script class (and the mixed one in both). */
+  private val UniQuerySuite: Seq[(Long, String)] = {
+    def hanOf(q: String): String =
+      q.map(c => { val i = Ascii36.indexOf(c)
+        if (i >= 0) Han36(i) else c }).mkString
+    Seq(
+      0L -> "dup scan batch",
+      1L -> hanOf("dup scan batch"),
+      2L -> ("dup " + hanOf("scan")))
+  }
+
+  /** [[graft.ops.TextAnalysis.tokensUnicode]] replayed in plain Scala
+    * for the FIXED query suite (already normalized by construction:
+    * lowercase letters/ideographs/spaces only): every ideograph is
+    * its own token, ASCII words split on spaces. Inlined as oracle
+    * VALUES — the suite is a literal, so its segmentation is too. */
+  private def uniTokens(q: String): Seq[String] =
+    q.flatMap(c =>
+        if (Han36.indexOf(c) >= 0) s" $c " else c.toString)
+      .split(" +").filter(_.nonEmpty).toSeq
+
+  private val UniQtValues: String = UniQuerySuite.flatMap {
+    case (id, q) => uniTokens(q).distinct.map(t => s"($id, '$t')")
+  }.mkString(", ")
+
+  private def uniQuerySuiteDf(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    UniQuerySuite.toDF("query_id", "query_text")
+  }
+
+  /** BM25 top-5 over the mixed-script corpus, index AND queries
+    * segmented by the unicode tokenizer (the [[graft.ops.Retrieval
+    * .bm25TopK]] `tokenizer` thread-through): the CJK query ranks
+    * Han-class documents by per-character match, the Latin query
+    * ranks ASCII-class documents, and the mixed query hits both
+    * classes in one ranking — none of which the whitespace tokenizer
+    * can produce (it would glue each Han document into one
+    * never-matching pseudo-token). Decimal scoring identical to
+    * q177's; the oracle replays tokenization analytically and the
+    * suite's segmentation as literal VALUES. */
+  val q227Bm25Unicode = QueryDef(
+    "q227_bm25_unicode",
+    s"""WITH $UniToksCtes,
+       |qt(query_id, term) AS (VALUES $UniQtValues),
+       |scored AS (
+       |  SELECT qt.query_id, post.doc_id,
+       |    CAST(round(ln((2.0 * n_docs - 2.0 * df + 1.0) /
+       |                  (2.0 * df + 1.0)), 6) AS DECIMAL(18,6)) *
+       |    CAST(round((11.0 * tf * tot_tokens) /
+       |               (10.0 * tot_tokens * tf + 3.0 * tot_tokens +
+       |                9.0 * dl.dl * n_docs), 6) AS DECIMAL(18,6)) AS w
+       |  FROM post
+       |  JOIN qt USING (term) JOIN dfs USING (term) JOIN dl USING (doc_id),
+       |    tot
+       |), s AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |         SUM(w) AS score, CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM scored GROUP BY query_id, doc_id
+       |), r AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, doc_id, CAST(score AS DOUBLE) AS score, n_terms, rnk
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, d) =>
+    graft.ops.Retrieval.bm25TopK(hanVariantDocs(s, d), uniQuerySuiteDf(s),
+        k = 5, tokenizer = graft.ops.TextAnalysis.tokensUnicode(_))
+      .select(col("query_id"), col("doc_id"),
+        col("score").cast("double").as("score"), col("n_terms"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
-    q180Bm25Prf, q183PhraseSearch, q185HybridRrf, q186RankingMetrics)
+    q180Bm25Prf, q183PhraseSearch, q185HybridRrf, q186RankingMetrics,
+    q226UnicodePostings, q227Bm25Unicode)
 }

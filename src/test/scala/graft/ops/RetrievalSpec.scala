@@ -16,6 +16,39 @@ class RetrievalSpec extends SparkSpec {
 
   private def query = Seq((0L, "apple cherry")).toDF("query_id", "query_text")
 
+  test("unicode tokenizer: an UNSEGMENTED CJK document gets per-character " +
+      "postings and is retrievable; the legacy whitespace split gives it " +
+      "one never-matching pseudo-token (the failure q226/q227 certify)") {
+    // real unsegmented CJK (no whitespace anywhere) beside a Latin doc
+    val docs = Seq(
+      (1L, "今日天気晴天気"),
+      (2L, "weather report today")).toDF("doc_id", "text")
+    // legacy: doc 1 is ONE giant token — nothing a query can match
+    val legacy = Retrieval.postings(docs).filter($"doc_id" === 1L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(legacy === Seq(("今日天気晴天気", 1L, 1L)))
+    // unicode: one posting per ideograph with exact tf
+    val uni = Retrieval.postings(docs,
+        tokenizer = TextAnalysis.tokensUnicode(_))
+      .filter($"doc_id" === 1L).orderBy($"term")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(uni === Seq(("今", 1L, 1L), ("天", 1L, 2L), ("日", 1L, 1L),
+      ("晴", 1L, 1L), ("気", 1L, 2L)))
+    assert(Retrieval.docLengths(docs,
+        tokenizer = TextAnalysis.tokensUnicode(_))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+      === Seq((1L, 7L), (2L, 3L)))
+    // a two-ideograph query retrieves the CJK doc under the unicode
+    // path (both sides segment with the same tokenizer)...
+    val q = Seq((0L, "天気")).toDF("query_id", "query_text")
+    val hit = Retrieval.bm25TopK(docs, q, k = 5,
+        tokenizer = TextAnalysis.tokensUnicode(_))
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(hit === Seq(1L))
+    // ...and retrieves NOTHING under the legacy split
+    assert(Retrieval.bm25TopK(docs, q, k = 5).count() === 0L)
+  }
+
   test("postings and docLengths: one row per distinct (term, doc) with tf") {
     val p = Retrieval.postings(corpus)
       .orderBy($"term", $"doc_id")
