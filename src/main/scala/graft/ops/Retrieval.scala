@@ -334,56 +334,116 @@ object Retrieval {
   // the corpus' postings is IDENTICAL to the from-scratch path (the
   // backing query proves it against the shared oracle). Batches must
   // partition the corpus by DOCUMENT (the q123/q133 contract): a doc
-  // split across appends would carry partial tf/dl rows. At-least-once
-  // replays double-append — key batches externally when that matters.
+  // split across appends would carry partial tf/dl rows.
+  //
+  // Replay safety (round 17 — the exactly-once rollout reaching this
+  // family): UNTAGGED appends keep the historical at-least-once
+  // caveat — a replayed batch double-appends, and a double-appended
+  // doclen row FANS OUT every candidate row for that doc at scoring
+  // time. Passing `batchId` retires it: rows carry a `batch_id`
+  // column and every read and compaction collapses duplicate
+  // (batch_id, key) rows first — replicas of a replayed append are
+  // bit-identical deterministic recomputes, so keeping one is exact.
+  // Tagged-ness is fixed at the first append; compacted rows carry
+  // the `__compacted__` sentinel, so compact only after in-flight
+  // batches are resolved (the compactState discipline where a
+  // manifest exists).
 
   /** Append one document batch's postings + doc lengths. Two tables
     * under one root: `<dir>/postings` (term, doc_id, tf) and
-    * `<dir>/doclen` (doc_id, dl); one lock guards both appends. */
+    * `<dir>/doclen` (doc_id, dl); one lock guards both appends, and
+    * `batchId` tags BOTH tables (the exactly-once contract above).
+    * `tokenizer` follows [[postings]]' fixed-per-index contract. */
   def writePostingsSidecar(batch: DataFrame, sidecarDir: String,
                            idCol: String = "doc_id",
-                           textCol: String = "text"): Unit =
+                           textCol: String = "text",
+                           batchId: Option[String] = None,
+                           tokenizer: Column => Column =
+                             TextAnalysis.tokens(_)): Unit = {
+    val spark = batch.sparkSession
+    graft.sources.Sinks.assertBatchTagConsistent(
+      spark, s"$sidecarDir/postings", batchId.isDefined,
+      "writePostingsSidecar")
+    graft.sources.Sinks.assertBatchTagConsistent(
+      spark, s"$sidecarDir/doclen", batchId.isDefined,
+      "writePostingsSidecar")
+    def tag(df: DataFrame): DataFrame =
+      batchId.foldLeft(df)((d, id) => d.withColumn("batch_id", lit(id)))
     graft.sources.Sinks.withDirLock(
-      batch.sparkSession, sidecarDir, "writePostingsSidecar") {
-      postings(batch, idCol, textCol)
+      spark, sidecarDir, "writePostingsSidecar") {
+      tag(postings(batch, idCol, textCol, tokenizer))
         .write.mode("append").parquet(s"$sidecarDir/postings")
-      docLengths(batch, idCol, textCol)
+      tag(docLengths(batch, idCol, textCol, tokenizer))
         .write.mode("append").parquet(s"$sidecarDir/doclen")
     }
+  }
+
+  /** Duplicate-replay collapse for a tagged postings table: under the
+    * doc-disjoint batch contract a (term, doc_id) lives in exactly
+    * one batch, so one row per (batch_id, term, doc_id) is the
+    * no-replay state. Untagged tables pass through (the historical
+    * at-least-once contract). The tag column is dropped after the
+    * collapse — readers see the legacy shape. */
+  private def dedupedPostings(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id", "term", "doc_id").drop("batch_id")
+    else raw
+
+  /** [[dedupedPostings]]' doclen twin: one row per (batch_id, doc_id). */
+  private def dedupedDoclens(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id", "doc_id").drop("batch_id")
+    else raw
 
   /** Many small appends → one file per table via the shared
     * backup-swap compaction (its lock and crash-restore). Postings
     * re-aggregate by (term, doc_id) — a no-op sum under the
-    * disjoint-batch contract, but it makes compaction converge even
-    * after an accidental double-append of the same doc batch. */
+    * disjoint-batch contract; duplicate TAGGED appends collapse
+    * first, and compacted rows carry the `__compacted__` sentinel
+    * (compact only after in-flight batches are resolved — the
+    * standing tagged-sidecar discipline). */
   def compactPostingsSidecar(spark: org.apache.spark.sql.SparkSession,
                              sidecarDir: String): Unit = {
+    def sentinel(raw: DataFrame, out: DataFrame): DataFrame =
+      if (raw.schema.fieldNames.contains("batch_id"))
+        out.withColumn("batch_id", lit(LinearProbe.CompactedBatchId))
+      else out
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/postings",
       sortCol = Some("term"),
-      transform = Some(_.groupBy(col("term"), col("doc_id"))
-        .agg(sum(col("tf")).as("tf"))))
+      transform = Some(raw => sentinel(raw,
+        dedupedPostings(raw).groupBy(col("term"), col("doc_id"))
+          .agg(sum(col("tf")).as("tf")))))
     graft.sources.Sinks.compactParquetDir(spark, s"$sidecarDir/doclen",
-      sortCol = Some("doc_id"))
+      sortCol = Some("doc_id"),
+      transform = Some(raw => sentinel(raw, dedupedDoclens(raw))))
   }
 
   /** BM25 scores computed FROM the sidecar — the corpus is never
     * re-read: candidates come off the postings table (IO bounded by
     * the query terms' posting lists once compacted + sorted by term),
-    * df/totals re-aggregate sidecar rows, not text. */
+    * df/totals re-aggregate sidecar rows, not text. Duplicate tagged
+    * appends collapse at read (the exactly-once contract); `tokenizer`
+    * must match the index's. */
   def bm25ScoresFromSidecar(spark: org.apache.spark.sql.SparkSession,
                             sidecarDir: String, queries: DataFrame,
-                            dfCapRatio: Double = 1.0): DataFrame =
-    scoreFrom(spark.read.parquet(s"$sidecarDir/postings"),
-      spark.read.parquet(s"$sidecarDir/doclen"), queries, dfCapRatio)
+                            dfCapRatio: Double = 1.0,
+                            tokenizer: Column => Column =
+                              TextAnalysis.tokens(_)): DataFrame =
+    scoreFrom(
+      dedupedPostings(spark.read.parquet(s"$sidecarDir/postings")),
+      dedupedDoclens(spark.read.parquet(s"$sidecarDir/doclen")),
+      queries, dfCapRatio, tokenizer)
 
   /** Per-query top-k from the sidecar — [[bm25TopK]]'s ranking over
     * [[bm25ScoresFromSidecar]]. */
   def bm25TopKFromSidecar(spark: org.apache.spark.sql.SparkSession,
                           sidecarDir: String, queries: DataFrame, k: Int,
-                          dfCapRatio: Double = 1.0): DataFrame = {
+                          dfCapRatio: Double = 1.0,
+                          tokenizer: Column => Column =
+                            TextAnalysis.tokens(_)): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    bm25ScoresFromSidecar(spark, sidecarDir, queries, dfCapRatio)
+    bm25ScoresFromSidecar(spark, sidecarDir, queries, dfCapRatio, tokenizer)
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
   }

@@ -186,23 +186,72 @@ object Sketches {
     * [[writeSketchSidecar]] lifecycle with exact additive counts.
     * (lo, hi, bins) MUST match across every appender of one sidecar:
     * bin ids are a function of all three (the same parameter contract
-    * as the minhash sidecar's band keys). */
+    * as the minhash sidecar's band keys).
+    *
+    * Replay safety (round 17 — the exactly-once rollout reaching
+    * this family): UNTAGGED appends keep the historical
+    * at-least-once caveat — a replayed shard double-counts its bins.
+    * Passing `batchId` (unique per logical shard) retires it: rows
+    * carry a `batch_id` column and every read
+    * ([[mergedHistogram]], [[compactHistSidecar]]) collapses
+    * duplicate (batch_id, group, bin) rows first — replicas of a
+    * replayed append are bit-identical deterministic recomputes, so
+    * keeping one is exact. Tagged-ness is fixed at the first append;
+    * compacted rows carry the `__compacted__` sentinel, so compact
+    * only after in-flight batches are resolved (the standing
+    * tagged-sidecar discipline). */
   def writeHistSidecar(df: DataFrame, groupCols: Seq[String],
                        valueCol: String, sidecarDir: String,
-                       lo: Double, hi: Double, bins: Int): Unit =
+                       lo: Double, hi: Double, bins: Int,
+                       batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      df.sparkSession, sidecarDir, batchId.isDefined, "writeHistSidecar")
     graft.sources.Sinks.withDirLock(
       df.sparkSession, sidecarDir, "writeHistSidecar") {
-      histogram(df, groupCols, valueCol, lo, hi, bins)
+      batchId.foldLeft(histogram(df, groupCols, valueCol, lo, hi, bins))(
+          (d, id) => d.withColumn("batch_id", lit(id)))
         .write.mode("append").parquet(sidecarDir)
     }
+  }
+
+  /** Duplicate-replay collapse for a tagged histogram sidecar: one
+    * row per (batch_id, group, bin); untagged dirs pass through (the
+    * pre-round-17 at-least-once contract). The tag is dropped after
+    * the collapse — readers see the legacy shape. */
+  private def dedupedHist(raw: DataFrame,
+                          groupCols: Seq[String]): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id" +: groupCols :+ "bin")
+        .drop("batch_id")
+    else raw
 
   /** Merged per-group histogram from a sidecar: exact long sums per
-    * (group, bin) — equal to a from-scratch build by additivity. */
+    * (group, bin) — equal to a from-scratch build by additivity
+    * (duplicate tagged appends collapsed first). */
   def mergedHistogram(spark: SparkSession, sidecarDir: String,
                       groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(sidecarDir)
+    dedupedHist(spark.read.parquet(sidecarDir), groupCols)
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** Many appended partials → one summed row per (group, bin) via the
+    * shared backup-swap compaction; duplicate tagged appends collapse
+    * before the sum and the output carries the `__compacted__`
+    * sentinel (the [[graft.ops.Curation.compactTokenCountSidecar]]
+    * shape for histograms). */
+  def compactHistSidecar(spark: SparkSession, sidecarDir: String,
+                         groupCols: Seq[String]): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = Some("bin"),
+      transform = Some { raw =>
+        val summed = dedupedHist(raw, groupCols)
+          .groupBy((groupCols.map(col) :+ col("bin")): _*)
+          .agg(sum(col("cnt")).as("cnt"))
+        if (raw.schema.fieldNames.contains("batch_id"))
+          summed.withColumn("batch_id",
+            lit(graft.ops.LinearProbe.CompactedBatchId))
+        else summed
+      })
 
   /** Quantile estimates from a merged histogram: for each p, the
     * LOWER EDGE of the first bin whose cumulative count reaches

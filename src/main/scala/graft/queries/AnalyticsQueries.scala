@@ -224,10 +224,14 @@ object AnalyticsQueries {
     val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = s"target/tmp/q170_hist_$sf"
     graft.sources.Sinks.wipeForRebuild(s, dir)
+    // tagged appends (round 17): the hash gate now runs the
+    // exactly-once path with the oracle unchanged
     Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 0),
-      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100)
+      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100,
+      batchId = Some("even"))
     Sketches.writeHistSidecar(ev.filter(col("event_id") % 2 === 1),
-      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100)
+      Seq("event_type"), "value", dir, lo = 0.0, hi = 500.0, bins = 100,
+      batchId = Some("odd"))
     Sketches.histQuantiles(
         Sketches.mergedHistogram(s, dir, Seq("event_type")),
         Seq("event_type"), Ps, lo = 0.0, hi = 500.0, bins = 100)

@@ -157,10 +157,13 @@ object RetrievalQueries {
       // fresh sidecar per run (stale postings from an earlier corpus
       // would change rankings — the q168 wipe discipline)
       graft.sources.Sinks.wipeForRebuild(s, dir)
+      // tagged appends (round 17): the hash gate now runs the
+      // exactly-once path — duplicate-replay collapse at read and
+      // compaction — with the oracle unchanged
       graft.ops.Retrieval.writePostingsSidecar(
-        docs.filter(col("doc_id") % 2 === 0), dir)
+        docs.filter(col("doc_id") % 2 === 0), dir, batchId = Some("even"))
       graft.ops.Retrieval.writePostingsSidecar(
-        docs.filter(col("doc_id") % 2 === 1), dir)
+        docs.filter(col("doc_id") % 2 === 1), dir, batchId = Some("odd"))
       graft.ops.Retrieval.compactPostingsSidecar(s, dir)
     }
     val probe = () =>

@@ -542,16 +542,20 @@ object EventStreams {
     * additive, so the merged table equals a from-scratch build over
     * everything ingested regardless of micro-batching (the rarity
     * scores derived from it are batch-identical — EventStreamsSpec
-    * proves it). At-least-once replays double-count, the same
-    * documented contract as the sketch sidecar's `n_rows`. */
+    * proves it). EXACTLY-ONCE (round 17): the stable micro-batch id
+    * rides as the append's batch tag, so a checkpoint-recovery replay
+    * collapses at every read instead of double-counting — under the
+    * same compact-only-after-in-flight-batches-resolved precondition
+    * as [[runBigramLmToSidecar]]. */
   def runTokenCountsToSidecar(docs: DataFrame, textCol: String,
                               sidecarDir: String,
                               checkpointDir: String): Unit = {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Curation.writeTokenCountSidecar(batch, textCol, sidecarDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Curation.writeTokenCountSidecar(batch, textCol, sidecarDir,
+          batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()
@@ -574,9 +578,12 @@ object EventStreams {
     * contract); corpus-relative signals (percentile calibration,
     * rarity) are not micro-batch-stable — compute those in a batch
     * feature pipeline and stream its OUTPUT (the standing
-    * [[graft.ops.LinearProbe.writeGramSidecar]] note). At-least-once
-    * replays double-count a batch's moments, the standing sidecar
-    * contract. */
+    * [[graft.ops.LinearProbe.writeGramSidecar]] note). EXACTLY-ONCE
+    * (round 17): the stable micro-batch id rides as the moment row's
+    * batch tag, so a checkpoint-recovery replay collapses at every
+    * summed read — under the same compaction precondition as
+    * [[runBigramLmToSidecar]] (machine-checked where a manifest
+    * exists — [[graft.ops.CurationPipeline.compactState]]). */
   def runGramToSidecar(rows: DataFrame, featureCols: Seq[String],
                        labelCol: String, sidecarDir: String,
                        checkpointDir: String): Unit = {
@@ -584,7 +591,7 @@ object EventStreams {
     val q = rows.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // skip empty micro-batches: an n=0 moment row carries NULL
         // decimal sums, and an all-empty sidecar would then fail
         // parseGramRow's envelope check instead of fitFromSidecar's
@@ -592,7 +599,8 @@ object EventStreams {
         if (!batch.isEmpty) {
           val scaled = graft.ops.LinearProbe.scaled(batch, featureCols,
             org.apache.spark.sql.functions.col(labelCol))
-          graft.ops.LinearProbe.writeGramSidecar(scaled, d, sidecarDir)
+          graft.ops.LinearProbe.writeGramSidecar(scaled, d, sidecarDir,
+            batchId = Some(s"b$batchId"))
         }
       }
       .start()
@@ -682,8 +690,13 @@ object EventStreams {
     * contract, so the merged index — and every BM25 ranking read off
     * it — equals a from-scratch build over everything ingested,
     * however the stream micro-batched (EventStreamsSpec proves the
-    * two-batch == one-shot ranking equality). At-least-once replays
-    * double-append, the same documented contract as every sidecar. */
+    * two-batch == one-shot ranking equality). EXACTLY-ONCE (round
+    * 17): the stable micro-batch id rides as the append's batch tag
+    * on BOTH tables, so a checkpoint-recovery replay collapses at
+    * every read instead of double-appending (a duplicated doclen row
+    * would otherwise fan out every scoring candidate for that doc) —
+    * under the same compaction precondition as
+    * [[runBigramLmToSidecar]]. */
   def runPostingsToSidecar(docs: DataFrame, sidecarDir: String,
                            checkpointDir: String,
                            idCol: String = "doc_id",
@@ -691,9 +704,9 @@ object EventStreams {
     val q = docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Retrieval.writePostingsSidecar(batch, sidecarDir,
-          idCol, textCol)
+          idCol, textCol, batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()
@@ -752,21 +765,23 @@ object EventStreams {
     * row ingested (q212's hash proof) — so the serving weights can be
     * refreshed at any micro-batch boundary by
     * [[graft.ops.LinearProbe.fitFromSidecar]] without touching the
-    * corpus. Same at-least-once caveat as the LM sidecar: replays
-    * double-count; exactly-once feeds or externally-keyed batches
-    * where that matters. */
+    * corpus. EXACTLY-ONCE (round 17): the stable micro-batch id rides
+    * as the moment row's batch tag — replays collapse at every summed
+    * read, under the [[runBigramLmToSidecar]] compaction
+    * precondition. */
   def runGramToSidecar(features: DataFrame, d: Int,
                        sidecarDir: String,
                        checkpointDir: String): Unit = {
     val q = features.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // empty micro-batches append no moment row (ADVICE r14: an
         // n=0 row has NULL sums and poisons an otherwise-empty
         // sidecar with a misleading envelope error)
         if (!batch.isEmpty) {
-          graft.ops.LinearProbe.writeGramSidecar(batch, d, sidecarDir)
+          graft.ops.LinearProbe.writeGramSidecar(batch, d, sidecarDir,
+            batchId = Some(s"b$batchId"))
         }
       }
       .start()
@@ -802,7 +817,11 @@ object EventStreams {
     * long counts make the merged histogram — and every quantile read
     * off it — identical to a from-scratch build regardless of
     * micro-batching. (lo, hi, bins) must match across all appends of
-    * one sidecar (the band-key parameter contract). */
+    * one sidecar (the band-key parameter contract). EXACTLY-ONCE
+    * (round 17): the stable micro-batch id rides as the append's
+    * batch tag, so a checkpoint-recovery replay collapses at every
+    * read instead of double-counting bins — under the same
+    * compaction precondition as [[runBigramLmToSidecar]]. */
   def runHistToSidecar(df: DataFrame, groupCols: Seq[String],
                        valueCol: String, sidecarDir: String,
                        checkpointDir: String,
@@ -810,9 +829,9 @@ object EventStreams {
     val q = df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Sketches.writeHistSidecar(batch, groupCols, valueCol,
-          sidecarDir, lo, hi, bins)
+          sidecarDir, lo, hi, bins, batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()

@@ -92,6 +92,41 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((1L, 0.351192875, 1L)))
   }
 
+  test("batch-tagged postings sidecar: a deliberately REPLAYED append " +
+      "inflates nothing at read or through compaction — the round-17 " +
+      "exactly-once contract (a duplicated doclen row would otherwise " +
+      "fan out every candidate for that doc)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("retrieval-tagged").toString + "/idx"
+    val (even, odd) =
+      (corpus.filter($"doc_id" % 2 === 0), corpus.filter($"doc_id" % 2 === 1))
+    Retrieval.writePostingsSidecar(even, dir, batchId = Some("b0"))
+    Retrieval.writePostingsSidecar(odd, dir, batchId = Some("b1"))
+    // the crash-replay: the whole b1 append retried
+    Retrieval.writePostingsSidecar(odd, dir, batchId = Some("b1"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"doc_id", $"score".cast("double"), $"n_terms",
+        $"rnk")
+      .orderBy($"query_id", $"rnk")
+      .as[(Long, Long, Double, Long, Int)].collect().toSeq
+    val oneShot = rows(Retrieval.bm25TopK(corpus, query, k = 3))
+    assert(rows(Retrieval.bm25TopKFromSidecar(spark, dir, query, k = 3))
+      === oneShot)
+    // compaction collapses the duplicate BEFORE the (term, doc_id)
+    // re-sum and carries the sentinel; ranking unchanged
+    Retrieval.compactPostingsSidecar(spark, dir)
+    assert(spark.read.parquet(s"$dir/postings").select($"batch_id")
+      .distinct().as[String].collect().toSeq
+      === Seq(LinearProbe.CompactedBatchId))
+    assert(rows(Retrieval.bm25TopKFromSidecar(spark, dir, query, k = 3))
+      === oneShot)
+    // mixed tagged/untagged appends fail loud, not silently drop tags
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.writePostingsSidecar(even, dir)
+    }
+    assert(e.getMessage.contains("batch-tagged"))
+  }
+
   test("postings sidecar: two-batch append + compact == one-shot ranking") {
     val dir = java.nio.file.Files
       .createTempDirectory("retrieval-sidecar").toString + "/idx"

@@ -150,6 +150,40 @@ class SketchesSpec extends SparkSpec {
     assert(exact === hashed)
   }
 
+  test("batch-tagged histogram sidecar: a deliberately REPLAYED append " +
+      "inflates no bin at read or through compaction — the round-17 " +
+      "exactly-once contract") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("hist_tagged")
+      .toString + "/h"
+    val all = Seq(("a", 1.0), ("a", 7.5), ("a", 55.0), ("b", 12.0),
+      ("b", 88.0)).toDF("g", "v")
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    Sketches.writeHistSidecar(all.filter($"v" < 50), Seq("g"), "v",
+      dir, lo, hi, bins, batchId = Some("b0"))
+    Sketches.writeHistSidecar(all.filter($"v" >= 50), Seq("g"), "v",
+      dir, lo, hi, bins, batchId = Some("b1"))
+    // the crash-replay: the whole b1 append retried
+    Sketches.writeHistSidecar(all.filter($"v" >= 50), Seq("g"), "v",
+      dir, lo, hi, bins, batchId = Some("b1"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"g", $"bin", $"cnt").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val oneShot = canon(Sketches.histogram(all, Seq("g"), "v", lo, hi, bins))
+    assert(canon(Sketches.mergedHistogram(spark, dir, Seq("g"))) === oneShot)
+    // compaction collapses the duplicate before summing, carries the
+    // sentinel, and merged reads stay exact
+    Sketches.compactHistSidecar(spark, dir, Seq("g"))
+    assert(spark.read.parquet(dir).select($"batch_id").distinct()
+      .as[String].collect().toSeq === Seq(LinearProbe.CompactedBatchId))
+    assert(canon(Sketches.mergedHistogram(spark, dir, Seq("g"))) === oneShot)
+    // mixed tagged/untagged appends fail loud
+    val e = intercept[IllegalArgumentException] {
+      Sketches.writeHistSidecar(all, Seq("g"), "v", dir, lo, hi, bins)
+    }
+    assert(e.getMessage.contains("batch-tagged"))
+  }
+
   test("histogram sidecar: two-shard merge equals one-shot LONG-FOR-LONG " +
       "(additivity), out-of-range values clamp to edge bins") {
     import spark.implicits._
