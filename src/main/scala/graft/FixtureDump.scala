@@ -60,6 +60,42 @@ object FixtureDump {
       pcm.foreach { case (id, t, s) => w2.println(s"$id,$t,$s") }
     } finally w2.close()
     println(s"[fixture] wrote ${pcm.length} rows to ${out2.getPath}")
+
+    // q124/q130's fit seam (round 17): the MLlib coarse-quantizer fit
+    // (k = 16, seed = 42, maxIter = 10 — buildIvfIndex's exact
+    // configuration) over each registered testdata SF's embeddings,
+    // dumped as (corpus_key, cell, j, x) rows keyed by the EXACT
+    // integer corpus checksum ([[graft.ops.Similarity.ivfCorpusKey]])
+    // so one committed fixture serves all three SFs (row counts can't
+    // distinguish sf0.001 from sf0.01 — same 500 ids, different
+    // values; the oracle selects its rows by replaying the checksum
+    // in SQL). The
+    // flipped queries SERVE from these frozen centroids with
+    // SQL-replayable arithmetic ([[graft.ops.Similarity
+    // .annJoinIvfFixed]]); SimilaritySpec asserts the live fit still
+    // reproduces them (tolerance bounds float-reduction order), so an
+    // MLlib drift fails a test instead of silently moving the answer.
+    // Doubles print via Double.toString — shortest round-trip form,
+    // parsed back exactly by DuckDB, Spark, and Scala.
+    import org.apache.spark.sql.functions.col
+    val out3 = new java.io.File("fixtures/q130_centroids.csv")
+    val w3 = new java.io.PrintWriter(out3, "UTF-8")
+    try {
+      w3.println("corpus_key,cell,j,x")
+      Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+        val emb = graft.sources.Tables
+          .embeddings(spark, s"/root/testdata/$sf")
+        val key = graft.ops.Similarity.ivfCorpusKey(emb)
+        graft.ops.Similarity.fitIvfCentroids(emb, "vec_id", "embedding")
+          .foreach { case (cell, c) =>
+            c.zipWithIndex.foreach { case (x, j) =>
+              w3.println(s"$key,$cell,$j,$x")
+            }
+          }
+        println(s"[fixture] q130 centroids for $sf (corpus_key=$key)")
+      }
+    } finally w3.close()
+    println(s"[fixture] wrote ${out3.getPath}")
     spark.stop()
   }
 }

@@ -158,6 +158,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact integer checksum of an embeddings corpus — the KEY the
+    * committed centroid fixture is selected by (one fixture file
+    * serves every registered SF; row counts alone cannot distinguish
+    * corpora that share ids — sf0.001/sf0.01 do). Σ (vec_id +
+    * floor(v[0]·10⁶)) over exact doubles: floor of an IEEE product is
+    * deterministic, the long sum is order-independent, and the same
+    * expression replays verbatim in DuckDB
+    * (`vec_id + CAST(floor(CAST(embedding AS DOUBLE[])[1] * 1000000.0)
+    * AS BIGINT)`). */
+  def ivfCorpusKey(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Long =
+    emb.select((col(idCol) +
+        floor(element_at(col(vecCol).cast("array<double>"), 1) * 1e6)
+          .cast("long")).as("k"))
+      .agg(sum(col("k"))).head().getLong(0)
+
+  /** The MLlib coarse-quantizer fit alone — centroids as plain
+    * (cell, coordinates) rows. [[buildIvfIndex]]'s exact
+    * configuration, shared by the q130 fixture dump
+    * ([[graft.FixtureDump]]) and the SimilaritySpec
+    * fit-reproduces-fixture assertion. */
+  def fitIvfCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int = 16, seed: Long = 42L)
+      : Seq[(Int, Seq[Double])] = {
+    val v = col(vecCol).cast("array<double>")
+    val base = df.select(col(idCol).as("vec_id"), v.as("vec"))
+      .withColumn("fv", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(base)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+  }
+
   /** Materialized IVF index: cell assignments written as parquet
     * PARTITIONED BY cell, centroids as a tiny side table. At query
     * time the probe-set filter `cell IN (...)` prunes whole
@@ -760,6 +793,148 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
       .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // FIXTURE-PINNED IVF serving (round 17 — the r16 verdict's #4 ask):
+  // the MLlib KMeans FIT is engine-seeded (k-means|| sampling depends
+  // on partition layout; centroid updates on float reduction order),
+  // which is why the q124/q130 family sat rows-only for sixteen
+  // rounds. The q202/q208 seam applies: commit the fitted centroids
+  // ONCE as a fixture, serve from them with arithmetic every step of
+  // which replays in ANSI SQL, and spec-assert the live fit still
+  // reproduces the fixture. Serving from FROZEN centroids is also the
+  // production shape — a stored index's centroids do not drift
+  // between fits, and [[appendToIvfIndex]] already assigns against
+  // stored centroids. The replayable serving rules (vs the MLlib
+  // path's): cell assignment = argmin of round(sqEuclidean, roundTo)
+  // with ties to the LOWEST cell id; probe selection = top-nprobe by
+  // round(cosine, roundTo) DESC with ties to the lowest cell id. Both
+  // are IN-ROW folds over nlist literal centroid arrays — no fit, no
+  // shuffle, no driver loop; candidate ranking is the standing
+  // rounded-cosine rule.
+
+  /** In-row deterministic cell assignment against FIXED centroids:
+    * adds `cell` to (idCol, vec). One codegen'd projection — nlist
+    * fused [[sqEuclidean]] loops per row, no shuffle, no join. */
+  def assignCellsFixed(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: Seq[(Int, Seq[Double])],
+                       roundTo: Int = 6): DataFrame = {
+    require(centroids.nonEmpty, "assignCellsFixed: empty centroid set")
+    val sorted = centroids.sortBy(_._1)
+    val v = col(vecCol).cast("array<double>")
+    val base = df.select(col(idCol), v.as("vec"))
+    // array_min over (d, cell) structs: struct ordering compares d
+    // first, then cell — argmin with ties to the LOWEST cell id (the
+    // SQL row_number ORDER BY d, cell replay). Linear expression
+    // size; a when-chain fold would reference its accumulator twice
+    // per level and blow the plan up 2^nlist.
+    val pairs = array(sorted.map { case (cell, c) =>
+      struct(round(sqEuclidean(col("vec"), array(c.map(lit): _*)), roundTo)
+        .as("d"), lit(cell).as("cell"))
+    }: _*)
+    base.withColumn("cell", array_min(pairs).getField("cell"))
+  }
+
+  /** In-row probe-cell array for a query vector: the `nprobe` cells
+    * nearest by round(cosine, roundTo) DESC, ties to the lowest cell
+    * id — as a sortable struct array (negated rounded cosine sorts
+    * ascending), sliced and ready to explode. */
+  private def probeCellsFixed(qvec: Column,
+                              centroids: Seq[(Int, Seq[Double])],
+                              nprobe: Int, roundTo: Int): Column =
+    slice(sort_array(array(centroids.sortBy(_._1).map { case (cell, c) =>
+      struct(
+        (-round(cosine(qvec, array(c.map(lit): _*)), roundTo)).as("negcos"),
+        lit(cell).as("cell"))
+    }: _*)), 1, nprobe)
+
+  /** Batch approximate k-NN join serving from FIXED centroids (the
+    * fixture-pinned twin of [[annJoinIvf]] — no fit anywhere): assign
+    * the corpus in-row, explode each query's probe cells, join on
+    * cell equality, rank by rounded cosine. Every step replays in
+    * ANSI SQL, which is what flips q124 to hash-oracled. */
+  def annJoinIvfFixed(queries: DataFrame, corpus: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      centroids: Seq[(Int, Seq[Double])],
+                      nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val assigned = assignCellsFixed(corpus, idCol, vecCol, centroids,
+        roundTo)
+      .select(col(idCol).as("neighbor_id"), col("vec"), col("cell"))
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(probeCellsFixed(col("qvec"), centroids, nprobe, roundTo)
+          .getField("cell")).as("cell"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assigned, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Materialize the IVF index layout from FIXED centroids — the
+    * [[buildIvfIndex]] twin with [[assignCellsFixed]] in place of the
+    * MLlib fit+transform. Same on-disk layout (cell-partitioned
+    * vectors + centroid table), so [[annJoinIvfStoredFixed]],
+    * [[appendToIvfIndex]], [[auditIvfIndex]] and [[compactIvfIndex]]
+    * all serve it unchanged. */
+  def buildIvfIndexFromCentroids(df: DataFrame, idCol: String,
+                                 vecCol: String, indexDir: String,
+                                 centroids: Seq[(Int, Seq[Double])],
+                                 roundTo: Int = 6): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.withDirLock(spark, indexDir,
+      "buildIvfIndexFromCentroids") {
+      assignCellsFixed(df, idCol, vecCol, centroids, roundTo)
+        .select(col(idCol).as("vec_id"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      centroids.sortBy(_._1)
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    }
+  }
+
+  /** Batch k-NN join against a stored fixed-centroid index: probe
+    * selection replays [[probeCellsFixed]]'s rounded rule from the
+    * stored centroid table (collected — nlist tiny rows, the bounded
+    * driver class), the scan is statically pruned to the probed
+    * cells, ranking is the rounded-cosine rule. The stored twin of
+    * [[annJoinIvfFixed]], and the q130 flip's probe side. */
+  def annJoinIvfStoredFixed(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            nprobe: Int = 4, roundTo: Int = 6): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        explode(probeCellsFixed(col("qvec"), centroids, nprobe, roundTo)
+          .getField("cell")).as("cell"))
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))  // ≤ nlist values
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(vectors, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
       .filter(col("rnk") <= k)
   }
 

@@ -179,18 +179,115 @@ object ScaleQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Committed coarse-quantizer centroids
+    * (`fixtures/q130_centroids.csv` — [[graft.FixtureDump]]), keyed by
+    * the exact corpus checksum, parsed once per JVM. The q202/q208
+    * "trust the fit ONCE" seam for the MLlib-KMeans ANN family. */
+  private[graft] lazy val ivfFixture: Map[Long, Seq[(Int, Seq[Double])]] = {
+    val src = scala.io.Source.fromFile(
+      graft.QueryDef.fixturePath("q130_centroids.csv"), "UTF-8")
+    try {
+      src.getLines().drop(1).map(_.split(',')).toSeq
+        .map(a => (a(0).toLong, a(1).toInt, a(2).toInt, a(3).toDouble))
+        .groupBy(_._1)
+        .map { case (key, rows) =>
+          key -> rows.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (cell, cs) =>
+              (cell, cs.sortBy(_._3).map(_._4)) }
+        }
+    } finally src.close()
+  }
+
+  /** The shared q124/q130 fixture oracle: select the corpus' centroid
+    * rows by replaying the exact checksum, assign every vector by the
+    * rounded-sqEuclidean argmin (ties to the lowest cell), pick probe
+    * cells by rounded cosine DESC (ties to the lowest cell), rank
+    * candidates by the standing rounded cosine — every step the
+    * literal SQL twin of [[Similarity.annJoinIvfFixed]]'s
+    * expressions. */
+  private def ivfFixedOracle(queryFilter: String): String = {
+    val fp = graft.QueryDef.fixturePath("q130_centroids.csv")
+    s"""WITH cent AS (
+       |  SELECT cell, list(x ORDER BY j) AS c
+       |  FROM read_csv('$fp', header = true,
+       |    columns = {'corpus_key': 'BIGINT', 'cell': 'INTEGER',
+       |               'j': 'INTEGER', 'x': 'DOUBLE'})
+       |  WHERE corpus_key = (SELECT CAST(sum(vec_id +
+       |      CAST(floor(CAST(embedding AS DOUBLE[])[1] * 1000000.0)
+       |        AS BIGINT)) AS BIGINT) FROM embeddings)
+       |  GROUP BY cell
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), asg AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT e.vec_id, e.v, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        round(list_sum(list_transform(generate_series(1, len(e.v)),
+       |          jj -> (e.v[jj] - c.c[jj]) * (e.v[jj] - c.c[jj]))), 6),
+       |        c.cell) AS rn
+       |    FROM e, cent c)
+       |  WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryFilter
+       |), probes AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, c.cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        round(list_cosine_similarity(q.qv, c.c), 6) DESC, c.cell)
+       |        AS prn
+       |    FROM q, cent c)
+       |  WHERE prn <= 4
+       |), s AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_cosine_similarity(a.v, p.qv), 6) AS cos
+       |  FROM probes p JOIN asg a ON a.cell = p.cell
+       |    AND a.vec_id <> p.query_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Batch k-NN join through the IVF (KMeans-cell) index: per-query
     * probe cells picked in-row against broadcast centroids — no
-    * per-query driver work. Rows-only (the KMeans fit is not
-    * SQL-expressible); SimilaritySpec pins recall vs the exact batch
-    * join and the nprobe probe bound. */
-  val q124AnnJoinIvf = QueryDef.rowsOnly("q124_knn_join_ivf") { (s, d) =>
+    * per-query driver work.
+    *
+    * HASH-ORACLED since round 17 (formerly rows-only "the KMeans fit
+    * is not SQL-expressible" — the r16 verdict's #4 ask): the fit IS
+    * the only non-replayable step, so it is committed ONCE as the
+    * centroid fixture (the q202/q208 seam) and the query SERVES from
+    * the frozen centroids with fully SQL-replayable arithmetic
+    * ([[Similarity.annJoinIvfFixed]] — rounded-sqEuclidean argmin
+    * assignment, rounded-cosine probe selection, rounded-cosine
+    * ranking). Serving from frozen centroids is the production
+    * stored-index shape; SimilaritySpec asserts the live MLlib fit
+    * still reproduces the fixture, so a fit drift fails a test
+    * instead of silently moving the answer. On corpora OUTSIDE the
+    * fixture (the scale harness's blown dirs) the query falls back to
+    * the live-fit [[Similarity.annJoinIvf]] — the pre-flip rows-only
+    * behavior, which is also what the 10×/100× maps should measure. */
+  val q124AnnJoinIvf = QueryDef(
+    "q124_knn_join_ivf",
+    ivfFixedOracle(QueryFilter)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    Similarity.annJoinIvf(
-        queries = emb.filter(expr(QueryFilter)), corpus = emb,
-        idCol = "vec_id", vecCol = "embedding", k = 5,
-        nlist = 16, nprobe = 4, cacheKey = Some(s"$d/embeddings"))
-      .orderBy(col("query_id"), col("rnk"))
+    ivfFixture.get(Similarity.ivfCorpusKey(emb)) match {
+      case Some(cents) =>
+        Similarity.annJoinIvfFixed(
+            queries = emb.filter(expr(QueryFilter)), corpus = emb,
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            centroids = cents, nprobe = 4)
+          .orderBy(col("query_id"), col("rnk"))
+      case None =>
+        Similarity.annJoinIvf(
+            queries = emb.filter(expr(QueryFilter)), corpus = emb,
+            idCol = "vec_id", vecCol = "embedding", k = 5,
+            nlist = 16, nprobe = 4, cacheKey = Some(s"$d/embeddings"))
+          .orderBy(col("query_id"), col("rnk"))
+    }
   }
 
   /** Batch k-NN join through the STORED IVF index
@@ -214,19 +311,42 @@ object ScaleQueries {
       s"target/tmp/q130_ivf_index_$sf"
     }
     val emb = Tables.embeddings(s, d)
+    // fixture dispatch decided ONCE here, outside the thunks — the
+    // probe phase must stay free of the corpus-checksum aggregation
+    // (its scale certificate is probe cost vs corpus size)
+    val fixed = ivfFixture.get(Similarity.ivfCorpusKey(emb))
     val build = () => {
       graft.sources.Sinks.wipeForRebuild(s, dir)
-      Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir, nlist = 16)
-      ()
+      fixed match {
+        case Some(cents) => Similarity.buildIvfIndexFromCentroids(
+          emb, "vec_id", "embedding", dir, cents)
+        case None =>
+          Similarity.buildIvfIndex(emb, "vec_id", "embedding", dir,
+            nlist = 16)
+      }
     }
-    val probe = () => Similarity.annJoinIvfStored(s, dir,
-        queries = emb.filter(expr(ProbeBatchFilter)),
-        idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
-      .orderBy(col("query_id"), col("rnk"))
+    val probe = () =>
+      (if (fixed.isDefined)
+        Similarity.annJoinIvfStoredFixed(s, dir,
+          queries = emb.filter(expr(ProbeBatchFilter)),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4)
+      else
+        Similarity.annJoinIvfStored(s, dir,
+          queries = emb.filter(expr(ProbeBatchFilter)),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4))
+        .orderBy(col("query_id"), col("rnk"))
     (build, probe)
   }
 
-  val q130AnnJoinIvfStored = QueryDef.rowsOnly("q130_knn_join_ivf_stored") { (s, d) =>
+  /** HASH-ORACLED since round 17, exactly like [[q124AnnJoinIvf]] (the
+    * shared fixture + the shared oracle; the stored layout is built
+    * FROM the frozen centroids via [[Similarity
+    * .buildIvfIndexFromCentroids]] and served by the rounded probe
+    * rule, so build → store → probe replays end-to-end in SQL; blown
+    * corpora fall back to the live-fit path). */
+  val q130AnnJoinIvfStored = QueryDef(
+    "q130_knn_join_ivf_stored",
+    ivfFixedOracle(ProbeBatchFilter)) { (s, d) =>
     val (build, probe) = q130Parts(s, d)
     build()
     probe()

@@ -105,6 +105,48 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.count() > 0)
   }
 
+  test("q130 centroid fixture: the live MLlib fit still reproduces the " +
+      "committed centroids (the trust-the-fit-ONCE seam — an MLlib or " +
+      "layout drift fails HERE, not silently in the q124/q130 hash)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val key = Similarity.ivfCorpusKey(emb)
+    val fixture = graft.queries.ScaleQueries.ivfFixture
+    assert(fixture.contains(key),
+      s"fixture has no centroids for corpus_key=$key — regenerate with " +
+        "`sbt \"runMain graft.FixtureDump\"`")
+    val pinned = fixture(key).toMap
+    val live = Similarity.fitIvfCentroids(emb, "vec_id", "embedding").toMap
+    assert(live.keySet === pinned.keySet)
+    // tolerance bounds float-reduction-order nondeterminism in the
+    // distributed centroid updates; genuine drift (different cells,
+    // different init) moves coordinates by orders of magnitude more
+    val maxDelta = (for ((cell, c) <- live.toSeq; (x, j) <- c.zipWithIndex)
+      yield math.abs(x - pinned(cell)(j))).max
+    assert(maxDelta < 1e-6, s"live fit drifted from fixture: $maxDelta")
+  }
+
+  test("annJoinIvfFixed == annJoinIvfStoredFixed (fixture-centroid " +
+      "serving parity), and the stored scan is pruned to probed cells") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_fixed").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = graft.queries.ScaleQueries
+      .ivfFixture(Similarity.ivfCorpusKey(emb))
+    Similarity.buildIvfIndexFromCentroids(emb, "vec_id", "embedding",
+      dir, cents)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val stored = Similarity.annJoinIvfStoredFixed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    val inMem = Similarity.annJoinIvfFixed(queries, emb,
+      "vec_id", "embedding", k = 5, centroids = cents, nprobe = 4)
+    assert(stored.orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+      === inMem.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    assert(stored.count() > 0)
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+  }
+
   test("appendToIvfIndex: appended vectors land in their nearest stored " +
       "cell and are served by the stored-index queries") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
