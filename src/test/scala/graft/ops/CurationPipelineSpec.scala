@@ -299,6 +299,38 @@ class CurationPipelineSpec extends SparkSpec {
       === canon(CurationPipeline.finalizePipeline(spark, ref)))
   }
 
+  test("ingest is single-writer by ENFORCEMENT, not convention: a " +
+      "second writer fails loud at the held sidecar lock, and the " +
+      "blocked shard's standard whole-shard replay converges (the §9 " +
+      "serialization contract, machine-checked)") {
+    val (holdout, evalDocs, sh) = crashFixture
+    val dirs = CurationPipeline.Dirs(tmp("twowriter"))
+    CurationPipeline.init(spark, dirs, evalDocs)
+    CurationPipeline.ingestShard(sh(0), dirs, holdout, "s0")
+    // writer A parked mid-append on the digest sidecar (what a
+    // concurrent ingest looks like from writer B's side)
+    val lockPath = new org.apache.hadoop.fs.Path(dirs.digests + ".lock")
+    val fs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lockPath, false)
+    out.writeBytes("writerA"); out.close()
+    try {
+      val e = intercept[IllegalStateException] {
+        CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2")
+      }
+      assert(e.getMessage.contains("locked by another writer"))
+    } finally fs.delete(lockPath, false)
+    // writer B's failure is just a crash-at-step-k: the protocol's
+    // answer — replay the whole shard, same id — lands on the state a
+    // serial run produces
+    CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2")
+    val ref = CurationPipeline.Dirs(tmp("twowriterref"))
+    CurationPipeline.init(spark, ref, evalDocs)
+    CurationPipeline.ingestShard(sh(0), ref, holdout, "s0")
+    CurationPipeline.ingestShard(sh(2), ref, holdout, "s2")
+    assert(canon(CurationPipeline.finalizePipeline(spark, dirs))
+      === canon(CurationPipeline.finalizePipeline(spark, ref)))
+  }
+
   test("rewind-and-replay forgetting: retract a MIDDLE shard and every " +
       "later shard, replay the tail under fresh ids — equals a " +
       "from-scratch run over the surviving shards (the INCRDEEP " +
