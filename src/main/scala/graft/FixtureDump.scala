@@ -96,6 +96,32 @@ object FixtureDump {
       }
     } finally w3.close()
     println(s"[fixture] wrote ${out3.getPath}")
+
+    // q158/q159's fit seam (round 17): the per-subspace PQ codebook
+    // fits (m = 8, ksub = 64, seed = 42, maxIter = 10, normalize —
+    // fitPq's exact q158 configuration) over each registered SF's
+    // embeddings, keyed by the SAME exact corpus checksum as the
+    // coarse centroids. The flipped queries SERVE from these frozen
+    // codebooks with rounded-distance arithmetic
+    // ([[graft.ops.Similarity.annJoinPqRerank]] quantRound = 6 /
+    // [[graft.ops.Similarity.annJoinIvfPqStoredFixed]]);
+    // SimilaritySpec asserts the live fitPq still reproduces them.
+    val out4 = new java.io.File("fixtures/q158_codebooks.csv")
+    val w4 = new java.io.PrintWriter(out4, "UTF-8")
+    try {
+      w4.println("corpus_key,j,c,i,x")
+      Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+        val emb = graft.sources.Tables
+          .embeddings(spark, s"/root/testdata/$sf")
+        val key = graft.ops.Similarity.ivfCorpusKey(emb)
+        val cb = graft.ops.Similarity.fitPq(emb, "embedding",
+          m = 8, ksub = 64)
+        for (j <- cb.indices; c <- cb(j).indices; i <- cb(j)(c).indices)
+          w4.println(s"$key,$j,$c,$i,${cb(j)(c)(i)}")
+        println(s"[fixture] q158 codebooks for $sf (corpus_key=$key)")
+      }
+    } finally w4.close()
+    println(s"[fixture] wrote ${out4.getPath}")
     spark.stop()
   }
 }

@@ -114,17 +114,19 @@ object GraftFunctions {
       BloomMightContain.serialize(bloom)))
 
   /** Fused PQ code assignment (see [[PqEncode]]); the codebook rides
-    * the expression as a literal reference object. */
+    * the expression as a literal reference object. `roundTo ≥ 0` is
+    * the committed-codebook serving mode (rounded subspace distances
+    * — SQL-replayable argmin). */
   def pq_encode(vec: Column, codebooks: Array[Array[Array[Double]]],
-                normalize: Boolean = false): Column =
+                normalize: Boolean = false, roundTo: Int = -1): Column =
     ColumnBridge.column(
-      PqEncode(ColumnBridge.expression(vec), codebooks, normalize))
+      PqEncode(ColumnBridge.expression(vec), codebooks, normalize, roundTo))
 
   /** Per-query PQ ADC lookup table (see [[PqLut]]). */
   def pq_lut(vec: Column, codebooks: Array[Array[Array[Double]]],
-             normalize: Boolean = false): Column =
+             normalize: Boolean = false, roundTo: Int = -1): Column =
     ColumnBridge.column(
-      PqLut(ColumnBridge.expression(vec), codebooks, normalize))
+      PqLut(ColumnBridge.expression(vec), codebooks, normalize, roundTo))
 
   /** Asymmetric PQ distance from codes + LUT (see [[PqAdcDistance]]). */
   def pq_adc(codes: Column, lut: Column, ksub: Int): Column =

@@ -50,7 +50,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * same-codebook expressions as equal.
   */
 case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
-                    normalize: Boolean)
+                    normalize: Boolean, roundTo: Int = -1)
     extends UnaryExpression {
 
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
@@ -70,7 +70,8 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    PqEncode.compute(input.asInstanceOf[ArrayData], codebooks, normalize)
+    PqEncode.compute(input.asInstanceOf[ArrayData], codebooks, normalize,
+      roundTo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
@@ -78,21 +79,22 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]],
       val out = ctx.freshName("codes")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $out =
-         |  graft.functions.PqEncode.compute($a, $cbRef, $normalize);
+         |  graft.functions.PqEncode.compute($a, $cbRef, $normalize, $roundTo);
          |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
        """.stripMargin
     })
   }
 
   override def equals(o: Any): Boolean = o match {
-    case PqEncode(c, cb, n) =>
-      c == child && n == normalize && java.util.Arrays.deepEquals(
-        cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
+    case PqEncode(c, cb, n, r) =>
+      c == child && n == normalize && r == roundTo &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
 
   override def hashCode(): Int =
-    31 * (31 * child.hashCode() + normalize.hashCode()) +
+    31 * (31 * (31 * child.hashCode() + normalize.hashCode()) + roundTo) +
       java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
@@ -117,11 +119,28 @@ object PqEncode {
     if (acc == 0.0) 1.0 else 1.0 / math.sqrt(acc)
   }
 
+  /** Spark's `round(double, scale)` convention, verbatim (RoundBase's
+    * DoubleType branch): shortest-decimal BigDecimal, HALF_UP,
+    * NaN/Infinity pass through. The FIXTURE-serving paths round each
+    * subspace distance with THIS before comparing/summing so the
+    * DuckDB oracle's `round(..., n)` replays the argmin and the ADC
+    * sum bit-for-bit (the q124 rounded-distance convention, pushed
+    * inside the fused loop). */
+  def roundLikeSpark(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else scala.math.BigDecimal(x)
+      .setScale(scale, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** Static implementation shared by interpreted eval and codegen.
     * Returns null (not an exception) on a wrong-length or
-    * null-element vector. */
+    * null-element vector. `roundTo < 0` (the default, every live-fit
+    * path) keeps the exact-double contract PqSpec pins; `roundTo ≥ 0`
+    * rounds each subspace distance before the argmin compare — the
+    * committed-codebook serving mode, where cross-engine replay needs
+    * ULP differences absorbed before ties break. */
   def compute(v: ArrayData, cb: Array[Array[Array[Double]]],
-              normalize: Boolean): ArrayData = {
+              normalize: Boolean, roundTo: Int = -1): ArrayData = {
     val m = cb.length
     val ksub = cb(0).length
     val dsub = cb(0)(0).length
@@ -148,6 +167,7 @@ object PqEncode {
           acc += d * d
           i += 1
         }
+        if (roundTo >= 0) acc = roundLikeSpark(acc, roundTo)
         // strict < : ties keep the LOWEST code (first-minimum rule)
         if (acc < bestD) { bestD = acc; best = c }
         c += 1
@@ -165,7 +185,7 @@ object PqEncode {
   * array of m·ksub doubles, computed once per query row and carried
   * through the broadcast to every candidate scoring site. */
 case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
-                 normalize: Boolean)
+                 normalize: Boolean, roundTo: Int = -1)
     extends UnaryExpression {
 
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
@@ -185,7 +205,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    PqLut.compute(input.asInstanceOf[ArrayData], codebooks, normalize)
+    PqLut.compute(input.asInstanceOf[ArrayData], codebooks, normalize, roundTo)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbRef = ctx.addReferenceObj("pqCodebooks", codebooks, "double[][][]")
@@ -193,21 +213,22 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
       val out = ctx.freshName("lut")
       s"""
          |org.apache.spark.sql.catalyst.util.ArrayData $out =
-         |  graft.functions.PqLut.compute($a, $cbRef, $normalize);
+         |  graft.functions.PqLut.compute($a, $cbRef, $normalize, $roundTo);
          |if ($out == null) { ${ev.isNull} = true; } else { ${ev.value} = $out; }
        """.stripMargin
     })
   }
 
   override def equals(o: Any): Boolean = o match {
-    case PqLut(c, cb, n) =>
-      c == child && n == normalize && java.util.Arrays.deepEquals(
-        cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
+    case PqLut(c, cb, n, r) =>
+      c == child && n == normalize && r == roundTo &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], codebooks.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
 
   override def hashCode(): Int =
-    31 * (31 * child.hashCode() + normalize.hashCode()) +
+    31 * (31 * (31 * child.hashCode() + normalize.hashCode()) + roundTo) +
       java.util.Arrays.deepHashCode(codebooks.asInstanceOf[Array[AnyRef]])
 
   override protected def withNewChildInternal(newChild: Expression): PqLut =
@@ -215,9 +236,14 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Double]]],
 }
 
 object PqLut {
-  /** Static implementation shared by interpreted eval and codegen. */
+  /** Static implementation shared by interpreted eval and codegen.
+    * `roundTo ≥ 0` rounds each LUT entry to that scale (committed-
+    * codebook serving mode): every engine then SUMS the same rounded
+    * doubles in the same ascending-j order, so the downstream ADC
+    * distance is bit-identical cross-engine without touching
+    * [[PqAdcDistance]]. */
   def compute(v: ArrayData, cb: Array[Array[Array[Double]]],
-              normalize: Boolean): ArrayData = {
+              normalize: Boolean, roundTo: Int = -1): ArrayData = {
     val m = cb.length
     val ksub = cb(0).length
     val dsub = cb(0)(0).length
@@ -242,7 +268,8 @@ object PqLut {
           acc += d * d
           i += 1
         }
-        lut(j * ksub + c) = acc
+        lut(j * ksub + c) =
+          if (roundTo >= 0) PqEncode.roundLikeSpark(acc, roundTo) else acc
         c += 1
       }
       j += 1

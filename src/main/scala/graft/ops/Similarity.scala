@@ -1149,10 +1149,11 @@ object Similarity {
     * floats, a 32× IO cut at d=64/m=8/f32. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebooks: Array[Array[Array[Double]]],
-               normalize: Boolean = true): DataFrame =
+               normalize: Boolean = true, quantRound: Int = -1): DataFrame =
     df.select(col(idCol),
       graft.functions.GraftFunctions.pq_encode(
-        col(vecCol).cast("array<double>"), codebooks, normalize).as("codes"))
+        col(vecCol).cast("array<double>"), codebooks, normalize, quantRound)
+        .as("codes"))
 
   /** Batch k-NN join under asymmetric PQ distance (ADC): the query
     * batch broadcasts with a per-query LUT of subspace distances
@@ -1172,13 +1173,13 @@ object Similarity {
                 idCol: String, vecCol: String, k: Int,
                 codebooks: Array[Array[Array[Double]]],
                 normalize: Boolean = true,
-                roundTo: Int = 6): DataFrame = {
+                roundTo: Int = 6, quantRound: Int = -1): DataFrame = {
     val ksub = codebooks(0).length
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       graft.functions.GraftFunctions.pq_lut(
-        col(vecCol).cast("array<double>"), codebooks, normalize)
+        col(vecCol).cast("array<double>"), codebooks, normalize, quantRound)
         .as("__qlut")))
-    val c = pqEncode(corpus, idCol, vecCol, codebooks, normalize)
+    val c = pqEncode(corpus, idCol, vecCol, codebooks, normalize, quantRound)
       .withColumnRenamed(idCol, "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1204,9 +1205,10 @@ object Similarity {
                       idCol: String, vecCol: String, k: Int,
                       codebooks: Array[Array[Array[Double]]],
                       normalize: Boolean = true,
-                      refine: Int = 4, roundTo: Int = 6): DataFrame = {
+                      refine: Int = 4, roundTo: Int = 6,
+                      quantRound: Int = -1): DataFrame = {
     val cand = annJoinPq(queries, corpus, idCol, vecCol, k * refine,
-        codebooks, normalize, roundTo = 9)
+        codebooks, normalize, roundTo = 9, quantRound = quantRound)
       .select(col("query_id"), col("neighbor_id"))
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("__vec"))
@@ -1392,6 +1394,117 @@ object Similarity {
         col("vec_id").as("neighbor_id"),
         graft.functions.GraftFunctions.pq_adc(
           col("codes"), col("__qlut"), ksub).as("adc"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= k * refine)
+      .select(col("query_id"), col("qvec"), col("neighbor_id"))
+    val vectors = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(cellLit: _*))
+      .select(col("vec_id").as("neighbor_id"), col("vec"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(vectors, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("vec"), col("qvec")), roundTo).as("cos"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Materialize the IVFPQ layout from FIXED artifacts — the
+    * [[buildIvfPqIndex]] twin with [[assignCellsFixed]] (rounded
+    * coarse argmin from the committed centroid fixture) in place of
+    * the MLlib fit and rounded-distance [[pqEncode]] (the committed
+    * PQ codebooks, `quantRound`-rounded subspace distances) in place
+    * of the live per-subspace fits. Same on-disk layout, so every
+    * stored-index consumer serves it unchanged; together with
+    * [[annJoinIvfPqStoredFixed]] the whole build→store→probe chain
+    * replays in ANSI SQL, which is what flips q159 to hash-oracled. */
+  def buildIvfPqIndexFromFixtures(df: DataFrame, idCol: String,
+                                  vecCol: String, indexDir: String,
+                                  centroids: Seq[(Int, Seq[Double])],
+                                  codebooks: Array[Array[Array[Double]]],
+                                  quantRound: Int = 6,
+                                  roundTo: Int = 6): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.sources.Sinks.withDirLock(spark, indexDir,
+      "buildIvfPqIndexFromFixtures") {
+      val assigned = assignCellsFixed(df, idCol, vecCol, centroids, roundTo)
+        .select(col(idCol).as("vec_id"), col("vec"),
+          graft.functions.GraftFunctions.pq_encode(col("vec"), codebooks,
+            normalize = true, roundTo = quantRound).as("codes"),
+          col("cell"))
+        .localCheckpoint(true)
+      assigned.select(col("vec_id"), col("vec"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/vectors")
+      assigned.select(col("vec_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$indexDir/codes")
+      centroids.sortBy(_._1)
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      codebooks.zipWithIndex.flatMap { case (book, j) =>
+        book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+      }.toSeq
+        .toDF("j", "c", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    }
+  }
+
+  /** Batch k-NN join against a stored fixed-artifact IVFPQ index —
+    * the [[annJoinIvfPqStored]] twin under the committed-fixture
+    * serving rules: probe cells by ROUNDED centroid cosine (the
+    * [[annJoinIvfStoredFixed]] rule), the codes scan statically
+    * pruned to the probed cells, ADC candidates ranked by the ROUNDED
+    * sum of `quantRound`-rounded LUT entries (ascending j — sums of
+    * identically-rounded doubles are bit-identical cross-engine),
+    * exact rounded-cosine re-rank over candidate vectors only. Every
+    * step replays in ANSI SQL (the q158/q159 flip). */
+  def annJoinIvfPqStoredFixed(spark: org.apache.spark.sql.SparkSession,
+                              indexDir: String, queries: DataFrame,
+                              idCol: String, vecCol: String, k: Int,
+                              nprobe: Int = 4, refine: Int = 4,
+                              quantRound: Int = 6,
+                              roundTo: Int = 6): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r =>
+        (r.getInt(0), r.getSeq[Double](1).toSeq)).toSeq  // ≤ nlist rows
+    val codebooks = spark.read.parquet(s"$indexDir/codebooks")
+      .collect()  // bounded: m × ksub tiny rows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray
+      }.toArray
+    val ksub = codebooks(0).length
+    val probes = queries
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"),
+        graft.functions.GraftFunctions.pq_lut(col("qvec"), codebooks,
+          normalize = true, roundTo = quantRound).as("__qlut"),
+        explode(probeCellsFixed(col("qvec"), centroids, nprobe, roundTo)
+          .getField("cell")).as("cell"))
+      // materialize the LUTs before the codes join (the
+      // [[annJoinIvfPqStored]] barrier — without it the m·ksub·dsub
+      // LUT recomputes per candidate pair inside the join loop)
+      .localCheckpoint()
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))  // ≤ nlist values
+    val cellLit = probedCells.map(Integer.valueOf)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cell").isin(cellLit: _*))
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val cand = probes.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qvec"),
+        col("vec_id").as("neighbor_id"),
+        round(graft.functions.GraftFunctions.pq_adc(
+          col("codes"), col("__qlut"), ksub), 9).as("adc"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= k * refine)
       .select(col("query_id"), col("qvec"), col("neighbor_id"))

@@ -591,4 +591,72 @@ class SimilaritySpec extends SparkSpec {
         anchorPred = col("vec_id") === 0L, k = 1).collect()
     assert(got.length === 1 && got(0).getDouble(4) < 0.0)
   }
+
+  test("q158 codebook fixture: the live fitPq still reproduces the " +
+      "committed per-subspace codebooks (the trust-the-fit-ONCE seam — " +
+      "an MLlib drift fails HERE, not silently in the q158/q159 hash)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val key = Similarity.ivfCorpusKey(emb)
+    val fixture = graft.queries.CorpusQueries.pqFixture
+    assert(fixture.contains(key),
+      s"fixture has no codebooks for corpus_key=$key — regenerate with " +
+        "`sbt \"runMain graft.FixtureDump\"`")
+    val pinned = fixture(key)
+    val live = Similarity.fitPq(emb, "embedding", m = 8, ksub = 64)
+    assert(live.length === pinned.length)
+    // tolerance bounds float-reduction-order nondeterminism in the
+    // distributed centroid updates (the q130 fixture's convention)
+    val maxDelta = (for (j <- live.indices; c <- live(j).indices;
+                         i <- live(j)(c).indices)
+      yield math.abs(live(j)(c)(i) - pinned(j)(c)(i))).max
+    assert(maxDelta < 1e-6, s"live fitPq drifted from fixture: $maxDelta")
+  }
+
+  test("fixture-served q158 (rounded encode/LUT over frozen codebooks) " +
+      "matches the live-fit unrounded path bit-for-bit at sf0.001 — " +
+      "rounding at 1e-6 moves no argmin, no candidate, no rank") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val cb = graft.queries.CorpusQueries
+      .pqFixture(Similarity.ivfCorpusKey(emb))
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val fixed = Similarity.annJoinPqRerank(queries, emb,
+      "vec_id", "embedding", k = 5, cb, refine = 10, quantRound = 6)
+    val live = Similarity.annJoinPqRerank(queries, emb,
+      "vec_id", "embedding", k = 5, cb, refine = 10)
+    assert(fixed.orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+      === live.orderBy("query_id", "rnk").collect().map(_.toString).toSeq)
+    assert(fixed.count() > 0)
+  }
+
+  test("fixed-artifact stored IVFPQ: build from both fixtures, probe " +
+      "with pruned scans, k rows per query, recall vs the exact join") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_fixed").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val key = Similarity.ivfCorpusKey(emb)
+    val cents = graft.queries.ScaleQueries.ivfFixture(key)
+    val cb = graft.queries.CorpusQueries.pqFixture(key)
+    Similarity.buildIvfPqIndexFromFixtures(emb, "vec_id", "embedding",
+      dir, cents, cb)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val stored = Similarity.annJoinIvfPqStoredFixed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nprobe = 4, refine = 10)
+    val got = stored.collect()
+    // every query serves exactly k candidates (probed cells hold
+    // plenty at this SF), and both scans prune to the probed cells
+    val perQuery = got.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perQuery.nonEmpty && perQuery.forall(_ === 5))
+    val scan = stored.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      scan.take(500))
+    // refined PQ retrieval within probed cells keeps decent recall
+    // vs the exact all-pairs join
+    val exact = Similarity.annJoinBruteForce(queries, emb,
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & gotPairs).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall too low: $recall")
+  }
 }
