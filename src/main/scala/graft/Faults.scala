@@ -110,7 +110,13 @@ object Faults {
     // postings/BM25 path (stateless projections + one deterministic
     // aggregation; in the sweep as the first-round convention)
     "q225_unicode_curation", "q226_unicode_postings",
-    "q227_bm25_unicode")
+    "q227_bm25_unicode",
+    // round 17: unicode TF-IDF keywords (stateless; first-round
+    // convention) and the fixture-served PQ ANN joins — the rounded
+    // encode/LUT serving mode plus the localCheckpointed codes/index
+    // artifacts under injected first-attempt kills
+    "q228_tfidf_unicode", "q158_knn_join_pq",
+    "q159_knn_join_ivfpq_stored")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")

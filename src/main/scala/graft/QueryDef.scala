@@ -48,6 +48,18 @@ object QueryDef {
   def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     new QueryDef(name, fn, None)
 
+  /** `SPARK_GRAFT_LIVE_FIT=1` — set by the scale harness — forces the
+    * fixture-dispatching ANN queries (q124/q130/q158/q159) onto their
+    * live-fit paths even on corpora whose checksum matches a
+    * committed fixture. Without it a ScaleBench ratio would compare a
+    * fixture-served BASE against a live-fit BLOWN corpus (the
+    * checksum can only match the real testdata) and fabricate a
+    * pseudo-super-linear flag out of the fit cost; the scale maps'
+    * claim is live-fit-vs-live-fit, the min-of-3 bench's is the
+    * fixture-served production shape. */
+  def liveFitForced: Boolean =
+    sys.env.get("SPARK_GRAFT_LIVE_FIT").contains("1")
+
   /** Resolve a committed oracle fixture (fixtures/<name>) for
     * embedding in DuckDB oracle SQL. The ADVICE-r15 trap: resolving
     * against the bare process CWD makes the oracle silently depend on

@@ -167,12 +167,26 @@ object Similarity {
     * expression replays verbatim in DuckDB
     * (`vec_id + CAST(floor(CAST(embedding AS DOUBLE[])[1] * 1000000.0)
     * AS BIGINT)`). */
+  private val corpusKeyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   def ivfCorpusKey(emb: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Long =
-    emb.select((col(idCol) +
-        floor(element_at(col(vecCol).cast("array<double>"), 1) * 1e6)
-          .cast("long")).as("k"))
-      .agg(sum(col("k"))).head().getLong(0)
+                   vecCol: String = "embedding",
+                   cacheKey: Option[String] = None): Long = {
+    def compute(): Long =
+      emb.select((col(idCol) +
+          floor(element_at(col(vecCol).cast("array<double>"), 1) * 1e6)
+            .cast("long")).as("k"))
+        .agg(sum(col("k"))).head().getLong(0)
+    // memoized per JVM for immutable registered/blown corpora (the
+    // fitPq cacheKey pattern): the checksum is a fixture-DISPATCH
+    // step, and paying one agg job per bench run per dispatching
+    // query is pure overhead on never-changing inputs
+    cacheKey match {
+      case Some(key) => corpusKeyCache.computeIfAbsent(key, _ => compute())
+      case None => compute()
+    }
+  }
 
   /** The MLlib coarse-quantizer fit alone — centroids as plain
     * (cell, coordinates) rows. [[buildIvfIndex]]'s exact
@@ -1179,7 +1193,18 @@ object Similarity {
       graft.functions.GraftFunctions.pq_lut(
         col(vecCol).cast("array<double>"), codebooks, normalize, quantRound)
         .as("__qlut")))
-    val c = pqEncode(corpus, idCol, vecCol, codebooks, normalize, quantRound)
+    val encoded = pqEncode(corpus, idCol, vecCol, codebooks, normalize,
+      quantRound)
+    // In the rounded fixture-serving mode, MATERIALIZE the codes
+    // before the join (the [[annJoinIvfPqStored]] LUT barrier, same
+    // hazard): whole-stage codegen collapses the encode projection
+    // into the join's matched-row loop, re-running the per-row encode
+    // — now carrying m·ksub BigDecimal roundings — PER CANDIDATE PAIR
+    // (measured: 0.53 s → 8.0 s at bench SF). Bounded: |corpus| rows
+    // of m small ints, and the rounded mode only ever serves the
+    // registered fixture corpora; the live-fit path keeps its
+    // stream-through-codes shape.
+    val c = (if (quantRound >= 0) encoded.localCheckpoint() else encoded)
       .withColumnRenamed(idCol, "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

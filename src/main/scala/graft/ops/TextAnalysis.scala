@@ -773,9 +773,10 @@ object TextAnalysis {
     * rank ≤ k filter is a WindowGroupLimit (per-task top-k heaps, no
     * full per-doc sort materialization). */
   def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3,
+                    tokenizer: Column => Column = tokens(_)): DataFrame = {
     val perDoc = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("id"), explode(tokenizer(col(textCol))).as("term"))
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfs = perDoc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))

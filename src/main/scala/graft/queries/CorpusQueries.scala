@@ -620,7 +620,9 @@ object CorpusQueries {
         |    FROM lutl l, codes co
         |    WHERE co.vec_id <> l.query_id""".stripMargin)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    pqFixture.get(Similarity.ivfCorpusKey(emb)) match {
+    (if (graft.QueryDef.liveFitForced) None
+     else pqFixture.get(Similarity.ivfCorpusKey(emb,
+       cacheKey = Some(s"$d/embeddings")))) match {
       case Some(cb) =>
         Similarity.annJoinPqRerank(
             queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
@@ -665,11 +667,14 @@ object CorpusQueries {
     // q130Parts discipline): the fixed path needs BOTH committed
     // artifacts — the coarse centroids (q130's fixture) and the PQ
     // codebooks (q158's) — under the same corpus key
-    val key = Similarity.ivfCorpusKey(emb)
-    val fixed = for {
-      cents <- ScaleQueries.ivfFixture.get(key)
-      cb <- pqFixture.get(key)
-    } yield (cents, cb)
+    val fixed = if (graft.QueryDef.liveFitForced) None else {
+      val key = Similarity.ivfCorpusKey(emb,
+        cacheKey = Some(s"$d/embeddings"))
+      for {
+        cents <- ScaleQueries.ivfFixture.get(key)
+        cb <- pqFixture.get(key)
+      } yield (cents, cb)
+    }
     val build = () => {
       graft.sources.Sinks.wipeForRebuild(s, dir)
       fixed match {

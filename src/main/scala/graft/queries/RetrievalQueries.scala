@@ -647,7 +647,42 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Per-document TF-IDF keyword extraction through the unicode
+    * tokenizer over the mixed-script corpus (round 17 — the unicode
+    * thread extended from retrieval into the text-analysis family:
+    * [[graft.ops.TextAnalysis.tfidfKeywords]] gains the same
+    * `tokenizer` parameter the BM25 family carries). The hash
+    * certifies per-document keywords in BOTH script classes from ONE
+    * index: Han-class documents rank single-ideograph terms by
+    * tf·idf — the legacy split would glue each into one
+    * document-unique pseudo-token with idf = ln(N), making every
+    * CJK "keyword" maximally scored garbage — while ASCII documents
+    * keep word keywords, with the q199 scoring discipline (idf =
+    * round(ln(N/df), 6) as DECIMAL, exact long×decimal scores,
+    * WindowGroupLimit rank ≤ 3). */
+  val q228TfidfUnicode = QueryDef(
+    "q228_tfidf_unicode",
+    s"""WITH $UniToksCtes,
+       |sc AS (
+       |  SELECT post.doc_id, post.term, post.tf, dfs.df,
+       |    post.tf * CAST(round(ln(
+       |      CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) AS score
+       |  FROM post JOIN dfs USING (term), tot
+       |)
+       |SELECT doc_id, term, tf, df, CAST(score AS DOUBLE) AS score, rnk
+       |FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS INT) AS rnk FROM sc)
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    graft.ops.TextAnalysis.tfidfKeywords(hanVariantDocs(s, d),
+        "doc_id", "text", k = 3,
+        tokenizer = graft.ops.TextAnalysis.tokensUnicode(_))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score").cast("double").as("score"), col("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
     q180Bm25Prf, q183PhraseSearch, q185HybridRrf, q186RankingMetrics,
-    q226UnicodePostings, q227Bm25Unicode)
+    q226UnicodePostings, q227Bm25Unicode, q228TfidfUnicode)
 }

@@ -274,7 +274,9 @@ object ScaleQueries {
     "q124_knn_join_ivf",
     ivfFixedOracle(QueryFilter)) { (s, d) =>
     val emb = Tables.embeddings(s, d)
-    ivfFixture.get(Similarity.ivfCorpusKey(emb)) match {
+    (if (graft.QueryDef.liveFitForced) None
+     else ivfFixture.get(Similarity.ivfCorpusKey(emb,
+       cacheKey = Some(s"$d/embeddings")))) match {
       case Some(cents) =>
         Similarity.annJoinIvfFixed(
             queries = emb.filter(expr(QueryFilter)), corpus = emb,
@@ -314,7 +316,9 @@ object ScaleQueries {
     // fixture dispatch decided ONCE here, outside the thunks — the
     // probe phase must stay free of the corpus-checksum aggregation
     // (its scale certificate is probe cost vs corpus size)
-    val fixed = ivfFixture.get(Similarity.ivfCorpusKey(emb))
+    val fixed = if (graft.QueryDef.liveFitForced) None
+      else ivfFixture.get(Similarity.ivfCorpusKey(emb,
+        cacheKey = Some(s"$d/embeddings")))
     val build = () => {
       graft.sources.Sinks.wipeForRebuild(s, dir)
       fixed match {
