@@ -114,7 +114,22 @@ class PartitioningInvarianceSpec extends SparkSpec {
     // parallelism-independent — shard decisions are md5/id-keyed joins
     // and windows, never order-of-arrival within a shard
     CurationQueries.q221IncrementalCuration, // three-shard tagged ingest + finalize
-    CurationQueries.q222BoundaryFinalize) // mid-stream finalize, twice
+    CurationQueries.q222BoundaryFinalize, // mid-stream finalize, twice
+    // round 17: the multilingual pipeline + unicode-tokenized
+    // retrieval/text-analysis (NFKC fold and per-character CJK
+    // tokenization are per-row projections, but the composed
+    // decisions downstream must stay md5/id-keyed, never
+    // order-of-arrival)
+    CurationQueries.q225UnicodeCuration,
+    RetrievalQueries.q226UnicodePostings,
+    RetrievalQueries.q227Bm25Unicode,
+    RetrievalQueries.q228TfidfUnicode,
+    // round 17: fixture-served ANN — rounded argmin/probe/ADC rules
+    // with deterministic ties must be partition-layout-independent
+    // (q158's fixture path rides its standing entry above)
+    ScaleQueries.q124AnnJoinIvf,
+    ScaleQueries.q130AnnJoinIvfStored,
+    CorpusQueries.q159KnnJoinIvfPqStored)
 
   cases.foreach { q =>
     test(s"${q.name}: identical output at shuffle parallelism 1 vs 24") {

@@ -49,6 +49,30 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25TopK(docs, q, k = 5).count() === 0L)
   }
 
+  test("tfidfKeywords through the unicode tokenizer: an unsegmented CJK " +
+      "doc gets per-ideograph keywords ranked by tf·idf; the legacy split " +
+      "gives it ONE document-unique pseudo-token with idf = ln(N) — " +
+      "maximally-scored garbage (the failure q228 certifies)") {
+    val docs = Seq(
+      (1L, "今日天気晴天気"),    // tf: 気 2, 天 2, 今 1, 日 1, 晴 1
+      (2L, "天気 weather"),      // 天/気 appear here too → their df = 2
+      (3L, "weather report")).toDF("doc_id", "text")
+    // legacy: doc 1's single "keyword" is the whole document
+    val legacy = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 1)
+      .filter($"doc_id" === 1L).select($"term").as[String].collect().toSeq
+    assert(legacy === Seq("今日天気晴天気"))
+    // unicode: keywords are ideographs; df(今/日/晴)=1 < df(天/気)=2, so
+    // idf ln(3/1) beats ln(3/2) even at tf 1 vs 2
+    // (1·1.098612 = 1.098612 > 2·0.405465 = 0.810930); ties at equal
+    // score break lexicographically by term — 今 < 日 < 晴 in code-point
+    // order, so k=3 takes exactly the three df-1 ideographs
+    val uni = TextAnalysis.tfidfKeywords(docs, "doc_id", "text", k = 3,
+        tokenizer = TextAnalysis.tokensUnicode(_))
+      .filter($"doc_id" === 1L).orderBy($"rnk")
+      .select($"term").as[String].collect().toSeq
+    assert(uni === Seq("今", "日", "晴"))
+  }
+
   test("postings and docLengths: one row per distinct (term, doc) with tf") {
     val p = Retrieval.postings(corpus)
       .orderBy($"term", $"doc_id")
