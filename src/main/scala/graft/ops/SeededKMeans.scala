@@ -383,16 +383,24 @@ object SeededKMeans {
   def buildIvfIndexSeeded(df: DataFrame, idCol: String, vecCol: String,
                           indexDir: String, nlist: Int,
                           iters: Int = 5, seed: Long = 42L,
-                          cacheKey: Option[String] = None): Unit = {
+                          cacheKey: Option[String] = None,
+                          batchId: Option[String] = None): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
     graft.sources.Sinks.withDirLock(spark, indexDir, "buildIvfIndexSeeded") {
       val model = fit(df, idCol, vecCol, nlist, iters, seed, cacheKey)
-      df.select(col(idCol).as("vec_id"),
+      val base = df.select(col(idCol).as("vec_id"),
           col(vecCol).cast("array<double>").as("vec"),
           quantize(col(vecCol)).as("__q"))
         .withColumn("cell", assignCell(col("__q"), model.centroids))
         .select(col("vec_id"), col("vec"), col("cell"))
+      // batchId opts the index into the TAGGED lifecycle (round 18):
+      // the base rows carry the tag so every later append can be
+      // schema-checked consistent, and replayed append batches
+      // collapse at read/compaction. Untagged (legacy) indexes keep
+      // the at-least-once append caveat and the round-9 byte-identical
+      // rebuild property (q175) byte-for-byte.
+      batchId.foldLeft(base)((d, id) => d.withColumn("batch_id", lit(id)))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$indexDir/vectors")
       model.centroids.zipWithIndex
@@ -414,14 +422,32 @@ object SeededKMeans {
     * built on a prefix and appended with the rest answers queries
     * IDENTICALLY to one full assignment under the prefix-fit centroids
     * — which is exactly what q182's oracle replays (unlike q132, where
-    * the MLlib fit keeps the maintenance op rows-only). */
+    * the MLlib fit keeps the maintenance op rows-only).
+    *
+    * Replay safety (round 18 — the exactly-once rollout reaching the
+    * streaming ANN ingest): an UNTAGGED append keeps the historical
+    * at-least-once caveat — a checkpoint-recovery replay appends the
+    * batch's vectors twice, and a duplicated vector can occupy TWO of
+    * the k neighbor slots in stored-index answers. Passing `batchId`
+    * (unique per logical batch; requires an index built with a
+    * `batchId` so the vectors table is tagged — the schema-consistency
+    * assert fails loud on a mismatch) retires it: rows carry the tag,
+    * and [[annJoinIvfSeededStored]] / [[compactIvfVectorsSeeded]] keep
+    * ONE row per (batch_id, vec_id) before use. Replicas of a replayed
+    * append are bit-identical deterministic recomputes (the assignment
+    * is a pure argmin against STORED centroids), so keeping one is
+    * exact. */
   def appendToIvfIndexSeeded(spark: SparkSession, indexDir: String,
                              df: DataFrame, idCol: String,
-                             vecCol: String): Unit =
+                             vecCol: String,
+                             batchId: Option[String] = None): Unit =
     graft.sources.Sinks.withDirLock(spark, indexDir,
       "appendToIvfIndexSeeded") {
+      graft.sources.Sinks.assertBatchTagConsistent(
+        spark, s"$indexDir/vectors", batchId.isDefined,
+        "appendToIvfIndexSeeded")
       val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
-      df.select(col(idCol).as("vec_id"),
+      val assigned = df.select(col(idCol).as("vec_id"),
           col(vecCol).cast("array<double>").as("vec"),
           quantize(col(vecCol)).as("__q"))
         .crossJoin(centroids) // bounded: build side is nlist rows
@@ -432,9 +458,37 @@ object SeededKMeans {
           struct(col("d2"), col("cell"))).as("__r"))
         .select(col("vec_id"), col("__r.vec").as("vec"),
           col("__r.cell").as("cell"))
+      batchId.foldLeft(assigned)((d, id) => d.withColumn("batch_id", lit(id)))
         .write.mode("append").partitionBy("cell")
         .parquet(s"$indexDir/vectors")
     }
+
+  /** Duplicate-replay collapse for a tagged seeded-IVF vectors table:
+    * one row per (batch_id, vec_id) survives; untagged (legacy)
+    * indexes pass through. The tag is dropped after the collapse so
+    * probe plans see the legacy shape. */
+  private def dedupedVectors(raw: DataFrame): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id", "vec_id").drop("batch_id")
+    else raw
+
+  /** Physically collapse replayed append duplicates and the
+    * small-files tax of many streamed appends: one file set per cell,
+    * one row per (batch_id, vec_id) — re-tagged with the
+    * `__compacted__` sentinel — via the shared backup-swap compaction,
+    * cell partitioning preserved (probe plans keep pruning). Untagged
+    * indexes just get the file compaction. Run it on the ingest
+    * cadence, after in-flight micro-batches are resolved (the
+    * standing tagged-sidecar discipline). */
+  def compactIvfVectorsSeeded(spark: SparkSession, indexDir: String): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, s"$indexDir/vectors",
+      partitionCols = Seq("cell"),
+      transform = Some { raw =>
+        if (raw.schema.fieldNames.contains("batch_id"))
+          dedupedVectors(raw).withColumn("batch_id",
+            lit(graft.ops.LinearProbe.CompactedBatchId))
+        else raw
+      })
 
   /** Batch k-NN join through the stored seeded-IVF index
     * ([[Similarity.annJoinIvfStored]] twin, q175): probe cells picked
@@ -447,7 +501,7 @@ object SeededKMeans {
                              queries: DataFrame, idCol: String,
                              vecCol: String, k: Int, nprobe: Int,
                              roundTo: Int = 6): DataFrame = {
-    val vectors = spark.read.parquet(s"$indexDir/vectors")
+    val vectors = dedupedVectors(spark.read.parquet(s"$indexDir/vectors"))
     val centroids = broadcast(spark.read.parquet(s"$indexDir/centroids"))
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

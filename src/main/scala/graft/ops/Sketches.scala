@@ -48,15 +48,48 @@ object Sketches {
   /** Append one shard's sketch rows to the sidecar. Same single-writer
     * contract as the other appenders ([[Dedup.dedupAgainstSidecar]]),
     * enforced by the `.lock` marker ([[graft.sources.Sinks
-    * .withDirLock]]) — a concurrent second writer fails loud. */
+    * .withDirLock]]) — a concurrent second writer fails loud.
+    *
+    * Replay safety (round 18 — the last additive sidecar family to
+    * join the exactly-once rollout): the HLL estimates were always
+    * duplicate-insensitive (re-unioning a replayed sketch changes no
+    * register), but the exact `n_rows` companion DOUBLE-COUNTS under
+    * an at-least-once replay — untagged appends keep that historical
+    * caveat. Passing `batchId` (unique per logical shard) retires it:
+    * rows carry a `batch_id` column and every read ([[mergedSketches]],
+    * [[mergedDistinct]], [[compactSketchSidecar]]) keeps ONE row per
+    * (batch_id, group) before aggregating. Replicas of a replayed
+    * append carry identical exact counts and value-equal sketches
+    * (the HLL register state is a pure function of the value SET;
+    * serialized bytes may order sparse coupons differently, which the
+    * estimate is insensitive to), so keeping one is exact for
+    * `n_rows` AND estimate-exact for the sketch. Tagged-ness is fixed
+    * at the first append; compacted rows carry the `__compacted__`
+    * sentinel, so compact only after in-flight batches are resolved
+    * (the standing tagged-sidecar discipline). */
   def writeSketchSidecar(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, sidecarDir: String,
-                         lgConfigK: Int = 12): Unit =
+                         lgConfigK: Int = 12,
+                         batchId: Option[String] = None): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      df.sparkSession, sidecarDir, batchId.isDefined, "writeSketchSidecar")
     graft.sources.Sinks.withDirLock(
       df.sparkSession, sidecarDir, "writeSketchSidecar") {
-      distinctSketches(df, groupCols, valueCol, lgConfigK)
+      batchId.foldLeft(distinctSketches(df, groupCols, valueCol, lgConfigK))(
+          (d, id) => d.withColumn("batch_id", lit(id)))
         .write.mode("append").parquet(sidecarDir)
     }
+  }
+
+  /** Duplicate-replay collapse for a tagged sketch sidecar: one row
+    * per (batch_id, group) survives; untagged dirs pass through (the
+    * pre-round-18 at-least-once contract). The tag is dropped after
+    * the collapse — readers see the legacy shape. */
+  private def dedupedSketchRows(raw: DataFrame,
+                                groupCols: Seq[String]): DataFrame =
+    if (raw.schema.fieldNames.contains("batch_id"))
+      raw.dropDuplicates("batch_id" +: groupCols).drop("batch_id")
+    else raw
 
   /** Per-period sketch table: one row per (`periodCol` value) with the
     * exact row count and the HLL sketch of `valueCol` — the
@@ -124,7 +157,7 @@ object Sketches {
     * the input shape [[overlapMatrix]] wants. */
   def mergedSketches(spark: SparkSession, sidecarDir: String,
                      groupCols: Seq[String]): DataFrame =
-    spark.read.parquet(sidecarDir)
+    dedupedSketchRows(spark.read.parquet(sidecarDir), groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("n_rows")).as("n_rows"),
         hll_union_agg(col("sketch")).as("sketch"))
@@ -135,7 +168,7 @@ object Sketches {
     * the sidecar itself. */
   def mergedDistinct(spark: SparkSession, sidecarDir: String,
                      groupCols: Seq[String]): DataFrame = {
-    val side = spark.read.parquet(sidecarDir)
+    val side = dedupedSketchRows(spark.read.parquet(sidecarDir), groupCols)
     val aggs = Seq(
       sum(col("n_rows")).as("n_rows"),
       hll_sketch_estimate(hll_union_agg(col("sketch")))
@@ -143,6 +176,27 @@ object Sketches {
     if (groupCols.isEmpty) side.agg(aggs.head, aggs.tail: _*)
     else side.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Many appended sketch rows → one merged row per group (counts
+    * summed, sketches unioned — lossless at equal precision) via the
+    * shared backup-swap compaction; duplicate tagged appends collapse
+    * BEFORE the merge and compacted rows carry the `__compacted__`
+    * sentinel (the [[graft.ops.Curation.compactTokenCountSidecar]]
+    * shape for sketches). */
+  def compactSketchSidecar(spark: SparkSession, sidecarDir: String,
+                           groupCols: Seq[String]): Unit =
+    graft.sources.Sinks.compactParquetDir(spark, sidecarDir,
+      sortCol = groupCols.headOption,
+      transform = Some { raw =>
+        val merged = dedupedSketchRows(raw, groupCols)
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(col("n_rows")).as("n_rows"),
+            hll_union_agg(col("sketch")).as("sketch"))
+        if (raw.schema.fieldNames.contains("batch_id"))
+          merged.withColumn("batch_id",
+            lit(graft.ops.LinearProbe.CompactedBatchId))
+        else merged
+      })
 
   /** Equi-width histogram of `valueCol` per group: one row per
     * (group, bin) with the EXACT count of values in that bin — the

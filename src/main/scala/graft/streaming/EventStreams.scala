@@ -662,8 +662,17 @@ object EventStreams {
     * the index state after any micro-batching equals one full
     * assignment of everything ingested (EventStreamsSpec proves it) —
     * the q182 invariant, continuously. The index must exist before
-    * the stream starts (build is a batch op); at-least-once replays
-    * double-append a batch, the standing sidecar contract. */
+    * the stream starts (build is a batch op) and must be built TAGGED
+    * ([[graft.ops.SeededKMeans.buildIvfIndexSeeded]]'s `batchId`,
+    * e.g. `Some("base")`). EXACTLY-ONCE (round 18 — the rollout's
+    * other streaming residue): the stable micro-batch id rides as the
+    * append's batch tag, so a checkpoint-recovery replay collapses to
+    * one row per (batch_id, vec_id) at every probe read and at
+    * compaction instead of double-appending — a duplicated vector can
+    * no longer occupy two of the k neighbor slots after a crash
+    * replay. Compact ([[graft.ops.SeededKMeans
+    * .compactIvfVectorsSeeded]]) only after in-flight micro-batches
+    * are resolved, the [[runBigramLmToSidecar]] precondition. */
   def runIvfIngestSeeded(vectors: DataFrame, indexDir: String,
                          checkpointDir: String,
                          idCol: String = "vec_id",
@@ -671,9 +680,10 @@ object EventStreams {
     val q = vectors.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.SeededKMeans.appendToIvfIndexSeeded(
-          batch.sparkSession, indexDir, batch, idCol, vecCol)
+          batch.sparkSession, indexDir, batch, idCol, vecCol,
+          batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()
@@ -844,11 +854,14 @@ object EventStreams {
     * stats. Because HLL union is lossless at equal precision, the
     * merged estimates equal a from-scratch batch build over everything
     * ingested, regardless of how the stream happened to micro-batch.
-    * An at-least-once replay double-counts nothing distinct-wise
-    * (sketches are duplicate-insensitive) but double-counts `n_rows` —
-    * treat the exact counts as at-least-once under replays, or key
-    * batches externally when exactness matters. Single writer per
-    * sidecar, like every appender. */
+    * EXACTLY-ONCE (round 18 — the rollout's last streaming residue):
+    * the sketches were always duplicate-insensitive, but the exact
+    * `n_rows` companion double-counted under a checkpoint-recovery
+    * replay; the stable micro-batch id now rides as the append's
+    * batch tag, so a replayed batch collapses at every read instead —
+    * under the same compaction precondition as
+    * [[runBigramLmToSidecar]]. Single writer per sidecar, like every
+    * appender. */
   def runSketchToSidecar(df: DataFrame, groupCols: Seq[String],
                          valueCol: String, sidecarDir: String,
                          checkpointDir: String,
@@ -856,9 +869,9 @@ object EventStreams {
     val q = df.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Sketches.writeSketchSidecar(batch, groupCols, valueCol,
-          sidecarDir, lgConfigK)
+          sidecarDir, lgConfigK, batchId = Some(s"b$batchId"))
       }
       .start()
     q.processAllAvailable()

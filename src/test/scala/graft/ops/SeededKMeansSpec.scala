@@ -173,6 +173,54 @@ class SeededKMeansSpec extends SparkSpec {
     assert(stored === expected)
   }
 
+  test("tagged seeded index: a deliberately REPLAYED append changes no " +
+      "stored-probe answer and compaction collapses to one row per " +
+      "(batch_id, vec_id) — the round-18 exactly-once contract") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("seeded-tagged").toString + "/idx"
+    SeededKMeans.buildIvfIndexSeeded(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dir,
+      nlist = 4, iters = 3, batchId = Some("base"))
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    SeededKMeans.appendToIvfIndexSeeded(spark, dir, odd,
+      "vec_id", "embedding", batchId = Some("b1"))
+    def canon() = SeededKMeans.annJoinIvfSeededStored(spark, dir,
+        queries = emb.filter($"vec_id" % 100 === 0),
+        idCol = "vec_id", vecCol = "embedding", k = 3, nprobe = 2)
+      .select($"query_id", $"neighbor_id", $"cos", $"rnk")
+      .collect().map(_.toString).sorted.toSeq
+    val before = canon()
+    // the crash-replay: the whole b1 append retried under its tag —
+    // without the tag dedup a duplicated odd vector could occupy TWO
+    // of the k slots for some query
+    SeededKMeans.appendToIvfIndexSeeded(spark, dir, odd,
+      "vec_id", "embedding", batchId = Some("b1"))
+    assert(canon() === before)
+    // raw table holds the duplicate; compaction drops it physically
+    // and re-tags with the sentinel, cell partitioning preserved
+    val oddN = odd.count()
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter($"batch_id" === "b1").count() === 2 * oddN)
+    SeededKMeans.compactIvfVectorsSeeded(spark, dir)
+    val compacted = spark.read.parquet(s"$dir/vectors")
+    assert(compacted.count() ===
+      emb.filter($"vec_id" % 2 === 0).count() + oddN)
+    assert(compacted.select($"batch_id").distinct()
+      .as[String].collect().toSeq === Seq(LinearProbe.CompactedBatchId))
+    assert(canon() === before)
+    // a tagged append to an UNTAGGED index (and vice versa) fails loud
+    val dirU = java.nio.file.Files
+      .createTempDirectory("seeded-untagged").toString + "/idx"
+    SeededKMeans.buildIvfIndexSeeded(
+      emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding", dirU,
+      nlist = 4, iters = 3)
+    val e = intercept[IllegalArgumentException] {
+      SeededKMeans.appendToIvfIndexSeeded(spark, dirU, odd,
+        "vec_id", "embedding", batchId = Some("b1"))
+    }
+    assert(e.getMessage.contains("batch_id"))
+  }
+
   test("PQ: encode codes are in range and ADC is nonnegative integer") {
     val model = SeededKMeans.fitPq(emb, "vec_id", "embedding",
       m = 4, ksub = 4, iters = 2)

@@ -184,6 +184,54 @@ class SketchesSpec extends SparkSpec {
     assert(e.getMessage.contains("batch-tagged"))
   }
 
+  test("batch-tagged sketch sidecar: a deliberately REPLAYED append " +
+      "inflates n_rows neither at read nor through compaction — the round-18 " +
+      "exactly-once contract (the estimates were always " +
+      "duplicate-insensitive; the exact counts now are too)") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("sketch_tagged")
+      .toString + "/s"
+    Sketches.writeSketchSidecar(
+      docs.filter($"doc_id" % 2 === 0), Seq("source"), "text", dir,
+      batchId = Some("even"))
+    val odd = docs.filter($"doc_id" % 2 === 1)
+    Sketches.writeSketchSidecar(odd, Seq("source"), "text", dir,
+      batchId = Some("odd"))
+    // the crash-replay: the whole odd append retried under its tag
+    Sketches.writeSketchSidecar(odd, Seq("source"), "text", dir,
+      batchId = Some("odd"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"source", $"n_rows", $"approx_distinct").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val oneShot = canon(Sketches.distinctSketches(docs, Seq("source"), "text")
+      .select($"source", $"n_rows",
+        hll_sketch_estimate($"sketch").as("approx_distinct")))
+    assert(canon(Sketches.mergedDistinct(spark, dir, Seq("source")))
+      === oneShot)
+    // compaction collapses the duplicate before the union/sum, carries
+    // the sentinel, and merged reads stay exact
+    Sketches.compactSketchSidecar(spark, dir, Seq("source"))
+    assert(spark.read.parquet(dir).select($"batch_id").distinct()
+      .as[String].collect().toSeq === Seq(LinearProbe.CompactedBatchId))
+    assert(canon(Sketches.mergedDistinct(spark, dir, Seq("source")))
+      === oneShot)
+    // the UNTAGGED legacy contract demonstrably still double-counts —
+    // the caveat the tag retires
+    val dirU = java.nio.file.Files.createTempDirectory("sketch_untagged")
+      .toString + "/s"
+    Sketches.writeSketchSidecar(odd, Seq("source"), "text", dirU)
+    Sketches.writeSketchSidecar(odd, Seq("source"), "text", dirU)
+    val inflated = Sketches.mergedDistinct(spark, dirU, Seq("source"))
+      .agg(sum($"n_rows")).head().getLong(0)
+    assert(inflated === 2 * odd.count())
+    // mixed tagged/untagged appends fail loud
+    val e = intercept[IllegalArgumentException] {
+      Sketches.writeSketchSidecar(odd, Seq("source"), "text", dir)
+    }
+    assert(e.getMessage.contains("batch-tagged"))
+  }
+
   test("histogram sidecar: two-shard merge equals one-shot LONG-FOR-LONG " +
       "(additivity), out-of-range values clamp to edge bins") {
     import spark.implicits._

@@ -581,8 +581,10 @@ class EventStreamsSpec extends SparkSpec {
     // build on the first quarter (the batch op), stream the rest in
     // two micro-batches of (id, vec) rows
     val built = emb.filter($"vec_id" % 4 === 0)
+    // tagged base (round 18): the streaming runner appends tagged
+    // micro-batches, which requires a tagged vectors table
     graft.ops.SeededKMeans.buildIvfIndexSeeded(built, "vec_id", "embedding",
-      dir, nlist = 4, iters = 3)
+      dir, nlist = 4, iters = 3, batchId = Some("base"))
     val rest = emb.filter($"vec_id" % 4 =!= 0)
       .select($"vec_id", $"embedding".cast("array<double>"))
       .as[(Long, Seq[Double])].collect().toSeq
@@ -671,14 +673,18 @@ class EventStreamsSpec extends SparkSpec {
       Seq("source"), "value", sidecar, ckpt)
 
     def canonEst(df: org.apache.spark.sql.DataFrame) = df
-      .select($"source", $"approx_distinct")
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      .select($"source", $"n_rows", $"approx_distinct")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
     val streamed = canonEst(
       graft.ops.Sketches.mergedDistinct(spark, sidecar, Seq("source")))
+    // n_rows exact too (round 18: the runner tags micro-batches, so
+    // the counts carry the exactly-once contract, not just the
+    // duplicate-insensitive estimates)
     val batch = canonEst(
       graft.ops.Sketches.distinctSketches(
           (b1 ++ b2).toDF("source", "value"), Seq("source"), "value")
-        .select($"source", org.apache.spark.sql.functions
+        .select($"source", $"n_rows", org.apache.spark.sql.functions
           .hll_sketch_estimate($"sketch").as("approx_distinct")))
     assert(streamed === batch)
   }
