@@ -116,7 +116,16 @@ object Faults {
     // encode/LUT serving mode plus the localCheckpointed codes/index
     // artifacts under injected first-attempt kills
     "q228_tfidf_unicode", "q158_knn_join_pq",
-    "q159_knn_join_ivfpq_stored")
+    "q159_knn_join_ivfpq_stored",
+    // round 18: the unicode tokenizer threaded into the pipeline's
+    // token-consuming stage families — the CJK six-stage pipeline
+    // (four sidecar families per shard, unicode digests), the
+    // per-character token-count sidecar lifecycle (tagged appends +
+    // compaction under injection), and the unicode LM / quality
+    // projections (stateless; in the sweep as the first-round
+    // convention)
+    "q229_cjk_curation", "q230_unicode_token_sidecar",
+    "q231_unicode_lm", "q232_unicode_quality")
 
   private def hashRows(df: org.apache.spark.sql.DataFrame): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -353,6 +362,58 @@ object Faults {
         .write.mode("overwrite").parquet(w + "/finalized")
       Seq(dirs.gram, dirs.digests, dirs.chunks, dirs.shards,
         dirs.manifest, w + "/finalized")
+    }),
+    ("append_ivf_seeded_tagged", (s: SparkSession, d: String, w: String) => {
+      // the round-18 exactly-once ANN ingest (the r17 verdict's #2
+      // ask): TAGGED build + tagged append + a DELIBERATE whole-batch
+      // replay under the same tag (the checkpoint-recovery shape) +
+      // compaction, under injected task retries. The compacted
+      // vectors table must hold ONE row per (batch_id, vec_id) —
+      // armed hash == clean hash proves retried writes and the
+      // replayed batch neither lose nor duplicate index rows (a
+      // duplicated vector could occupy two of k neighbor slots).
+      val emb = graft.sources.Tables.embeddings(s, d)
+      val c = org.apache.spark.sql.functions.col _
+      graft.ops.SeededKMeans.buildIvfIndexSeeded(
+        emb.filter(c("vec_id") % 2 === 0),
+        "vec_id", "embedding", w, nlist = 8, iters = 3, seed = 42,
+        cacheKey = Some(s"$d/embeddings#faults-even-tagged"),
+        batchId = Some("base"))
+      val odd = emb.filter(c("vec_id") % 2 === 1)
+      graft.ops.SeededKMeans.appendToIvfIndexSeeded(s, w, odd,
+        "vec_id", "embedding", batchId = Some("b1"))
+      // the replay: same batch, same tag — must collapse, not double
+      graft.ops.SeededKMeans.appendToIvfIndexSeeded(s, w, odd,
+        "vec_id", "embedding", batchId = Some("b1"))
+      graft.ops.SeededKMeans.compactIvfVectorsSeeded(s, w)
+      Seq(s"$w/centroids", s"$w/vectors")
+    }),
+    ("append_sketch_sidecar", (s: SparkSession, d: String, w: String) => {
+      // the round-18 exactly-once sketch sidecar (the r17 verdict's
+      // #2 ask, n_rows half): tagged appends + a deliberate
+      // whole-batch replay + compaction. The hashed evidence is the
+      // MERGED (n_rows, estimate) table, not the raw sidecar rows —
+      // serialized HLL bytes may legally order sparse coupons
+      // differently across retried partial aggregations while the
+      // register STATE (hence every estimate) is identical; the
+      // sidecar contract is the merged answer, which must neither
+      // lose nor double-count a batch.
+      val docs = graft.sources.Tables.documents(s, d)
+      val c = org.apache.spark.sql.functions.col _
+      val side = s"$w/sketches"
+      graft.ops.Sketches.writeSketchSidecar(
+        docs.filter(c("doc_id") % 2 === 0), Seq("source"), "text", side,
+        batchId = Some("even"))
+      val oddHalf = docs.filter(c("doc_id") % 2 === 1)
+      graft.ops.Sketches.writeSketchSidecar(
+        oddHalf, Seq("source"), "text", side, batchId = Some("odd"))
+      // the replay: same batch, same tag — n_rows must not inflate
+      graft.ops.Sketches.writeSketchSidecar(
+        oddHalf, Seq("source"), "text", side, batchId = Some("odd"))
+      graft.ops.Sketches.compactSketchSidecar(s, side, Seq("source"))
+      graft.ops.Sketches.mergedDistinct(s, side, Seq("source"))
+        .write.mode("overwrite").parquet(s"$w/merged")
+      Seq(s"$w/merged")
     }),
     ("append_streaming_curation", (s: SparkSession, d: String, w: String) => {
       // two curateBatch calls = two micro-batches through the SAME

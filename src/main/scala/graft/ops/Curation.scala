@@ -293,9 +293,12 @@ object Curation {
     * occurrence), `min_cnt` (count of the doc's rarest token),
     * `mean_cnt` = round(sum_cnt / n_toks, 6). */
   def tokenRarity(docs: DataFrame, idCol: String = "doc_id",
-                  textCol: String = "text"): DataFrame = {
+                  textCol: String = "text",
+                  tokenizer: org.apache.spark.sql.Column =>
+                    org.apache.spark.sql.Column =
+                    TextAnalysis.tokens(_)): DataFrame = {
     val perDoc = docs.select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        explode(tokenizer(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
       .repartition(col("w"))
     val tf = perDoc.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
@@ -440,17 +443,31 @@ object Curation {
     * compacted rows carry the `__compacted__` sentinel, so compact
     * only after in-flight batches are resolved (the
     * [[graft.ops.CurationPipeline.compactState]] discipline where a
-    * manifest exists). */
+    * manifest exists).
+    *
+    * `tokenizer` (round 18 — the token statistics reachable from the
+    * multilingual path): the token stream being counted. Legacy
+    * default is the whitespace split; [[TextAnalysis.tokensUnicode]]
+    * counts PER-CHARACTER tokens for unsegmented CJK (under the
+    * legacy split such a document contributes ONE pseudo-token to the
+    * vocabulary — rarity statistics over it are garbage). The choice
+    * must be FIXED per sidecar, and the read side
+    * ([[tokenRarityAgainstSidecar]]) must pass the SAME tokenizer —
+    * counts are counts OF the token stream, the (lo, hi, bins)-style
+    * parameter contract. q230 hash-certifies the unicode pair. */
   def writeTokenCountSidecar(batch: DataFrame, textCol: String,
                              sidecarDir: String,
-                             batchId: Option[String] = None): Unit = {
+                             batchId: Option[String] = None,
+                             tokenizer: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column =
+                               TextAnalysis.tokens(_)): Unit = {
     graft.sources.Sinks.assertBatchTagConsistent(
       batch.sparkSession, sidecarDir, batchId.isDefined,
       "writeTokenCountSidecar")
     graft.sources.Sinks.withDirLock(
       batch.sparkSession, sidecarDir, "writeTokenCountSidecar") {
       val counts = batch
-        .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        .select(explode(tokenizer(col(textCol))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       batchId.foldLeft(counts)(
           (df, id) => df.withColumn("batch_id", lit(id)))
@@ -504,9 +521,12 @@ object Curation {
     * the token-key join; the sidecar side is distinct tokens. */
   def tokenRarityAgainstSidecar(docs: DataFrame, sidecarDir: String,
                                 idCol: String = "doc_id",
-                                textCol: String = "text"): DataFrame = {
+                                textCol: String = "text",
+                                tokenizer: org.apache.spark.sql.Column =>
+                                  org.apache.spark.sql.Column =
+                                  TextAnalysis.tokens(_)): DataFrame = {
     val perDoc = docs.select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("w"))
+        explode(tokenizer(col(textCol))).as("w"))
       .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
     val tf = mergedTokenCounts(docs.sparkSession, sidecarDir)
     perDoc.join(tf, Seq("w"))

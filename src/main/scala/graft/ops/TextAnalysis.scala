@@ -131,6 +131,47 @@ object TextAnalysis {
       "punct_ratio" -> punctRatio)
   }
 
+  /** Tokenizer-parameterized quality statistics (round 18 — the word
+    * statistics reachable from the multilingual path): same five
+    * signals, computed over `tokenizer(text)` so an unsegmented CJK
+    * document gets PER-CHARACTER token counts instead of degenerating
+    * to one giant pseudo-token (n_tokens = 1, mean_tok_len = length —
+    * garbage in every downstream quality cut). Differences from the
+    * legacy single-arg form, which is kept verbatim for oracle
+    * stability (q209's features feed every probe/pipeline hash):
+    *
+    *  - `mean_tok_len` is the exact Σ length(token) / n_tokens — the
+    *    legacy `(n_chars − n_tokens + 1)/n_tokens` telescopes to the
+    *    same value only on single-space-joined text and is meaningless
+    *    when the tokenizer inserts its own boundaries;
+    *  - `stop_ratio` counts stopword TOKENS of the tokenizer (an
+    *    English-marker signal by design: ≈0 on non-Latin scripts);
+    *  - `punct_ratio` keeps letters/digits of ANY script
+    *    (`\p{L}\p{N}` — the [[normalizeTextUnicode]] class) so CJK
+    *    ideographs are content, not "punctuation".
+    *
+    * All pure per-row projections; every number replays externally
+    * (q232's oracle replays both script classes analytically). */
+  def qualityColumns(text: Column,
+                     tokenizer: Column => Column): Seq[(String, Column)] = {
+    val toks = tokenizer(text)
+    val nTokens = size(toks)
+    val nChars = length(text)
+    val sumTokLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    val meanTokLen = sumTokLen.cast("double") / nTokens
+    val stopRatio =
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTokens
+    val punctRatio =
+      (nChars - length(regexp_replace(text, "[^\\p{L}\\p{N} ]", "")))
+        .cast("double") / nChars
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "mean_tok_len" -> meanTokLen,
+      "stop_ratio" -> stopRatio,
+      "punct_ratio" -> punctRatio)
+  }
+
   /** Composite quality score in [0,1]: penalizes very short docs,
     * extreme mean token lengths, and missing stopwords. */
   def qualityScore(text: Column): Column = {
@@ -557,8 +598,9 @@ object TextAnalysis {
     * 1-row cross joins. Output is the full LM table — compose with
     * `minCount`/top-k at the call site ([[lmCrossEntropy]] joins it;
     * q195 registers the top slice). */
-  def bigramLmTable(docs: DataFrame, textCol: String): DataFrame =
-    adSmoothedLm(corpusBigramCounts(docs, textCol))
+  def bigramLmTable(docs: DataFrame, textCol: String,
+                    tokenizer: Column => Column = tokens(_)): DataFrame =
+    adSmoothedLm(corpusBigramCounts(docs, textCol, tokenizer))
 
   /** The AD-smoothing rollups + probability, parameterized over the
     * (w1, w2, c12) count source — THE single home of the smoothing
@@ -613,17 +655,30 @@ object TextAnalysis {
     * the LM join is token-pair-keyed with bounded fan-in, and the
     * final rollup is the one doc-keyed shuffle. */
   def lmCrossEntropy(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame =
+                     textCol: String,
+                     tokenizer: Column => Column = tokens(_)): DataFrame =
     scoreAgainstLm(docs, idCol, textCol,
-      lmTableFromC12(corpusBigramCounts(docs, textCol)))
+      lmTableFromC12(corpusBigramCounts(docs, textCol, tokenizer)),
+      tokenizer)
 
   /** The corpus (w1, w2, c12) count table — [[bigramLmTable]]'s first
     * aggregation, exposed because these counts are the ADDITIVE part
     * of the LM: everything else (c1, n_succ, n_prec, n_types) derives
     * from them, which is what makes the LM incrementally
-    * maintainable ([[writeBigramCountSidecar]]). */
-  def corpusBigramCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = docs.select(split(col(textCol), " ").as("toks"))
+    * maintainable ([[writeBigramCountSidecar]]).
+    *
+    * `tokenizer` (round 18 — the LM reachable from the multilingual
+    * path): the token sequence bigrams are built over. Legacy default
+    * is the whitespace split; [[tokensUnicode]] gives an unsegmented
+    * CJK document per-CHARACTER bigrams — the standard character-level
+    * LM for scripts without word boundaries — instead of one giant
+    * pseudo-token that contributes no bigram at all (or one
+    * never-repeating one). The choice must be FIXED per LM/sidecar
+    * (counts are counts OF the token stream — the normalizer-choice
+    * contract of [[graft.ops.CurationPipeline.ingestShard]]). */
+  def corpusBigramCounts(docs: DataFrame, textCol: String,
+                         tokenizer: Column => Column = tokens(_)): DataFrame = {
+    val toks = docs.select(tokenizer(col(textCol)).as("toks"))
     toks.filter(size(col("toks")) >= 2)
       .select(explode(
         transform(sequence(lit(1), size(col("toks")) - 1),
@@ -648,9 +703,11 @@ object TextAnalysis {
     * scoring NEW docs against a foreign LM undercounts their n_pairs
     * accordingly (filter on n_pairs downstream if that matters). */
   private def scoreAgainstLm(docs: DataFrame, idCol: String,
-                             textCol: String, lm: DataFrame): DataFrame = {
+                             textCol: String, lm: DataFrame,
+                             tokenizer: Column => Column = tokens(_))
+      : DataFrame = {
     val docBg = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("toks"))
+      .select(col(idCol).as("id"), tokenizer(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("id"), explode(
         transform(sequence(lit(1), size(col("toks")) - 1),
@@ -690,13 +747,15 @@ object TextAnalysis {
     * deliberate double-append proves the LM no longer moves). */
   def writeBigramCountSidecar(batch: DataFrame, textCol: String,
                               sidecarDir: String,
-                              batchId: Option[String] = None): Unit = {
+                              batchId: Option[String] = None,
+                              tokenizer: Column => Column = tokens(_))
+      : Unit = {
     graft.sources.Sinks.assertBatchTagConsistent(
       batch.sparkSession, sidecarDir, batchId.isDefined,
       "writeBigramCountSidecar")
     graft.sources.Sinks.withDirLock(
       batch.sparkSession, sidecarDir, "writeBigramCountSidecar") {
-      batchId.foldLeft(corpusBigramCounts(batch, textCol))(
+      batchId.foldLeft(corpusBigramCounts(batch, textCol, tokenizer))(
           (df, id) => df.withColumn("batch_id", lit(id)))
         .write.mode("append").parquet(sidecarDir)
     }
@@ -748,9 +807,11 @@ object TextAnalysis {
     * would have fed the smoothing tree as separate rows). */
   def lmCrossEntropyFromSidecar(spark: org.apache.spark.sql.SparkSession,
                                 sidecarDir: String, docs: DataFrame,
-                                idCol: String, textCol: String): DataFrame =
+                                idCol: String, textCol: String,
+                                tokenizer: Column => Column = tokens(_))
+      : DataFrame =
     scoreAgainstLm(docs, idCol, textCol,
-      lmTableFromC12(mergedBigramCounts(spark, sidecarDir)))
+      lmTableFromC12(mergedBigramCounts(spark, sidecarDir)), tokenizer)
 
   /** Per-document TF-IDF keyword extraction: the top-k terms of each
     * document by tf·idf — the summarization/indexing primitive

@@ -1822,6 +1822,99 @@ object CurationQueries {
     *
     * Scale shape: identical to q221 — the variant is a per-row
     * projection; no new shuffle, no new state. */
+  /** q226's CJK map (36 NFKC-stable basic-block ideographs) — shared
+    * literally with the q229 oracle's `translate`. */
+  private val Han36c =
+    "一二三四五六七八九十百千万水火木金土日月山川田人口手目耳足車門馬魚鳥米貝"
+
+  /** q229's per-document variant rule: odd doc_ids become the
+    * UNSEGMENTED-script CJK variant (every letter/digit an ideograph,
+    * word spaces kept so the chunk/n-gram stages replay), even stay
+    * raw ASCII — the q226 retrieval construction pointed at the
+    * pipeline. */
+  private def hanVariantSql: String =
+    s"CASE WHEN doc_id % 2 = 1 THEN translate(text, '$Ascii36', " +
+      s"'$Han36c') ELSE text END"
+
+  /** Analytic unicode normal form of the Han variant (normalization
+    * and `translate` commute on the letters/digits-only map — the
+    * q224/q226 certificate): translate of the legacy norm for the CJK
+    * class, the legacy norm itself for ASCII. */
+  private def hanNtextSql: String =
+    s"CASE WHEN doc_id % 2 = 1 THEN translate($LegacyNormSql, " +
+      s"'$Ascii36', '$Han36c') ELSE $LegacyNormSql END"
+
+  private[graft] def hanPipelineVariantText(
+      text: org.apache.spark.sql.Column,
+      docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(docId % 2 === 1, translate(text, Ascii36, Han36c)).otherwise(text)
+
+  /** Round-18 (the round-17 verdict's #1 ask, second half — "real-CJK
+    * pipeline certification"): q225's SIX-STAGE INCREMENTAL PIPELINE
+    * over a corpus that includes a genuinely UNSEGMENTED script — the
+    * q226 Han construction (every ASCII letter/digit an NFKC-stable
+    * ideograph) instead of q225's boundary-preserving
+    * fullwidth/Cyrillic variants. What this hash certifies beyond
+    * q225: CJK documents SURVIVE the composed pipeline as distinct
+    * documents (under the legacy normalizer every Han doc normalizes
+    * to '' and stage 1 deletes the script class wholesale), dedup
+    * digests distinguish a Han doc from its ASCII twin (cross-script
+    * near-copies do NOT collapse), the chunk-key and decontamination
+    * stages operate on the CJK bytes (the frozen registry's Han
+    * eval-grams fire within the script class and never across), and
+    * incremental ≡ one-shot holds with half the corpus in an
+    * unsegmented script. The oracle replays the whole chain with the
+    * ANALYTIC normal form (translate of the legacy norm — no DuckDB
+    * NFKC needed). Features ride from the upstream feature pipeline
+    * by doc_id exactly as in q221/q225, so θ and the probe CTEs are
+    * shared verbatim.
+    *
+    * Scale shape: identical to q221/q225 — the variant is a per-row
+    * projection; no new shuffle, no new state. */
+  val q229CjkCuration = QueryDef(
+    "q229_cjk_curation",
+    ProbeOracleCtes +
+      s""", eval_t AS (
+         |  SELECT doc_id, string_split($hanVariantSql, ' ') AS ts
+         |  FROM documents WHERE doc_id % 19 = 0
+         |), eval_g AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |      generate_series(1, len(ts) - 2),
+         |      i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS g
+         |  FROM eval_t WHERE len(ts) >= 3
+         |)""".stripMargin +
+      pipelineChainCtes("H", "doc_id % 19 <> 0", "scored",
+        textExpr = hanVariantSql, ntextExpr = hanNtextSql) +
+      """
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(sc AS BIGINT) AS score_fp, pct,
+        |  CAST(kept_toks AS BIGINT) AS n_toks, cum_tokens,
+        |  CAST((cum_tokens - kept_toks) // 512 AS BIGINT) AS start_seq,
+        |  CAST((cum_tokens - kept_toks) % 512 AS BIGINT) AS start_offset,
+        |  CAST((cum_tokens - 1) // 512 AS BIGINT) AS end_seq
+        |FROM packedH ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val dirs = CurationPipeline.Dirs({
+      val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+      s"target/tmp/q229_pipeline_$sf"
+    })
+    val docs = Tables.documents(s, d)
+    val vdocs = docs.select(col("doc_id"), col("source"),
+      hanPipelineVariantText(col("text"), col("doc_id")).as("text"))
+    val holdout = col("doc_id") % 19 === 0
+    CurationPipeline.init(s, dirs, vdocs.filter(holdout))
+    val withFeats = vdocs.join(probeScaled(s, d), "doc_id")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cuts = Seq(Long.MinValue, (maxId + 1) / 3, 2 * ((maxId + 1) / 3),
+      Long.MaxValue)
+    cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      CurationPipeline.ingestShard(
+        withFeats.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        dirs, holdout, shardId = s"s$i",
+        normalize = TextAnalysis.normalizeTextUnicode(_))
+    }
+    CurationPipeline.finalizePipeline(s, dirs)
+  }
+
   val q225UnicodeCuration = QueryDef(
     "q225_unicode_curation",
     ProbeOracleCtes +
@@ -1876,5 +1969,5 @@ object CurationQueries {
     q213ProbeCv, q215ProbeQualityCut, q217ProbeCalibratedCut,
     q218CurationPipeline, q219ProbeLifecycle, q220ProbeWeightDrift,
     q221IncrementalCuration, q222BoundaryFinalize, q223ProbeUnlearn,
-    q225UnicodeCuration)
+    q225UnicodeCuration, q229CjkCuration)
 }

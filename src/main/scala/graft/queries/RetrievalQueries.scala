@@ -682,7 +682,175 @@ object RetrievalQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  // ------------------------------------------------------------------
+  // Round 18: the unicode tokenizer threaded into the PIPELINE'S
+  // token-consuming stages (the r17 verdict's #1 ask — token-count
+  // sidecar, bigram LM, quality word statistics). q226–q228 certified
+  // the per-character path in retrieval; these certify the SAME
+  // Han-variant corpus through the three stage families that
+  // previously hardwired the ASCII whitespace split — where an
+  // unsegmented CJK document degenerated to ONE pseudo-token
+  // (vocabulary garbage, no bigram evidence, mean_tok_len = doc
+  // length).
+
+  /** Ordered unicode token LISTS per document (the [[UniToksCtes]]
+    * multiset construction, order-preserving) — the shape the bigram
+    * LM and quality statistics replay from: ASCII docs keep the
+    * nonempty words of the legacy norm in order; Han docs one token
+    * per ideograph in character order (normalization and `translate`
+    * commute on the letters/digits-only map). */
+  private val UniTokListCtes: String =
+    s"""base AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), t AS (
+       |  SELECT doc_id, list_filter(string_split(norm, ' '), x -> x <> '') AS ts
+       |  FROM base WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, list_transform(
+       |      list_filter(string_split_regex(replace(norm, ' ', ''), ''),
+       |        c -> c <> ''),
+       |      c -> translate(c, '$Ascii36', '$Han36')) AS ts
+       |  FROM base WHERE doc_id % 2 = 1
+       |)""".stripMargin
+
+  /** Token-count sidecar + rarity scoring through the unicode
+    * tokenizer ([[graft.ops.Curation.writeTokenCountSidecar]] /
+    * [[graft.ops.Curation.tokenRarityAgainstSidecar]], round-18
+    * `tokenizer` parameter): the Han-variant corpus lands in two
+    * tagged parity batches, the sidecar is compacted, and every
+    * document is scored against the merged counts — q168's
+    * incremental lifecycle with PER-CHARACTER counts for the CJK
+    * class. The hash certifies what the legacy split cannot produce:
+    * a Han document's n_toks is its ideograph count (not 1), its
+    * rarity statistics come from the 36-ideograph frequency table
+    * (not from one document-unique pseudo-token with cnt = 1), and
+    * ASCII documents keep word statistics — one sidecar, both
+    * scripts. */
+  val q230UnicodeTokenSidecar = QueryDef(
+    "q230_unicode_token_sidecar",
+    s"""WITH $UniToksCtes,
+       |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM toks GROUP BY term),
+       |j AS (SELECT t.doc_id, f.cnt FROM toks t JOIN tf f ON t.term = f.term)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |       CAST(sum(cnt) AS BIGINT) AS sum_cnt,
+       |       min(cnt) AS min_cnt,
+       |       round(CAST(sum(cnt) AS DOUBLE) / count(*), 6) AS mean_cnt
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = hanVariantDocs(s, d)
+    val sf = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"target/tmp/q230_tokcnt_$sf"
+    graft.sources.Sinks.wipeForRebuild(s, dir)
+    val uni = graft.ops.TextAnalysis.tokensUnicode(_)
+    graft.ops.Curation.writeTokenCountSidecar(
+      docs.filter(col("doc_id") % 2 === 0), "text", dir, Some("even"), uni)
+    graft.ops.Curation.writeTokenCountSidecar(
+      docs.filter(col("doc_id") % 2 === 1), "text", dir, Some("odd"), uni)
+    graft.ops.Curation.compactTokenCountSidecar(s, dir)
+    graft.ops.Curation.tokenRarityAgainstSidecar(docs, dir,
+        tokenizer = uni)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own AD-smoothed
+    * bigram LM through the unicode tokenizer
+    * ([[graft.ops.TextAnalysis.lmCrossEntropy]], round-18 `tokenizer`
+    * parameter): q196's exact-replay chain (D = 3/4 fixed IEEE tree,
+    * logp = round(ln(p_ad), 6) DECIMAL, exact Σ k·logp, one final
+    * division) over the mixed-script corpus — Han documents
+    * contribute CHARACTER bigrams (the standard character-level LM
+    * for unsegmented scripts; under the legacy split each such doc
+    * has ZERO bigram evidence and silently vanishes from the
+    * perplexity filter), ASCII documents word bigrams, one LM. */
+  val q231UnicodeLm = QueryDef(
+    "q231_unicode_lm",
+    s"""WITH $UniTokListCtes,
+       |bg AS (SELECT doc_id,
+       |         unnest(list_transform(generate_series(1, len(ts) - 1),
+       |           i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS b
+       |       FROM t WHERE len(ts) >= 2),
+       |dbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2,
+       |          CAST(count(*) AS BIGINT) AS k
+       |        FROM bg GROUP BY 1, 2, 3),
+       |c12 AS (SELECT w1, w2, CAST(sum(k) AS BIGINT) AS c12
+       |        FROM dbg GROUP BY 1, 2),
+       |st AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |         CAST(count(*) AS BIGINT) AS n_succ FROM c12 GROUP BY 1),
+       |ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec
+       |       FROM c12 GROUP BY 1),
+       |ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c12),
+       |lm AS (SELECT c12.w1, c12.w2,
+       |  CAST(round(ln(
+       |    CAST(4 * c12.c12 - 3 AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE)
+       |    + (CAST(3 * st.n_succ AS DOUBLE) / CAST(4 * st.c1 AS DOUBLE))
+       |      * (CAST(ct.n_prec AS DOUBLE) / CAST(ty.n_types AS DOUBLE))), 6)
+       |    AS DECIMAL(18,6)) AS logp
+       |  FROM c12 JOIN st USING (w1) JOIN ct USING (w2), ty),
+       |agg AS (SELECT d.doc_id, CAST(sum(d.k) AS BIGINT) AS n_pairs,
+       |          sum(CAST(d.k AS DECIMAL(20,0)) * lm.logp) AS sum_logp
+       |        FROM dbg d JOIN lm ON lm.w1 = d.w1 AND lm.w2 = d.w2
+       |        GROUP BY 1)
+       |SELECT doc_id, n_pairs,
+       |  CAST(-sum_logp AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS cross_entropy
+       |FROM agg ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.ops.TextAnalysis.lmCrossEntropy(hanVariantDocs(s, d),
+        "doc_id", "text",
+        tokenizer = graft.ops.TextAnalysis.tokensUnicode(_))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality word statistics through the unicode tokenizer
+    * ([[graft.ops.TextAnalysis.qualityColumns]]' round-18
+    * tokenizer-parameterized form) over the mixed-script corpus: a
+    * Han document's n_tokens is its ideograph count with
+    * mean_tok_len = 1.0 exactly (the legacy formula would report
+    * n_tokens = words-of-spaces and charge the whole doc length to
+    * each), stop_ratio ≈ 0 (an ENGLISH-marker signal, correctly
+    * absent), and punct_ratio counts any-script letters/digits as
+    * content (`\\p{L}\\p{N}` — under the legacy `[a-zA-Z0-9 ]` class
+    * every ideograph counted as punctuation and the whole doc scored
+    * as noise). Every ratio is one IEEE division of exact ints —
+    * both script classes replay analytically. */
+  val q232UnicodeQuality = QueryDef(
+    "q232_unicode_quality",
+    s"""WITH vbase AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 1
+       |      THEN translate(text, '$Ascii36', '$Han36') ELSE text END AS vtext,
+       |    $NormSql AS norm
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, vtext,
+       |    list_filter(string_split(norm, ' '), x -> x <> '') AS ts
+       |  FROM vbase WHERE doc_id % 2 = 0
+       |  UNION ALL
+       |  SELECT doc_id, vtext, list_transform(
+       |      list_filter(string_split_regex(replace(norm, ' ', ''), ''),
+       |        c -> c <> ''),
+       |      c -> translate(c, '$Ascii36', '$Han36')) AS ts
+       |  FROM vbase WHERE doc_id % 2 = 1
+       |)
+       |SELECT doc_id,
+       |  CAST(len(vtext) AS INT) AS n_chars,
+       |  CAST(len(ts) AS INT) AS n_tokens,
+       |  CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts)
+       |    AS mean_tok_len,
+       |  CAST(len(list_filter(ts, x -> x IN
+       |      ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS DOUBLE) / len(ts)
+       |    AS stop_ratio,
+       |  CAST(len(vtext) -
+       |      len(regexp_replace(vtext, '[^\\p{L}\\p{N} ]', '', 'g'))
+       |    AS DOUBLE) / len(vtext) AS punct_ratio
+       |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val cols = graft.ops.TextAnalysis.qualityColumns(col("text"),
+      graft.ops.TextAnalysis.tokensUnicode(_))
+    hanVariantDocs(s, d)
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q177Bm25TopK, q178Bm25Decontam, q179Bm25Sidecar,
     q180Bm25Prf, q183PhraseSearch, q185HybridRrf, q186RankingMetrics,
-    q226UnicodePostings, q227Bm25Unicode, q228TfidfUnicode)
+    q226UnicodePostings, q227Bm25Unicode, q228TfidfUnicode,
+    q230UnicodeTokenSidecar, q231UnicodeLm, q232UnicodeQuality)
 }
