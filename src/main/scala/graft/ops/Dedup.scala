@@ -168,8 +168,21 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // Re-attach shingle sets for the CANDIDATE ids only, MATERIALIZED
+    // (round 18 — the stream-side-projection pin's first catch): with
+    // `base` streamed into the pair joins, codegen defers the
+    // hashed_shingles scan into the matched-row loop and re-hashes a
+    // document's full text once per candidate pair it appears in — on
+    // a duplicate-dense corpus (the 10×/100× blow-ups) a hot doc sits
+    // in O(cluster) pairs. Bounded: candidate ids ≤ 2·|pairs| by the
+    // bucketCap discipline, so the checkpointed frame is
+    // candidate-sized, never corpus-sized.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candSh = base.select(col("id"), col("sh"))
+      .join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val shA = candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -338,8 +351,21 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shA = base.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val shB = base.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    // Re-attach shingle sets for the CANDIDATE ids only, MATERIALIZED
+    // (round 18 — the stream-side-projection pin's first catch): with
+    // `base` streamed into the pair joins, codegen defers the
+    // hashed_shingles scan into the matched-row loop and re-hashes a
+    // document's full text once per candidate pair it appears in — on
+    // a duplicate-dense corpus (the 10×/100× blow-ups) a hot doc sits
+    // in O(cluster) pairs. Bounded: candidate ids ≤ 2·|pairs| by the
+    // bucketCap discipline, so the checkpointed frame is
+    // candidate-sized, never corpus-sized.
+    val candIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val candSh = base.select(col("id"), col("sh"))
+      .join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val shA = candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -43,13 +43,51 @@ class QueriesSmokeSpec extends SparkSpec {
     "q30_loan_pipeline_metrics", "q31_loan_score_override",
     "q34_loan_zscore_metrics") // each is a full MLlib fit; covered in LoanPipelineSpec
 
+  // Round-18 (the r17 verdict's #3 ask): screen EVERY executed plan of
+  // every registered query for the stream-side projection codegen
+  // hazard (the r8-LUT/r17-encode bug class — an expensive projection
+  // deferred into a join's matched-row loop). The listener sees every
+  // plan the smoke run executes, including the internal jobs of
+  // sidecar/index builders; the assertion runs as the suite's last
+  // test, after the async listener bus has drained.
+  @volatile private var currentQuery: String = "<setup>"
+  private val hazardViolations =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val hazardListener =
+    new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        graft.plans.PlanGuard.streamSideHazards(qe.executedPlan)
+          .foreach(v => { hazardViolations.add(s"[$currentQuery] $v"); () })
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+  spark.listenerManager.register(hazardListener)
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     if (!skip(name)) {
       test(s"$name runs at sf0.001") {
+        currentQuery = name
         val df = fn(spark, sf0001)
         assert(df.columns.nonEmpty)
         df.count() // materialize; throws on any runtime failure
       }
     }
+  }
+
+  test("zz: no registered query's executed plans carry the stream-side " +
+      "projection hazard (PlanGuard.streamSideHazards over the whole " +
+      "smoke sweep)") {
+    currentQuery = "<final>"
+    // listener delivery is async; let the bus drain
+    var prev = -1
+    while (prev != hazardViolations.size()) {
+      prev = hazardViolations.size()
+      Thread.sleep(500)
+    }
+    val vs = hazardViolations.toArray(Array.empty[String])
+    assert(vs.isEmpty, vs.mkString("\n"))
   }
 }

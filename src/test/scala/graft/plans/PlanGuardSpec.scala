@@ -30,6 +30,37 @@ class PlanGuardSpec extends SparkSpec {
       Map("q_loop" -> PlanGuard.nodeCount(fixed)), baseline).isEmpty)
   }
 
+  test("stream-side projection hazard: a signature expression projected " +
+      "on the streamed side of a broadcast join trips the pin; the " +
+      "materialized (localCheckpoint) form passes — the r8-LUT/r17-encode " +
+      "bug class, round-18 pin") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val dim = spark.range(0, 500).select($"id".as("doc_id"),
+      lit("x").as("tag"))
+    val sigs = docs.select($"doc_id",
+      graft.functions.GraftFunctions.minhash_md5_signature(
+        $"text", 2, 16).as("sig"))
+    // DELIBERATE regression: the expensive projection stays a deferred
+    // expression on the streamed side of the join — whole-stage
+    // codegen re-evaluates it per matched pair
+    val buggy = sigs.join(broadcast(dim), "doc_id")
+    buggy.collect()
+    val v = PlanGuard.streamSideHazards(buggy.queryExecution.executedPlan)
+    assert(v.nonEmpty && v.head.contains("MinHashMd5Signature"), v)
+    // the documented fix: signatures as DATA (bounded rows
+    // materialized) before the join — the deferral chain is cut
+    val fixed = sigs.localCheckpoint(true).join(broadcast(dim), "doc_id")
+    fixed.collect()
+    assert(PlanGuard.streamSideHazards(
+      fixed.queryExecution.executedPlan).isEmpty)
+    // and a projection BELOW an exchange (its own codegen stage) is
+    // not a hazard: the shuffle materializes the projected rows
+    val shuffled = sigs.repartition($"doc_id").join(broadcast(dim), "doc_id")
+    shuffled.collect()
+    assert(PlanGuard.streamSideHazards(
+      shuffled.queryExecution.executedPlan).isEmpty)
+  }
+
   test("check: >2x fails, <=2x passes, new queries and missing " +
       "baselines never violate") {
     val baseline = Map("a" -> 10, "b" -> 10)
