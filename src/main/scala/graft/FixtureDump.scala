@@ -122,6 +122,29 @@ object FixtureDump {
       }
     } finally w4.close()
     println(s"[fixture] wrote ${out4.getPath}")
+
+    // q55's decode-METADATA seam (round 18, the r17 verdict's #4 ask):
+    // the decoded dimensions/frame counts of every item in the pinned
+    // q55 corpus (syntheticMedia(300) — the same fixed corpus at every
+    // SF). ONLY the metadata freezes — exact integers from the
+    // pure-JDK parsers (imageio header, WAV fmt chunk, MP4 box walk);
+    // the FEATURE vectors stay live (SURVEY §8's argument against
+    // freezing float features stands — they are not in q55's output).
+    // The DuckDB oracle replays q55's post-decode relational sweep
+    // over these rows; MultimodalSpec asserts the live decode still
+    // reproduces the fixture bit-for-bit.
+    val out5 = new java.io.File("fixtures/q55_meta.csv")
+    val w5 = new java.io.PrintWriter(out5, "UTF-8")
+    try {
+      w5.println("media_id,kind,width,height,n_frames")
+      graft.sources.Multimodal.syntheticMedia(spark, 300)
+        .collect() // 300 tiny payloads — a fixture dump, not a data path
+        .flatMap(graft.sources.Multimodal.MediaCodec.decodeItem)
+        .sortBy(_.media_id)
+        .foreach(m => w5.println(
+          s"${m.media_id},${m.kind},${m.width},${m.height},${m.n_frames}"))
+    } finally w5.close()
+    println(s"[fixture] wrote ${out5.getPath}")
     spark.stop()
   }
 }

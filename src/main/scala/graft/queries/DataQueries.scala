@@ -446,10 +446,36 @@ object DataQueries {
     * payloads → partition-parallel decode (REAL javax.imageio decode
     * for the PNG image rows, REAL javax.sound WAV decode for the
     * audio rows, REAL MP4 box-tree metadata parse for video rows) →
-    * per-kind feature statistics. Deterministic but engine-specific
-    * (imageio/javax.sound/box-walk internals have no SQL oracle) →
-    * rows-only. */
-  val q55Multimodal = QueryDef.rowsOnly("q55_multimodal_pipeline") { (s, _) =>
+    * per-kind metadata statistics.
+    *
+    * FIXTURE-ORACLED (round 18, the r17 verdict's #4 ask — formerly
+    * rows-only): the oracle cannot replay the three JDK decoders, but
+    * q55's OUTPUT touches only the decode METADATA —
+    * width/height/n_frames are exact integers from the pure-JDK
+    * header parsers — so the q202/q208 seam applies to the metadata
+    * TABLE alone: 300 rows committed once as `fixtures/q55_meta.csv`
+    * (generated by [[graft.FixtureDump]] from the same pinned
+    * corpus), the DuckDB oracle replays the post-decode relational
+    * sweep in SQL over the fixture, and MultimodalSpec asserts the
+    * live decode still reproduces the fixture bit-for-bit (a JDK
+    * parser drift fails a test, not silently the answer). The FLOAT
+    * feature vectors stay live — they are not frozen and not in this
+    * output (SURVEY §8's refusal to fixture float features stands;
+    * q99's decode→ANN mix remains rows-only for exactly that
+    * reason). */
+  lazy val q55FixturePath: String =
+    graft.QueryDef.fixturePath("q55_meta.csv")
+  val q55Multimodal = QueryDef(
+    "q55_multimodal_pipeline",
+    s"""SELECT kind, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(width) AS INT) AS min_w,
+       |  CAST(max(width) AS INT) AS max_w,
+       |  CAST(sum(n_frames) AS BIGINT) AS total_frames
+       |FROM read_csv('$q55FixturePath', header = true,
+       |  columns = {'media_id': 'BIGINT', 'kind': 'VARCHAR',
+       |    'width': 'INTEGER', 'height': 'INTEGER',
+       |    'n_frames': 'INTEGER'})
+       |GROUP BY kind ORDER BY kind""".stripMargin) { (s, _) =>
     import graft.sources.Multimodal
     val decoded = Multimodal.decode(Multimodal.syntheticMedia(s, 300)).toDF()
     decoded.groupBy(col("kind"))

@@ -498,6 +498,28 @@ class MultimodalSpec extends SparkSpec {
     assert(live === fixture)
   }
 
+  test("q55 fixture parity: the live three-codec decode reproduces the " +
+      "committed fixtures/q55_meta.csv metadata bit-for-bit (the " +
+      "round-18 metadata seam — only dims/frame counts freeze, the " +
+      "float features stay live)") {
+    val f = new java.io.File("fixtures/q55_meta.csv")
+    assert(f.exists(), s"missing ${f.getAbsolutePath} — regenerate " +
+      "with `sbt \"runMain graft.FixtureDump\"` and commit it with " +
+      "the oracle it pins")
+    val fixture = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .drop(1).filter(_.nonEmpty).map { line =>
+        val Array(id, kind, w, h, nf) = line.split(",")
+        id.toLong -> ((kind, w.toInt, h.toInt, nf.toInt))
+      }.toMap
+    val live = Multimodal.syntheticMedia(spark, 300)
+      .collect()
+      .flatMap(Multimodal.MediaCodec.decodeItem)
+      .map(m => m.media_id -> ((m.kind, m.width, m.height, m.n_frames)))
+      .toMap
+    assert(live.size === fixture.size)
+    assert(live === fixture)
+  }
+
   test("monoPcm16 downmix: interleaved stereo averages per time step " +
       "with truncating integer mean; mono passes through untouched") {
     // hand-built stereo WAV: L = [100, -200, 3], R = [300, -100, -8]
