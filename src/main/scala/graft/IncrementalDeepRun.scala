@@ -41,6 +41,13 @@ import org.apache.spark.sql.functions._
   *    shard and resurrected the later shards' documents its digests
   *    had suppressed.
   *
+  *  - RUN D + E (round 18): RUN B's forgetting certificate repeated
+  *    under the UNICODE normalizer over the q225-style multilingual
+  *    variant corpus — tombstoned reads over unicode digests,
+  *    fresh-id re-admission of CJK/Cyrillic-class documents, cadenced
+  *    compaction dropping retracted unicode tags — against a
+  *    from-scratch unicode comparator (`unicode_forget_identical`).
+  *
   * Rewind cost is ∝ data ingested since the deletion target — the
   * standard unlearning recency tradeoff; the O(1) trainer-state-only
   * forget is q223's path. Since round 17 each retraction itself is
@@ -197,6 +204,54 @@ object IncrementalDeepRun {
       s"forget-and-rewind diverged from from-scratch over survivors: " +
         s"rewound=($dB,$nB) fromscratch=($dC,$nC)")
 
+    // ---- RUN D (round 18, the r17 verdict's #5 ask): RUN B's
+    // forgetting certificate under the UNICODE normalizer over the
+    // multilingual variant corpus (q225's construction applied to the
+    // blown documents — a per-row projection, so the feature frame and
+    // monotone cuts are shared verbatim). What only this run composes:
+    // tombstoned reads over UNICODE digests, fresh-id re-admission of
+    // CJK-class documents, and cadenced compaction physically dropping
+    // retracted unicode tags — the round-17 retraction machinery and
+    // the round-17 multilingual machinery exercised TOGETHER at depth.
+    val withFeatsU = withFeats.withColumn("text",
+      graft.queries.CurationQueries.variantText(col("text"), col("doc_id")))
+    def shardFrameU(k: Int): DataFrame =
+      withFeatsU.filter(col("doc_id") >= cuts(k) && col("doc_id") < cuts(k + 1))
+    val uniNorm: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      graft.ops.TextAnalysis.normalizeTextUnicode(_)
+    val vHoldout = withFeatsU.filter(holdout)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dirsD = CurationPipeline.Dirs(s"target/tmp/incrdeep_uforget_x$copies")
+    CurationPipeline.init(spark, dirsD, vHoldout)
+    var ingestedD = 0
+    def ingestD(k: Int, id: String): Unit = {
+      CurationPipeline.ingestShard(shardFrameU(k), dirsD, holdout, id,
+        normalize = uniNorm)
+      ingestedD += 1
+      if (ingestedD % compactEvery == 0)
+        CurationPipeline.compactState(spark, dirsD)
+    }
+    (0 to forgetAfter).foreach(k => ingestD(k, s"s$k"))
+    val tru = System.nanoTime()
+    (forgetShard to forgetAfter).foreach(k =>
+      CurationPipeline.retractShard(spark, dirsD, s"s$k", shardFrameU(k)))
+    val uRetractSec = (System.nanoTime() - tru) / 1e9
+    (forgetShard + 1 to forgetAfter).foreach(k => ingestD(k, s"s$k#2"))
+    (forgetAfter + 1 until nShards).foreach(k => ingestD(k, s"s$k"))
+    val (dD, nD) = digestOf(CurationPipeline.finalizePipeline(spark, dirsD))
+
+    // ---- RUN E: from-scratch unicode comparator over the survivors
+    val dirsE = CurationPipeline.Dirs(
+      s"target/tmp/incrdeep_usurvivors_x$copies")
+    CurationPipeline.init(spark, dirsE, vHoldout)
+    (0 until nShards).filter(_ != forgetShard).foreach(k =>
+      CurationPipeline.ingestShard(shardFrameU(k), dirsE, holdout, s"s$k",
+        normalize = uniNorm))
+    val (dE, nE) = digestOf(CurationPipeline.finalizePipeline(spark, dirsE))
+    require(dD == dE && nD == nE,
+      s"unicode forget-and-rewind diverged from from-scratch over " +
+        s"survivors: rewound=($dD,$nD) fromscratch=($dE,$nE)")
+
     val wallsJson = ingestWalls.map(w => f"$w%.3f").mkString("[", ",", "]")
     val compactJson = compactWalls
       .map { case (k, w) => f"""{"after_shard":$k,"sec":$w%.3f}""" }
@@ -212,7 +267,9 @@ object IncrementalDeepRun {
       f""""forget_after":$forgetAfter,"retract_sec":$retractSec%.3f,""" +
       f""""retract_shards":${forgetAfter - forgetShard + 1},""" +
       f""""replay_sec":$replaySec%.3f,""" +
-      f""""forget_rows":$nB,"forget_identical":true}""")
+      f""""forget_rows":$nB,"forget_identical":true,""" +
+      f""""unicode_retract_sec":$uRetractSec%.3f,""" +
+      f""""unicode_forget_rows":$nD,"unicode_forget_identical":true}""")
     spark.stop()
   }
 }

@@ -331,6 +331,51 @@ class CurationPipelineSpec extends SparkSpec {
       === canon(CurationPipeline.finalizePipeline(spark, ref)))
   }
 
+  test("rewind-and-replay forgetting under the UNICODE normalizer: " +
+      "retraction over a multilingual variant corpus — tombstoned " +
+      "unicode-digest reads, fresh-id re-admission, cadenced compaction " +
+      "— equals a from-scratch unicode pipeline over the survivors " +
+      "(round 18: the r17 retraction and multilingual capabilities " +
+      "certified TOGETHER)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val vdocs = docs.select($"doc_id", $"source",
+      graft.queries.CurationQueries.variantText($"text", $"doc_id")
+        .as("text"))
+    val holdout = col("doc_id") % 19 === 0
+    val withFeats = vdocs
+      .join(graft.queries.CurationQueries.probeScaled(spark, sf0001),
+        "doc_id")
+      .localCheckpoint(true)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    val (c1, c2) = ((maxId + 1) / 3, 2 * ((maxId + 1) / 3))
+    val sh = Seq(
+      withFeats.filter($"doc_id" < c1),
+      withFeats.filter($"doc_id" >= c1 && $"doc_id" < c2),
+      withFeats.filter($"doc_id" >= c2))
+    val uni: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      TextAnalysis.normalizeTextUnicode(_)
+    val dirs = CurationPipeline.Dirs(tmp("unirewind"))
+    CurationPipeline.init(spark, dirs, vdocs.filter(holdout))
+    CurationPipeline.ingestShard(sh(0), dirs, holdout, "s0", uni)
+    CurationPipeline.ingestShard(sh(1), dirs, holdout, "s1", uni)
+    // compaction merges Gram identity away and physically rewrites the
+    // unicode digest/chunk sidecars before the takedown arrives
+    CurationPipeline.compactState(spark, dirs)
+    CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2", uni)
+    // forget shard 1: tombstone reads must exclude the retracted
+    // UNICODE digests, and the tail re-admits under a fresh id
+    CurationPipeline.retractShard(spark, dirs, "s1", sh(1))
+    CurationPipeline.retractShard(spark, dirs, "s2", sh(2))
+    CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2#2", uni)
+    val rewound = canon(CurationPipeline.finalizePipeline(spark, dirs))
+    val ref = CurationPipeline.Dirs(tmp("unirewindref"))
+    CurationPipeline.init(spark, ref, vdocs.filter(holdout))
+    CurationPipeline.ingestShard(sh(0), ref, holdout, "s0", uni)
+    CurationPipeline.ingestShard(sh(2), ref, holdout, "s2", uni)
+    assert(rewound === canon(CurationPipeline.finalizePipeline(spark, ref)))
+    assert(rewound.nonEmpty)
+  }
+
   test("rewind-and-replay forgetting: retract a MIDDLE shard and every " +
       "later shard, replay the tail under fresh ids — equals a " +
       "from-scratch run over the surviving shards (the INCRDEEP " +
