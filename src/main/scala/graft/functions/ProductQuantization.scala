@@ -125,7 +125,19 @@ object PqEncode {
     * subspace distance with THIS before comparing/summing so the
     * DuckDB oracle's `round(..., n)` replays the argmin and the ADC
     * sum bit-for-bit (the q124 rounded-distance convention, pushed
-    * inside the fused loop). */
+    * inside the fused loop).
+    *
+    * KNOWN EDGE (ADVICE r17, kept diagnosable): this rounds the
+    * SHORTEST-DECIMAL form of the double, while DuckDB's `round()` is
+    * binary-value-based — for a distance whose shortest-decimal form
+    * sits exactly on a half at the target scale (…xxx5 exactly) the
+    * two conventions can round differently. No such value occurs in
+    * the committed fixtures (hash-green at three SFs, ~10⁶ rounded
+    * values), and pushing the convention into the per-element
+    * encode/LUT loops multiplies exposure, which is why EVERY fixture
+    * regeneration must re-run the three-SF hash validation
+    * ([[graft.FixtureDump]]'s contract) — a future mismatch surfaces
+    * there as a named diff, not as an opaque gate failure. */
   def roundLikeSpark(x: Double, scale: Int): Double =
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
     else scala.math.BigDecimal(x)

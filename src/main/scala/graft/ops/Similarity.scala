@@ -181,12 +181,47 @@ object Similarity {
     // memoized per JVM for immutable registered/blown corpora (the
     // fitPq cacheKey pattern): the checksum is a fixture-DISPATCH
     // step, and paying one agg job per bench run per dispatching
-    // query is pure overhead on never-changing inputs
+    // query is pure overhead on never-changing inputs. The memo key
+    // carries a cheap CONTENT fingerprint of the backing directory
+    // (file count + total bytes + max mtime — one driver-side
+    // listStatus, no Spark job) alongside the caller's string
+    // (ADVICE r17: a path-only key mis-dispatches fixture vs live-fit
+    // serving if a dir's contents are rewritten within one JVM —
+    // regenerated testdata, a reused blown dir; the fingerprint turns
+    // that stale-cache hazard into a cache miss).
     cacheKey match {
-      case Some(key) => corpusKeyCache.computeIfAbsent(key, _ => compute())
+      case Some(key) =>
+        corpusKeyCache.computeIfAbsent(
+          s"$key@${dirFingerprint(emb.sparkSession, key)}", _ => compute())
       case None => compute()
     }
   }
+
+  /** Best-effort content fingerprint of the corpus behind a cache key:
+    * (files, Σ bytes, max mtime) over `key.parquet` or `key` —
+    * whichever exists — as one string; "static" when neither resolves
+    * (non-path keys keep the plain memoization). */
+  private def dirFingerprint(spark: org.apache.spark.sql.SparkSession,
+                             key: String): String =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(s"$key.parquet", key).iterator
+        .map(new org.apache.hadoop.fs.Path(_))
+        .flatMap { p =>
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) {
+            val it = fs.listFiles(p, true)
+            var (n, bytes, mtime) = (0L, 0L, 0L)
+            while (it.hasNext) {
+              val f = it.next()
+              n += 1; bytes += f.getLen
+              mtime = math.max(mtime, f.getModificationTime)
+            }
+            Iterator.single(s"$n:$bytes:$mtime")
+          } else Iterator.empty
+        }
+        .nextOption().getOrElse("static")
+    } catch { case _: java.io.IOException => "static" }
 
   /** The MLlib coarse-quantizer fit alone — centroids as plain
     * (cell, coordinates) rows. [[buildIvfIndex]]'s exact
@@ -1204,6 +1239,16 @@ object Similarity {
     // of m small ints, and the rounded mode only ever serves the
     // registered fixture corpora; the live-fit path keeps its
     // stream-through-codes shape.
+    // CLUSTER-MODE CAVEAT (ADVICE r17): localCheckpoint truncates
+    // lineage — on a real cluster an executor/block loss AFTER the
+    // checkpoint fails the job unrecoverably (lost partitions cannot
+    // recompute), and |corpus| code rows pin block-manager memory.
+    // Acceptable here because the rounded mode is BY CONSTRUCTION
+    // bench-corpus-only (the committed-fixture dispatch never matches
+    // a production corpus); external callers wanting rounded serving
+    // at cluster scale should persist the codes to storage (the
+    // [[buildIvfPqIndexFromFixtures]] stored layout) instead of this
+    // in-memory barrier.
     val c = (if (quantRound >= 0) encoded.localCheckpoint() else encoded)
       .withColumnRenamed(idCol, "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window

@@ -516,8 +516,24 @@ object CorpusQueries {
     * ADC then sums IDENTICALLY-rounded doubles in ascending j on both
     * engines — bit-identical without rounding the sum's inputs again
     * (`round(Σ, 9)` mirrors [[Similarity.annJoinPq]]'s candidate
-    * rounding). dsub = 8 and ksub = 64 are the fixture's committed
-    * fit parameters. */
+    * rounding). dsub/ksub are the fixture's committed fit parameters,
+    * taken from the shared [[PqM]]/[[PqKsub]]/[[PqDsub]] constants. */
+  /** The PQ family's fit/serve geometry — ONE source for the engine
+    * call sites (q158/q159 k, refine, m, ksub) AND the oracle
+    * templates (ADVICE r17: the suffix hardcoded k·refine = 50 and
+    * the prefix dsub = 8 while the Spark side derived them from
+    * call-site args, so a future param or fixture change would
+    * silently diverge the oracle and surface only as an opaque hash
+    * mismatch at gate time; interpolating the same constants on both
+    * sides makes divergence a compile-time impossibility). Changing
+    * any of these REQUIRES regenerating `fixtures/q158_codebooks.csv`
+    * and re-validating at all three SFs. */
+  private[graft] val PqM = 8
+  private[graft] val PqKsub = 64
+  private[graft] val PqDsub = 8 // embedding dim 64 / PqM
+  private[graft] val PqK = 5
+  private[graft] val PqRefine = 10
+
   private def pqOraclePrefix(queryFilter: String): String = {
     val fp = graft.QueryDef.fixturePath("q158_codebooks.csv")
     s"""WITH cb AS (
@@ -541,9 +557,9 @@ object CorpusQueries {
        |  SELECT vec_id, j, c FROM (
        |    SELECT n.vec_id, cb.j, cb.c,
        |      row_number() OVER (PARTITION BY n.vec_id, cb.j ORDER BY
-       |        round(list_sum(list_transform(generate_series(1, 8),
-       |          ii -> (n.vn[cb.j * 8 + ii] - cb.cent[ii])
-       |              * (n.vn[cb.j * 8 + ii] - cb.cent[ii]))), 6),
+       |        round(list_sum(list_transform(generate_series(1, $PqDsub),
+       |          ii -> (n.vn[cb.j * $PqDsub + ii] - cb.cent[ii])
+       |              * (n.vn[cb.j * $PqDsub + ii] - cb.cent[ii]))), 6),
        |        cb.c) AS rn
        |    FROM n, cb) WHERE rn = 1
        |), codes AS (
@@ -553,9 +569,9 @@ object CorpusQueries {
        |  WHERE $queryFilter
        |), lut AS (
        |  SELECT q.query_id, cb.j, cb.c,
-       |    round(list_sum(list_transform(generate_series(1, 8),
-       |      ii -> (q.qn[cb.j * 8 + ii] - cb.cent[ii])
-       |          * (q.qn[cb.j * 8 + ii] - cb.cent[ii]))), 6) AS ld
+       |    round(list_sum(list_transform(generate_series(1, $PqDsub),
+       |      ii -> (q.qn[cb.j * $PqDsub + ii] - cb.cent[ii])
+       |          * (q.qn[cb.j * $PqDsub + ii] - cb.cent[ii]))), 6) AS ld
        |  FROM q, cb
        |), lutl AS (
        |  SELECT query_id, list(ld ORDER BY j, c) AS l FROM lut
@@ -563,16 +579,17 @@ object CorpusQueries {
        |)""".stripMargin
   }
 
-  /** The shared candidate→re-rank oracle suffix: top k·refine = 50
-    * per query by (rounded ADC, neighbor_id), exact rounded-cosine
-    * re-rank to the final top 5 — [[Similarity.annJoinPqRerank]]'s
-    * two stages in SQL. `candFrom` supplies the candidate pair
-    * source (all-corpus for q158; probed-cells for q159). */
+  /** The shared candidate→re-rank oracle suffix: top [[PqK]]·
+    * [[PqRefine]] per query by (rounded ADC, neighbor_id), exact
+    * rounded-cosine re-rank to the final top [[PqK]] —
+    * [[Similarity.annJoinPqRerank]]'s two stages in SQL. `candFrom`
+    * supplies the candidate pair source (all-corpus for q158;
+    * probed-cells for q159). */
   private def pqOracleSuffix(candFrom: String): String =
     s""", cand AS (
        |  SELECT query_id, neighbor_id FROM (
        |    $candFrom)
-       |  WHERE arn <= 50
+       |  WHERE arn <= ${PqK * PqRefine}
        |), r AS (
        |  SELECT cd.query_id, cd.neighbor_id,
        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cos
@@ -584,7 +601,7 @@ object CorpusQueries {
        |      ORDER BY cos DESC, neighbor_id) AS INT) AS rnk
        |  FROM r
        |)
-       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= 5
+       |SELECT query_id, neighbor_id, cos, rnk FROM ranked WHERE rnk <= $PqK
        |ORDER BY query_id, rnk""".stripMargin
 
   /** Batch k-NN join through product quantization with exact re-rank
@@ -612,10 +629,10 @@ object CorpusQueries {
   val q158KnnJoinPq = QueryDef(
     "q158_knn_join_pq",
     pqOraclePrefix("vec_id % 100 = 0") + pqOracleSuffix(
-      """SELECT l.query_id, co.vec_id AS neighbor_id,
+      s"""SELECT l.query_id, co.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY l.query_id ORDER BY
-        |        round(list_sum(list_transform(generate_series(1, 8),
-        |          jj -> l.l[(jj - 1) * 64 + co.cs[jj] + 1])), 9),
+        |        round(list_sum(list_transform(generate_series(1, $PqM),
+        |          jj -> l.l[(jj - 1) * $PqKsub + co.cs[jj] + 1])), 9),
         |        co.vec_id) AS arn
         |    FROM lutl l, codes co
         |    WHERE co.vec_id <> l.query_id""".stripMargin)) { (s, d) =>
@@ -626,15 +643,16 @@ object CorpusQueries {
       case Some(cb) =>
         Similarity.annJoinPqRerank(
             queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
-            idCol = "vec_id", vecCol = "embedding", k = 5, cb, refine = 10,
-            quantRound = 6)
+            idCol = "vec_id", vecCol = "embedding", k = PqK, cb,
+            refine = PqRefine, quantRound = 6)
           .orderBy(col("query_id"), col("rnk"))
       case None =>
-        val cb = Similarity.fitPq(emb, "embedding", m = 8, ksub = 64,
+        val cb = Similarity.fitPq(emb, "embedding", m = PqM, ksub = PqKsub,
           cacheKey = Some(s"$d/embeddings"))
         Similarity.annJoinPqRerank(
             queries = emb.filter(expr("vec_id % 100 = 0")), corpus = emb,
-            idCol = "vec_id", vecCol = "embedding", k = 5, cb, refine = 10)
+            idCol = "vec_id", vecCol = "embedding", k = PqK, cb,
+            refine = PqRefine)
           .orderBy(col("query_id"), col("rnk"))
     }
   }
@@ -683,7 +701,7 @@ object CorpusQueries {
             emb, "vec_id", "embedding", dir, cents, cb)
         case None =>
           Similarity.buildIvfPqIndex(emb, "vec_id", "embedding", dir,
-            nlist = 16, m = 8, ksub = 64,
+            nlist = 16, m = PqM, ksub = PqKsub,
             pqCacheKey = Some(s"$d/embeddings"))
       }
       ()
@@ -697,14 +715,14 @@ object CorpusQueries {
         Similarity.annJoinIvfPqStoredFixed(s, dir,
           queries = emb.filter(
             expr("vec_id % 100 = 0 AND vec_id < 8589934592")),
-          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,
-          refine = 10)
+          idCol = "vec_id", vecCol = "embedding", k = PqK, nprobe = 4,
+          refine = PqRefine)
       else
         Similarity.annJoinIvfPqStored(s, dir,
           queries = emb.filter(
             expr("vec_id % 100 = 0 AND vec_id < 8589934592")),
-          idCol = "vec_id", vecCol = "embedding", k = 5, nprobe = 4,
-          refine = 10))
+          idCol = "vec_id", vecCol = "embedding", k = PqK, nprobe = 4,
+          refine = PqRefine))
         .orderBy(col("query_id"), col("rnk"))
     (build, probe)
   }
@@ -757,10 +775,10 @@ object CorpusQueries {
     "q159_knn_join_ivfpq_stored",
     pqOraclePrefix("vec_id % 100 = 0 AND vec_id < 8589934592") +
       q159IvfCtes + pqOracleSuffix(
-      """SELECT p.query_id, a.vec_id AS neighbor_id,
+      s"""SELECT p.query_id, a.vec_id AS neighbor_id,
         |      row_number() OVER (PARTITION BY p.query_id ORDER BY
-        |        round(list_sum(list_transform(generate_series(1, 8),
-        |          jj -> l.l[(jj - 1) * 64 + co.cs[jj] + 1])), 9),
+        |        round(list_sum(list_transform(generate_series(1, $PqM),
+        |          jj -> l.l[(jj - 1) * $PqKsub + co.cs[jj] + 1])), 9),
         |        a.vec_id) AS arn
         |    FROM probes p
         |      JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.query_id
