@@ -177,13 +177,30 @@ object Dedup {
     // in O(cluster) pairs. Bounded: candidate ids ≤ 2·|pairs| by the
     // bucketCap discipline, so the checkpointed frame is
     // candidate-sized, never corpus-sized.
-    val candIds = pairs
+    //
+    // Optimization round 18: checkpoint the PAIR set itself first —
+    // without it the signature→band→bucket pipeline (the dominant
+    // cost: numHashes hashes per shingle over the whole corpus) ran
+    // once inside the candidate-id derivation and AGAIN in the final
+    // verification join (guide §2.4: remove repeated passes). The
+    // pair frame is bounded by the bucketCap discipline, so pinning
+    // it is candidate-sized. Candidate shingle sets are then re-hashed
+    // from the RAW text of candidate ids only (semi-join BEFORE the
+    // expensive projection, guide §2.3 "project before the exchange")
+    // instead of re-running hashed_shingles over the full corpus.
+    val pairsCk = pairs.localCheckpoint(true)
+    val candIds = pairsCk
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candSh = base.select(col("id"), col("sh"))
-      .join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val candSh = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        graft.functions.GraftFunctions.hashed_shingles(col("__text"), shingleK)
+          .as("sh"))
+      .localCheckpoint(true)
     val shA = candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
+    pairsCk.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -360,13 +377,28 @@ object Dedup {
     // in O(cluster) pairs. Bounded: candidate ids ≤ 2·|pairs| by the
     // bucketCap discipline, so the checkpointed frame is
     // candidate-sized, never corpus-sized.
-    val candIds = pairs
+    //
+    // Optimization round 18: checkpoint the PAIR set itself first —
+    // without it the md5-signature→band→bucket pipeline (numHashes md5
+    // digests per shingle over the whole corpus — this variant's
+    // documented cost) ran once inside the candidate-id derivation and
+    // AGAIN in the final verification join (guide §2.4). Candidate
+    // shingle sets are re-hashed from the RAW text of candidate ids
+    // only (semi-join BEFORE the expensive projection, guide §2.3),
+    // not by a second full-corpus hashed_shingles pass.
+    val pairsCk = pairs.localCheckpoint(true)
+    val candIds = pairsCk
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val candSh = base.select(col("id"), col("sh"))
-      .join(candIds, Seq("id"), "left_semi").localCheckpoint(true)
+    val candSh = df
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        graft.functions.GraftFunctions.hashed_shingles(col("__text"), shingleK)
+          .as("sh"))
+      .localCheckpoint(true)
     val shA = candSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = candSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    pairs.join(shA, "id_a").join(shB, "id_b")
+    pairsCk.join(shA, "id_a").join(shB, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -1240,6 +1272,15 @@ object Dedup {
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+    // Optimization round 18, measured and deliberately left in the
+    // single-DAG form: the minhashDedupPairs pairs-checkpoint +
+    // candidate-only re-hash restructure was tried here too and
+    // REGRESSED q27 (+0.09 s) and q184 (+0.44 s) at sf0.1 — this
+    // pipeline hashes each shingle ONCE (no per-shingle signature
+    // loop), so the two eager localCheckpoints' fixed job cost
+    // exceeds the recompute they remove. The three withSh scans below
+    // are one DAG evaluated in a single action; the expensive part
+    // (the inverted-index aggregation) runs once either way.
     val shA = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val shB = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     pairs.join(shA, "id_a").join(shB, "id_b")
