@@ -225,11 +225,12 @@ object Clustering {
     * generation never goes quadratic in the corpus — it is quadratic
     * only within a block, the standard blocking trade-off (recall
     * bounded by the block width). EXACT duplicates never even reach
-    * the pair stage: identical texts collapse to one min-id
-    * representative first (one partitioned window on md5(text)), so
-    * within-block cost is quadratic in distinct texts, not in
-    * duplication density — a 10×-duplicated corpus pays the same
-    * comparison bill as its deduplicated twin.
+    * the pair stage: same-lang identical texts collapse to one min-id
+    * representative first (one aggregation keyed on lang+md5(text) —
+    * lang is a blocking key the text does not determine, so it must
+    * be part of the collapse key), so within-block cost is quadratic
+    * in distinct texts, not in duplication density — a 10×-duplicated
+    * corpus pays the same comparison bill as its deduplicated twin.
     *
     * Two interchangeable pair generators (identical edge sets):
     *
@@ -273,17 +274,29 @@ object Clustering {
       col("lang"),
       expr(s"size(split(text, ' ')) DIV $lenBlock").as("blk"),
       array_distinct(split(col("text"), " ")).as("ts"),
-      // exact-duplicate collapse key: identical texts ALWAYS satisfy
-      // Jaccard 1.0 >= threshold and share (lang, blk), so pair
-      // generation only ever needs ONE representative per distinct
-      // text — without this, a corpus with duplication density d pays
-      // d^2 on every within-block comparison (the 10x-duplicated
-      // ScaleBench corpus showed cluster pair listing growing fastest
-      // of all benched queries for exactly this reason). Null-text
-      // rows keep a per-row key so they stay singletons, matching the
-      // null-join semantics of the pair stage.
-      coalesce(md5(col("text")),
-        concat(lit("null-"), col("doc_id").cast("string"))).as("__fp"))
+      // exact-duplicate collapse key, (lang, text) — NOT text alone:
+      // two same-lang identical texts ALWAYS satisfy Jaccard 1.0 >=
+      // threshold and share blk (blk is a function of the text), so
+      // pair generation only ever needs ONE representative per
+      // distinct (lang, text) — without this, a corpus with
+      // duplication density d pays d^2 on every within-block
+      // comparison (the 10x-duplicated ScaleBench corpus showed
+      // cluster pair listing growing fastest of all benched queries
+      // for exactly this reason). lang MUST be part of the key
+      // because it is a blocking key the text does not determine
+      // (round-18 inherited-state fix): a text-only collapse folded a
+      // doc into a DIFFERENT-lang representative, silently crossing a
+      // block boundary the pair stage never crosses — the collapsed
+      // doc adopted a foreign-lang component and its own same-lang
+      // near-dup pairs were never generated (latent at the gate SFs,
+      // wrong answers at sf0.1 where cross-lang duplicate texts
+      // exist; q103/q108/q129/q148 vs their oracles). Null-text and
+      // null-lang rows keep a per-row key so they stay singletons,
+      // matching the null-join semantics of the pair stage.
+      when(col("text").isNotNull && col("lang").isNotNull,
+          concat_ws("", col("lang"), md5(col("text"))))
+        .otherwise(concat(lit("null-"), col("doc_id").cast("string")))
+        .as("__fp"))
     // min-id representative per distinct text, via ONE min_by
     // aggregation on the fingerprint: it partial-aggregates map-side,
     // so the shuffle moves at most one array row per DISTINCT text per

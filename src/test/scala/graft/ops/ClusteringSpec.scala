@@ -104,4 +104,35 @@ class ClusteringSpec extends SparkSpec {
     // d's component, so no component is smaller than the copy count
     assert(on.map(_._3).min >= 5L)
   }
+
+  test("jaccardDedupClusters: CROSS-LANG identical texts do NOT collapse " +
+      "across the lang block boundary (the round-18 inherited-state fix: " +
+      "lang is a blocking key the text does not determine, so it must be " +
+      "part of the collapse key)") {
+    // doc 1 (en) and doc 5 (zh) share the exact text T; doc 6 (zh) is a
+    // near-dup of T. The oracle semantics (pairs blocked on lang) give:
+    //   en: {1} alone in its block's component;
+    //   zh: {5, 6} paired (Jaccard 1.0 vs near-dup >= 0.7? use identical
+    //       too, simplest: 6 shares text T as well).
+    // The text-only collapse folded 5 and 6 into doc 1's representative,
+    // crossing the lang boundary: component(5) became 1.
+    val t = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, t, "en"),
+      (5L, t, "zh"),
+      (6L, t, "zh")).toDF("doc_id", "text", "lang")
+    val got = Clustering.jaccardDedupClusters(docs, threshold = 0.7,
+        lenBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = got.map(x => x._1 -> (x._2, x._3)).toMap
+    assert(byId(1L) === (1L, 1L), "en doc must stay a singleton")
+    assert(byId(5L) === (5L, 2L) && byId(6L) === (5L, 2L),
+      "zh duplicates must cluster together under the zh-min id")
+    // and the uncollapsed run agrees (the collapse stays semantics-free)
+    val off = Clustering.jaccardDedupClusters(docs, threshold = 0.7,
+        lenBlock = 10, collapseExact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got.sortBy(_._1).toSeq === off)
+  }
 }
