@@ -116,25 +116,79 @@ object CurationPipeline {
 
   /** Shard ids recorded in the manifest (committed ingests + deletion
     * markers). Distinct-read, so a crash-retried marker append is
-    * harmless. Bounded: one short string per shard ever ingested. */
+    * harmless. Bounded: one short string per shard ever ingested.
+    *
+    * Read DRIVER-SIDE with the parquet footer API (optimization round
+    * 18): the manifest is one-string-per-shard metadata — the Iceberg/
+    * Delta manifest shape — and every ingest consults it, so spinning
+    * up a full Spark job (scan + distinct + collect) per ingest paid
+    * whole-job overhead for a few KB of driver IO. Same files, same
+    * rows, same set. */
   def committedShards(spark: SparkSession, dirs: Dirs): Set[String] = {
     val p = new org.apache.hadoop.fs.Path(dirs.manifest)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(dirs.manifest).select(col("shard_id"))
-      .distinct().collect().map(_.getString(0)).toSet
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Set.empty
+    val out = scala.collection.mutable.HashSet[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
+          !n.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f.getPath)
+          .withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            out += g.getString("shard_id", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    out.toSet
   }
 
+  /** Parquet schema of one manifest row — matches what Spark writes
+    * for a non-nullable StringType column, so manifest dirs stay a
+    * single consistent schema whether a file came from this
+    * driver-side appender or from [[graft.sources.Sinks
+    * .compactParquetDir]]'s Spark rewrite ([[retractShard]]). */
+  private val ManifestSchema =
+    org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message spark_schema { required binary shard_id (UTF8); }")
+
+  /** One-row manifest append, DRIVER-SIDE (optimization round 18): a
+    * Spark job for one short string paid scheduler + task + committer
+    * overhead per ingest; a direct parquet write of the same row is
+    * the metadata-sized IO the manifest actually is. Durability and
+    * locking are unchanged — same dir, same lock, the file is closed
+    * before the lock releases. */
   private def appendManifestRow(spark: SparkSession, dirs: Dirs,
                                 shardId: String): Unit =
     graft.sources.Sinks.withDirLock(spark, dirs.manifest,
       "CurationPipeline.manifest") {
-      spark.createDataFrame(
-          java.util.List.of(org.apache.spark.sql.Row(shardId)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("shard_id",
-              org.apache.spark.sql.types.StringType, nullable = false))))
-        .write.mode("append").parquet(dirs.manifest)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dirPath = new org.apache.hadoop.fs.Path(dirs.manifest)
+      dirPath.getFileSystem(conf).mkdirs(dirPath)
+      val file = new org.apache.hadoop.fs.Path(dirPath,
+        s"part-${java.util.UUID.randomUUID()}.snappy.parquet")
+      val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+          .fromPath(file, conf))
+        .withType(ManifestSchema)
+        .withCompressionCodec(
+          org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+        .build()
+      try {
+        val g = new org.apache.parquet.example.data.simple.SimpleGroup(
+          ManifestSchema)
+        g.append("shard_id", shardId)
+        writer.write(g)
+      } finally writer.close()
     }
 
   private[graft] def requireShardId(shardId: String): Unit =
@@ -234,11 +288,24 @@ object CurationPipeline {
         "under a FRESH id (the retraction's negated Gram row and " +
         "deletion marker keyed by the old id must stay unambiguous)")
     if (manifest.contains(shardId)) return Nil
-    // empty shards are a no-op: an n=0 Gram row carries NULL decimal
-    // sums (the ADVICE-r14 trap), and the stage ops would burn jobs
-    // appending empty files; one take(1) probe is cheaper than any of
-    // that
-    if (shard.isEmpty) return Nil
+    // Gram moments + shard row count in ONE aggregation, collected
+    // here in the decide phase (optimization round 18): the count
+    // replaces the separate isEmpty probe (empty shards are a no-op —
+    // an n=0 Gram row carries NULL decimal sums, the ADVICE-r14 trap,
+    // and the stage ops would burn jobs appending empty files), and
+    // the collected row replaces the gram write step's second full
+    // evaluation of the shard lineage (scan + feature join +
+    // aggregation). Gram over ALL shard rows incl. holdout — the
+    // probe trains on the raw corpus, the fastText convention q218
+    // documents.
+    val gramFull = LinearProbe.gramAggDf(shard, FeatureDim,
+      extra = Seq(count(lit(1)).as("__rows")))
+    val gramRowFull = gramFull.collect()(0)
+    if (gramRowFull.getAs[Long]("__rows") == 0L) return Nil
+    val gramSchema = org.apache.spark.sql.types.StructType(
+      gramFull.schema.dropRight(1))
+    val gramRow = org.apache.spark.sql.Row.fromSeq(
+      gramRowFull.toSeq.dropRight(1))
     // 2. DECIDE — reads only; invisible rows: this shard's OWN tag (a
     // crashed attempt's partial appends) and every RETRACTED shard's
     // tag (O(1) tombstones whose physical rows await the next
@@ -252,9 +319,13 @@ object CurationPipeline {
       corpusB.withColumn("__ntext", normalize(col("text"))),
       "__ntext", "doc_id", dirs.digests, bloomPrefilter = false,
       excludeBatchIds = excluded)
+    // lazy over the CHECKPOINTED surv1 (optimization round 18): the
+    // distinct runs once, inside the digest-append step's own job —
+    // re-evaluation cannot re-read the sidecar because every input is
+    // already materialized, so a separate eager checkpoint bought
+    // nothing but one more job per ingest
     val newFps = surv1.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-      .localCheckpoint(true)
     val surv1Clean = surv1.drop("__fp", "__ntext")
     // stage 2: incremental duplicated-span removal (chunk-key sidecar)
     val (spanOut, newCks) = Dedup.spanRemovalDecide(
@@ -290,11 +361,11 @@ object CurationPipeline {
       ("append_chunk_sidecar", () =>
         Dedup.appendChunkKeys(spark, newCks, dirs.chunks,
           batchId = Some(shardId), op = "CurationPipeline.ingestShard")),
-      // Gram over ALL shard rows incl. holdout (the probe trains on
-      // the raw corpus — the fastText convention q218 documents)
+      // the moment row was computed and collected in the decide phase
+      // above — the write is a literal 1-row append
       ("append_gram_sidecar", () =>
-        LinearProbe.writeGramSidecar(shard, FeatureDim, dirs.gram,
-          batchId = Some(shardId))),
+        LinearProbe.appendGramMomentRow(spark, gramRow, gramSchema,
+          dirs.gram, batchId = Some(shardId))),
       ("append_manifest", () => appendManifestRow(spark, dirs, shardId)))
   }
 
@@ -374,6 +445,25 @@ object CurationPipeline {
     * the retired-id guard, and excluding an already-dropped tag at
     * read is a no-op). */
   def compactState(spark: SparkSession, dirs: Dirs): Unit = {
+    val retracted = assertNoInFlightShards(spark, dirs,
+      "CurationPipeline.compactState")
+    Dedup.compactSidecar(spark, dirs.digests, dropBatchIds = retracted)
+    Dedup.compactChunkKeySidecar(spark, dirs.chunks,
+      dropBatchIds = retracted)
+    LinearProbe.compactGramSidecar(spark, dirs.gram, FeatureDim)
+  }
+
+  /** The in-flight-shard guard, factored (optimization round 18) so
+    * BOTH consumers — [[compactState]], which must not merge an
+    * uncommitted batch's per-batch Gram identity away, and
+    * [[finalizePipeline]], whose θ must never train on an uncommitted
+    * batch's moments — run it without each other's work. Returns the
+    * retracted-tag set (the tombstones [[compactState]] physically
+    * drops). Fails loud with the replay instruction on any Gram batch
+    * id that is neither committed, retracted, nor the compacted
+    * sentinel. */
+  private def assertNoInFlightShards(spark: SparkSession, dirs: Dirs,
+                                     op: String): Set[String] = {
     val manifest = committedShards(spark, dirs)
     // a retraction removes the shard's commit row but its original
     // moment row may still sit uncompacted under the old tag — the
@@ -385,14 +475,11 @@ object CurationPipeline {
     val inFlight = LinearProbe.gramBatchIds(spark, dirs.gram)
       .filterNot(known.contains)
     require(inFlight.isEmpty,
-      s"CurationPipeline.compactState: uncommitted shard(s) " +
+      s"$op: uncommitted shard(s) " +
         s"${inFlight.mkString(", ")} in the Gram sidecar — a crashed " +
         "ingest is in flight; replay ingestShard with the same id " +
         "(or retractShard it) before compacting")
-    Dedup.compactSidecar(spark, dirs.digests, dropBatchIds = retracted)
-    Dedup.compactChunkKeySidecar(spark, dirs.chunks,
-      dropBatchIds = retracted)
-    LinearProbe.compactGramSidecar(spark, dirs.gram, FeatureDim)
+    retracted
   }
 
   /** Stages 1–3 in their ONE-SHOT snapshot form — q218's front half,
@@ -479,14 +566,26 @@ object CurationPipeline {
       .orderBy(col("doc_id"))
   }
 
-  /** The incremental run's finalize: θ from the compacted Gram sidecar
-    * (bit-equal to the one-shot fit by additivity), score the
-    * accumulated survivor metadata, then [[finalizeStages]]. Touches
-    * ONLY pipeline state — the corpus is never re-read. Runs through
-    * [[compactState]], so an in-flight crashed shard fails loud here
-    * too (θ must never train on an uncommitted batch's moments). */
+  /** The incremental run's finalize: θ from the Gram sidecar
+    * (bit-equal to the one-shot fit by additivity — compacted or not:
+    * every summed read collapses duplicate tags and nets deletions),
+    * score the accumulated survivor metadata, then [[finalizeStages]].
+    * Touches ONLY pipeline state — the corpus is never re-read. Runs
+    * the in-flight guard, so a crashed shard fails loud here too (θ
+    * must never train on an uncommitted batch's moments).
+    *
+    * Optimization round 18: finalize no longer RUNS the physical
+    * [[compactState]] rewrite — it reads only the Gram sidecar and
+    * the survivor partitions, and the Gram read is exact over
+    * uncompacted appends by the tag-collapse contract, so rewriting
+    * the (corpus-scale) digest/chunk sidecars here paid three
+    * directory rewrites per finalize for state the finalize never
+    * touches. Compaction stays the cadenced maintenance operation it
+    * is documented as; operators call [[compactState]] on their own
+    * cadence (the [[graft.IncrementalDeepRun]] / FAULTS harnesses
+    * already do). The finalize output is bit-identical either way. */
   def finalizePipeline(spark: SparkSession, dirs: Dirs): DataFrame = {
-    compactState(spark, dirs)
+    assertNoInFlightShards(spark, dirs, "CurationPipeline.finalizePipeline")
     val theta = LinearProbe.fitFromSidecar(spark, dirs.gram, FeatureDim,
       iters = GdIters)
     val scored = LinearProbe.scoreFp(

@@ -1163,10 +1163,12 @@ object Dedup {
     * `excludeBatchIds` are invisible — the crash-replay + retraction-
     * tombstone contract of [[sidecarSurvivors]], applied to chunk
     * keys), keep first occurrence per key within the batch,
-    * reassemble. Returns the per-doc output AND the batch's new
-    * distinct keys, both eagerly materialized, so a caller can order
-    * its own durable writes around the sidecar append (sink-first —
-    * the [[graft.ops.CurationPipeline]] ingest protocol). */
+    * reassemble. Returns the per-doc output (eagerly materialized)
+    * AND the batch's new distinct keys (a lazy projection of the
+    * eagerly-materialized decision set — it can never re-read the
+    * sidecar), so a caller can order its own durable writes around
+    * the sidecar append (sink-first — the
+    * [[graft.ops.CurationPipeline]] ingest protocol). */
   private[graft] def spanRemovalDecide(batch: DataFrame, textCol: String,
                                        idCol: String, sidecarDir: String,
                                        chunkTokens: Int,
@@ -1212,9 +1214,13 @@ object Dedup {
         sum(when(!col("__keep"), col("chunk_tokens")).otherwise(0L))
           .as("removed_tokens"))
       .localCheckpoint(true)
+    // lazy over the CHECKPOINTED decision set (optimization round 18):
+    // the distinct runs once, inside the key-append step's own job —
+    // re-evaluation cannot re-read the sidecar because `decided` is
+    // already materialized, so a separate eager checkpoint bought
+    // nothing but one more job per ingest
     val newKeys = decided.filter(!col("__seen"))
       .select(col("__k").as("ck")).distinct()
-      .localCheckpoint(true)
     (out, newKeys)
   }
 

@@ -105,8 +105,17 @@ object LinearProbe {
   /** The one-row Gram aggregation frame of a [[scaled]] frame —
     * columns n (long), g_i_j for i ≤ j and b_i (DECIMAL(38,0)). This
     * IS the probe's sufficient statistic: additive over row-disjoint
-    * batches, so it is also the sidecar row format. */
-  def gramAggDf(scaledDf: DataFrame, d: Int): DataFrame = {
+    * batches, so it is also the sidecar row format.
+    *
+    * `extra` (optimization round 18): additional aggregate columns
+    * appended AFTER the moment columns — lets a caller piggyback a
+    * cheap side-statistic (e.g. `count(1)` as a shard-emptiness
+    * probe) on the one aggregation pass it already pays instead of
+    * running a separate job over the same lineage. Callers that
+    * persist the row must drop the extras first (the sidecar row
+    * format is exactly n + moments). */
+  def gramAggDf(scaledDf: DataFrame, d: Int,
+                extra: Seq[Column] = Nil): DataFrame = {
     val dec = "decimal(38,0)"
     val prods = for (i <- 0 until d; j <- i until d) yield
       sum((col(s"__f$i").cast(dec) * col(s"__f$j").cast(dec)).cast(dec))
@@ -117,7 +126,35 @@ object LinearProbe {
     // count(__y), not count(1): rows nulled by [[scaled]]'s validity
     // projection must be excluded from n exactly as the null sums
     // exclude them from every moment
-    scaledDf.agg(count(col("__y")).as("n"), (prods ++ bs): _*)
+    scaledDf.agg(count(col("__y")).as("n"), (prods ++ bs ++ extra): _*)
+  }
+
+  /** Append one PRECOMPUTED moment row to the sidecar — the
+    * decide-phase twin of [[writeGramSidecar]] (optimization round 18):
+    * callers that already collected the [[gramAggDf]] row during their
+    * read-only decide phase (the [[graft.ops.CurationPipeline]] ingest
+    * protocol) write the literal row back instead of re-evaluating the
+    * full batch lineage (scan + feature join + aggregation) a second
+    * time inside the durable-write step. The row/schema must be
+    * exactly [[gramAggDf]]'s output (n + moments, no extras) — the
+    * deterministic decimal recompute guarantee that makes replayed
+    * appends collapsible holds because the collected row IS the
+    * aggregation's output. Same tag/lock discipline as
+    * [[writeGramSidecar]]. */
+  private[graft] def appendGramMomentRow(
+      spark: org.apache.spark.sql.SparkSession,
+      row: org.apache.spark.sql.Row,
+      schema: org.apache.spark.sql.types.StructType,
+      sidecarDir: String, batchId: Option[String]): Unit = {
+    graft.sources.Sinks.assertBatchTagConsistent(
+      spark, sidecarDir, batchId.isDefined, "writeGramSidecar")
+    graft.sources.Sinks.withDirLock(
+      spark, sidecarDir, "writeGramSidecar") {
+      batchId.foldLeft(
+          spark.createDataFrame(java.util.List.of(row), schema))(
+          (df, id) => df.withColumn("batch_id", lit(id)))
+        .write.mode("append").parquet(sidecarDir)
+    }
   }
 
   private def parseGramRow(row: org.apache.spark.sql.Row, d: Int):
@@ -272,13 +309,49 @@ object LinearProbe {
     * collect: one short string per append ever made. */
   def gramBatchIds(spark: org.apache.spark.sql.SparkSession,
                    sidecarDir: String): Seq[String] = {
+    // driver-side projected read (optimization round 18): the sidecar
+    // holds one short row per append ever made, and this probe runs
+    // before every compaction/finalize — a Spark job (scan + distinct
+    // + collect) paid whole-job overhead for KBs of metadata. The
+    // batch_id column is projected out of each footer-checked file;
+    // an untagged sidecar (no batch_id in the schema, fixed at first
+    // append) stays Nil exactly as before.
     val p = new org.apache.hadoop.fs.Path(sidecarDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil
-    val raw = spark.read.parquet(sidecarDir)
-    if (!raw.schema.fieldNames.contains("batch_id")) Nil
-    else raw.select(col("batch_id")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val out = scala.collection.mutable.HashSet[String]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
+          !n.startsWith(".")) {
+        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            f.getPath, conf))
+        val schema = try fr.getFooter.getFileMetaData.getSchema
+          finally fr.close()
+        if (!schema.containsField("batch_id")) return Nil
+        val readConf = new org.apache.hadoop.conf.Configuration(conf)
+        readConf.set(
+          org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new org.apache.parquet.schema.MessageType("spark_schema",
+            schema.getType(schema.getFieldIndex("batch_id"))).toString)
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f.getPath)
+          .withConf(readConf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            out += g.getString("batch_id", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    out.toSeq
   }
 
   /** Sentinel prefix of a DELETION append's batch id (the
@@ -332,20 +405,101 @@ object LinearProbe {
 
   /** Fit FROM the sidecar — the corpus is never re-read: the summed
     * moment rows (compacted or not, duplicate tagged appends
-    * collapsed) are the exact total Gram. */
+    * collapsed) are the exact total Gram.
+    *
+    * Read DRIVER-SIDE (optimization round 18): the sidecar holds one
+    * ~d²-decimal row per append ever made — pure metadata — and the
+    * old Spark job (scan + decimal aggregation + collect) paid
+    * whole-job overhead per fit for KBs of IO. Summation is exact
+    * BigInt (duplicate tags collapsed first, deletion rows netted by
+    * additivity, per-row NULL moments of n=0 rows skipped — the same
+    * SQL-sum semantics), and the DECIMAL(38,0) envelope guard is
+    * re-applied to every summed moment so an overflow fails with the
+    * identical message the aggregated read raised. */
   def fitFromSidecar(spark: org.apache.spark.sql.SparkSession,
                      sidecarDir: String, d: Int, iters: Int,
                      lrNum: Long = 1L, lrDen: Long = 4L): Array[BigInt] = {
-    val raw = dedupedMoments(spark.read.parquet(sidecarDir))
-    val sums = (for (i <- 0 until d; j <- i until d)
-      yield sum(col(s"g_${i}_$j")).cast("decimal(38,0)").as(s"g_${i}_$j")) ++
-      (0 until d).map(i =>
-        sum(col(s"b_$i")).cast("decimal(38,0)").as(s"b_$i"))
-    val row = raw.agg(sum(col("n")).cast("long").as("n"), sums: _*)
-      .collect()(0)
-    val (g, b, n) = parseGramRow(row, d)
+    val (g, b, n) = sidecarGram(spark, sidecarDir, d)
     require(n > 0, "LinearProbe: empty sidecar")
     fitFromGram(g, b, n, iters, lrNum, lrDen)
+  }
+
+  /** Driver-side exact Gram totals of a moment sidecar (the
+    * [[fitFromSidecar]] read half): one parquet footer+page read per
+    * file, rows bounded by appends-ever. */
+  private[graft] def sidecarGram(spark: org.apache.spark.sql.SparkSession,
+                                 sidecarDir: String, d: Int)
+      : (Array[Array[BigInt]], Array[BigInt], Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(sidecarDir)
+    val fs = p.getFileSystem(conf)
+    require(fs.exists(p), s"LinearProbe: no Gram sidecar at $sidecarDir")
+    val gNames = for (i <- 0 until d; j <- i until d) yield s"g_${i}_$j"
+    val bNames = (0 until d).map(i => s"b_$i")
+    val sums = scala.collection.mutable.HashMap[String, BigInt]()
+    var nTotal = 0L
+    val seen = scala.collection.mutable.HashSet[String]()
+    def decodeUnscaled(grp: org.apache.parquet.example.data.Group,
+                       field: String): Option[BigInt] = {
+      if (grp.getType.getType(grp.getType.getFieldIndex(field))
+          .asPrimitiveType().getPrimitiveTypeName.name() == "INT64")
+        Some(BigInt(grp.getLong(field, 0)))
+      else
+        // decimal(38,0): unscaled big-endian two's-complement bytes
+        // (FIXED_LEN_BYTE_ARRAY / BINARY both surface as Binary)
+        Some(BigInt(new java.math.BigInteger(
+          grp.getBinary(field, 0).getBytes)))
+    }
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getPath.getName
+      if (f.isFile && f.getLen > 0 && !nm.startsWith("_") &&
+          !nm.startsWith(".")) {
+        val reader = org.apache.parquet.hadoop.ParquetReader
+          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+            f.getPath)
+          .withConf(conf).build()
+        try {
+          var grp = reader.read()
+          while (grp != null) {
+            val schema = grp.getType
+            val tagged = schema.containsField("batch_id")
+            // duplicate-tag collapse: replicas of a replayed append
+            // are bit-identical, so keeping the first seen is exact
+            val skip = tagged && !seen.add(grp.getString("batch_id", 0))
+            if (!skip) {
+              nTotal += grp.getLong("n", 0)
+              (gNames ++ bNames).foreach { name =>
+                // n=0 rows carry NULL moments — skipped exactly as
+                // SQL sum skips nulls
+                if (grp.getFieldRepetitionCount(name) > 0)
+                  sums(name) = sums.getOrElse(name, BigInt(0)) +
+                    decodeUnscaled(grp, name).get
+              }
+            }
+            grp = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    if (nTotal == 0L)
+      return (Array.fill(d, d)(BigInt(0)), Array.fill(d)(BigInt(0)), 0L)
+    val envelope = BigInt(10).pow(38)
+    val g = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- i until d) {
+      val v = sums.getOrElse(s"g_${i}_$j", null)
+      require(v != null && v.abs < envelope,
+        "LinearProbe: Gram moment exceeds DECIMAL(38,0) envelope")
+      g(i)(j) = v; g(j)(i) = v
+    }
+    val b = bNames.map { name =>
+      val v = sums.getOrElse(name, null)
+      require(v != null && v.abs < envelope,
+        "LinearProbe: label moment exceeds DECIMAL(38,0) envelope")
+      v
+    }.toArray
+    (g, b, nTotal)
   }
 
   /** The exact integer GD loop (driver-side, Gram-only). Returns the

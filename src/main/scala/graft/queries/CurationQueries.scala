@@ -557,8 +557,13 @@ object CurationQueries {
     val lenOk = least(nTokens / 20.0, lit(1.0))
     val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
     val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
+    // label fused into the base projection (optimization round 18):
+    // base and the weak label are both per-row functions of the same
+    // docs scan — a separate lbl frame paid one more scan + join for
+    // a column the base projection computes for free
     val base = docs.select(col("doc_id"), stopRatio.as("stop_ratio"),
-      (lenOk * tokOk * stopOk).as("quality"))
+      (lenOk * tokOk * stopOk).as("quality"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val rep = Curation.repetitionSignals(docs)
       .select(col("doc_id"), col("dup_word_frac"), col("top_word_share"),
         col("dup_bigram_frac"))
@@ -567,10 +572,7 @@ object CurationQueries {
         groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
         keepAbove = 0.0)
       .select(col("doc_id"), col("pct").as("len_pct"))
-    val lbl = docs.select(col("doc_id"),
-      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val feats = base.join(rep, "doc_id").join(pct, "doc_id")
-      .join(lbl, "doc_id")
     val fCols = Seq("quality", "stop_ratio", "dup_word_frac",
       "top_word_share", "dup_bigram_frac", "len_pct")
     LinearProbe.scaled(feats, fCols, col("y"))

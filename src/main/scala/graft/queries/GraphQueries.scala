@@ -5,6 +5,7 @@ import graft.ops.Graph
 import graft.sources.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Round-10 block: graph centrality — the engine's second
   * graph-analytics family next to the connected-components closure
@@ -313,11 +314,17 @@ object GraphQueries {
       s"target/tmp/q206_edge_sidecar_$sf"
     }
     graft.sources.Sinks.wipeForRebuild(s, dir)
+    // materialized ONCE (optimization round 18): all four batch
+    // appends derive from this join — lazy, each append re-ran the
+    // lineitem⋈orders join, 4 scans of the fact table for one
+    // logical input. DISK_ONLY per the Graph-family rule: data-sized
+    // state lives on disk, not the block-manager heap.
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey").as("ok"),
         col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .localCheckpoint(true, StorageLevel.DISK_ONLY)
     def batch(i: Int) = {
       val p = pairs.filter(col("ok") % 3 === i)
       p.select(col("cust").as("src"), (col("supp") + Off).as("dst"))

@@ -173,19 +173,36 @@ object Sinks {
     * from a sample of files, so a mixed dir can drop the `batch_id`
     * column on read — and with it every replay-exclusion and
     * duplicate-append defense the tag exists for. One footer read per
-    * append (the appenders already pay a listing for the dir lock). */
+    * append (the appenders already pay a listing for the dir lock),
+    * done DRIVER-SIDE with the parquet footer API (optimization round
+    * 18): `spark.read.parquet(dir).schema` spins up a parallel
+    * schema-inference job for the same one bit, and under this
+    * guard's own invariant every file in the dir agrees, so one
+    * footer is exact. */
   private[graft] def assertBatchTagConsistent(spark: SparkSession,
       dir: String, tagged: Boolean, op: String): Unit = {
     val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) return
+    val it = fs.listFiles(path, true)
+    var dataFile: org.apache.hadoop.fs.Path = null
+    while (dataFile == null && it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
+          !n.startsWith(".")) dataFile = f.getPath
+    }
+    // dir exists but holds no data file (e.g. only a _SUCCESS
+    // marker) — the next append defines the schema
+    if (dataFile == null) return
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        dataFile, conf))
     val existingTagged =
-      try spark.read.parquet(dir).schema.fieldNames.contains("batch_id")
-      catch {
-        // dir exists but holds no readable parquet (e.g. only a
-        // _SUCCESS marker) — the next append defines the schema
-        case _: org.apache.spark.sql.AnalysisException => return
-      }
+      try reader.getFooter.getFileMetaData.getSchema
+        .containsField("batch_id")
+      finally reader.close()
     require(existingTagged == tagged,
       s"$op: $dir is ${if (existingTagged) "batch-tagged" else "untagged"} " +
         s"but this append is ${if (tagged) "tagged" else "untagged"} — " +

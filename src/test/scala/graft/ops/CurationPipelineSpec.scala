@@ -192,6 +192,11 @@ class CurationPipelineSpec extends SparkSpec {
     Seq(0, 1, 2).foreach(i =>
       CurationPipeline.ingestShard(sh(i), ref, holdout, s"s$i"))
     val refFinal = canon(CurationPipeline.finalizePipeline(spark, ref))
+    // physical on-disk convergence is certified AT THE MAINTENANCE
+    // CADENCE (finalize reads are exact over uncompacted appends and
+    // no longer rewrite state they never touch — round 18): compact
+    // both sides, then compare the physical state
+    CurationPipeline.compactState(spark, ref)
     val refState = pipelineState(ref)
     assert(refFinal.nonEmpty)
     // steps are: sink, digest, chunk, gram, manifest — crash after
@@ -209,6 +214,10 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.ingestShard(sh(2), dirs, holdout, "s2")
       assert(canon(CurationPipeline.finalizePipeline(spark, dirs))
         === refFinal, s"finalize diverged at crash point $k")
+      // the crashed attempt's duplicate tagged rows collapse at the
+      // cadenced compaction — after it the physical state must equal
+      // the never-crashed run's
+      CurationPipeline.compactState(spark, dirs)
       assert(pipelineState(dirs) === refState,
         s"on-disk state diverged at crash point $k")
     }
