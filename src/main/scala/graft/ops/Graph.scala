@@ -146,7 +146,20 @@ object Graph {
     val init = scale / n
     val base = ((dampDen - dampNum).toLong * scale) / (dampDen.toLong * n)
 
-    var ranks = deg.select(col("src").as("node"), lit(init).as("r"))
+    // deg rides IN the rank table (optimization round 18): it is a
+    // static per-node value, so carrying it through the loop replaces
+    // one of the two node-sized joins per iteration (e⋈deg⋈ranks →
+    // e⋈ranks) and the final rank⋈deg re-attachment — same keys, same
+    // arithmetic, bit-identical output. (A layout-preserving
+    // checkpoint of the edge table — pinning its hash partitioning
+    // and sort order through the LogicalRDD so the per-iteration
+    // merge joins skip their Exchange+Sort — was tried here too and
+    // REVERTED: it pins the loop's joins at a fixed partitioning,
+    // which defeats AQE's skew-split exactly on the hub-node-skewed
+    // joins this family produces; measured q214 1.8→6.4 s,
+    // q198 3.7→12.6 s at sf0.1.)
+    var ranks = deg.select(col("src").as("node"), col("deg"),
+      lit(init).as("r"))
     for (i <- 1 to iters) {
       // co-locate contributions by dst BEFORE aggregating. A bare
       // groupBy(dst) here plans partial-then-final hash aggregation,
@@ -162,16 +175,16 @@ object Graph {
       // (≤ avg-in-degree× more bytes than partial-agg output; ~2.3×
       // on the co-purchase graph, and the contribution row is 16 B).
       val contrib = e
-        .join(deg, "src")
         .join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
         .repartition(col("dst"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
-      ranks = deg.select(col("src").as("node"))
+      ranks = deg.select(col("src").as("node"), col("deg"))
         .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
+        .select(col("node"), col("deg"),
+          (lit(base) + coalesce(col("s"), lit(0L))).as("r"))
       // deep-iteration production path: truncate the lazy plan chain
       // every N iterations (node-sized materialization — the rank
       // table, never the edges). Fixed-point arithmetic makes the
@@ -181,9 +194,8 @@ object Graph {
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    ranks
-      .join(deg.withColumnRenamed("src", "node"), "node")
-      .select(col("node"), col("r").as("rank_fp"), col("deg").as("degree"))
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      col("deg").as("degree"))
   }
 
   /** Personalized (seed-restricted) fixed-point PageRank — trust/
@@ -241,18 +253,22 @@ object Graph {
     val init = scale / nSeeds
     val base = ((dampDen - dampNum).toLong * scale) / (dampDen.toLong * nSeeds)
 
-    val nodes = deg.select(col("src").as("node"))
+    // nodes carries (is_seed, deg) so the loop needs ONE node-sized
+    // join per iteration and the final re-attachment joins vanish —
+    // deg and is_seed are static per-node values (the pageRankFp
+    // round-18 restructure, seed-restricted form)
+    val nodes = deg.select(col("src").as("node"), col("deg"))
       .join(seedSet, Seq("node"), "left")
-      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+      .select(col("node"), col("deg"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"))
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
-    var ranks = nodes.select(col("node"),
+    var ranks = nodes.select(col("node"), col("deg"), col("is_seed"),
       (col("is_seed").cast("long") * lit(init)).as("r"))
     for (i <- 1 to iters) {
       // dst-exchange before the aggregation — same bounded-per-task-
       // state rationale as [[pageRankFp]]'s loop (see the comment
       // there; found round 15 at 100× on the default heap)
       val contrib = e
-        .join(deg, "src")
         .join(ranks, col("src") === col("node"))
         .select(col("dst"),
           expr(s"($dampNum * r) div ($dampDen * deg)").as("c"))
@@ -261,17 +277,14 @@ object Graph {
         .agg(sum(col("c")).as("s"))
       ranks = nodes
         .join(contrib, col("node") === col("dst"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"), col("is_seed"),
           (col("is_seed").cast("long") * lit(base) +
             coalesce(col("s"), lit(0L))).as("r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(true, StorageLevel.DISK_ONLY)
     }
-    ranks
-      .join(deg.withColumnRenamed("src", "node"), "node")
-      .join(nodes.select(col("node"), col("is_seed")), "node")
-      .select(col("node"), col("r").as("rank_fp"), col("deg").as("degree"),
-        col("is_seed"))
+    ranks.select(col("node"), col("r").as("rank_fp"),
+      col("deg").as("degree"), col("is_seed"))
   }
 
   /** Bounded-depth BFS: minimum hop distance from a seed set — the
