@@ -130,24 +130,24 @@ object CurationPipeline {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Set.empty
     val out = scala.collection.mutable.HashSet[String]()
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
-          !n.startsWith(".")) {
-        val reader = org.apache.parquet.hadoop.ParquetReader
-          .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-            f.getPath)
-          .withConf(conf).build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            out += g.getString("shard_id", 0)
-            g = reader.read()
-          }
-        } finally reader.close()
-      }
+    // _temporary/dot-prefixed components skipped at EVERY level
+    // (ADVICE r18): [[appendManifestRow]] writes behind a dot-prefixed
+    // temp name and [[graft.sources.Sinks.compactParquetDir]]'s Spark
+    // rewrite can crash with `_temporary` task files on disk — both
+    // must stay invisible here or every later ingest throws on a torn
+    // footer.
+    for (f <- graft.sources.Sinks.listDataFiles(fs, p)) {
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+          f.getPath)
+        .withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          out += g.getString("shard_id", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
     }
     out.toSet
   }
@@ -173,12 +173,22 @@ object CurationPipeline {
       "CurationPipeline.manifest") {
       val conf = spark.sparkContext.hadoopConfiguration
       val dirPath = new org.apache.hadoop.fs.Path(dirs.manifest)
-      dirPath.getFileSystem(conf).mkdirs(dirPath)
-      val file = new org.apache.hadoop.fs.Path(dirPath,
-        s"part-${java.util.UUID.randomUUID()}.snappy.parquet")
+      val fs = dirPath.getFileSystem(conf)
+      fs.mkdirs(dirPath)
+      // write behind a DOT-PREFIXED temp name, rename to the final
+      // name after close (ADVICE r18): a crash mid-write must not
+      // leave a torn non-empty part file at a data name —
+      // [[committedShards]] runs at the start of EVERY ingest and
+      // would throw on its footer permanently. Dot-prefixed files are
+      // invisible to every reader (Spark's and ours), and the local/
+      // HDFS rename is atomic, so readers see the complete file or
+      // nothing.
+      val base = s"part-${java.util.UUID.randomUUID()}.snappy.parquet"
+      val tmp = new org.apache.hadoop.fs.Path(dirPath, s".$base.inprogress")
+      val file = new org.apache.hadoop.fs.Path(dirPath, base)
       val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
         .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-          .fromPath(file, conf))
+          .fromPath(tmp, conf))
         .withType(ManifestSchema)
         .withCompressionCodec(
           org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
@@ -189,6 +199,8 @@ object CurationPipeline {
         g.append("shard_id", shardId)
         writer.write(g)
       } finally writer.close()
+      require(fs.rename(tmp, file),
+        s"CurationPipeline.appendManifestRow: rename $tmp -> $file failed")
     }
 
   private[graft] def requireShardId(shardId: String): Unit =

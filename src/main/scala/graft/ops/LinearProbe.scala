@@ -321,18 +321,30 @@ object LinearProbe {
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Nil
     val out = scala.collection.mutable.HashSet[String]()
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
-          !n.startsWith(".")) {
-        val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            f.getPath, conf))
-        val schema = try fr.getFooter.getFileMetaData.getSchema
-          finally fr.close()
-        if (!schema.containsField("batch_id")) return Nil
+    // _temporary/dot-prefixed components skipped at EVERY level, and
+    // taggedness decided from the FIRST data file with every later
+    // file REQUIRED to agree (both ADVICE r18): the old mid-scan
+    // `return Nil` on any untagged file silently disabled the
+    // in-flight/uncommitted-shard guard on exactly the mixed-schema
+    // dir the tag guard exists to catch.
+    val files = graft.sources.Sinks.listDataFiles(fs, p)
+    var tagged: Option[Boolean] = None
+    for (f <- files) {
+      val fr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          f.getPath, conf))
+      val schema = try fr.getFooter.getFileMetaData.getSchema
+        finally fr.close()
+      val hasTag = schema.containsField("batch_id")
+      tagged match {
+        case None => tagged = Some(hasTag)
+        case Some(t) => require(t == hasTag,
+          s"LinearProbe.gramBatchIds: $sidecarDir mixes tagged and " +
+            s"untagged parquet files (${f.getPath} is " +
+            s"${if (hasTag) "tagged" else "untagged"}) — a sidecar " +
+            "carries batch_id from its first append or never")
+      }
+      if (hasTag) {
         val readConf = new org.apache.hadoop.conf.Configuration(conf)
         readConf.set(
           org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -450,12 +462,11 @@ object LinearProbe {
         Some(BigInt(new java.math.BigInteger(
           grp.getBinary(field, 0).getBytes)))
     }
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val nm = f.getPath.getName
-      if (f.isFile && f.getLen > 0 && !nm.startsWith("_") &&
-          !nm.startsWith(".")) {
+    // _temporary/dot-prefixed components skipped at EVERY level
+    // (ADVICE r18 — crashed Spark appends leave task files under
+    // `_temporary/...` whose leaves look like ordinary parts)
+    for (f <- graft.sources.Sinks.listDataFiles(fs, p)) {
+      {
         val reader = org.apache.parquet.hadoop.ParquetReader
           .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
             f.getPath)

@@ -166,6 +166,41 @@ object Sinks {
     } finally { fs.delete(lock, false); () }
   }
 
+  /** Recursive listing of a dir's DATA files for the driver-side
+    * parquet readers (ADVICE r18): skips any file whose path relative
+    * to `dir` contains a component starting with '_' or '.' — the
+    * same filter Spark's InMemoryFileIndex/HadoopFSUtils apply at
+    * every level. Filtering only the LEAF name is not enough: a
+    * crashed Spark append leaves task files under
+    * `_temporary/<attempt>/...` whose leaf names look like ordinary
+    * parts, and a torn attempt file would make every footer/page read
+    * throw (or, worse, an orphaned task-committed file would silently
+    * double-count) until an operator hand-cleaned the dir. */
+  private[graft] def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.LocatedFileStatus] = {
+    val base = fs.makeQualified(dir)
+    def hiddenUnderBase(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != base) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return true
+        cur = cur.getParent
+      }
+      false
+    }
+    val out = scala.collection.mutable.ArrayBuffer[
+      org.apache.hadoop.fs.LocatedFileStatus]()
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getLen > 0 &&
+          !hiddenUnderBase(fs.makeQualified(f.getPath))) out += f
+    }
+    out.toSeq
+  }
+
   /** Guard for BATCH-TAGGED sidecars (round 16): a sidecar is tagged
     * with a `batch_id` column from its FIRST append or never. Mixing
     * tagged and untagged appends in one directory is the silent
@@ -185,14 +220,8 @@ object Sinks {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
     if (!fs.exists(path)) return
-    val it = fs.listFiles(path, true)
-    var dataFile: org.apache.hadoop.fs.Path = null
-    while (dataFile == null && it.hasNext) {
-      val f = it.next()
-      val n = f.getPath.getName
-      if (f.isFile && f.getLen > 0 && !n.startsWith("_") &&
-          !n.startsWith(".")) dataFile = f.getPath
-    }
+    val dataFile = listDataFiles(fs, path).headOption
+      .map(_.getPath).orNull
     // dir exists but holds no data file (e.g. only a _SUCCESS
     // marker) — the next append defines the schema
     if (dataFile == null) return
