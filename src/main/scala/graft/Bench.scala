@@ -35,14 +35,14 @@ object Bench {
     // turns when executors are memory-tight
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val spark = GraftSession.withJoinStrategy(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       // page granularity ∝ memory-per-task — see GraftSession scaladoc
       .config("spark.buffer.pageSize",
         GraftSession.tungstenPageSize(cores = cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)

@@ -460,7 +460,7 @@ object Faults {
       case Some(list) => list.split(",").map(_.trim).toSeq
       case None => DefaultQueries
     }
-    val spark = SparkSession.builder()
+    val spark = GraftSession.withJoinStrategy(SparkSession.builder()
       // local[N, 4]: local-mode task retries, maxFailures = 4 — the
       // injected first-attempt kill leaves 3 more attempts
       .master(s"local[$cpus, 4]")
@@ -470,7 +470,7 @@ object Faults {
       .config("spark.buffer.pageSize",
         GraftSession.tungstenPageSize(cores = cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR") // injected failures are noisy at WARN
     graft.functions.GraftFunctions.register(spark)

@@ -47,10 +47,46 @@ object GraftSession {
     java.lang.Long.highestOneBit(clamped)
   }
 
+  /** Join-strategy configuration shared by EVERY engine entry point
+    * (bench/verify/scale-bench/tests) — optimization round 19.
+    *
+    * Sort-merge was the de-facto strategy for all non-broadcast joins;
+    * the q188 final adaptive plan showed each PageRank iteration
+    * re-SORTING the data-sized edge table for its SMJ even though the
+    * exchange itself was reused (sorts sit above the reused exchange
+    * and re-run per join). A shuffled-hash join does the same keyed
+    * join with a per-partition hash build of the SMALLER side — no
+    * sort of either side — and its memory bound (build-side bytes per
+    * partition) is exactly the node-sized-state-per-task budget the
+    * graph/dedup operators already provision for their aggregations.
+    *
+    * Two knobs, both SCALE-ADAPTIVE rather than local-tuned (guide
+    * §3.1/§9):
+    *  - `preferSortMergeJoin=false` lets the static planner pick SHJ
+    *    when its size conditions hold (stats-based, falls back to SMJ
+    *    when the build side may not fit);
+    *  - `adaptive.maxShuffledHashJoinLocalMapThreshold=64m` lets AQE
+    *    rewrite a planned SMJ to SHJ at runtime when every
+    *    post-shuffle build partition is measured ≤ 64 MB — the
+    *    RUNTIME guard that keeps the choice correct at any corpus
+    *    size (a 100 TB run whose build partitions exceed the bound
+    *    keeps sort-merge exactly where it is needed).
+    * 64 MB per partition matches the advisory shuffle-partition size
+    * AQE already targets, so "build fits a partition" and "partition
+    * is well-sized" are the same budget. */
+  val joinStrategyConfs: Seq[(String, String)] = Seq(
+    "spark.sql.join.preferSortMergeJoin" -> "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" ->
+      (64L << 20).toString)
+
+  /** Apply [[joinStrategyConfs]] to a builder. */
+  def withJoinStrategy(b: SparkSession.Builder): SparkSession.Builder =
+    joinStrategyConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
   def builder(master: String = "local[*]",
               shufflePartitions: Int =
                 Runtime.getRuntime.availableProcessors): SparkSession.Builder =
-    SparkSession.builder()
+    withJoinStrategy(SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.adaptive.enabled", "true")
@@ -58,7 +94,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.buffer.pageSize", tungstenPageSize().toString)
-      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.session.timeZone", "UTC"))
       .withExtensions(new GraftExtensions)
 
   /** Build (or attach to) a session and ensure the custom functions

@@ -35,11 +35,11 @@ object KCoreDeepRun {
       s"SPARK_GRAFT_KCORE_TAIL must be <= 56 so the bounded cross-check " +
         s"(rounds = min(64, tail + 8)) can reach the peel depth; got $tail")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.withJoinStrategy(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -52,6 +52,10 @@ object GraftFunctions {
   def tokens_in_set(text: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokensInSet(ColumnBridge.expression(text), words))
 
+  /** Fused one-scan word-repetition statistics (see [[WordRepStats]]). */
+  def word_rep_stats(text: Column): Column =
+    ColumnBridge.column(WordRepStats(ColumnBridge.expression(text)))
+
   /** Unicode-aware canonical normalization (see [[NfkcNormalize]]). */
   def nfkc_normalize(text: Column): Column =
     ColumnBridge.column(NfkcNormalize(ColumnBridge.expression(text)))
@@ -184,6 +188,7 @@ object GraftFunctions {
       MisraGriesCandidates(exprs(0), intArg("mg_candidates", exprs(1)))),
     "tokens_in_set" -> (exprs =>
       TokensInSet(exprs(0), stringArrayArg("tokens_in_set", exprs(1)))),
+    "word_rep_stats" -> (exprs => WordRepStats(exprs(0))),
     "nfkc_normalize" -> (exprs => NfkcNormalize(exprs(0))),
     "ngrams_in_set" -> (exprs =>
       NgramsInSet(exprs(0), stringArrayArg("ngrams_in_set", exprs(1)))),

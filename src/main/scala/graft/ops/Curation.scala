@@ -135,20 +135,9 @@ object Curation {
     * (doc×word counts, then per-doc) stays a single shuffle chain with
     * map-side partials and needs no join back.
     */
-  def repetitionSignals(docs: DataFrame): DataFrame = {
-    val withBigrams = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("ts"),
-        size(TextAnalysis.wordNgrams(col("ts"), 2)).cast("long").as("nb"),
-        size(array_distinct(TextAnalysis.wordNgrams(col("ts"), 2)))
-          .cast("long").as("nbd"))
-    withBigrams
-      .select(col("doc_id"), col("nb"), col("nbd"), explode(col("ts")).as("w"))
-      .groupBy(col("doc_id"), col("nb"), col("nbd"), col("w"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("nb"), col("nbd"))
-      .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_cnt"))
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: repetitionSignalCols(col("text")): _*)
+      .filter(col("__rs_ok")).drop("__rs_ok")
       .select(col("doc_id"), col("n_toks"), col("n_distinct"),
         ((col("n_toks") - col("n_distinct")).cast("double") / col("n_toks"))
           .as("dup_word_frac"),
@@ -156,6 +145,39 @@ object Curation {
         when(col("nb") === 0L, lit(0.0))
           .otherwise((col("nb") - col("nbd")).cast("double") / col("nb"))
           .as("dup_bigram_frac"))
+
+  /** The repetition statistics as IN-ROW columns over a text column —
+    * n_toks, n_distinct, top_cnt, nb, nbd (all long) plus the
+    * `__rs_ok` row-membership flag (false exactly where the former
+    * formulation's `explode` dropped the row: null text → null token
+    * array).
+    *
+    * Through round 18 these stats ran as explode-every-word → two-level
+    * aggregation → join-back: two corpus-token-sized shuffles plus a
+    * doc-keyed join for values that are all FUNCTIONS OF ONE ROW. They
+    * now come out of ONE fused byte-scan per row
+    * ([[graft.functions.WordRepStats]] — codegen'd, zero-copy token
+    * views, no sort, no lambda interpretation; two slower in-row
+    * formulations were measured and rejected on the way here: HOF
+    * `aggregate` with `element_at(sort_array(ts), i)` re-sorts per
+    * element, +12 s on every consumer, and even the linear-walk HOF
+    * form pays ~0.5 s per 5 k docs in interpreted lambda stepping).
+    * Exact integer outputs, bit-identical ratio doubles (CurationSpec
+    * pins the exploded formulation's values). Callers fuse the stats
+    * into their existing scan projection: zero shuffles, zero joins,
+    * embarrassingly parallel at any corpus size (guide §1.2: remove
+    * passes before tuning them). The five `getField`s collapse to one
+    * evaluation under whole-stage codegen's subexpression
+    * elimination. */
+  private[graft] def repetitionSignalCols(text: Column): Seq[Column] = {
+    val stats = graft.functions.GraftFunctions.word_rep_stats(text)
+    Seq(
+      stats.getField("n_toks").as("n_toks"),
+      stats.getField("n_distinct").as("n_distinct"),
+      stats.getField("top_cnt").as("top_cnt"),
+      stats.getField("nb").as("nb"),
+      stats.getField("nbd").as("nbd"),
+      text.isNotNull.as("__rs_ok"))
   }
 
   /** Tokenizer-vocabulary coverage: corpus word frequencies ranked

@@ -3,6 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.ops.{Curation, CurationPipeline, Dedup, LinearProbe, Relational, TextAnalysis}
 import graft.sources.Tables
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -306,12 +307,18 @@ object CurationQueries {
     val contam = Curation.decontaminate(docs, docs.filter(col("doc_id") % 19 === 0),
         n = 3, threshold = 0.08)
       .select(col("doc_id"), col("contaminated"))
-    val rep = Curation.repetitionSignals(docs)
-      .select(col("doc_id"), col("n_toks"),
-        (col("dup_bigram_frac") >= 0.05).as("repetitive"))
+    // repetition stats fused into the rollup's own projection
+    // (optimization round 19): one scan, no doc-keyed rep join; the
+    // `__rs_ok` filter preserves the old inner join's row membership
     docs.filter(col("doc_id") % 19 =!= 0)
-      .select(col("doc_id"), col("source"))
-      .join(rep, Seq("doc_id"))
+      .select(Seq(col("doc_id"), col("source")) ++
+        Curation.repetitionSignalCols(col("text")): _*)
+      .filter(col("__rs_ok"))
+      .withColumn("repetitive",
+        when(col("nb") === 0L, lit(0.0))
+          .otherwise((col("nb") - col("nbd")).cast("double") / col("nb"))
+          >= 0.05)
+      .select(col("doc_id"), col("source"), col("n_toks"), col("repetitive"))
       .join(contam, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -512,13 +519,25 @@ object CurationQueries {
     val lenOk = least(nTokens / 20.0, lit(1.0))
     val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
     val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
-    val base = docs.select(col("doc_id"), col("source"),
+    // repetition ratios fused into the base projection (optimization
+    // round 19 — [[Curation.repetitionSignalCols]]'s one-scan stats:
+    // the explode → two-level agg → doc-keyed join they rode is gone);
+    // membership identical (the old inner join dropped exactly the
+    // __rs_ok = false rows)
+    val base = docs.select(Seq(col("doc_id"), col("source"),
       nChars.as("n_chars"), nTokens.as("n_tokens"),
       meanTokLen.as("mean_tok_len"), stopRatio.as("stop_ratio"),
-      (lenOk * tokOk * stopOk).as("quality"))
-    val rep = Curation.repetitionSignals(docs)
-      .select(col("doc_id"), col("dup_word_frac"), col("top_word_share"),
-        col("dup_bigram_frac"))
+      (lenOk * tokOk * stopOk).as("quality")) ++
+      Curation.repetitionSignalCols(t): _*)
+      .filter(col("__rs_ok"))
+      .withColumn("dup_word_frac",
+        (col("n_toks") - col("n_distinct")).cast("double") / col("n_toks"))
+      .withColumn("top_word_share",
+        col("top_cnt").cast("double") / col("n_toks"))
+      .withColumn("dup_bigram_frac",
+        when(col("nb") === 0L, lit(0.0))
+          .otherwise((col("nb") - col("nbd")).cast("double") / col("nb")))
+      .drop("n_toks", "n_distinct", "top_cnt", "nb", "nbd", "__rs_ok")
     val rar = Curation.tokenRarity(docs)
       .select(col("doc_id"), col("min_cnt"), col("mean_cnt"))
     val coh = TextAnalysis.bigramCoherence(docs, "doc_id", "text")
@@ -530,7 +549,7 @@ object CurationQueries {
         groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
         keepAbove = 0.0)
       .select(col("doc_id"), col("pct").as("len_pct"))
-    base.join(rep, "doc_id").join(rar, "doc_id").join(coh, "doc_id")
+    base.join(rar, "doc_id").join(coh, "doc_id")
       .join(ce, "doc_id").join(pct, "doc_id")
       .orderBy(col("doc_id"))
   }
@@ -557,22 +576,42 @@ object CurationQueries {
     val lenOk = least(nTokens / 20.0, lit(1.0))
     val tokOk = when(meanTokLen.between(2.0, 12.0), 1.0).otherwise(0.3)
     val stopOk = when(stopRatio.between(0.01, 0.6), 1.0).otherwise(0.5)
-    // label fused into the base projection (optimization round 18):
-    // base and the weak label are both per-row functions of the same
-    // docs scan — a separate lbl frame paid one more scan + join for
-    // a column the base projection computes for free
-    val base = docs.select(col("doc_id"), stopRatio.as("stop_ratio"),
-      (lenOk * tokOk * stopOk).as("quality"),
-      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-    val rep = Curation.repetitionSignals(docs)
-      .select(col("doc_id"), col("dup_word_frac"), col("top_word_share"),
-        col("dup_bigram_frac"))
-    val pct = Curation.percentileNormalize(
-        docs.select(col("doc_id"), col("source"), col("n_chars")),
-        groupCol = "source", valueCol = "n_chars", idCol = "doc_id",
-        keepAbove = 0.0)
-      .select(col("doc_id"), col("pct").as("len_pct"))
-    val feats = base.join(rep, "doc_id").join(pct, "doc_id")
+    // ONE projection computes the weak label, the quality product AND
+    // the repetition statistics (optimization round 19 — the r18
+    // label-fusion move finished: repetition stats are per-row
+    // functions too, [[Curation.repetitionSignalCols]], so the
+    // explode → two-level agg → join-back chain they rode is gone),
+    // and the length percentile runs as a window OVER THIS SAME FRAME
+    // instead of a separate 3-column frame joined back on doc_id.
+    // The whole feature derivation is now scan → project → one
+    // source-partitioned exchange (the percentile window) → scaled
+    // projection: zero joins, zero explodes — was 2 corpus-token
+    // shuffles + 2 doc-keyed joins. Values bit-identical (exact
+    // integer stats, same ratio arithmetic, same window order); the
+    // window ranks BEFORE the membership filter, exactly the rows the
+    // joined formulation ranked.
+    val base = docs.select(Seq(col("doc_id"), col("source"), col("n_chars"),
+      stopRatio.as("stop_ratio"), (lenOk * tokOk * stopOk).as("quality"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y")) ++
+      Curation.repetitionSignalCols(t): _*)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val cw = Window.partitionBy(col("source"))
+    val feats = base
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn("len_pct",
+        when(col("__n") === 1L, lit(0.5)).otherwise(
+          (col("__rn") - lit(1L)).cast("double") /
+            (col("__n") - lit(1L)).cast("double")))
+      .filter(col("__rs_ok"))
+      .withColumn("dup_word_frac",
+        (col("n_toks") - col("n_distinct")).cast("double") / col("n_toks"))
+      .withColumn("top_word_share",
+        col("top_cnt").cast("double") / col("n_toks"))
+      .withColumn("dup_bigram_frac",
+        when(col("nb") === 0L, lit(0.0))
+          .otherwise((col("nb") - col("nbd")).cast("double") / col("nb")))
     val fCols = Seq("quality", "stop_ratio", "dup_word_frac",
       "top_word_share", "dup_bigram_frac", "len_pct")
     LinearProbe.scaled(feats, fCols, col("y"))

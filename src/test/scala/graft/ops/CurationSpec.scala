@@ -54,6 +54,53 @@ class CurationSpec extends SparkSpec {
     assert(got(1) === ((4L, 4L, 0.0, 0.25, 0.0)))
   }
 
+  test("repetitionSignals: fused one-scan stats equal the exploded " +
+      "formulation (round-19 rewrite), incl. empty/duplicate-space edges") {
+    // the reference semantics: explode(split(text,' ',-1)) word counts +
+    // in-row bigram arrays — exactly the pre-round-19 operator body
+    def reference(docs: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions._
+      val withBigrams = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts"),
+          size(TextAnalysis.wordNgrams(col("ts"), 2)).cast("long").as("nb"),
+          size(array_distinct(TextAnalysis.wordNgrams(col("ts"), 2)))
+            .cast("long").as("nbd"))
+      withBigrams
+        .select(col("doc_id"), col("nb"), col("nbd"),
+          explode(col("ts")).as("w"))
+        .groupBy(col("doc_id"), col("nb"), col("nbd"), col("w"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("nb"), col("nbd"))
+        .agg(sum(col("c")).as("n_toks"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_cnt"))
+        .select(col("doc_id"), col("n_toks"), col("n_distinct"),
+          ((col("n_toks") - col("n_distinct")).cast("double") /
+            col("n_toks")).as("dup_word_frac"),
+          (col("top_cnt").cast("double") / col("n_toks"))
+            .as("top_word_share"),
+          when(col("nb") === 0L, lit(0.0))
+            .otherwise((col("nb") - col("nbd")).cast("double") / col("nb"))
+            .as("dup_bigram_frac"))
+    }
+    // edge cases the byte-scan must match split(' ', -1) on: empty
+    // text (one empty token), leading/trailing/double spaces (empty
+    // tokens kept), single token, all-identical tokens, repeated
+    // bigrams through empty tokens, multi-byte UTF-8 tokens
+    val edge = Seq(
+      (1L, ""), (2L, " "), (3L, "a"), (4L, "a a a a"),
+      (5L, " a"), (6L, "a "), (7L, "a  b  a  b"), (8L, "µß 漢字 µß 漢字"),
+      (9L, "x y x y x"), (10L, "a b a b a b c")).toDF("doc_id", "text")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    for (d <- Seq(edge, docs)) {
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy($"doc_id")
+          .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+      assert(canon(Curation.repetitionSignals(d)) === canon(reference(d)))
+    }
+  }
+
   test("vocabCoverage: ranks by count desc then word, cumulative share") {
     val docs = Seq((1L, "b b b a a c")).toDF("doc_id", "text")
     val got = Curation.vocabCoverage(docs, coverage = 0.85)
