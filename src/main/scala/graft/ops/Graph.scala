@@ -134,10 +134,22 @@ object Graph {
     // of the PageRank setup at 10×. Passing true on multi-edge input
     // is WRONG (duplicate edges would inflate degrees), which is why
     // the default stays false.
+    //
+    // Optimization round 19: the set-collapse path checkpoints the
+    // distinct's OWN output — the old `.distinct().repartition(src)`
+    // paid a second full edge shuffle for a src layout the checkpoint
+    // does not preserve anyway (the default localCheckpoint reports
+    // unknown partitioning downstream — pinning it through the
+    // LogicalRDD was tried in r18 and reverted for defeating AQE's
+    // skew handling), so the repartition bought file layout nobody
+    // reads. The distinct-less path keeps the explicit repartition:
+    // there it is the only thing lifting a compacted single-file scan
+    // to shuffle-width parallelism. Results are layout-independent by
+    // the determinism contract (PartitioningInvarianceSpec).
     val projected = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val e = (if (edgesDistinct) projected else projected.distinct())
-      .repartition(col("src"))
+    val e = (if (edgesDistinct) projected.repartition(col("src"))
+      else projected.distinct())
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true, StorageLevel.DISK_ONLY)
 
@@ -238,9 +250,8 @@ object Graph {
         "exceeds 64-bit range")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
-      // disk-resident: data-sized edge frame (see pageRankFp's note)
+      .distinct() // checkpointing the distinct's own output — see
+      // pageRankFp's round-19 note on the dropped repartition
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true, StorageLevel.DISK_ONLY)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
@@ -337,9 +348,8 @@ object Graph {
       s"seedDistance: maxHops must be in [0, 64], got $maxHops")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
-      // disk-resident: data-sized edge frame (see pageRankFp's note)
+      .distinct() // checkpointing the distinct's own output — see
+      // pageRankFp's round-19 note on the dropped repartition
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     // the full node universe — sources AND sinks: a directed seed
     // with no out-edges must still enter the frontier at d = 0 (it
@@ -417,7 +427,8 @@ object Graph {
     // derivation (a support-thresholded co-occurrence projection) and
     // is read three times below. Disk-resident — data-sized edge
     // frame (see pageRankFp's note)
-    val e0 = und.repartition(col("a"))
+    val e0 = und // checkpointing the distinct's own output — see
+      // pageRankFp's round-19 note on the dropped repartition
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     val deg = e0.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
@@ -514,8 +525,8 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
+      .distinct() // checkpointing the distinct's own output — see
+      // pageRankFp's round-19 note on the dropped repartition
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var surv = e.select(col("src").as("node")).distinct()
     for (r <- 1 to rounds) {
@@ -574,8 +585,8 @@ object Graph {
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct()
-      .repartition(col("src"))
+      .distinct() // checkpointing the distinct's own output — see
+      // pageRankFp's round-19 note on the dropped repartition
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
     var surv = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true, StorageLevel.DISK_ONLY)
