@@ -326,11 +326,13 @@ object CurationPipeline {
     val fCols = (0 until FeatureDim).map(i => col(s"__f$i"))
     val corpusB = shard.filter(!holdout)
       .select(Seq(col("doc_id"), col("source"), col("text")) ++ fCols: _*)
-    // stage 1: incremental normalized exact dedup (digest sidecar)
+    // stage 1: incremental normalized exact dedup (digest sidecar).
+    // dropTextCol: the normalized copy exists only to be fingerprinted
+    // — without the drop it doubles stage 1's shuffle/checkpoint bytes
     val surv1 = Dedup.sidecarSurvivors(
       corpusB.withColumn("__ntext", normalize(col("text"))),
       "__ntext", "doc_id", dirs.digests, bloomPrefilter = false,
-      excludeBatchIds = excluded)
+      excludeBatchIds = excluded, dropTextCol = true)
     // lazy over the CHECKPOINTED surv1 (optimization round 18): the
     // distinct runs once, inside the digest-append step's own job —
     // re-evaluation cannot re-read the sidecar because every input is
@@ -338,7 +340,7 @@ object CurationPipeline {
     // nothing but one more job per ingest
     val newFps = surv1.filter(col("__fp").isNotNull)
       .select(col("__fp").as("fp")).distinct()
-    val surv1Clean = surv1.drop("__fp", "__ntext")
+    val surv1Clean = surv1.drop("__fp") // __ntext already dropped pre-shuffle
     // stage 2: incremental duplicated-span removal (chunk-key sidecar)
     val (spanOut, newCks) = Dedup.spanRemovalDecide(
       surv1Clean.select(col("doc_id"), col("text")), "text", "doc_id",

@@ -477,12 +477,23 @@ object Dedup {
   private[graft] def sidecarSurvivors(batch: DataFrame, textCol: String,
                                       idCol: String, sidecarDir: String,
                                       bloomPrefilter: Boolean = false,
-                                      excludeBatchIds: Set[String] = Set.empty)
+                                      excludeBatchIds: Set[String] = Set.empty,
+                                      dropTextCol: Boolean = false)
       : DataFrame = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(sidecarDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val withFp = batch.withColumn("__fp", md5(col(textCol)))
+    // dropTextCol (optimization round 19): once `__fp` is computed the
+    // fingerprinted text is dead weight for callers that fed a
+    // DERIVED normal form they never read back (the CurationPipeline
+    // ingest: __ntext is a full normalized copy of the document), yet
+    // it would ride the anti-join and the survivor window's
+    // exchange + sort and the eager checkpoint — at corpus scale that
+    // doubles stage 1's shuffled bytes (guide §2.3: project before
+    // the exchange). Decisions are unchanged: everything downstream
+    // keys on __fp/idCol only.
+    val withFp0 = batch.withColumn("__fp", md5(col(textCol)))
+    val withFp = if (dropTextCol) withFp0.drop(textCol) else withFp0
     val fpRows = withFp.filter(col("__fp").isNotNull)
     val bloom =
       if (bloomPrefilter) loadSidecarBloom(spark, sidecarDir) else None
